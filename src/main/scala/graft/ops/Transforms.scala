@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Converter surface re-expressed as `DataFrame => DataFrame`
+  * transforms — the Spark-native equivalent of the reference's
+  * row-by-row converter chain (converter/chwriteconverter.py,
+  * csvwriteconverter.py, csvreadconverter.py in /root/reference).
+  *
+  * Each transform is a pure column expression so Catalyst folds it
+  * into the scan/write plan (whole-stage codegen, pushdown) instead
+  * of the reference's per-row Python dict mutation.
+  */
+object Transforms {
+
+  /** Column pruning, `--column-skip` (tablesqlbuilder.py:199-201,
+    * tablemigrator.py:226-237). `df.drop` prunes all the way into the
+    * source scan via Catalyst's ColumnPruning rule.
+    */
+  def skipColumns(cols: Seq[String])(df: DataFrame): DataFrame =
+    df.drop(cols: _*)
+
+  /** NULL-default substitution, `--column-default-value k=v`
+    * (converter/csvwriteconverter.py:19-33).
+    */
+  def fillDefaults(defaults: Map[String, Any])(df: DataFrame): DataFrame =
+    df.na.fill(defaults)
+
+  /** Empty-string → NULL normalization on read
+    * (converter/csvreadconverter.py:10-22). Applied to all string
+    * columns unless a subset is given.
+    */
+  def emptyToNull(cols: Seq[String] = Nil)(df: DataFrame): DataFrame = {
+    val targets =
+      if (cols.nonEmpty) cols.toSet
+      else df.schema.collect { case StructField(n, StringType, _, _) => n }.toSet
+    val exprs = df.schema.fields.map { f =>
+      if (targets(f.name))
+        when(col(f.name) === lit(""), lit(null)).otherwise(col(f.name)).as(f.name)
+      else col(f.name)
+    }
+    df.select(exprs.toIndexedSeq: _*)
+  }
+
+  /** Sink-side stringification of non-scalar values — the Spark
+    * analog of CHWriteConverter.column() (chwriteconverter.py:17-41:
+    * timedelta/bytes/Decimal/dict/list/set → str) and the Decimal→str
+    * pass in chwriter.py:77-81. Unlike the reference we keep a typed
+    * escape hatch: binary → hex, complex → JSON, everything else a
+    * plain cast.
+    */
+  def stringifyForSink(df: DataFrame): DataFrame = {
+    val exprs = df.schema.fields.map { f =>
+      val c = col(f.name)
+      val s = f.dataType match {
+        case StringType                             => c
+        case BinaryType                             => lower(hex(c))
+        case _: ArrayType | _: MapType | _: StructType => to_json(c)
+        case _                                      => c.cast(StringType)
+      }
+      s.as(f.name)
+    }
+    df.select(exprs.toIndexedSeq: _*)
+  }
+
+  /** Deterministic column layout: the CSV writer sorts fieldnames
+    * (writer/csvwriter.py:122).
+    */
+  def sortedColumns(df: DataFrame): DataFrame =
+    df.select(df.columns.sorted.toIndexedSeq.map(col): _*)
+
+  /** ClickHouse ReplacingMergeTree "FINAL" analog
+    * (tablesqlbuilder.py:392-398): last-write-wins per primary key,
+    * version = highest (`orderCols` descending picks the survivor).
+    *
+    * Scale note: one hash-shuffle on the PK, then a single window
+    * scan per partition; at 100 TB this is the standard
+    * partition-by-key top-1 and benefits from AQE skew splitting.
+    */
+  def replacingFinal(pk: Seq[String], orderCols: Seq[Column])(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(pk.map(col): _*).orderBy(orderCols.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Per-table pluggable row transform registry — the Spark analog of
+    * the `--ch-converter-file`/`--ch-converter-class` plugin surface
+    * (clioptions.py:492-503, converter/converter.py:9-35). Instead of
+    * dynamically imported Python classes, users register plain
+    * `DataFrame => DataFrame` functions keyed by table name; these
+    * stay inside Catalyst when written with Column expressions.
+    */
+  final class TransformRegistry {
+    private var transforms = Map.empty[String, DataFrame => DataFrame]
+    def register(table: String, t: DataFrame => DataFrame): this.type = {
+      transforms += table -> t; this
+    }
+    def apply(table: String, df: DataFrame): DataFrame =
+      transforms.get(table).fold(df)(_.apply(df))
+  }
+}

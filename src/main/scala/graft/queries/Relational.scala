@@ -1,0 +1,265 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core relational operator surface (SURVEY.md §2.3-§2.9).
+  *
+  * The reference's only query shape is `SELECT cols FROM t [WHERE]`
+  * (tablemigrator.py:191-194); everything else here is the
+  * capability set the north star requires the Spark engine to own
+  * directly: joins, aggregations, windows, set ops, sorts/limits.
+  *
+  * Oracle-parity rules used throughout (driver hash-compares against
+  * DuckDB): money math is done in DECIMAL (exact, engine-independent)
+  * and only cast to DOUBLE at the end; every query ends in a
+  * deterministic ORDER BY with a unique tiebreaker.
+  */
+object Relational {
+
+  /** Cast to exact decimal before aggregating so Spark and the DuckDB
+    * oracle produce bit-identical doubles regardless of accumulation
+    * order (fp sums are order-dependent; decimal sums are not).
+    * Precision 12 keeps chained products under both engines' 38-digit
+    * cap (DuckDB falls back to inexact DOUBLE past 38).
+    */
+  private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** q01: TPC-H Q1-shaped pricing summary — groupBy aggregation with
+    * partial (map-side) aggregation; at scale this shuffles only the
+    * tiny per-group partials.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("2001-09-02").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast(DoubleType).as("sum_disc_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
+          * (lit(1) + dec2(col("l_tax")))).cast(DoubleType).as("sum_charge"),
+        (sum(dec2(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+        (sum(dec2(col("l_extendedprice"))).cast(DoubleType) / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** q02: projection + row predicate — P2/P3 in SURVEY §2.3. Both the
+    * filter and the 4-column projection push into the parquet scan
+    * (PushedFilters / ReadSchema in explain output).
+    */
+  def filterProject(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.filter(
+        col("l_shipdate") >= lit("1998-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1999-01-01").cast(TimestampType) &&
+        col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** q03: 3-way join + aggregation (customer ⋈ orders ⋈ lineitem).
+    * customer/orders vs lineitem are shuffle joins on their keys; at
+    * 100 TB AQE picks shuffled-hash vs sort-merge and splits skew.
+    */
+  def joinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+    val li = Tables.load(spark, dir, "lineitem")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(100)
+  }
+
+  /** q04: broadcast dimension join — `part` is a dimension table, so
+    * we broadcast it explicitly instead of shuffling the fact table
+    * (the decisive optimization at 100 TB: lineitem never moves).
+    */
+  def broadcastDimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val p = Tables.load(spark, dir, "part")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec2(col("l_extendedprice"))).cast(DoubleType).as("total_price"),
+        sum(dec2(col("l_quantity"))).cast(DoubleType).as("total_qty"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** q05: snowflake join chain region ⋈ nation ⋈ customer ⋈ orders —
+    * region/nation broadcast (tiny), customer⋈orders shuffles once.
+    */
+  def nationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.load(spark, dir, "region")
+    val n = Tables.load(spark, dir, "nation")
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(dec2(col("o_totalprice"))).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** q06: ranking window — top-3 events per user by value
+    * (row_number over a per-key window; SURVEY §2.6).
+    */
+  def topEventsPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    e.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("user_id"), col("rnk"), col("event_id"), col("event_type"),
+        col("value"))
+      .orderBy(col("user_id"), col("rnk"))
+  }
+
+  /** q07: running aggregate window — cumulative sum of value per user
+    * in event-time order (frame = unbounded preceding..current).
+    */
+  def runningSumPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("running_value",
+        sum(dec2(col("value"))).over(w).cast(DoubleType))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** q08: ReplacingMergeTree FINAL analog (SURVEY §2.5,
+    * tablesqlbuilder.py:392-398): last-write-wins snapshot per key —
+    * the read-time dedup view the reference delegates to ClickHouse.
+    */
+  def replacingFinalState(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    graft.ops.Transforms.replacingFinal(
+      Seq("user_id"), Seq(col("ts"), col("event_id")))(e)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q09: multi-table UNION routing (SURVEY §2.8 U1) — the `log_* →
+    * logunified` scenario: several sources with *different* column
+    * sets unioned by name into one destination, tagged with their
+    * origin. Missing columns become NULL (allowMissingColumns).
+    */
+  def unionRouting(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("value"),
+        lit("log_click").as("src_table"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"),
+        lit("log_view").as("src_table")) // no `value` column
+    clicks.unionByName(views, allowMissingColumns = true)
+      .orderBy(col("event_id"))
+  }
+
+  /** q10: INTERSECT — customers active in both 1997 and 1998. */
+  def intersectCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val y97 = o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey"))
+    val y98 = o.filter(year(col("o_orderdate")) === 1998).select(col("o_custkey"))
+    y97.intersect(y98).orderBy(col("o_custkey"))
+  }
+
+  /** q11: anti-join (NOT EXISTS) — customers with no high-value
+    * orders. The filter on the probe side is pushed below the join,
+    * shrinking the build side before any shuffle.
+    */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_totalprice") > 400000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q12: top-k — Spark plans TakeOrderedAndProject (no full sort:
+    * per-partition heap + driver merge; the right plan at any scale).
+    */
+  def topOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    o.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** q13: ROLLUP — hierarchical subtotals (SURVEY §2.5 built-ins). */
+  def rollupSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
+  /** q14: DISTINCT aggregation — count(distinct) triggers Spark's
+    * two-phase expand+agg; paired with a plain count in one pass.
+    */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    o.groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast(DoubleType).as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q15: JSON property extraction (SURVEY §2.9 — the reference
+    * stringifies JSON; we make it queryable). regexp-based so the
+    * DuckDB oracle agrees without the json extension.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    e.withColumn("k",
+        regexp_extract(col("props"), "\"k\"\\s*:\\s*(\\d+)", 1)
+          .cast(IntegerType))
+      .groupBy(floor(col("k") / 10).cast(IntegerType).as("k_decile"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast(DoubleType).as("total_value"))
+      .orderBy(col("k_decile"))
+  }
+
+  /** q16: event-time tumbling window aggregation (SURVEY §2.10 T5) —
+    * batch form of the streaming windowed agg; 1-hour buckets.
+    */
+  def hourlyEventAgg(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    // Bucket rendered as a string: timestamp columns round-trip with
+    // engine-specific tz-awareness, strings are unambiguous.
+    e.groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast(DoubleType).as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("every declared query runs and yields rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, dir).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every query has an oracle") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // Non-SQL-expressible ops may legitimately omit oracles; core
+    // relational queries must not.
+    assert(missing.forall(n => !n.startsWith("q0") && !n.startsWith("q1")),
+      s"core queries missing oracle: $missing")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q08 replacing-final yields exactly one row per key") {
+    val df = SparkEntry.queries("q08_replacing_final")(spark, dir)
+    val total = df.count()
+    val keys = df.select("user_id").distinct().count()
+    assert(total == keys)
+  }
+
+  test("q12 topk is sorted descending by totalprice") {
+    val rows = SparkEntry.queries("q12_topk")(spark, dir)
+      .select("o_totalprice").collect().map(_.getDouble(0))
+    assert(rows.sameElements(rows.sorted(Ordering[Double].reverse)))
+    assert(rows.length == 10)
+  }
+
+  test("q04 plan broadcasts the dimension side") {
+    val plan = SparkEntry.queries("q04_broadcast_dim_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast join in plan")
+  }
+
+  test("q02 pushes filters into the parquet scan") {
+    val plan = SparkEntry.queries("q02_filter_project")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), "no pushed filters in scan")
+    assert(plan.contains("l_returnflag"), "returnflag filter not pushed")
+  }
+}
+
+class TransformsSpec extends AnyFunSuite {
+  import graft.ops.Transforms
+  lazy val spark = SparkTestSession.spark
+
+  def df = {
+    import spark.implicits._
+    Seq(("a", "", 1), ("b", "x", 2), ("a", "y", 3))
+      .toDF("k", "s", "v")
+  }
+
+  test("skipColumns drops columns") {
+    assert(Transforms.skipColumns(Seq("s"))(df).columns.toSeq == Seq("k", "v"))
+  }
+
+  test("emptyToNull maps '' to null on string cols only") {
+    val out = Transforms.emptyToNull()(df).collect()
+    assert(out.count(_.isNullAt(1)) == 1)
+  }
+
+  test("fillDefaults replaces nulls") {
+    val withNull = Transforms.emptyToNull()(df)
+    val filled = Transforms.fillDefaults(Map("s" -> "DEFAULT"))(withNull)
+    assert(filled.filter(col("s") === "DEFAULT").count() == 1)
+  }
+
+  test("replacingFinal keeps highest-version row per key") {
+    val out = Transforms.replacingFinal(Seq("k"), Seq(col("v")))(df)
+      .orderBy("k").collect()
+    assert(out.length == 2)
+    assert(out(0).getInt(2) == 3) // key a, max v
+    assert(out(1).getInt(2) == 2) // key b
+  }
+
+  test("sortedColumns orders lexicographically") {
+    assert(Transforms.sortedColumns(df).columns.toSeq == Seq("k", "s", "v"))
+  }
+
+  test("stringifyForSink casts non-strings and hexes binary") {
+    import spark.implicits._
+    val b = Seq((Array[Byte](0x0a, 0x0b), BigDecimal(1.5), Seq(1, 2)))
+      .toDF("bin", "dec", "arr")
+    val out = Transforms.stringifyForSink(b).collect()(0)
+    assert(out.getString(0) == "0a0b")
+    assert(out.getString(1).startsWith("1.5"))
+    assert(out.getString(2) == "[1,2]")
+  }
+}

@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
+for each query output parquet in <outDir>, runs the matching oracle
+SQL (from <outDir>/oracle_sql.json) in DuckDB over the same sfDir
+parquet tables, sorts columns by name, sorts rows, and compares
+values exactly. NOT part of the shipped library — dev tooling only.
+
+Usage: python3 tools/compare.py <sfDir> <outDir>
+"""
+import json
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    if isinstance(a, float) and isinstance(b, float):
+        return a == b or (math.isnan(a) and math.isnan(b))
+    if type(a) is not type(b):
+        # cross-engine int widths etc.
+        try:
+            return a == b
+        except Exception:
+            return str(a) == str(b)
+    return a == b
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+
+    n_pass = n_fail = n_noracle = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        got = norm(pd.read_parquet(d))
+        if name not in oracles:
+            print(f"  ~ {name}: no oracle ({len(got)} rows) — rows-only check:",
+                  "PASS" if len(got) > 0 else "FAIL")
+            n_noracle += 1
+            continue
+        try:
+            exp = norm(con.sql(oracles[name]).df())
+        except Exception as e:
+            print(f"  ✗ {name}: oracle SQL failed: {e}")
+            n_fail += 1
+            continue
+        ok = True
+        if list(got.columns) != list(exp.columns):
+            print(f"  ✗ {name}: columns differ: {list(got.columns)} vs {list(exp.columns)}")
+            ok = False
+        elif len(got) != len(exp):
+            print(f"  ✗ {name}: row count {len(got)} vs {len(exp)}")
+            ok = False
+        else:
+            for col in got.columns:
+                gv, ev = got[col].tolist(), exp[col].tolist()
+                bad = [(i, a, b) for i, (a, b) in enumerate(zip(gv, ev))
+                       if not values_equal(a, b)]
+                if bad:
+                    i, a, b = bad[0]
+                    print(f"  ✗ {name}: col {col} differs at row {i}: {a!r} vs {b!r} "
+                          f"({len(bad)} mismatches)")
+                    ok = False
+                    break
+        if ok:
+            print(f"  ✓ {name}: {len(got)} rows match")
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"PASS={n_pass} FAIL={n_fail} NO_ORACLE={n_noracle}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
