@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Relational
+import graft.queries.{CdcQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -35,6 +35,7 @@ object SparkEntry {
     "q14_distinct_agg"      -> Relational.distinctAgg _,
     "q15_json_extract"      -> Relational.jsonExtract _,
     "q16_hourly_agg"        -> Relational.hourlyEventAgg _,
+    "q17_cdc_apply"         -> CdcQueries.cdcFinalState _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -162,5 +163,17 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin,
+    // Last change per key wins unless it's a delete — the one-pass
+    // equivalent of replaying insert/update/delete batches in order.
+    "q17_cdc_apply" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    CASE WHEN event_id % 10 = 9 THEN 'delete'
+        |         WHEN event_id % 10 >= 6 THEN 'update'
+        |         ELSE 'insert' END AS op,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 AND op <> 'delete'
+        |ORDER BY user_id""".stripMargin,
   )
 }

@@ -1,0 +1,60 @@
+package graft.cdc
+
+import graft.ops.Transforms
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CDC apply semantics — the Spark-native replacement for the
+  * reference's binlog event application (mysqlreader.py:247-354 in
+  * /root/reference):
+  *
+  *  - INSERT rows were appended (T7);
+  *  - UPDATE became a synchronous per-row `ALTER TABLE UPDATE`
+  *    against ClickHouse (T8) — here a key-merge (upsert);
+  *  - DELETE became a per-row `ALTER TABLE DELETE` (T9) — here an
+  *    anti-join.
+  *
+  * Upgrades over the reference: the primary key is a real column
+  * list, not the hard-coded name `id` (mysqlreader.py:322,351), and
+  * a whole batch applies as ONE distributed join instead of one
+  * synchronous SQL statement per row — the difference between
+  * O(rows) round-trips and O(1) shuffles at 100 TB.
+  *
+  * A change batch is a DataFrame with an `op` column
+  * (insert|update|delete) plus the key and value columns; within a
+  * batch, per-key ordering is given by `orderCols` (e.g. ts,
+  * event_id) and the LAST op wins. This makes batch application
+  * associative: applying k time-ordered batches equals applying
+  * their union in one batch — which is also the crash-replay
+  * idempotence story for streaming (checkpoint replays re-apply a
+  * suffix of batches without changing the result).
+  */
+object CdcApplier {
+
+  val OpCol = "op"
+
+  /** Apply one change batch to a state snapshot.
+    *
+    * Scale shape: `last` is one window per key over the (small)
+    * batch; the anti-join hashes batch keys against state — with a
+    * small batch Catalyst/AQE broadcasts the key set, so the 100 TB
+    * state table never shuffles.
+    */
+  def applyBatch(state: DataFrame, batch: DataFrame, pk: Seq[String],
+      orderCols: Seq[Column]): DataFrame = {
+    val last = Transforms.replacingFinal(pk, orderCols)(batch)
+    val survivors = last.filter(col(OpCol) =!= "delete").drop(OpCol)
+    val touchedKeys = last.select(pk.map(col): _*)
+    state
+      .join(broadcast(touchedKeys), pk, "left_anti")
+      .unionByName(survivors)
+  }
+
+  /** Fold a time-ordered sequence of batches over an initial state.
+    * Each batch must wholly precede the next in `orderCols` order
+    * (true for time-bucketed feeds).
+    */
+  def applyAll(initial: DataFrame, batches: Seq[DataFrame], pk: Seq[String],
+      orderCols: Seq[Column]): DataFrame =
+    batches.foldLeft(initial)((s, b) => applyBatch(s, b, pk, orderCols))
+}

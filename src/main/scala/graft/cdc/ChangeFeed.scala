@@ -1,0 +1,36 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic change feed derived from the `events` fixture —
+  * the test-time stand-in for the reference's binlog stream
+  * (reader/mysqlreader.py:43-133 in /root/reference). Real
+  * deployments would plug a Debezium-style source here; the envelope
+  * (op + key + values, SURVEY §1.1) is identical.
+  */
+object ChangeFeed {
+
+  /** Tag each event with a deterministic op: ~70% insert, 3/10
+    * update, 1/10 delete — mirroring a write-heavy OLTP change mix.
+    */
+  def fromEvents(events: DataFrame): DataFrame =
+    events.withColumn(CdcApplier.OpCol,
+      when(pmod(col("event_id"), lit(10)) === 9, "delete")
+        .when(pmod(col("event_id"), lit(10)) >= 6, "update")
+        .otherwise("insert"))
+
+  /** Split a feed into time-ordered batches by calendar month —
+    * each batch wholly precedes the next, the precondition for
+    * CdcApplier.applyAll. Mirrors the reference's time-based pool
+    * flush (bbpool.py:99-180), with month buckets standing in for
+    * the 60 s flush interval.
+    */
+  def monthlyBatches(feed: DataFrame): Seq[DataFrame] = {
+    val months = feed.select(date_trunc("month", col("ts")).as("m"))
+      .distinct().orderBy("m").collect().map(_.getTimestamp(0))
+    months.toIndexedSeq.map { m =>
+      feed.filter(date_trunc("month", col("ts")) === lit(m))
+    }
+  }
+}

@@ -1,0 +1,173 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Type-mapper decision table — every MySQL type from the reference's
+  * manual test protocol (docs/manual.md:836-936, FIXTURES.md A1/A2)
+  * against the SURVEY §1.3 mapping.
+  */
+class TypeMapperSpec extends AnyFunSuite {
+
+  val table: Seq[(String, DataType)] = Seq(
+    "BIT(1)" -> BinaryType,
+    "BIT(64)" -> BinaryType,
+    "TINYINT" -> ByteType,
+    "TINYINT(3) UNSIGNED" -> ShortType,
+    "BOOL" -> BooleanType,
+    "BOOLEAN" -> BooleanType,
+    "SMALLINT" -> ShortType,
+    "SMALLINT(5) UNSIGNED" -> IntegerType,
+    "MEDIUMINT" -> IntegerType,
+    "MEDIUMINT UNSIGNED" -> IntegerType,
+    "INT" -> IntegerType,
+    "INTEGER" -> IntegerType,
+    "INT(10) UNSIGNED" -> LongType,
+    "BIGINT" -> LongType,
+    "BIGINT(20) UNSIGNED" -> DecimalType(20, 0),
+    "SERIAL" -> DecimalType(20, 0),
+    "DECIMAL(3,2)" -> DecimalType(3, 2),
+    "DEC(3,2)" -> DecimalType(3, 2),
+    "FIXED(3,2)" -> DecimalType(3, 2),
+    "NUMERIC(3,2)" -> DecimalType(3, 2),
+    "DECIMAL" -> DecimalType(10, 0),
+    "DECIMAL(5)" -> DecimalType(5, 0),
+    "FLOAT" -> FloatType,
+    "FLOAT UNSIGNED" -> FloatType,
+    "DOUBLE" -> DoubleType,
+    "REAL" -> DoubleType,
+    "DOUBLE PRECISION" -> DoubleType,
+    "DATE" -> DateType,
+    "DATETIME" -> TimestampType,
+    "TIMESTAMP" -> TimestampType,
+    "YEAR" -> ShortType,
+    "CHAR(0)" -> StringType,
+    "CHAR(255)" -> StringType,
+    "VARCHAR(0)" -> StringType,
+    "VARCHAR(65532)" -> StringType,
+    "BINARY(0)" -> BinaryType,
+    "VARBINARY(65532)" -> BinaryType,
+    "TINYBLOB" -> BinaryType,
+    "BLOB" -> BinaryType,
+    "MEDIUMBLOB" -> BinaryType,
+    "LONGBLOB" -> BinaryType,
+    "TINYTEXT" -> StringType,
+    "TEXT" -> StringType,
+    "MEDIUMTEXT" -> StringType,
+    "LONGTEXT" -> StringType,
+    "ENUM('a','b','c','d','e','f')" -> StringType,
+    "SET('a','b','c','d','e','f')" -> ArrayType(StringType, containsNull = false),
+    "JSON" -> StringType,
+  )
+
+  table.foreach { case (mysql, expected) =>
+    test(s"$mysql -> $expected") {
+      assert(TypeMapper.map(MySqlType.parse(mysql)) == expected)
+    }
+  }
+
+  test("TIME maps to interval, or String in ClickHouse-compat mode") {
+    assert(TypeMapper.map(MySqlType.parse("TIME")) ==
+      DayTimeIntervalType(DayTimeIntervalType.DAY, DayTimeIntervalType.SECOND))
+    assert(TypeMapper.map(MySqlType.parse("TIME"), chCompat = true) == StringType)
+  }
+
+  test("unknown type raises at analysis time (not a silent UNKNOWN)") {
+    intercept[UnknownMySqlTypeException] {
+      TypeMapper.map(MySqlType.parse("GEOMETRY"))
+    }
+  }
+
+  test("parser: unsigned + zerofill + display width") {
+    val t = MySqlType.parse("int(10) unsigned zerofill")
+    assert(t.base == "INT" && t.unsigned && t.zerofill && t.intArgs == Seq(10))
+  }
+
+  test("parser: enum members incl. comma and escaped quote") {
+    val t = MySqlType.parse("ENUM('a,b','it''s','c')")
+    assert(t.members == Seq("a,b", "it''s", "c"))
+  }
+
+  test("UInt64 max value 18446744073709551615 fits DecimalType(20,0)") {
+    val dt = TypeMapper.map(MySqlType.parse("BIGINT UNSIGNED"))
+      .asInstanceOf[DecimalType]
+    val v = BigDecimal("18446744073709551615")
+    assert(v.precision <= dt.precision && dt.scale == 0)
+  }
+
+  test("PRI column forced non-nullable; metadata carried") {
+    val f = TypeMapper.toField(
+      ColumnDesc("id", "INT(11)", nullable = true, key = "PRI",
+        default = Some("0"), extra = "auto_increment"))
+    assert(!f.nullable)
+    assert(f.metadata.getString("mysqlType") == "INT(11)")
+    assert(f.metadata.getString("key") == "PRI")
+    assert(f.metadata.getString("default") == "0")
+    assert(f.metadata.getString("extra") == "auto_increment")
+  }
+
+  test("toStructType honors column skip") {
+    val st = TypeMapper.toStructType(Seq(
+      ColumnDesc("a", "INT", nullable = true),
+      ColumnDesc("b", "TEXT", nullable = true)), skip = Set("b"))
+    assert(st.fieldNames.toSeq == Seq("a"))
+  }
+}
+
+class DdlBuilderSpec extends AnyFunSuite {
+
+  val schema: StructType = TypeMapper.toStructType(Seq(
+    ColumnDesc("id", "INT(11)", nullable = false, key = "PRI"),
+    ColumnDesc("day", "DATE", nullable = true),
+    ColumnDesc("amount", "DECIMAL(10,2)", nullable = true),
+    ColumnDesc("note", "VARCHAR(255)", nullable = true),
+    ColumnDesc("big", "BIGINT UNSIGNED", nullable = true)))
+
+  test("primary date field = first DATE/DATETIME column") {
+    assert(DdlBuilder.primaryDateField(schema).map(_.name).contains("day"))
+  }
+
+  test("primary key fields from DESC key flags") {
+    assert(DdlBuilder.primaryKeyFields(schema).map(_.name) == Seq("id"))
+  }
+
+  test("spark DDL: parquet + month partition + NOT NULL pk") {
+    val ddl = DdlBuilder.createTableSpark("db1", "t1", schema)
+    assert(ddl.contains("CREATE TABLE IF NOT EXISTS `db1`.`t1`"))
+    assert(ddl.contains("USING PARQUET"))
+    assert(ddl.contains("PARTITIONED BY (`day_month`)"))
+    assert(ddl.contains("`id` INT NOT NULL"))
+    assert(ddl.contains("`amount` DECIMAL(10,2)"))
+  }
+
+  test("clickhouse DDL: ReplacingMergeTree + toYYYYMM + ORDER BY pk") {
+    val ddl = DdlBuilder.createTableClickHouse("db1", "t1", schema)
+    assert(ddl.contains("ENGINE = ReplacingMergeTree()"))
+    assert(ddl.contains("PARTITION BY toYYYYMM(`day`)"))
+    assert(ddl.contains("ORDER BY (`id`)"))
+    assert(ddl.contains("`id` Int32"))          // PRI: non-nullable
+    assert(ddl.contains("`day` Nullable(Date)"))
+    assert(ddl.contains("`big` Nullable(UInt64)"))
+  }
+
+  test("distributed DDL + naming") {
+    assert(DdlBuilder.distributedName("db", "t") == "db__t_all")
+    val ddl = DdlBuilder.createTableDistributed("db", "t", "c1", schema)
+    assert(ddl.contains("ENGINE = Distributed(c1, db, t, rand())"))
+  }
+
+  test("template DDL keeps placeholders for manual editing") {
+    val ddl = DdlBuilder.createTableTemplate("db", "t", schema)
+    assert(ddl.contains("<PRIMARY_DATE_FIELD>"))
+    assert(ddl.contains("<PRIMARY_KEY_FIELDS>"))
+  }
+
+  test("schema JSON round-trips") {
+    val json = DdlBuilder.schemaJson(schema)
+    assert(DataType.fromJson(json) == schema)
+  }
+
+  test("create database") {
+    assert(DdlBuilder.createDatabase("x") == "CREATE DATABASE IF NOT EXISTS `x`")
+  }
+}
