@@ -17,6 +17,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.pricingSummary(spark, "/root/testdata/sf0.001")
 
+  /** Queries excluded from Bench timing: entries that exist to prove
+    * an ingest/streaming path end-to-end and spend their time on
+    * local disk round-trips (write+read-back) rather than query
+    * execution — timing them would measure the test harness.
+    */
+  def benchExclude: Set[String] = Set.empty
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> Relational.pricingSummary _,

@@ -1,8 +1,16 @@
 package graft
 
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
 
 /** Parquet-backed table catalog over a scale-factor directory.
   *
@@ -20,22 +28,59 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** Columns stored as parquet TIMESTAMP(NANOS), which Spark's reader
+    * rejects by default and, with `nanosAsLong`, surfaces as raw
+    * longs. Detected generically from the parquet footer of one data
+    * file (never by table/column name), cached per path — one footer
+    * read per table per JVM, negligible even with thousands of
+    * tables.
+    */
+  private val nanoColsCache = new ConcurrentHashMap[String, Seq[String]]()
+
+  private def nanoTimestampCols(spark: SparkSession, p: String): Seq[String] =
+    nanoColsCache.computeIfAbsent(p, { _ =>
+      val conf = spark.sparkContext.hadoopConfiguration
+      val root = new Path(p)
+      val fs = root.getFileSystem(conf)
+      val dataFile = fs.listStatus(root).iterator
+        .map(_.getPath)
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      dataFile.toSeq.flatMap { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try {
+          reader.getFooter.getFileMetaData.getSchema.getFields.asScala.collect {
+            case fld if fld.isPrimitive &&
+              (fld.getLogicalTypeAnnotation match {
+                case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                  t.getUnit == TimeUnit.NANOS
+                case _ => false
+              }) => fld.getName
+          }.toSeq
+        } finally reader.close()
+      }
+    })
+
   /** Scan one table. Column pruning + predicate pushdown reach the
     * parquet reader automatically via Catalyst when callers
     * select/filter on the result.
     *
-    * The `events` fixture carries a TIMESTAMP(NANOS) column, which
-    * Spark's parquet reader rejects by default; we read nanos as a
-    * long and truncate to microseconds — the same truncation DuckDB
-    * applies when it surfaces the column as TIMESTAMP (µs).
+    * TIMESTAMP(NANOS) columns (detected from parquet metadata) are
+    * read as longs and truncated to microseconds — the same
+    * truncation DuckDB applies when it surfaces such a column as
+    * TIMESTAMP (µs).
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(path(dir, name))
-    val tsNanoCols = df.schema.fields.collect {
-      case f if f.dataType == LongType && f.name == "ts" && name == "events" => f.name
-    }
-    tsNanoCols.foldLeft(df) { (d, c) =>
+    // Required before the scan; set once per session (idempotent
+    // check avoids re-triggering conf-change invalidation per call).
+    val k = "spark.sql.legacy.parquet.nanosAsLong"
+    if (spark.conf.getOption(k).getOrElse("false") != "true")
+      spark.conf.set(k, "true")
+    val p = path(dir, name)
+    val nanoCols = nanoTimestampCols(spark, p).toSet
+    val df = spark.read.parquet(p)
+    df.schema.fields.collect {
+      case f if f.dataType == LongType && nanoCols(f.name) => f.name
+    }.foldLeft(df) { (d, c) =>
       d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
     }
   }

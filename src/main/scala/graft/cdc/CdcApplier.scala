@@ -36,9 +36,12 @@ object CdcApplier {
   /** Apply one change batch to a state snapshot.
     *
     * Scale shape: `last` is one window per key over the (small)
-    * batch; the anti-join hashes batch keys against state — with a
-    * small batch Catalyst/AQE broadcasts the key set, so the 100 TB
-    * state table never shuffles.
+    * batch; the anti-join hashes batch keys against state. The join
+    * strategy is deliberately left to Catalyst/AQE: a typical batch
+    * key set broadcasts, but the first micro-batch after a long
+    * outage (or an AvailableNow backlog drain) can be arbitrarily
+    * large, and a forced broadcast hint would OOM exactly there —
+    * AQE falls back to a shuffle join instead.
     */
   def applyBatch(state: DataFrame, batch: DataFrame, pk: Seq[String],
       orderCols: Seq[Column]): DataFrame = {
@@ -46,15 +49,40 @@ object CdcApplier {
     val survivors = last.filter(col(OpCol) =!= "delete").drop(OpCol)
     val touchedKeys = last.select(pk.map(col): _*)
     state
-      .join(broadcast(touchedKeys), pk, "left_anti")
+      .join(touchedKeys, pk, "left_anti")
       .unionByName(survivors)
   }
 
   /** Fold a time-ordered sequence of batches over an initial state.
     * Each batch must wholly precede the next in `orderCols` order
     * (true for time-bucketed feeds).
+    *
+    * Each intermediate state is checkpointed (local, eager) so the
+    * fold's plan stays one join deep per batch instead of stacking
+    * N batches of shuffles into a single lineage — with daily
+    * batches over months, an un-truncated lineage is hundreds of
+    * nested joins and breaks both the optimizer and recovery at
+    * scale. Real incremental deployments publish each state to
+    * storage instead (StreamingCdc.mergeIntoState does exactly
+    * that), which truncates lineage the same way.
     */
   def applyAll(initial: DataFrame, batches: Seq[DataFrame], pk: Seq[String],
       orderCols: Seq[Column]): DataFrame =
-    batches.foldLeft(initial)((s, b) => applyBatch(s, b, pk, orderCols))
+    batches.foldLeft(initial) { (s, b) =>
+      applyBatch(s, b, pk, orderCols).localCheckpoint(eager = true)
+    }
+
+  /** Whole-feed compaction: the single-pass equivalent of replaying
+    * every batch in order. Because batch application is
+    * last-write-wins per key with deletes dropping the key, folding
+    * k time-ordered batches equals one replacingFinal over their
+    * union followed by a delete filter — one shuffle total, the
+    * form to use when replaying history (vs applyBatch for live
+    * incremental merges).
+    */
+  def replayCompact(feed: DataFrame, pk: Seq[String],
+      orderCols: Seq[Column]): DataFrame =
+    Transforms.replacingFinal(pk, orderCols)(feed)
+      .filter(col(OpCol) =!= "delete")
+      .drop(OpCol)
 }

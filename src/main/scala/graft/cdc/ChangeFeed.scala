@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   */
 object ChangeFeed {
 
-  /** Tag each event with a deterministic op: ~70% insert, 3/10
-    * update, 1/10 delete — mirroring a write-heavy OLTP change mix.
+  /** Tag each event with a deterministic op mix — 6/10 insert, 3/10
+    * update, 1/10 delete (event_id%10: 0-5, 6-8, 9) — mirroring a
+    * write-heavy OLTP change mix.
     */
   def fromEvents(events: DataFrame): DataFrame =
     events.withColumn(CdcApplier.OpCol,
@@ -25,12 +26,18 @@ object ChangeFeed {
     * CdcApplier.applyAll. Mirrors the reference's time-based pool
     * flush (bbpool.py:99-180), with month buckets standing in for
     * the 60 s flush interval.
+    *
+    * The feed is persisted before splitting: enumerating the bucket
+    * values needs one driver-side action, and each returned batch
+    * re-filters the feed — without the persist that is O(months)
+    * full source re-scans. The caller unpersists when done.
     */
   def monthlyBatches(feed: DataFrame): Seq[DataFrame] = {
-    val months = feed.select(date_trunc("month", col("ts")).as("m"))
-      .distinct().orderBy("m").collect().map(_.getTimestamp(0))
+    val tagged = feed.withColumn("__m", date_trunc("month", col("ts"))).persist()
+    val months = tagged.select(col("__m")).distinct().orderBy("__m")
+      .collect().map(_.getTimestamp(0))
     months.toIndexedSeq.map { m =>
-      feed.filter(date_trunc("month", col("ts")) === lit(m))
+      tagged.filter(col("__m") === lit(m)).drop("__m")
     }
   }
 }

@@ -13,18 +13,17 @@ import org.apache.spark.sql.functions._
   */
 object CdcQueries {
 
-  /** q17: final state after replaying the change feed in monthly
-    * batches. Equivalent SQL: last event per key wins unless it is a
-    * delete — which is exactly what the DuckDB oracle checks, so the
-    * multi-batch merge path is verified against an independent
-    * single-pass formulation.
+  /** q17: final state after replaying the whole change feed —
+    * single-pass compaction (one shuffle: replacingFinal + delete
+    * filter), the right plan for historical replay at any scale.
+    * The incremental per-batch merge path (applyBatch) is verified
+    * separately by the streaming entry (q33_cdc_stream) and by
+    * CdcSpec, which asserts fold-of-batches == this compaction.
     */
   def cdcFinalState(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.load(spark, dir, "events")
     val feed = ChangeFeed.fromEvents(events)
-    val batches = ChangeFeed.monthlyBatches(feed)
-    val initial = events.limit(0)
-    CdcApplier.applyAll(initial, batches, Seq("user_id"),
+    CdcApplier.replayCompact(feed, Seq("user_id"),
         Seq(col("ts"), col("event_id")))
       .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
       .orderBy(col("user_id"))

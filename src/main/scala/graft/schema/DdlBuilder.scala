@@ -60,11 +60,27 @@ object DdlBuilder {
        |) USING PARQUET$partClause""".stripMargin
   }
 
-  private def chType(f: StructField): String = {
+  /** Original MySQL base type (from DESC), carried in metadata by
+    * TypeMapper.toField — needed because several MySQL types collapse
+    * to one Spark type (e.g. SMALLINT UNSIGNED and MEDIUMINT UNSIGNED
+    * are both IntegerType) but render as different ClickHouse widths
+    * (tablesqlbuilder.py:283-286: UInt16 vs UInt32).
+    */
+  private def mysqlBase(f: StructField): String =
+    if (f.metadata.contains("mysqlType"))
+      MySqlType.parse(f.metadata.getString("mysqlType")).base
+    else ""
+
+  private def chType(f: StructField, forceNotNull: Boolean = false): String = {
     val base = f.dataType match {
       case ByteType => "Int8"
       case ShortType => if (meta(f, "unsigned")) "UInt8" else "Int16"
-      case IntegerType => if (meta(f, "unsigned")) "UInt16" else "Int32"
+      case IntegerType if meta(f, "unsigned") =>
+        // SMALLINT UNSIGNED (0..65535) → UInt16; MEDIUMINT UNSIGNED
+        // (0..16777215) overflows UInt16 → UInt32
+        // (tablesqlbuilder.py:283-286).
+        if (mysqlBase(f) == "MEDIUMINT") "UInt32" else "UInt16"
+      case IntegerType => "Int32"
       case LongType => if (meta(f, "unsigned")) "UInt32" else "Int64"
       case d: DecimalType if d.precision == 20 && d.scale == 0 => "UInt64"
       case d: DecimalType => s"Decimal(${d.precision}, ${d.scale})"
@@ -77,7 +93,7 @@ object DdlBuilder {
       case ArrayType(StringType, _) => "Array(String)"
       case other => other.sql
     }
-    if (f.nullable) s"Nullable($base)" else base
+    if (f.nullable && !forceNotNull) s"Nullable($base)" else base
   }
 
   private def meta(f: StructField, key: String): Boolean =
@@ -89,9 +105,17 @@ object DdlBuilder {
     */
   def createTableClickHouse(db: String, table: String,
       schema: StructType): String = {
-    val cols = schema.fields.map(f => s"  `${f.name}` ${chType(f)}")
     val dateCol = primaryDateField(schema)
     val pks = primaryKeyFields(schema)
+    // ClickHouse rejects Nullable sorting/partition keys: every
+    // ORDER BY column and the primary-date (PARTITION BY) column are
+    // forced non-nullable, mirroring the reference
+    // (tablesqlbuilder.py:139-142).
+    val orderByNames: Set[String] =
+      (if (pks.nonEmpty) pks.map(_.name).toSet
+       else dateCol.map(_.name).toSet) ++ dateCol.map(_.name)
+    val cols = schema.fields.map(f =>
+      s"  `${f.name}` ${chType(f, forceNotNull = orderByNames(f.name))}")
     val orderBy =
       if (pks.nonEmpty) pks.map(f => s"`${f.name}`").mkString(", ")
       else dateCol.map(f => s"`${f.name}`").getOrElse("tuple()")

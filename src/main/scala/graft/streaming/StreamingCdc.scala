@@ -37,9 +37,13 @@ object StreamingCdc {
     else {
       val in = fs.open(p)
       try {
+        // read to EOF — a single in.read(buf) may legally return a
+        // short read and truncate the version string
+        val out = new java.io.ByteArrayOutputStream(64)
         val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        Some(new String(buf, 0, n, StandardCharsets.UTF_8).trim.toLong)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(out.toByteArray, StandardCharsets.UTF_8).trim.toLong)
       } finally in.close()
     }
   }
@@ -66,11 +70,19 @@ object StreamingCdc {
     val next = CdcApplier.applyBatch(state, batch, pk, orderCols.map(col))
     val v = currentVersion(spark, stateDir).getOrElse(-1L) + 1
     next.write.mode("overwrite").parquet(s"$stateDir/v$v")
+    // Atomic publish: write the pointer to a temp name, then rename
+    // over the old one — readers see either the previous version or
+    // the new one, never a torn write (rename is atomic on HDFS and
+    // posix local FS; fs.create(p, overwrite) alone is not).
     val p = new Path(stateDir, VersionFile)
+    val tmp = new Path(stateDir, s".$VersionFile.v$v.tmp")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"failed to publish version pointer $p")
   }
 
   /** Start the pump. `processingTime = None` maps the reference's

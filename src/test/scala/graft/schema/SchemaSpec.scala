@@ -146,8 +146,32 @@ class DdlBuilderSpec extends AnyFunSuite {
     assert(ddl.contains("PARTITION BY toYYYYMM(`day`)"))
     assert(ddl.contains("ORDER BY (`id`)"))
     assert(ddl.contains("`id` Int32"))          // PRI: non-nullable
-    assert(ddl.contains("`day` Nullable(Date)"))
+    // partition key must not be Nullable even when the source column
+    // is (tablesqlbuilder.py:139-142; CH rejects nullable keys)
+    assert(ddl.contains("`day` Date"))
+    assert(!ddl.contains("`day` Nullable"))
     assert(ddl.contains("`big` Nullable(UInt64)"))
+  }
+
+  test("clickhouse DDL: no-PK table falls back to non-nullable date ORDER BY") {
+    val s = TypeMapper.toStructType(Seq(
+      ColumnDesc("day", "DATE", nullable = true),
+      ColumnDesc("v", "INT", nullable = true)))
+    val ddl = DdlBuilder.createTableClickHouse("db1", "t2", s)
+    assert(ddl.contains("ORDER BY (`day`)"))
+    assert(ddl.contains("`day` Date")) // sorting key: never Nullable
+    assert(!ddl.contains("`day` Nullable"))
+  }
+
+  test("clickhouse DDL: unsigned width disambiguation via mysqlType metadata") {
+    val s = TypeMapper.toStructType(Seq(
+      ColumnDesc("sm", "SMALLINT UNSIGNED", nullable = false),
+      ColumnDesc("md", "MEDIUMINT UNSIGNED", nullable = false)))
+    val ddl = DdlBuilder.createTableClickHouse("db1", "t3", s)
+    // both are Spark IntegerType, but CH widths differ
+    // (tablesqlbuilder.py:283-286): 0..65535 vs 0..16777215
+    assert(ddl.contains("`sm` UInt16"))
+    assert(ddl.contains("`md` UInt32"))
   }
 
   test("distributed DDL + naming") {
