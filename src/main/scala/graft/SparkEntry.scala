@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CdcQueries, Relational}
+import graft.queries.{CdcQueries, IngestQueries, PipelineQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,9 @@ object SparkEntry {
     * local disk round-trips (write+read-back) rather than query
     * execution — timing them would measure the test harness.
     */
-  def benchExclude: Set[String] = Set.empty
+  def benchExclude: Set[String] = Set(
+    "q30_migrate_counts", "q31_csv_roundtrip",
+    "q32_cdc_stream", "q33_stream_hourly")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -43,6 +45,23 @@ object SparkEntry {
     "q15_json_extract"      -> Relational.jsonExtract _,
     "q16_hourly_agg"        -> Relational.hourlyEventAgg _,
     "q17_cdc_apply"         -> CdcQueries.cdcFinalState _,
+    "q18_text_stats"        -> PipelineQueries.textStats _,
+    "q19_token_count"       -> PipelineQueries.tokenCounts _,
+    "q20_quality_score"     -> PipelineQueries.qualityScores _,
+    "q21_langid"            -> PipelineQueries.langIdConfusion _,
+    "q22_fingerprint"       -> PipelineQueries.fingerprints _,
+    "q23_exact_dedup"       -> PipelineQueries.exactDedup _,
+    "q24_ngram_jaccard"     -> PipelineQueries.ngramJaccardPairs _,
+    "q25_minhash_dedup"     -> PipelineQueries.minhashDedup _,
+    "q26_simhash_dedup"     -> PipelineQueries.simhashDedup _,
+    "q27_knn_brute"         -> PipelineQueries.knnBruteForce _,
+    "q28_knn_ivf"           -> PipelineQueries.knnIvf _,
+    "q29_label_centroid"    -> PipelineQueries.labelCentroids _,
+    "q30_migrate_counts"    -> IngestQueries.migrateCounts _,
+    "q31_csv_roundtrip"     -> IngestQueries.csvRoundtrip _,
+    "q32_cdc_stream"        -> IngestQueries.cdcStreamState _,
+    "q33_stream_hourly"     -> IngestQueries.streamHourlyAgg _,
+    "q34_multimodal"        -> PipelineQueries.multimodalExtract _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -182,5 +201,196 @@ object SparkEntry {
         |  FROM events) t
         |WHERE rn = 1 AND op <> 'delete'
         |ORDER BY user_id""".stripMargin,
+    "q18_text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+        |  CAST(SUM(n_chars) AS DOUBLE)/COUNT(*) AS avg_chars,
+        |  SUM(len(string_split(text,' '))) AS total_tokens,
+        |  COUNT(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q19_token_count" ->
+      """SELECT doc_id, len(string_split(text,' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text,' '))) AS n_types,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |    / len(string_split(text,' ')) AS ttr,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q20_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(string_split(text,' ')) AS n_tok,
+        |    len(list_distinct(string_split(text,' '))) AS n_typ,
+        |    len(list_filter(string_split(text,' '), x -> x='the' OR x='a')) AS n_stop,
+        |    length(text) AS n_ch,
+        |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct
+        |  FROM documents)
+        |SELECT doc_id, n_tok AS n_tokens,
+        |  round(0.3*least(n_tok/50.0, 1.0)
+        |      + 0.3*(CAST(n_typ AS DOUBLE)/n_tok)
+        |      + 0.2*greatest(0.0, 1.0 - abs(CAST(n_stop AS DOUBLE)/n_tok - 0.08)*4.0)
+        |      + 0.2*greatest(0.0, 1.0 - (CAST(n_punct AS DOUBLE)/n_ch)*2.0), 6) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q21_langid" ->
+      """SELECT lang,
+        |  CASE WHEN len(list_filter(string_split(text,' '), x -> x='the' OR x='a')) >= 2
+        |       THEN 'en' ELSE 'und' END AS predicted,
+        |  COUNT(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+    "q22_fingerprint" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |        unnest([array_to_string(toks[i:i+3], ' ') for i in range(1, len(toks)-2)]) AS sh
+        |      FROM t)
+        |SELECT doc_id,
+        |  MIN(list_reduce([CAST(0 AS BIGINT)] +
+        |        [CAST(ascii(substr(sh,j,1)) AS BIGINT) for j in range(1, len(sh)+1)],
+        |      (a,x) -> (a*31+x) % 1000000007)) AS fp
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q23_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, COUNT(*) AS n_copies,
+        |  MIN(doc_id) AS keeper_doc_id
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "q24_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1, len(toks)-1)])) AS s
+        |       FROM t),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT da AS doc_a, db AS doc_b,
+        |  CAST(i AS DOUBLE)/CAST(x.n + y.n - i AS DOUBLE) AS j
+        |FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+        |WHERE CAST(i AS DOUBLE)/CAST(x.n + y.n - i AS DOUBLE) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q25_minhash_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1, len(toks)-1)])) AS s
+        |       FROM t),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT da AS doc_a, db AS doc_b,
+        |  CAST(i AS DOUBLE)/CAST(x.n + y.n - i AS DOUBLE) AS j
+        |FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+        |WHERE CAST(i AS DOUBLE)/CAST(x.n + y.n - i AS DOUBLE) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q26_simhash_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1, len(toks)-1)])) AS s
+        |       FROM t),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT da AS doc_a, db AS doc_b
+        |FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+        |WHERE CAST(i AS DOUBLE)/CAST(x.n + y.n - i AS DOUBLE) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q27_knn_brute" ->
+      """WITH e AS (SELECT vec_id,
+        |             [CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) for x in embedding] AS q
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, q,
+        |        list_reduce([CAST(0 AS BIGINT)] + [x*x for x in q], (a,b) -> a+b) AS n2
+        |      FROM e),
+        |qs AS (SELECT vec_id AS qid, q AS qq, n2 AS qn2 FROM n WHERE vec_id % 100 = 0),
+        |d AS (SELECT qid, vec_id,
+        |        list_reduce([CAST(0 AS BIGINT)] + [qq[i]*q[i] for i in range(1, len(q)+1)],
+        |          (a,b) -> a+b) AS dot,
+        |        qn2, n2
+        |      FROM qs CROSS JOIN n WHERE vec_id != qid),
+        |c AS (SELECT qid AS query_id, vec_id,
+        |        CAST(dot AS DOUBLE)/sqrt(CAST(qn2 AS DOUBLE)*CAST(n2 AS DOUBLE)) AS cos
+        |      FROM d),
+        |r AS (SELECT query_id, vec_id, cos,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        |      FROM c)
+        |SELECT query_id, rnk, vec_id, round(cos, 6) AS cos
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "q28_knn_ivf" ->
+      """WITH e AS (SELECT vec_id,
+        |             [CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) for x in embedding] AS q
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, q,
+        |        list_reduce([CAST(0 AS BIGINT)] + [x*x for x in q], (a,b) -> a+b) AS n2
+        |      FROM e),
+        |qs AS (SELECT vec_id AS qid, q AS qq, n2 AS qn2 FROM n WHERE vec_id % 100 = 0),
+        |d AS (SELECT qid, vec_id,
+        |        list_reduce([CAST(0 AS BIGINT)] + [qq[i]*q[i] for i in range(1, len(q)+1)],
+        |          (a,b) -> a+b) AS dot,
+        |        qn2, n2
+        |      FROM qs CROSS JOIN n WHERE vec_id != qid),
+        |c AS (SELECT qid AS query_id, vec_id,
+        |        CAST(dot AS DOUBLE)/sqrt(CAST(qn2 AS DOUBLE)*CAST(n2 AS DOUBLE)) AS cos
+        |      FROM d),
+        |r AS (SELECT query_id, vec_id, cos,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        |      FROM c)
+        |SELECT query_id, rnk, vec_id, round(cos, 6) AS cos
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "q29_label_centroid" ->
+      """WITH e AS (SELECT label, vec_id,
+        |             [CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) for x in embedding] AS q
+        |           FROM embeddings),
+        |n AS (SELECT label, vec_id, q,
+        |        list_reduce([CAST(0 AS BIGINT)] + [x*x for x in q], (a,b) -> a+b) AS n2
+        |      FROM e),
+        |d AS (SELECT label, vec_id, n2, i AS pos, q[i] AS v FROM n, range(1, 65) t(i)),
+        |cent AS (SELECT label, pos, SUM(v) AS s FROM d GROUP BY 1, 2),
+        |cn AS (SELECT label,
+        |         SUM(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))) AS cn2
+        |       FROM cent GROUP BY 1),
+        |dots AS (SELECT d.label, d.vec_id, d.n2, SUM(CAST(d.v * c.s AS DECIMAL(38,0))) AS dotc
+        |         FROM d JOIN cent c ON d.label = c.label AND d.pos = c.pos
+        |         GROUP BY 1, 2, 3),
+        |pm AS (SELECT dots.label,
+        |         CAST(round(CAST(dotc AS DOUBLE)/sqrt(CAST(n2 AS DOUBLE)*CAST(cn2 AS DOUBLE))*1e9) AS BIGINT) AS cos_e9
+        |       FROM dots JOIN cn ON dots.label = cn.label)
+        |SELECT label, COUNT(*) AS n_members,
+        |  round(CAST(SUM(cos_e9) AS DOUBLE)/(COUNT(*)*1e9), 6) AS avg_cos
+        |FROM pm GROUP BY label ORDER BY label""".stripMargin,
+    "q30_migrate_counts" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |  l_extendedprice, l_discount, l_returnflag, l_linestatus, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q31_csv_roundtrip" ->
+      """SELECT c_acctbal, c_custkey, c_mktsegment, c_name, c_nationkey
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    // Streaming CDC must land on exactly the batch-replay state: q17's oracle.
+    "q32_cdc_stream" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    CASE WHEN event_id % 10 = 9 THEN 'delete'
+        |         WHEN event_id % 10 >= 6 THEN 'update'
+        |         ELSE 'insert' END AS op,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 AND op <> 'delete'
+        |ORDER BY user_id""".stripMargin,
+    // Streaming event-time aggregation must equal the batch hourly agg: q16's oracle.
+    "q33_stream_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin,
+    // Text is pure ASCII so UTF-8 payload bytes == characters: md5 of the
+    // text equals md5 of the payload and byte slices align with substr.
+    "q34_multimodal" ->
+      """SELECT doc_id, md5(text) AS content_id, length(text) AS n_bytes,
+        |  CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) AS feat0,
+        |  CAST('0x' || substr(md5(text), 5, 4) AS INTEGER) AS feat1,
+        |  md5(substr(text, 1, length(text)//4)) AS frame_first,
+        |  md5(substr(text, length(text)*3//4 + 1,
+        |      length(text) - length(text)*3//4)) AS frame_last
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

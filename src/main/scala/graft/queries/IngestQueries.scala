@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.Tables
+import graft.cdc.ChangeFeed
+import graft.migrate.Migrator
+import graft.sources.CsvSource
+import graft.streaming.StreamingCdc
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Ingest-surface and streaming-path queries: each proves an
+  * end-to-end pipeline (migrate / CSV round-trip / streaming CDC /
+  * streaming event-time aggregation) and exposes the result as a
+  * verifiable DataFrame. These entries spend their time on local
+  * disk round-trips by design — they are correctness probes, listed
+  * in SparkEntry.benchExclude.
+  */
+object IngestQueries {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** q30: snapshot migration of `lineitem` through the full chain —
+    * column skip + WHERE + auto-DDL + count reconciliation — then
+    * the migrated table's contents (which the oracle checks against
+    * the equivalent SELECT over the source).
+    */
+  def migrateCounts(spark: SparkSession, dir: String): DataFrame = {
+    val dst = tmpDir("graft_migrate")
+    val spec = Migrator.Spec(
+      skipColumns = Map("lineitem" -> Seq("l_tax")),
+      whereClauses = Map("lineitem" ->
+        "l_shipdate >= timestamp'1998-01-01 00:00:00'"))
+    val m = Migrator.migrateTable(spark, dir, dst, "lineitem", spec = spec)
+    require(m.reconciled,
+      s"count reconciliation failed: src=${m.srcRows} dst=${m.dstRows}")
+    spark.read.parquet(s"$dst/lineitem.parquet")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** q31: CSV sink → source round-trip of `customer` (sorted header
+    * layout, '' ↔ NULL, typed read-back via explicit schema).
+    */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.load(spark, dir, "customer")
+    val path = tmpDir("graft_csv")
+    CsvSource.write(src, path)
+    val sortedSchema = StructType(src.schema.fields.sortBy(_.name))
+    CsvSource.read(spark, path, Some(sortedSchema)).orderBy("c_custkey")
+  }
+
+  /** q32: CDC final state through the STREAMING path — the change
+    * feed replayed via readStream + foreachBatch merge into the
+    * versioned state store (StreamingCdc), drained with
+    * Trigger.AvailableNow. Must equal q17's batch answer — the same
+    * oracle checks both.
+    */
+  def cdcStreamState(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val feed = ChangeFeed.fromEvents(events)
+    val root = tmpDir("graft_cdc_stream")
+    val feedDir = s"$root/feed"
+    val stateDir = s"$root/state"
+    feed.write.mode("overwrite").parquet(feedDir)
+    val stream = spark.readStream.schema(feed.schema).parquet(feedDir)
+    StreamingCdc.start(stream, stateDir, s"$root/checkpoint",
+      pk = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+      .awaitTermination()
+    StreamingCdc.currentState(spark, stateDir,
+      template = feed.drop("op"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  private val streamCounter = new AtomicInteger(0)
+
+  /** q33: event-time hourly aggregation through Structured Streaming
+    * — `withWatermark` + `window` (SURVEY §2.10 T5), drained with
+    * AvailableNow into a memory sink in complete mode. Must equal
+    * the batch q16 answer — the same oracle checks both.
+    */
+  def streamHourlyAgg(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val root = tmpDir("graft_stream_agg")
+    events.write.mode("overwrite").parquet(s"$root/events")
+    val stream = spark.readStream.schema(events.schema)
+      .parquet(s"$root/events")
+    val name = s"graft_hourly_${streamCounter.incrementAndGet()}"
+    val q = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double")
+          .as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("total_value"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("hour", "event_type")
+  }
+}

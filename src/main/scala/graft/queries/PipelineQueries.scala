@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+import graft.vector.VectorSearch
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline queries over the `documents` and
+  * `embeddings` fixture tables — the extension-operator family
+  * (SURVEY §7.1 step 7): text analysis, deduplication, and
+  * similarity search, each verifiable against a DuckDB oracle.
+  */
+object PipelineQueries {
+
+  private val Stopwords = Seq("the", "a")
+
+  /** q18: per-language corpus statistics. */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_chars"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+          .as("total_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+  }
+
+  /** q19: per-document token accounting (whitespace + subword). */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.typeCount(col("text")).as("n_types"),
+      (TextAnalysis.typeCount(col("text")).cast("double") /
+        TextAnalysis.tokenCount(col("text")).cast("double")).as("ttr"),
+      size(TextAnalysis.subwordTokens(col("text"))).as("n_subwords"))
+      .orderBy("doc_id")
+  }
+
+  /** q20: per-document quality score. */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.qualityScore(col("text"), Stopwords).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** q21: language-ID prediction vs labeled language (confusion
+    * counts).
+    */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.select(col("lang"),
+      TextAnalysis.langId(col("text"), TextAnalysis.defaultProfiles)
+        .as("predicted"))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** q22: rolling-hash document fingerprints (min 4-shingle hash). */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text"), k = 4).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  /** q23: exact dedup by content hash. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(Tables.load(spark, dir, "documents"))
+      .orderBy("content_hash")
+
+  /** q24: exact 3-gram Jaccard similarity pairs (J >= 0.5) via the
+    * shingle inverted index.
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.load(spark, dir, "documents"),
+      k = 3, threshold = 0.5)
+      .orderBy("doc_a", "doc_b")
+
+  /** q25: MinHash+LSH near-dup pairs verified at J >= 0.8. */
+  def minhashDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDedup(Tables.load(spark, dir, "documents"),
+      k = 3, threshold = 0.8)
+      .orderBy("doc_a", "doc_b")
+
+  /** q26: SimHash near-dup pairs (Hamming <= 12 candidates,
+    * verified at J >= 0.8).
+    */
+  def simhashDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashDedup(Tables.load(spark, dir, "documents"),
+      k = 3, maxHamming = 12, jaccardThreshold = 0.8)
+      .orderBy("doc_a", "doc_b")
+
+  private def knnQueries(corpus: DataFrame): DataFrame =
+    corpus.filter(pmod(col("vec_id"), lit(100)) === 0)
+
+  /** q27: exact brute-force cosine top-10 for the fixed query set
+    * (vec_id % 100 == 0).
+    */
+  def knnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    VectorSearch.bruteForceTopK(emb, knnQueries(emb), k = 10)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** q28: IVF-bucketed top-10 for the same query set. nprobe is set
+    * to the cell count (exhaustive probing) so the result is exact
+    * on the clusterless fixture corpus — the unit tests additionally
+    * pin recall at reduced nprobe; the oracle is the same as q27's.
+    */
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    VectorSearch.ivfTopK(emb, knnQueries(emb), k = 10, nprobe = 1000)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** q29: per-label centroid cohesion stats. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    VectorSearch.labelCentroidStats(Tables.load(spark, dir, "embeddings"))
+      .orderBy("label")
+
+  /** q34: multimodal plumbing over the documents corpus — binary
+    * envelope (payload + typed metadata), stubbed feature
+    * extraction, frame fingerprints; flattened to scalars for the
+    * oracle compare.
+    */
+  def multimodalExtract(spark: SparkSession, dir: String): DataFrame = {
+    val objects = graft.multimodal.Multimodal.fromText(
+      Tables.load(spark, dir, "documents"))
+    graft.multimodal.Multimodal.extract(objects)
+      .select(
+        col("doc_id"), col("content_id"), col("n_bytes"),
+        element_at(col("features"), 1).as("feat0"),
+        element_at(col("features"), 2).as("feat1"),
+        element_at(col("frames"), 1).as("frame_first"),
+        element_at(col("frames"), 4).as("frame_last"))
+      .orderBy("doc_id")
+  }
+}

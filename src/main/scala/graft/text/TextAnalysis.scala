@@ -1,0 +1,127 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data
+  * pipelines: tokenization, token statistics, quality scoring,
+  * language identification, and rolling-hash fingerprinting.
+  *
+  * Everything here is a pure `Column` expression built from Spark's
+  * native higher-order functions — no UDFs, no serialization, fully
+  * parallel per-row work with zero shuffles. At 100 TB these ops are
+  * a single scan over the corpus; the only shuffles appear when a
+  * caller aggregates the per-document outputs.
+  *
+  * The reference (/root/reference) has no text operators — its
+  * closest surface is per-value string conversion
+  * (converter/chwriteconverter.py:17-41); this module is north-star
+  * extension scope (SURVEY §7.1 step 7).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer. The fixture corpus is single-space
+    * separated; `\s+` keeps it robust to real whitespace.
+    */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** BPE-ish subword segmentation: lowercase letter runs, digit
+    * runs, and single non-alphanumeric marks — the usual pre-BPE
+    * regex split (GPT-2-style contraction classes reduced to the
+    * ASCII subset the fixtures exercise).
+    */
+  def subwordTokens(text: Column): Column =
+    filter(split(text, "(?=[^a-z0-9])|(?<=[^a-z0-9])"), t => t =!= lit("") && t =!= lit(" "))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct-token (type) count. */
+  def typeCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Fraction of tokens found in `stopwords` (exact fraction:
+    * integer counts divided once — deterministic across engines).
+    */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val stops = array(stopwords.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(stops, t)))
+      .cast("double") / tokenCount(text).cast("double")
+  }
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
+      .cast("double") / length(text).cast("double")
+
+  /** Composite quality score in [0,1]: rewards length (saturating at
+    * `fullLenTokens`), lexical diversity, and a natural stopword
+    * rate; penalizes punctuation soup. Deterministic double
+    * arithmetic: every term is a ratio of integers, combined in one
+    * fixed expression order.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String],
+      fullLenTokens: Int = 50): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenTerm = least(nTok / lit(fullLenTokens.toDouble), lit(1.0))
+    val diversity = typeCount(text).cast("double") / nTok
+    val stop = stopwordRatio(text, stopwords)
+    // natural prose sits near ~8% stopwords; score falls off linearly
+    val stopTerm = greatest(lit(0.0), lit(1.0) - abs(stop - lit(0.08)) * lit(4.0))
+    val punctTerm = greatest(lit(0.0), lit(1.0) - punctRatio(text) * lit(2.0))
+    round(lit(0.3) * lenTerm + lit(0.3) * diversity +
+      lit(0.2) * stopTerm + lit(0.2) * punctTerm, 6)
+  }
+
+  /** Language-ID by stopword-profile voting: each language has a
+    * marker-token profile; the best-scoring profile wins, ties
+    * broken by profile order; below `minHits` marker hits the text
+    * is 'und' (undetermined). An n-gram-frequency heuristic in the
+    * classic langid.py shape, reduced to exact token matching so the
+    * decision is reproducible in ANSI SQL.
+    */
+  def langId(text: Column, profiles: Seq[(String, Seq[String])],
+      minHits: Int = 2): Column = {
+    val toks = tokens(text)
+    val scores = profiles.map { case (lang, markers) =>
+      val m = array(markers.map(lit): _*)
+      lang -> size(filter(toks, t => array_contains(m, t)))
+    }
+    val best = scores.map(_._2).reduceLeft((x, y) => greatest(x, y))
+    scores.foldRight(lit("und")) { case ((lang, s), els) =>
+      when(s === best && s >= minHits, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** English-ish default profile over the fixture vocabulary. */
+  val defaultProfiles: Seq[(String, Seq[String])] =
+    Seq("en" -> Seq("the", "a"))
+
+  /** Polynomial rolling hash of a string: fold over character codes,
+    * `h = (h*31 + code) mod 1e9+7`. An ordered array fold — the sum
+    * order is the character order, so the result is bit-identical in
+    * any engine (unlike a float row-aggregation).
+    */
+  def polyHash(s: Column): Column =
+    aggregate(
+      transform(split(s, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * lit(31L) + x) % lit(1000000007L))
+
+  /** Consecutive k-token shingles ("w1 w2 w3" strings). Empty array
+    * when the document has fewer than k tokens.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Document fingerprint: minimum rolling hash over k-token
+    * shingles (the min-sketch member of the winnowing family). Two
+    * documents sharing their rarest shingle collide — a cheap
+    * near-dup prefilter and a stable content ID.
+    */
+  def fingerprint(text: Column, k: Int = 4): Column =
+    array_min(transform(shingles(text, k), polyHash(_)))
+}

@@ -1,0 +1,178 @@
+package graft
+
+import graft.app.GraftApp
+import graft.migrate.Migrator
+import graft.schema.CatalogReader
+import graft.sources.CsvSource
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class CatalogReaderSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def catalogCsv: String = {
+    val dir = Files.createTempDirectory("graft_catalog").toString
+    val csv =
+      """table_name,ordinal_position,column_name,column_type,is_nullable,column_key,column_default,extra
+        |log_click,1,id,BIGINT(20) UNSIGNED,NO,PRI,,auto_increment
+        |log_click,2,ts,DATETIME,NO,,,
+        |log_click,3,payload,VARCHAR(255),YES,,,
+        |log_view,1,id,BIGINT(20) UNSIGNED,NO,PRI,,auto_increment
+        |log_view,2,seen_at,DATE,YES,,,
+        |accounts,1,acct_id,INT(10),NO,PRI,,
+        |accounts,2,balance,"DECIMAL(12,2)",YES,,0.00,
+        |accounts,3,note,TEXT,YES,,,
+        |""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(dir, "catalog.csv"), csv)
+    s"$dir/catalog.csv"
+  }
+
+  test("parses INFORMATION_SCHEMA shape into ColumnDesc lists in ordinal order") {
+    val cat = CatalogReader.fromCsv(spark, catalogCsv)
+    assert(cat.keySet == Set("log_click", "log_view", "accounts"))
+    val cols = cat("log_click")
+    assert(cols.map(_.field) == Seq("id", "ts", "payload"))
+    assert(cols.head.key == "PRI" && !cols.head.nullable)
+    assert(cols.head.extra == "auto_increment")
+  }
+
+  test("prefix expansion resolves the work list like --src-tables-prefixes") {
+    val cat = CatalogReader.fromCsv(spark, catalogCsv)
+    assert(CatalogReader.resolveTables(cat, prefixes = Seq("log_")) ==
+      Seq("log_click", "log_view"))
+    assert(CatalogReader.resolveTables(cat, tables = Seq("accounts")) ==
+      Seq("accounts"))
+    assert(CatalogReader.resolveTables(cat).size == 3)
+  }
+
+  test("schemaOf maps types through TypeMapper with column skip") {
+    val cat = CatalogReader.fromCsv(spark, catalogCsv)
+    val s = CatalogReader.schemaOf(cat, "accounts", skip = Set("note"))
+    assert(s.fieldNames.toSeq == Seq("acct_id", "balance"))
+    assert(s("acct_id").dataType == IntegerType)
+    assert(s("balance").dataType == DecimalType(12, 2))
+    // BIGINT UNSIGNED → DecimalType(20,0); PRI forces non-nullable
+    val lc = CatalogReader.schemaOf(cat, "log_click")
+    assert(lc("id").dataType == DecimalType(20, 0) && !lc("id").nullable)
+  }
+}
+
+class CsvSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("round-trip preserves values, sorts columns, maps '' <-> NULL") {
+    val dir = Files.createTempDirectory("graft_csvrt").toString
+    val df = Seq((1L, Some("x"), 1.5), (2L, None, -2.25), (3L, Some("z"), 0.0))
+      .toDF("id", "s", "v")
+    CsvSource.write(df, dir)
+    val schema = StructType(df.schema.fields.sortBy(_.name))
+    val back = CsvSource.read(spark, dir, Some(schema))
+    assert(back.columns.toSeq == Seq("id", "s", "v"))
+    val rows = back.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows(1).isNullAt(1), "NULL must survive the round-trip")
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(1.5, -2.25, 0.0))
+  }
+
+  test("fixture table round-trips exactly (typed read-back)") {
+    val dir = Files.createTempDirectory("graft_csvfix").toString
+    val src = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    CsvSource.write(src, dir)
+    val back = CsvSource.read(spark, dir,
+      Some(StructType(src.schema.fields.sortBy(_.name))))
+    assert(back.count() == src.count())
+    val a = src.select(src.columns.sorted.map(col): _*).orderBy("n_nationkey").collect()
+    val b = back.orderBy("n_nationkey").collect()
+    assert(a.sameElements(b))
+  }
+}
+
+class MigratorSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("migrateTable applies skip + where, reconciles counts, emits DDL") {
+    val dst = Files.createTempDirectory("graft_mig").toString
+    val spec = Migrator.Spec(
+      skipColumns = Map("orders" -> Seq("o_orderpriority")),
+      whereClauses = Map("orders" -> "o_totalprice > 100000.0"))
+    val m = Migrator.migrateTable(spark, dir, dst, "orders", spec = spec)
+    assert(m.reconciled && m.srcRows > 0)
+    val out = spark.read.parquet(s"$dst/orders.parquet")
+    assert(!out.columns.contains("o_orderpriority"))
+    assert(out.filter(col("o_totalprice") <= 100000.0).count() == 0)
+    assert(m.sparkDdl.contains("CREATE TABLE") && m.sparkDdl.contains("USING PARQUET"))
+    assert(m.chDdl.contains("ReplacingMergeTree"))
+  }
+
+  test("migrateAll migrates a table list and fails fast on mismatch only") {
+    val dst = Files.createTempDirectory("graft_migall").toString
+    val ms = Migrator.migrateAll(spark, dir, dst, Seq("region", "nation"))
+    assert(ms.length == 2 && ms.forall(_.reconciled))
+  }
+
+  test("registered transform participates in the chain") {
+    val dst = Files.createTempDirectory("graft_migtr").toString
+    val reg = new graft.ops.Transforms.TransformRegistry()
+      .register("region", df => df.withColumn("r_name", upper(col("r_name"))))
+    val m = Migrator.migrateTable(spark, dir, dst, "region",
+      spec = Migrator.Spec(transforms = reg))
+    assert(m.reconciled)
+    val names = spark.read.parquet(s"$dst/region.parquet")
+      .select("r_name").collect().map(_.getString(0))
+    assert(names.forall(n => n == n.toUpperCase))
+  }
+}
+
+class GraftAppSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("parse maps reference-named options") {
+    val c = GraftApp.parse(Seq(
+      "--src-dir=/src", "--dst-dir=/dst", "--migrate-table",
+      "--create-table-sql", "--src-tables=orders,region",
+      "--column-skip=orders.o_comment,orders.o_clerk",
+      "--src-tables-where-clauses=orders:o_orderkey > 5"))
+    assert(c.srcDir == "/src" && c.migrateTable && c.createTableSql && !c.pumpData)
+    assert(c.tables == Seq("orders", "region"))
+    assert(c.columnSkip("orders").toSet == Set("o_comment", "o_clerk"))
+    assert(c.whereClauses("orders") == "o_orderkey > 5")
+  }
+
+  test("create-table-sql mode emits DDL per table") {
+    val r = GraftApp.run(spark, GraftApp.Config(
+      srcDir = dir, dstDir = Files.createTempDirectory("graft_app1").toString,
+      tables = Seq("region", "nation"), createTableSql = true))
+    // CREATE DATABASE + 2 dialects x 2 tables
+    assert(r.ddl.length == 5)
+    assert(r.ddl.head.startsWith("CREATE DATABASE"))
+  }
+
+  test("migrate mode migrates the resolved work list") {
+    val dst = Files.createTempDirectory("graft_app2").toString
+    val r = GraftApp.run(spark, GraftApp.Config(
+      srcDir = dir, dstDir = dst, tables = Seq("region"), migrateTable = true))
+    assert(r.migrations.map(_.table) == Seq("region"))
+    assert(r.migrations.head.reconciled)
+  }
+
+  test("pump mode drains the change feed into versioned state = batch replay") {
+    val dst = Files.createTempDirectory("graft_app3").toString
+    val r = GraftApp.run(spark, GraftApp.Config(
+      srcDir = dir, dstDir = dst, pumpData = true))
+    val stateDir = r.pumpedStateDir.get
+    val state = graft.streaming.StreamingCdc.currentState(spark, stateDir,
+      template = Tables.load(spark, dir, "events"))
+    val expected = graft.cdc.CdcApplier.replayCompact(
+      graft.cdc.ChangeFeed.fromEvents(Tables.load(spark, dir, "events")),
+      Seq("user_id"), Seq(col("ts"), col("event_id")))
+    assert(state.count() == expected.count())
+    assert(state.select("user_id", "event_id").except(
+      expected.select("user_id", "event_id")).count() == 0)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "abc"))
+    .toDF("doc_id", "text")
+
+  test("envelope carries payload + typed metadata") {
+    val obj = Multimodal.fromText(docs)
+    val schema = obj.schema("obj").dataType.sql
+    assert(schema.contains("payload: BINARY") || schema.contains("payload BINARY"))
+    val r = obj.filter($"doc_id" === 1L).select(
+      $"obj.meta.n_bytes", $"obj.meta.format", $"obj.meta.content_id").head()
+    assert(r.getInt(0) == 11)
+    assert(r.getString(1) == "text/plain")
+    // md5("hello world")
+    assert(r.getString(2) == "5eb63bbbe01eeed093cb22bb8f5acdc3")
+  }
+
+  test("feature stub is deterministic, content-addressed, bounded") {
+    val feats = Multimodal.extract(Multimodal.fromText(docs))
+      .select($"doc_id", $"features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(feats(1L) == feats(2L), "same content, same features")
+    assert(feats(1L) != feats(3L))
+    assert(feats(1L).length == 8 && feats(1L).forall(f => f >= 0 && f < 65536))
+  }
+
+  test("frame fingerprints cover the payload in order") {
+    val fr = Multimodal.extract(Multimodal.fromText(docs))
+      .filter($"doc_id" === 1L).select($"frames").head().getSeq[String](0)
+    assert(fr.length == 4 && fr.distinct.length == 4)
+    // first frame of "hello world" = bytes 1..2 = "he"
+    val he = docs.sparkSession.sql("SELECT md5('he')").head().getString(0)
+    assert(fr.head == he)
+  }
+
+  test("formatSummary aggregates per format") {
+    val s = Multimodal.formatSummary(
+      Multimodal.extract(Multimodal.fromText(docs))).head()
+    assert(s.getAs[String]("format") == "text/plain")
+    assert(s.getAs[Long]("n_objects") == 3L)
+    assert(s.getAs[Long]("n_distinct") == 2L) // two identical payloads
+    assert(s.getAs[Long]("total_bytes") == 25L)
+  }
+}

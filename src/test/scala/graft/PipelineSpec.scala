@@ -1,0 +1,185 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+import graft.vector.VectorSearch
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def one(text: String) = Seq(text).toDF("t")
+
+  test("tokens and type counts") {
+    val r = one("a b b c").select(
+      TextAnalysis.tokenCount($"t"), TextAnalysis.typeCount($"t")).head()
+    assert(r.getInt(0) == 4 && r.getInt(1) == 3)
+  }
+
+  test("polyHash matches the reference fold ((h*31+c) mod 1e9+7)") {
+    // independently computed: fold over 'abc def' ascii codes
+    val r = one("abc def").select(TextAnalysis.polyHash($"t")).head()
+    assert(r.getLong(0) == 985994463L)
+  }
+
+  test("shingles builds consecutive k-grams, empty below k tokens") {
+    val r = one("w1 w2 w3 w4").select(TextAnalysis.shingles($"t", 3)).head()
+    assert(r.getSeq[String](0) == Seq("w1 w2 w3", "w2 w3 w4"))
+    val e = one("w1 w2").select(TextAnalysis.shingles($"t", 3)).head()
+    assert(e.getSeq[String](0).isEmpty)
+  }
+
+  test("stopwordRatio and qualityScore bounds") {
+    val df = one("the cat sat on the mat")
+    val sr = df.select(TextAnalysis.stopwordRatio($"t", Seq("the", "on"))).head().getDouble(0)
+    assert(math.abs(sr - 0.5) < 1e-12)
+    val q = df.select(TextAnalysis.qualityScore($"t", Seq("the"))).head().getDouble(0)
+    assert(q >= 0.0 && q <= 1.0)
+  }
+
+  test("langId votes by profile, und below minHits") {
+    val profiles = Seq("en" -> Seq("the", "a"), "de" -> Seq("der", "die"))
+    val r = Seq("the cat and a dog", "der hund und die katze", "x y z")
+      .toDF("t").select(TextAnalysis.langId($"t", profiles).as("l"))
+      .collect().map(_.getString(0)).toSeq
+    assert(r == Seq("en", "de", "und"))
+  }
+
+  test("fingerprint is stable and identical for identical text") {
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "z y x w v u"))
+      .toDF("id", "t")
+    val fps = df.select($"id", TextAnalysis.fingerprint($"t").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val base = "the quick brown fox jumps over the lazy dog again and again today"
+  val nearDup = base.replace("today", "tomorrow") // 1 token differs
+  val other = "completely different content with no overlap whatsoever in it at all"
+
+  def docs = Seq((0L, base), (1L, base), (2L, nearDup), (3L, other))
+    .toDF("doc_id", "text")
+
+  test("exactDedup groups identical texts and keeps the min id") {
+    val r = Dedup.exactDedup(docs).orderBy("keeper_doc_id").collect()
+    assert(r.length == 3)
+    val dup = r.find(_.getLong(1) == 2L).get
+    assert(dup.getLong(2) == 0L) // keeper is min doc_id
+  }
+
+  test("jaccardPairs finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.jaccardPairs(docs, k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 1L)) && keys.contains((0L, 2L)) && keys.contains((1L, 2L)))
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(pairs.find(p => (p._1, p._2) == (0L, 1L)).get._3 == 1.0)
+  }
+
+  test("jaccardPairs maxDF cap drops hot shingles but keeps rare-shingle pairs") {
+    val pairs = Dedup.jaccardPairs(docs, k = 3, threshold = 0.5, maxDF = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("minhash signatures are equal for identical text, length = bands*rows") {
+    val sigs = docs.select($"doc_id", Dedup.minhashSignature($"text", 3, 64).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(sigs(0L).length == 64)
+    assert(sigs(0L) != sigs(3L))
+  }
+
+  test("minhashDedup finds the planted pairs with exact-jaccard verification") {
+    val pairs = Dedup.minhashDedup(docs, k = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash of identical texts is identical; hamming to unrelated is large") {
+    val sims = docs.select($"doc_id", Dedup.simhash($"text", 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(0L) == sims(1L))
+    assert(java.lang.Long.bitCount(sims(0L) ^ sims(3L)) > 12)
+  }
+
+  test("simhashDedup catches near dups, excludes unrelated") {
+    val pairs = Dedup.simhashDedup(docs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("dedup plans contain no cartesian product") {
+    val fixture = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    for (df <- Seq(Dedup.jaccardPairs(fixture), Dedup.minhashDedup(fixture),
+        Dedup.simhashDedup(fixture))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), "all-pairs join in dedup plan")
+    }
+  }
+}
+
+class VectorSearchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("quantized dot and cosine of known vectors") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)), (Seq(1.0f, 1.0f), Seq(1.0f, 1.0f)))
+      .toDF("a", "b")
+      .select(VectorSearch.quantize($"a").as("qa"), VectorSearch.quantize($"b").as("qb"))
+      .select(VectorSearch.cosine(
+        VectorSearch.dot($"qa", $"qb"),
+        VectorSearch.norm2($"qa"), VectorSearch.norm2($"qb")).as("cos"))
+    val r = df.collect().map(_.getDouble(0))
+    assert(math.abs(r(0) - 0.0) < 1e-9 && math.abs(r(1) - 1.0) < 1e-9)
+  }
+
+  test("bruteForceTopK ranks by cosine with id tiebreak") {
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 0L)
+    val r = VectorSearch.bruteForceTopK(corpus, queries, k = 3)
+      .orderBy("rnk").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(r.toSeq == Seq((1, 1L), (2, 2L), (3, 3L)))
+  }
+
+  test("ivfTopK with exhaustive probing equals brute force on the fixture") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(pmod($"vec_id", lit(100)) === 0)
+    val brute = VectorSearch.bruteForceTopK(emb, q, 10).collect().toSet
+    val ivf = VectorSearch.ivfTopK(emb, q, 10, nprobe = 1000).collect().toSet
+    assert(ivf == brute)
+  }
+
+  test("ivfTopK at reduced nprobe returns k rows per query (approximate mode)") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter($"vec_id" === 0)
+    val r = VectorSearch.ivfTopK(emb, q, 10, nprobe = 4)
+    assert(r.count() == 10)
+  }
+
+  test("brute-force top-k plan uses a window group limit (partial top-k)") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter($"vec_id" === 0)
+    val plan = VectorSearch.bruteForceTopK(emb, q, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no partial top-k in plan")
+  }
+
+  test("labelCentroidStats covers every label with sane cosines") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val r = VectorSearch.labelCentroidStats(emb).collect()
+    assert(r.length == 10)
+    assert(r.forall(row => math.abs(row.getDouble(2)) <= 1.0))
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import graft.cdc.{CdcApplier, ChangeFeed}
+import graft.streaming.StreamingCdc
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Streaming CDC verification (SURVEY §7.3): the exactly-once /
+  * idempotent-merge claims of StreamingCdc, exercised through real
+  * StreamingQuery runs with a file source — including crash-replay
+  * (kill, then resume from the same checkpoint with more data) and
+  * re-applied-batch idempotence.
+  */
+class StreamingCdcSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+  val pk = Seq("user_id")
+  val orderCols = Seq("ts", "event_id")
+
+  private def feed: DataFrame =
+    ChangeFeed.fromEvents(Tables.load(spark, dir, "events"))
+
+  private def batchAnswer: Array[(Long, Long)] =
+    CdcApplier.replayCompact(feed, pk, orderCols.map(col))
+      .select("user_id", "event_id").orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+  private def stateKeys(stateDir: String): Array[(Long, Long)] =
+    StreamingCdc.currentState(spark, stateDir, feed.drop("op"))
+      .select("user_id", "event_id").orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+  /** Write each time-bucket batch as ONE file, in order — file mtime
+    * order is the stream's arrival order (maxFilesPerTrigger=1
+    * turns each bucket into its own micro-batch).
+    */
+  private def writeBatchFiles(feedDir: String, months: Seq[DataFrame]): Unit =
+    months.foreach(m => m.coalesce(1).write.mode("append").parquet(feedDir))
+
+  test("streamed time-bucket batches land on the batch-replay state") {
+    val root = Files.createTempDirectory("graft_scdc1").toString
+    val months = ChangeFeed.timeBatches(feed, "week")
+    writeBatchFiles(s"$root/feed", months)
+    val stream = spark.readStream.schema(feed.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/feed")
+    StreamingCdc.start(stream, s"$root/state", s"$root/ckpt", pk, orderCols)
+      .awaitTermination()
+    assert(StreamingCdc.currentVersion(spark, s"$root/state").exists(_ >= months.size - 1))
+    assert(stateKeys(s"$root/state").sameElements(batchAnswer))
+  }
+
+  test("crash-replay: stop mid-stream, resume from the same checkpoint") {
+    val root = Files.createTempDirectory("graft_scdc2").toString
+    val months = ChangeFeed.timeBatches(feed, "week")
+    val (firstHalf, secondHalf) = months.splitAt(math.max(1, months.size / 2))
+
+    // phase 1: only the first half of the data exists; drain and exit
+    writeBatchFiles(s"$root/feed", firstHalf)
+    def stream = spark.readStream.schema(feed.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/feed")
+    StreamingCdc.start(stream, s"$root/state", s"$root/ckpt", pk, orderCols)
+      .awaitTermination()
+    val v1 = StreamingCdc.currentVersion(spark, s"$root/state")
+    assert(v1.nonEmpty, "phase 1 must have committed versions")
+
+    // "crash": the query object is gone. More data arrives.
+    writeBatchFiles(s"$root/feed", secondHalf)
+
+    // phase 2: new query, SAME checkpoint — resumes past processed files
+    StreamingCdc.start(stream, s"$root/state", s"$root/ckpt", pk, orderCols)
+      .awaitTermination()
+    assert(stateKeys(s"$root/state").sameElements(batchAnswer),
+      "resumed stream must land on the full batch-replay state")
+  }
+
+  test("re-applying the last batch is idempotent (replay safety)") {
+    val root = Files.createTempDirectory("graft_scdc3").toString
+    val months = ChangeFeed.timeBatches(feed, "week")
+    months.foreach(m =>
+      StreamingCdc.mergeIntoState(m, s"$root/state", pk, orderCols))
+    val before = stateKeys(s"$root/state")
+    val vBefore = StreamingCdc.currentVersion(spark, s"$root/state").get
+    // simulate a checkpoint replay re-delivering the final batch
+    StreamingCdc.mergeIntoState(months.last, s"$root/state", pk, orderCols)
+    assert(StreamingCdc.currentVersion(spark, s"$root/state").get == vBefore + 1)
+    assert(stateKeys(s"$root/state").sameElements(before),
+      "re-applied batch must not change the state")
+  }
+
+  test("fold of time-ordered batches equals single-pass compaction") {
+    val months = ChangeFeed.timeBatches(feed, "week")
+    val folded = CdcApplier.applyAll(feed.limit(0).drop("op"),
+      months, pk, orderCols.map(col))
+      .select("user_id", "event_id").orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(folded.sameElements(batchAnswer))
+  }
+
+  test("version pointer survives torn-write-free publish") {
+    val root = Files.createTempDirectory("graft_scdc4").toString
+    val months = ChangeFeed.timeBatches(feed, "week").take(2)
+    StreamingCdc.mergeIntoState(months.head, s"$root/state", pk, orderCols)
+    assert(StreamingCdc.currentVersion(spark, s"$root/state").contains(0L))
+    StreamingCdc.mergeIntoState(months(1), s"$root/state", pk, orderCols)
+    assert(StreamingCdc.currentVersion(spark, s"$root/state").contains(1L))
+    // no temp files left behind by the rename publish (the .crc
+    // sidecar of the pointer itself is expected Hadoop local-FS
+    // checksum behavior, not a leak)
+    val leftovers = new java.io.File(s"$root/state").listFiles()
+      .filter(f => f.getName.startsWith("._version") &&
+        !f.getName.endsWith(".crc"))
+    assert(leftovers.isEmpty)
+  }
+}
+
+/** Event-time streaming aggregation (SURVEY §2.10 T5): watermark +
+  * hourly windows must reproduce the batch aggregation.
+  */
+class StreamingAggSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("streaming hourly agg equals the batch hourly agg") {
+    val streamed = graft.queries.IngestQueries.streamHourlyAgg(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.queries.Relational.hourlyEventAgg(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+}
