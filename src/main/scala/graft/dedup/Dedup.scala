@@ -36,7 +36,7 @@ object Dedup {
     * (doc_id, shingle) rows — the inverted-index long format — plus
     * the per-doc set kept as an array for verification joins.
     */
-  private[dedup] def shingleRows(docs: DataFrame, k: Int, idCol: String,
+  def shingleRows(docs: DataFrame, k: Int, idCol: String,
       textCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),
@@ -116,25 +116,24 @@ object Dedup {
       math.abs(rnd.nextLong()) % P))
   }
 
+  private def shingleHashes(text: Column, k: Int): Column =
+    transform(array_distinct(TextAnalysis.shingles(text, k)),
+      TextAnalysis.polyHash(_))
+
   /** MinHash signature array (length numHashes) per document:
     * sig_i = min over shingles s of (a_i * polyHash(s) + b_i) mod P.
     * Pure per-row array math — no shuffle, scan-parallel.
     *
-    * Computed as ONE fold over the shingle hashes with an
-    * array-of-mins accumulator: a naive `numHashes x array_min(...)`
+    * Computed by the native MinHashSig expression — one tight loop
+    * over the shingle hashes. (A naive `numHashes x array_min(...)`
     * formulation duplicates the whole shingle-hash subexpression
     * per hash function and blows the Catalyst tree to millions of
-    * nodes (driver-side planning minutes, not data seconds).
+    * nodes: driver-side planning minutes, not data seconds.)
     */
   def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
-    val hashes = transform(array_distinct(TextAnalysis.shingles(text, k)),
-      TextAnalysis.polyHash(_))
     val cs = coefs(numHashes)
-    aggregate(hashes,
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, x) => zip_with(acc,
-        array(cs.map { case (a, bb) => (x * lit(a) + lit(bb)) % lit(P) }: _*),
-        (m, v) => least(m, v)))
+    graft.functions.HashExpressions.minhashSig(
+      shingleHashes(text, k), cs.map(_._1), cs.map(_._2))
   }
 
   /** Near-dup pairs via banded MinHash-LSH, verified by exact
@@ -206,23 +205,14 @@ object Dedup {
 
   /** 64-bit SimHash over the k-shingle set: each shingle's 64-bit
     * hash votes +1/-1 per bit position; the signature bit is the
-    * vote sign. One ordered array fold per row — deterministic and
-    * shuffle-free.
+    * vote sign. One native bit-loop per row (SimHash64 expression)
+    * — deterministic and shuffle-free; the HOF formulation of the
+    * same fold interprets 64 `when` nodes per shingle.
     */
-  def simhash(text: Column, k: Int): Column = {
-    val hashes = transform(array_distinct(TextAnalysis.shingles(text, k)),
-      s => xxhash64(s))
-    val votes = aggregate(hashes, array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc,
-        array((0 until 64).map { i =>
-          when(shiftright(h, i).bitwiseAND(lit(1L)) === lit(1L), lit(1L))
-            .otherwise(lit(-1L))
-        }: _*),
-        (a, v) => a + v))
-    (0 until 64).map { i =>
-      when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
-  }
+  def simhash(text: Column, k: Int): Column =
+    graft.functions.HashExpressions.simhash64(
+      transform(array_distinct(TextAnalysis.shingles(text, k)),
+        s => xxhash64(s)))
 
   /** Near-dup pairs via SimHash chunked candidate generation,
     * verified by Hamming distance AND exact Jaccard.

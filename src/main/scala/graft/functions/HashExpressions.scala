@@ -1,0 +1,189 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge => B}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-sketch hot paths.
+  *
+  * The higher-order-function formulations (fold over
+  * `split(s, "")` for the rolling hash; per-shingle 64-element
+  * `when` arrays for SimHash votes) are semantically identical but
+  * interpret one Catalyst node per character/bit and allocate
+  * intermediate arrays per fold step — tens of millions of node
+  * evaluations per million documents. These expressions compile to
+  * tight byte/bit loops inside whole-stage codegen (with a matching
+  * interpreted `nullSafeEval` used by, e.g., constant folding).
+  */
+object HashExpressions {
+
+  val PolyP = 1000000007L
+
+  def polyHash(c: Column): Column =
+    B.column(PolyHash(B.expression(c)))
+
+  def simhash64(hashes: Column): Column =
+    B.column(SimHash64(B.expression(hashes)))
+
+  def minhashSig(hashes: Column, as: Seq[Long], bs: Seq[Long]): Column =
+    B.column(MinHashSig(B.expression(hashes), as.toArray, bs.toArray))
+}
+
+/** Polynomial rolling hash over UTF-8 bytes:
+  * `h = (h*31 + byte) mod 1e9+7`. Byte-wise (identical to the
+  * per-character fold for ASCII corpora; for multi-byte text the
+  * byte stream is simply the finer-grained unit).
+  */
+case class PolyHash(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * 31L + (bytes(i) & 0xffL)) % HashExpressions.PolyP
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h = ($h * 31L + ($bytes[$i] & 0xffL)) % ${HashExpressions.PolyP}L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash from an array of (non-null) 64-bit feature
+  * hashes: each hash votes +1/-1 per bit position, the signature
+  * bit is the vote sign.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  long $h = $c.getLong($i);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    $votes[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($votes[$b] > 0) $sig |= 1L << $b;
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** MinHash signature: for each universal-hash (a_i, b_i), the
+  * minimum of `(a_i * x + b_i) mod 1e9+7` over the input hashes x.
+  * Returns Long.MaxValue entries for an empty input (callers filter
+  * empty shingle sets). Inputs must be < 2^30 (polyHash range) so
+  * `a*x` cannot overflow.
+  */
+case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long])
+    extends UnaryExpression {
+  require(as.length == bs.length, "coefficient arrays must align")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val k = as.length
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      val x = arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (x * as(j) + bs(j)) % HashExpressions.PolyP
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", as, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      val v = ctx.freshName("v")
+      s"""
+         |long[] $sig = new long[${as.length}];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  long $x = $c.getLong($i);
+         |  for (int $j = 0; $j < ${as.length}; $j++) {
+         |    long $v = ($x * $aRef[$j] + $bRef[$j]) % ${HashExpressions.PolyP}L;
+         |    if ($v < $sig[$j]) $sig[$j] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}

@@ -95,27 +95,26 @@ object TextAnalysis {
   val defaultProfiles: Seq[(String, Seq[String])] =
     Seq("en" -> Seq("the", "a"))
 
-  /** Polynomial rolling hash of a string: fold over character codes,
-    * `h = (h*31 + code) mod 1e9+7`. An ordered array fold — the sum
-    * order is the character order, so the result is bit-identical in
-    * any engine (unlike a float row-aggregation).
+  /** Polynomial rolling hash of a string: fold over UTF-8 bytes,
+    * `h = (h*31 + byte) mod 1e9+7`. An ordered fold — the order is
+    * the byte order, so the result is bit-identical in any engine
+    * (unlike a float row-aggregation). Implemented as a native
+    * codegen'd Catalyst expression (graft.functions.PolyHash); the
+    * equivalent HOF fold over `split(s,"")` interprets one tree
+    * node and one 1-char allocation per character.
     */
   def polyHash(s: Column): Column =
-    aggregate(
-      transform(split(s, ""), ch => ascii(ch).cast("long")),
-      lit(0L),
-      (acc, x) => (acc * lit(31L) + x) % lit(1000000007L))
+    graft.functions.HashExpressions.polyHash(s)
 
   /** Consecutive k-token shingles ("w1 w2 w3" strings). Empty array
-    * when the document has fewer than k tokens.
+    * when the document has fewer than k tokens. Native single-pass
+    * expression (graft.functions.Shingles): the HOF formulation
+    * (`transform(sequence, i => concat_ws(slice(tokens,...)))`)
+    * re-evaluates the tokenizing split inside the lambda for every
+    * shingle — O(tokens) full-text regex splits per row.
     */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= k,
-      transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, k: Int): Column =
+    graft.functions.Shingles.shingles(text, k)
 
   /** Document fingerprint: minimum rolling hash over k-token
     * shingles (the min-sketch member of the winnowing family). Two
