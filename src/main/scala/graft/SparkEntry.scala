@@ -62,6 +62,7 @@ object SparkEntry {
     "q32_cdc_stream"        -> IngestQueries.cdcStreamState _,
     "q33_stream_hourly"     -> IngestQueries.streamHourlyAgg _,
     "q34_multimodal"        -> PipelineQueries.multimodalExtract _,
+    "q35_embedding_neardup" -> PipelineQueries.embeddingNearDup _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -392,5 +393,20 @@ object SparkEntry {
         |  md5(substr(text, length(text)*3//4 + 1,
         |      length(text) - length(text)*3//4)) AS frame_last
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q35_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id,
+        |             [CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) for x in embedding] AS q
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, q,
+        |        list_reduce([CAST(0 AS BIGINT)] + [x*x for x in q], (a,b) -> a+b) AS n2
+        |      FROM e),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |        CAST(list_reduce([CAST(0 AS BIGINT)] +
+        |               [a.q[i]*b.q[i] for i in range(1, len(a.q)+1)],
+        |             (x,y) -> x+y) AS DOUBLE)
+        |          / sqrt(CAST(a.n2 AS DOUBLE)*CAST(b.n2 AS DOUBLE)) AS cos
+        |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, round(cos, 6) AS cos
+        |FROM p WHERE cos >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
   )
 }

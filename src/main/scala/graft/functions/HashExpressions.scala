@@ -30,6 +30,9 @@ object HashExpressions {
 
   def minhashSig(hashes: Column, as: Seq[Long], bs: Seq[Long]): Column =
     B.column(MinHashSig(B.expression(hashes), as.toArray, bs.toArray))
+
+  def quantDot(a: Column, b: Column): Column =
+    B.column(QuantDot(B.expression(a), B.expression(b)))
 }
 
 /** Polynomial rolling hash over UTF-8 bytes:
@@ -186,4 +189,45 @@ case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long])
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
+}
+
+/** Exact dot product of two long arrays (quantized vectors) — the
+  * native form of `aggregate(zip_with(a, b, _*_), 0L, _+_)`, which
+  * interprets ~3 tree nodes and allocates one zipped array per
+  * element per row. Per-pair cost matters: similarity verification
+  * evaluates this over millions of candidate pairs.
+  */
+case class QuantDot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantDot =
+    copy(left = newLeft, right = newRight)
 }

@@ -129,6 +129,19 @@ object PipelineQueries {
     VectorSearch.labelCentroidStats(Tables.load(spark, dir, "embeddings"))
       .orderBy("label")
 
+  /** q35: embedding-cosine near-duplicate pairs (cos >= 0.45) via
+    * IVF-cell blocked candidate generation + exact quantized-cosine
+    * verification. assign=8 is the recall dial pinned by local
+    * cross-check against the exhaustive oracle (exact at sf0.001
+    * and sf0.01; see cosineNearDupPairs scaladoc for why mining far
+    * below the near-dup regime needs wider assignment). The planted
+    * near-identical case is unit-tested with small `assign`.
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    VectorSearch.cosineNearDupPairs(Tables.load(spark, dir, "embeddings"),
+      threshold = 0.45, assign = 8)
+      .orderBy("vec_a", "vec_b")
+
   /** q34: multimodal plumbing over the documents corpus — binary
     * envelope (payload + typed metadata), stubbed feature
     * extraction, frame fingerprints; flattened to scalars for the

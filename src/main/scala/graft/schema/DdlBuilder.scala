@@ -23,10 +23,13 @@ object DdlBuilder {
 
   /** First DATE/DATETIME column drives partitioning — the
     * reference's primary-date rule (tablesqlbuilder.py:215-227).
+    * Matches both timestamp flavors (parquet files without
+    * isAdjustedToUTC surface as TIMESTAMP_NTZ in Spark 4).
     */
   def primaryDateField(schema: StructType): Option[StructField] =
     schema.fields.find(f =>
-      f.dataType == DateType || f.dataType == TimestampType)
+      f.dataType == DateType || f.dataType == TimestampType ||
+        f.dataType == TimestampNTZType)
 
   /** PK columns from DESC key flags (tablesqlbuilder.py:229-240). */
   def primaryKeyFields(schema: StructType): Seq[StructField] =
@@ -88,7 +91,7 @@ object DdlBuilder {
       case DoubleType => "Float64"
       case BooleanType => "UInt8"
       case DateType => "Date"
-      case TimestampType => "DateTime"
+      case TimestampType | TimestampNTZType => "DateTime"
       case BinaryType | StringType => "String"
       case ArrayType(StringType, _) => "Array(String)"
       case other => other.sql

@@ -58,6 +58,46 @@ object StreamingCdc {
       case None    => template.limit(0)
     }
 
+  /** First replicated row, recorded once at stream start — the
+    * reference logs it per table so operators can craft the
+    * migration cut-over WHERE clause (mysqlreader.py:241-245,
+    * docs/manual.md:555-592). Persisted as `_first_row.json` next
+    * to the state so it survives the process.
+    */
+  def firstRow(spark: SparkSession, stateDir: String): Option[String] = {
+    val p = new Path(stateDir, FirstRowFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream(256)
+        val buf = new Array[Byte](256)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(out.toByteArray, StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+
+  private val FirstRowFile = "_first_row.json"
+
+  private def recordFirstRow(batch: DataFrame, stateDir: String,
+      orderCols: Seq[String]): Unit =
+    batch.orderBy(orderCols.map(col): _*).limit(1).toJSON.collect()
+      .headOption.foreach { json =>
+        val p = new Path(stateDir, FirstRowFile)
+        val fs = p.getFileSystem(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        // replay-safe: keep the original record if a crash-replayed
+        // first batch runs again
+        if (!fs.exists(p)) {
+          val out = fs.create(p, false)
+          try out.write(json.getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+        }
+      }
+
   /** Merge one batch and publish the next version. Idempotent for a
     * replayed batch: last-write-wins per key means re-applying the
     * same changes to the already-merged state is a no-op.
@@ -67,6 +107,8 @@ object StreamingCdc {
     val spark = batch.sparkSession
     val template = batch.drop(CdcApplier.OpCol)
     val state = currentState(spark, stateDir, template)
+    if (currentVersion(spark, stateDir).isEmpty)
+      recordFirstRow(batch, stateDir, orderCols)
     val next = CdcApplier.applyBatch(state, batch, pk, orderCols.map(col))
     val v = currentVersion(spark, stateDir).getOrElse(-1L) + 1
     next.write.mode("overwrite").parquet(s"$stateDir/v$v")

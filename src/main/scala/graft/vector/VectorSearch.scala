@@ -25,15 +25,16 @@ object VectorSearch {
   def quantize(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * lit(1e6)).cast("long"))
 
-  /** Exact squared L2 norm of a quantized vector (ordered array
-    * fold — no row aggregation).
-    */
-  def norm2(q: Column): Column =
-    aggregate(q, lit(0L), (acc, x) => acc + x * x)
+  /** Exact squared L2 norm of a quantized vector. */
+  def norm2(q: Column): Column = dot(q, q)
 
-  /** Exact dot product of two quantized vectors. */
+  /** Exact dot product of two quantized vectors — native codegen'd
+    * expression (graft.functions.QuantDot); the HOF equivalent
+    * allocates a zipped array and interprets per element, which
+    * dominates when verifying millions of candidate pairs.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.HashExpressions.quantDot(a, b)
 
   /** Cosine from exact integer dot/norms; the only float ops are one
     * multiply, two sqrts and one divide on exact inputs.
@@ -136,6 +137,47 @@ object VectorSearch {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("vec_id"),
         round(col("cos"), 6).as("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (a, b) with
+    * cosine >= `threshold`, candidates generated by IVF-cell
+    * blocking with multi-assignment — each vector joins its
+    * `assign` highest-cosine cells, pairs sharing any cell are
+    * verified with the exact quantized cosine. Bucketed equi-join,
+    * never a corpus cross-join.
+    *
+    * Recall: pairs that are actually near-duplicates (cos -> 1)
+    * have near-identical centroid rankings, so any assign >= 1
+    * catches them; moderate-similarity pairs need a larger `assign`
+    * (the recall dial, pinned by tests against the exact answer at
+    * fixture scale). Threshold mining far below ~0.8 degenerates
+    * toward exhaustive comparison in ANY exact method — that regime
+    * belongs to ANN search (ivfTopK), not dedup.
+    */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
+      assign: Int = 8, centroidEvery: Int = 29, sel: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = prepared(embeddings, idCol, vecCol).localCheckpoint()
+    val cents = c.filter(pmod(col("vec_id"), lit(centroidEvery)) === sel)
+      .select(col("vec_id").as("cell"), col("q").as("cq"), col("n2").as("cn2"))
+    val cells = c.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(dot(col("q"), col("cq")), col("n2"), col("cn2")))
+      .withColumn("r", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("r") <= assign)
+      .select(col("vec_id"), col("cell"))
+    val cand = cells.alias("x").join(cells.alias("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(c.select(col("vec_id").as("vec_a"), col("q").as("qa"),
+        col("n2").as("na")), "vec_a")
+      .join(c.select(col("vec_id").as("vec_b"), col("q").as("qb"),
+        col("n2").as("nb")), "vec_b")
+      .withColumn("cos", cosine(dot(col("qa"), col("qb")), col("na"), col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
   }
 
   /** Per-label centroid cohesion: for each label, the mean cosine of

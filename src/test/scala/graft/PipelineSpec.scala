@@ -176,6 +176,25 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"no partial top-k in plan")
   }
 
+  test("cosineNearDupPairs finds planted near-identical vectors at small assign") {
+    // planted: 100/101 and 102/103 are near-identical (cos ~ 1)
+    val rnd = new scala.util.Random(7)
+    def vec() = Seq.fill(16)(rnd.nextGaussian().toFloat)
+    val base = Seq.fill(40)(vec())
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++ Seq(
+      (100L, base.head), (101L, base.head.map(x => x + 1e-4f)),
+      (102L, base(1)), (103L, base(1).map(x => x * 1.0001f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val pairs = VectorSearch.cosineNearDupPairs(emb, threshold = 0.99,
+      assign = 2, centroidEvery = 7, sel = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 100L)) && pairs.contains((100L, 101L)))
+    assert(pairs.contains((1L, 102L)) && pairs.contains((102L, 103L)))
+    val plan = VectorSearch.cosineNearDupPairs(emb, 0.99, assign = 2,
+      centroidEvery = 7, sel = 1).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "near-dup must stay bucketed")
+  }
+
   test("labelCentroidStats covers every label with sane cosines") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val r = VectorSearch.labelCentroidStats(emb).collect()

