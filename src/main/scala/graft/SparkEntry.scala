@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CdcQueries, IngestQueries, PipelineQueries, Relational}
+import graft.queries.{CdcQueries, IngestQueries, PipelineQueries, Relational, TemporalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -63,6 +63,9 @@ object SparkEntry {
     "q33_stream_hourly"     -> IngestQueries.streamHourlyAgg _,
     "q34_multimodal"        -> PipelineQueries.multimodalExtract _,
     "q35_embedding_neardup" -> PipelineQueries.embeddingNearDup _,
+    "q36_sessionize"        -> TemporalQueries.sessionStats _,
+    "q37_asof_join"         -> TemporalQueries.asOfOrders _,
+    "q38_range_join"        -> TemporalQueries.eventBursts _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -408,5 +411,31 @@ object SparkEntry {
         |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, round(cos, 6) AS cos
         |FROM p WHERE cos >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
+    "q36_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_us(ts) AS e,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pe
+        |  FROM events),
+        |s AS (SELECT user_id,
+        |        CASE WHEN pe IS NULL OR e - pe > 1800000000 THEN 1 ELSE 0 END AS ns
+        |      FROM x)
+        |SELECT user_id, SUM(ns) AS n_sessions, COUNT(*) AS n_events,
+        |  CAST(COUNT(*) AS DOUBLE) / SUM(ns) AS events_per_session
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q37_asof_join" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT e.user_id, e.event_id, o.o_orderkey
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q38_range_join" ->
+      """SELECT a.user_id, COUNT(*) AS n_pairs,
+        |  COUNT(DISTINCT b.event_id) AS n_predecessors
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) >= epoch_us(a.ts) - 21600000000
+        | AND epoch_us(b.ts) < epoch_us(a.ts)
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
   )
 }

@@ -87,6 +87,25 @@ object Transforms {
       .drop("__rn")
   }
 
+  /** Gap-based sessionization: assigns a per-key session id that
+    * increments whenever the time since the previous row exceeds
+    * `gapMicros`. One shuffle on the key + one window scan — the
+    * batch analog of a streaming session window, exact and
+    * deterministic (microsecond integer arithmetic; `tieBreak`
+    * disambiguates equal timestamps).
+    */
+  def sessionize(key: Seq[String], ts: Column, gapMicros: Long,
+      tieBreak: Seq[Column] = Nil)(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(ts +: tieBreak: _*)
+    val micros = unix_micros(ts.cast("timestamp"))
+    val gap = micros - lag(micros, 1).over(w)
+    val boundary = when(gap.isNull || gap > gapMicros, 1).otherwise(0)
+    df.withColumn("session_id",
+      sum(boundary).over(w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+  }
+
   /** Per-table pluggable row transform registry — the Spark analog of
     * the `--ch-converter-file`/`--ch-converter-class` plugin surface
     * (clioptions.py:492-503, converter/converter.py:9-35). Instead of

@@ -1,0 +1,71 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{AsOfJoin, Transforms}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Temporal operators over the fixture tables: gap sessionization,
+  * backward as-of join, and an equi+range interval join — the
+  * time-alignment surface a replication/analytics engine needs
+  * beyond plain equi-joins.
+  */
+object TemporalQueries {
+
+  /** q36: per-user session statistics with a 30-minute gap rule. */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    Transforms.sessionize(Seq("user_id"), col("ts"),
+      gapMicros = 30L * 60 * 1000000, tieBreak = Seq(col("event_id")))(events)
+      .groupBy("user_id")
+      .agg(
+        max(col("session_id")).as("n_sessions"),
+        count(lit(1)).as("n_events"),
+        (count(lit(1)).cast("double") / max(col("session_id")).cast("double"))
+          .as("events_per_session"))
+      .orderBy("user_id")
+  }
+
+  /** q37: backward as-of join — each event matched to the user's
+    * latest order at or before the event time. The right side is
+    * pre-deduplicated to one order per (customer, timestamp) so tie
+    * semantics are engine-independent.
+    */
+  def asOfOrders(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val orders = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    AsOfJoin.backward(
+      events.select(col("user_id"), col("event_id"), col("ts")),
+      orders, leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts", rightTime = "o_orderdate")
+      .select(col("user_id"), col("event_id"), col("o_orderkey"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** q38: interval (equi + range) self-join — activity bursts: for
+    * each user, pairs of their events within a 6-hour lookback.
+    * Plans as an equi-join on the user key with the time range as a
+    * join-time filter — no cross-product; at 100 TB the range stays
+    * a per-key filter after the single key shuffle.
+    */
+  def eventBursts(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("em"))
+    val a = events.select(col("user_id"), col("event_id").as("eid_a"),
+      col("em").as("ma"))
+    val b = events.select(col("user_id").as("uid_b"),
+      col("event_id").as("eid_b"), col("em").as("mb"))
+    val sixHoursMicros = 6L * 3600 * 1000000
+    a.join(b,
+        col("user_id") === col("uid_b") &&
+          col("mb") >= col("ma") - lit(sixHoursMicros) &&
+          col("mb") < col("ma"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("eid_b")).as("n_predecessors"))
+      .orderBy("user_id")
+  }
+}

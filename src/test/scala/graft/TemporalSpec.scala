@@ -1,0 +1,78 @@
+package graft
+
+import graft.ops.{AsOfJoin, Transforms}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def ts(s: String) = Timestamp.valueOf(s)
+
+  test("backward as-of matches latest right row at or before left time") {
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:05"), "t1"),
+      (1L, ts("2024-01-01 10:00:00"), "t0"), // exactly at quote time
+      (1L, ts("2024-01-01 09:59:59"), "t-early"),
+      (2L, ts("2024-01-01 10:00:10"), "t2"))
+      .toDF("k", "t", "trade")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:00:03"), 101.0))
+      .toDF("k", "qt", "px")
+    val out = AsOfJoin.backward(trades, quotes, "k", "k", "t", "qt")
+      .select("trade", "px").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out("t-early").isEmpty, "no quote yet")
+    assert(out("t0").contains(100.0), "equal timestamp is inclusive")
+    assert(out("t1").contains(101.0), "latest quote wins")
+    assert(out("t2").isEmpty, "key 2 has no quotes")
+  }
+
+  test("rightTieBreak picks the last right row under the given ordering") {
+    val l = Seq((1L, ts("2024-01-01 12:00:00"), "x")).toDF("k", "t", "l")
+    val r = Seq(
+      (1L, ts("2024-01-01 11:00:00"), 1L, "v1"),
+      (1L, ts("2024-01-01 11:00:00"), 2L, "v2"))
+      .toDF("k", "rt", "ver", "v")
+    val out = AsOfJoin.backward(l, r, "k", "k", "t", "rt",
+      rightTieBreak = Seq("ver")).select("v").head().getString(0)
+    assert(out == "v2")
+  }
+
+  test("as-of join plan has one exchange on the key, no cross product") {
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select($"user_id", $"event_id", $"ts")
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val plan = AsOfJoin.backward(events, orders, "user_id", "o_custkey",
+      "ts", "o_orderdate").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
+
+class SessionizeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def ts(s: String) = Timestamp.valueOf(s)
+
+  test("session id increments on gaps over the threshold") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:10:00")), // same session (10 min)
+      (1L, ts("2024-01-01 11:00:00")), // new session (50 min)
+      (2L, ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "ts")
+    val out = Transforms.sessionize(Seq("user_id"), col("ts"),
+      gapMicros = 30L * 60 * 1000000)(df)
+      .orderBy("user_id", "ts")
+      .select("user_id", "session_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+}
