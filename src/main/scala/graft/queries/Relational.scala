@@ -164,6 +164,10 @@ object Relational {
     * origin. Missing columns become NULL (allowMissingColumns).
     */
   def unionRouting(spark: SparkSession, dir: String): DataFrame = {
+    // Two filtered reads of one fixture table stand in for two
+    // DIFFERENT source tables (log_click / log_view): in the real
+    // scenario each branch scans its own table, so the two scans
+    // here model the production shape, not a missed optimization.
     val e = Tables.load(spark, dir, "events")
     val clicks = e.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("value"),
