@@ -24,7 +24,7 @@ object SparkEntry {
     */
   def benchExclude: Set[String] = Set(
     "q30_migrate_counts", "q31_csv_roundtrip",
-    "q32_cdc_stream", "q33_stream_hourly")
+    "q32_cdc_stream", "q33_stream_hourly", "q39_stream_sessions")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -66,6 +66,7 @@ object SparkEntry {
     "q36_sessionize"        -> TemporalQueries.sessionStats _,
     "q37_asof_join"         -> TemporalQueries.asOfOrders _,
     "q38_range_join"        -> TemporalQueries.eventBursts _,
+    "q39_stream_sessions"   -> IngestQueries.streamSessions _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -437,5 +438,22 @@ object SparkEntry {
         | AND epoch_us(b.ts) >= epoch_us(a.ts) - 21600000000
         | AND epoch_us(b.ts) < epoch_us(a.ts)
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    // Session-window semantics: events merge while the gap to the
+    // previous event is under 30 minutes; session start = min ts.
+    "q39_stream_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS e,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS pe
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |        SUM(CASE WHEN pe IS NULL OR e - pe >= 1800000000 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY user_id ORDER BY ts
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM x)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 }

@@ -1,0 +1,46 @@
+package graft.app
+
+import graft.functions.{MinHashSig, PolyHash, QuantDot, Shingles, SimHash64}
+import org.apache.spark.sql.{GraftFunctionRegistrar, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL surface for graft's native expressions.
+  *
+  * Two wiring options:
+  *  - configuration: `spark.sql.extensions=graft.app.GraftExtensions`
+  *    injects the functions at session build (the standard
+  *    SparkSessionExtensions route);
+  *  - code: `GraftExtensions.register(spark)` adds them as temp
+  *    functions on an existing session.
+  *
+  * Registered names: graft_polyhash(str), graft_shingles(str, k),
+  * graft_simhash64(array<bigint>), graft_quantdot(a, b).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((new FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_polyhash" -> (args => PolyHash(args.head)),
+    "graft_shingles" -> (args =>
+      Shingles(args.head, intArg(args(1), "shingle size"))),
+    "graft_simhash64" -> (args => SimHash64(args.head)),
+    "graft_quantdot" -> (args => QuantDot(args.head, args(1))))
+
+  /** Register on an existing session (temp functions). */
+  def register(spark: SparkSession): Unit =
+    GraftFunctionRegistrar.register(spark, builders)
+}

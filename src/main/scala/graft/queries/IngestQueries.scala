@@ -79,6 +79,52 @@ object IngestQueries {
 
   private val streamCounter = new AtomicInteger(0)
 
+  /** q39: session windows through Structured Streaming —
+    * `session_window(ts, gap)` + watermark in append mode (the only
+    * mode session windows support). Append emits a session only
+    * once the watermark passes it, and the watermark never exceeds
+    * the max observed event time — so the feed carries a sentinel
+    * event (user_id = -1) two hours past the real maximum,
+    * advancing the watermark beyond every real session; the
+    * sentinel's own never-emitted session is filtered out. Must
+    * agree with the batch gap-sessionization rule (oracle:
+    * lag/cumsum sessions; session start = min event ts).
+    */
+  def streamSessions(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val root = tmpDir("graft_stream_sess")
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    val flushTs = new java.sql.Timestamp(maxTs.getTime + 2L * 3600 * 1000)
+    val sentinel = events.limit(1).select(events.columns.map {
+      case "user_id" => lit(-1L).as("user_id")
+      case "ts"      => lit(flushTs).as("ts")
+      case c         => col(c)
+    }: _*)
+    events.unionByName(sentinel).write.mode("overwrite")
+      .parquet(s"$root/events")
+    val stream = spark.readStream.schema(events.schema)
+      .parquet(s"$root/events")
+    val name = s"graft_sessions_${streamCounter.incrementAndGet()}"
+    val q = stream
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).filter(col("user_id") >= 0)
+      .orderBy("user_id", "session_start")
+  }
+
   /** q33: event-time hourly aggregation through Structured Streaming
     * — `withWatermark` + `window` (SURVEY §2.10 T5), drained with
     * AvailableNow into a memory sink in complete mode. Must equal

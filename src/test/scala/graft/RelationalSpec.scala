@@ -32,12 +32,27 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
-  test("every query has an oracle") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // Non-SQL-expressible ops may legitimately omit oracles; core
-    // relational queries must not.
-    assert(missing.forall(n => !n.startsWith("q0") && !n.startsWith("q1")),
-      s"core queries missing oracle: $missing")
+  test("every query has an oracle and every oracle has a query") {
+    assert((SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).isEmpty,
+      "queries missing an oracle")
+    assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty,
+      "orphan oracles")
+  }
+
+  test("native expressions are callable from SQL after registration") {
+    graft.app.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_polyhash('abc def') AS h,
+        |  graft_shingles('a b c d', 3) AS sh,
+        |  graft_quantdot(array(1L, 2L), array(3L, 4L)) AS d,
+        |  graft_simhash64(array(-1L)) AS s""".stripMargin).head()
+    assert(r.getLong(0) == 985994463L)
+    assert(r.getSeq[String](1) == Seq("a b c", "b c d"))
+    assert(r.getLong(2) == 11L)
+    assert(r.getLong(3) == -1L)
+    // the SparkSessionExtensions route wires the same builders
+    assert(new graft.app.GraftExtensions()
+      .isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
   }
 
   test("entry returns rows") {
