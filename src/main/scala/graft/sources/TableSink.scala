@@ -52,4 +52,21 @@ object TableSink {
     */
   def readManaged(spark: SparkSession, db: String, table: String): DataFrame =
     spark.table(s"$db.$table")
+
+  /** Bucketed managed write: pre-shuffles once at write time so
+    * every later equi-join/aggregation on the bucket key runs
+    * WITHOUT an exchange — the co-located-join strategy for tables
+    * that are joined repeatedly at 100 TB (pay the shuffle once,
+    * not per query). Buckets are also the unit AQE coalesces, so
+    * pick counts by target file size, not core count.
+    */
+  def writeBucketed(df: DataFrame, db: String, table: String,
+      bucketCols: Seq[String], numBuckets: Int,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    df.sparkSession.sql(DdlBuilder.createDatabase(db))
+    df.write.mode(mode).format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(s"$db.$table")
+  }
 }

@@ -80,6 +80,22 @@ class RelationalSpec extends AnyFunSuite {
       s"expected broadcast join in plan")
   }
 
+  test("q19 scan reads only the needed document columns") {
+    val plan = SparkEntry.queries("q19_token_count")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.split("\n").find(_.contains("FileScan")).get
+    assert(scanLine.contains("doc_id") && scanLine.contains("text"))
+    assert(!scanLine.contains("lang") && !scanLine.contains("source"),
+      s"column pruning failed: $scanLine")
+  }
+
+  test("q09 pushes the event_type filters into the scans") {
+    val plan = SparkEntry.queries("q09_union_routing")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]")
+      || plan.contains("EqualTo(event_type,click)"), "click filter not pushed")
+  }
+
   test("q02 pushes filters into the parquet scan") {
     val plan = SparkEntry.queries("q02_filter_project")(spark, dir)
       .queryExecution.executedPlan.toString

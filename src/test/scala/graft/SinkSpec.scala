@@ -40,6 +40,30 @@ class TableSinkSpec extends AnyFunSuite {
       == src.count())
   }
 
+  test("bucketed tables join without an exchange (co-located join)") {
+    val orders = Tables.load(spark, dir, "orders")
+    val customer = Tables.load(spark, dir, "customer")
+    TableSink.writeBucketed(orders, "graft_test", s"orders_b_$run",
+      Seq("o_custkey"), 4)
+    TableSink.writeBucketed(
+      customer.withColumnRenamed("c_custkey", "o_custkey"),
+      "graft_test", s"customer_b_$run", Seq("o_custkey"), 4)
+    // at fixture size the planner prefers broadcast (which disables
+    // bucketed reads); turn it off to exercise the co-located
+    // sort-merge path the bucketing exists for at scale
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val joined = spark.table(s"graft_test.orders_b_$run")
+        .join(spark.table(s"graft_test.customer_b_$run"), "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed equi-join must not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("distributed naming parity") {
     assert(TableSink.resolveName("db", "t", distributed = true) == "db.db__t_all")
     assert(TableSink.resolveName("db", "t", distributed = false) == "db.t")

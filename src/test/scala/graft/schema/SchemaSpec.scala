@@ -1,5 +1,60 @@
 package graft.schema
 
+import org.scalatest.funsuite.{AnyFunSuite => PropBase}
+
+/** Property-style sweep: the mapper must be total over the
+  * reference's documented type grammar with invariants holding for
+  * random parameterizations (widths, precisions, unsigned flags).
+  */
+class TypeMapperPropertySpec extends PropBase {
+  import org.apache.spark.sql.types._
+
+  private val rnd = new scala.util.Random(99)
+  private val bases = Seq("TINYINT", "SMALLINT", "MEDIUMINT", "INT",
+    "INTEGER", "BIGINT", "FLOAT", "DOUBLE", "CHAR", "VARCHAR", "BINARY",
+    "VARBINARY", "TEXT", "BLOB", "DATE", "DATETIME", "TIMESTAMP", "YEAR")
+
+  test("mapper is total and unsigned-widening over random grammar samples") {
+    for (_ <- 1 to 300) {
+      val base = bases(rnd.nextInt(bases.size))
+      val width = if (rnd.nextBoolean()) s"(${rnd.nextInt(64) + 1})" else ""
+      val unsigned = rnd.nextBoolean() &&
+        Seq("TINYINT", "SMALLINT", "MEDIUMINT", "INT", "INTEGER", "BIGINT")
+          .contains(base)
+      val s = s"$base$width${if (unsigned) " UNSIGNED" else ""}"
+      val t = MySqlType.parse(s)
+      val dt = TypeMapper.map(t)
+      assert(dt != null, s)
+      if (unsigned) {
+        // unsigned integers map to a strictly wider signed container
+        val signedDt = TypeMapper.map(MySqlType.parse(s"$base$width"))
+        def bits(d: DataType): Int = d match {
+          case ByteType => 8; case ShortType => 16; case IntegerType => 32
+          case LongType => 64; case d: DecimalType => 128; case _ => 0
+        }
+        assert(bits(dt) >= bits(signedDt), s"$s: $signedDt -> $dt")
+        if (base != "MEDIUMINT") // 24-bit fits int32 either way
+          assert(bits(dt) > bits(signedDt), s"$s must widen")
+      }
+    }
+  }
+
+  test("decimal precision/scale round-trips for random (p, s)") {
+    for (_ <- 1 to 100) {
+      val p = rnd.nextInt(38) + 1
+      val sc = rnd.nextInt(p + 1).min(p)
+      val dt = TypeMapper.map(MySqlType.parse(s"DECIMAL($p,$sc)"))
+      assert(dt == DecimalType(p, sc))
+    }
+  }
+
+  test("unknown types fail at analysis time, not silently") {
+    intercept[UnknownMySqlTypeException] {
+      TypeMapper.map(MySqlType.parse("GEOMETRY"))
+    }
+  }
+}
+
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
