@@ -268,6 +268,12 @@ object SparkEntry {
         |FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
         |WHERE CAST(i AS DOUBLE)/CAST(x.n + y.n - i AS DOUBLE) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q25/q26 pin sketch-based (probabilistic-recall) candidate
+    // generation against the exact-Jaccard pair set. Sound here
+    // because the fixtures are deterministic and their similarity
+    // margin is wide (every true pair is J>=0.9, miss probability
+    // <1e-7 at 16x4 bands; SimHash Hamming <=10 vs the 12 cutoff) —
+    // on new data these would be recall checks, not exact oracles.
     "q25_minhash_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
         |sh AS (SELECT doc_id,

@@ -41,9 +41,10 @@ object GraftApp {
       migrations: Seq[Migrator.TableMigration] = Nil,
       pumpedStateDir: Option[String] = None)
 
-  /** Resolve the table work-list: catalog fixture when given
-    * (prefix expansion against the live table list), else the
-    * explicit list, else every table discovered in the source dir.
+  /** Resolve the table work-list: UNION of explicit tables and
+    * prefix matches (the reference's additive semantics,
+    * tableprocessor.py:118-144), against the catalog fixture when
+    * given, else against tables discovered in the source dir.
     */
   def resolveTables(spark: SparkSession, c: Config): Seq[String] =
     c.catalogCsv match {
@@ -51,26 +52,26 @@ object GraftApp {
         CatalogReader.resolveTables(CatalogReader.fromCsv(spark, path),
           c.tables, c.tablePrefixes)
       case None =>
-        val discovered =
-          if (c.tables.nonEmpty) c.tables
-          else Tables.all.filter(t =>
-            new java.io.File(Tables.path(c.srcDir, t)).exists())
-        if (c.tablePrefixes.nonEmpty)
-          discovered.filter(t => c.tablePrefixes.exists(t.startsWith))
-        else discovered
+        val discovered = Tables.all.filter(t =>
+          new java.io.File(Tables.path(c.srcDir, t)).exists())
+        if (c.tables.isEmpty && c.tablePrefixes.isEmpty) discovered
+        else discovered.filter(t =>
+          c.tables.contains(t) || c.tablePrefixes.exists(t.startsWith))
     }
 
   /** Execute the selected modes in reference order. */
   def run(spark: SparkSession, c: Config): Result = {
     val tables = resolveTables(spark, c)
     val spec = Migrator.Spec(c.columnSkip, c.whereClauses)
+    // catalog metadata is driver-sized; parse the fixture once, not
+    // once per table
+    val catalog = c.catalogCsv.map(CatalogReader.fromCsv(spark, _))
 
     val ddl: Seq[String] =
       if (!c.createTableSql) Nil
       else DdlBuilder.createDatabase(c.db) +: tables.flatMap { t =>
-        val schema = c.catalogCsv match {
-          case Some(path) => CatalogReader.schemaOf(
-            CatalogReader.fromCsv(spark, path), t,
+        val schema = catalog match {
+          case Some(cat) => CatalogReader.schemaOf(cat, t,
             c.columnSkip.getOrElse(t, Nil).toSet, chCompat = true)
           case None => Migrator.transformed(spark, c.srcDir, t, spec).schema
         }

@@ -35,10 +35,14 @@ object ChangeFeed {
     */
   def timeBatches(feed: DataFrame, unit: String): Seq[DataFrame] = {
     val tagged = feed.withColumn("__b", date_trunc(unit, col("ts"))).persist()
+    // null-safe bucket compare (<=>): a null ts row must land in
+    // SOME batch (the null bucket, ordered first) — `===` would
+    // silently drop it from every batch and diverge from
+    // replayCompact over the same feed.
     val buckets = tagged.select(col("__b")).distinct().orderBy("__b")
       .collect().map(_.getTimestamp(0))
     buckets.toIndexedSeq.map { b =>
-      tagged.filter(col("__b") === lit(b)).drop("__b")
+      tagged.filter(col("__b") <=> lit(b).cast("timestamp")).drop("__b")
     }
   }
 

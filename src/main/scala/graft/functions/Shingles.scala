@@ -70,6 +70,16 @@ case class Shingles(child: Expression, k: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingles requires a STRING argument, got ${other.sql}")
+    }
+
   override protected def nullSafeEval(input: Any): Any =
     Shingles.compute(input.asInstanceOf[UTF8String], k)
 

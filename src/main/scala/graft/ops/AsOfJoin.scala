@@ -34,6 +34,11 @@ object AsOfJoin {
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       rightTieBreak: Seq[String] = Nil): DataFrame = {
+    val overlap = left.columns.toSet
+      .intersect(right.columns.toSet - rightKey)
+    require(overlap.isEmpty,
+      s"as-of join would emit ambiguous duplicate columns: " +
+        s"${overlap.mkString(", ")} — rename or drop them on one side")
     val leftStruct = struct(left.columns.map(col): _*)
     val rightStruct = struct(right.columns.map(col): _*)
     val rightType = StructType(right.schema.fields)

@@ -51,13 +51,18 @@ object CatalogReader {
     fromDataFrame(spark.read.option("header", true).schema(CatalogSchema)
       .csv(path))
 
-  /** Work-list resolution: explicit tables plus prefix expansion
-    * against the discovered table list — `--src-tables` +
-    * `--src-tables-prefixes` (tableprocessor.py:118-144). Preserves
-    * catalog order, deduplicates.
+  /** Work-list resolution: the UNION of explicitly named tables and
+    * prefix expansion against the discovered table list —
+    * `--src-tables` + `--src-tables-prefixes`
+    * (tableprocessor.py:118-144). Returned in name order
+    * (deterministic); an explicitly named table missing from the
+    * catalog is an error, not a silent no-op.
     */
   def resolveTables(catalog: Map[String, Seq[ColumnDesc]],
       tables: Seq[String] = Nil, prefixes: Seq[String] = Nil): Seq[String] = {
+    val unknown = tables.filterNot(catalog.contains)
+    require(unknown.isEmpty,
+      s"tables not in catalog: ${unknown.mkString(", ")}")
     val known = catalog.keys.toSeq.sorted
     val picked = known.filter(t =>
       tables.contains(t) || prefixes.exists(t.startsWith))

@@ -28,10 +28,12 @@ object TextAnalysis {
   /** BPE-ish subword segmentation: lowercase letter runs, digit
     * runs, and single non-alphanumeric marks — the usual pre-BPE
     * regex split (GPT-2-style contraction classes reduced to the
-    * ASCII subset the fixtures exercise).
+    * ASCII subset the fixtures exercise). Extraction (not split):
+    * a split-based formulation misses letter/digit boundaries
+    * inside a token ("gpt4" must yield "gpt","4").
     */
   def subwordTokens(text: Column): Column =
-    filter(split(text, "(?=[^a-z0-9])|(?<=[^a-z0-9])"), t => t =!= lit("") && t =!= lit(" "))
+    regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -89,8 +89,15 @@ object VectorSearch {
   def ivfAssign(corpus: DataFrame, centroidEvery: Int = 29, sel: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = prepared(corpus, idCol, vecCol)
-    val cents = c.filter(pmod(col("vec_id"), lit(centroidEvery)) === sel)
+    val cents = centroids(c, centroidEvery, sel)
+    assignCells(c, cents)
+  }
+
+  private def centroids(c: DataFrame, centroidEvery: Int, sel: Int): DataFrame =
+    c.filter(pmod(col("vec_id"), lit(centroidEvery)) === sel)
       .select(col("vec_id").as("cell"), col("q").as("cq"), col("n2").as("cn2"))
+
+  private def assignCells(c: DataFrame, cents: DataFrame): DataFrame =
     c.crossJoin(broadcast(cents))
       .withColumn("ccos", cosine(dot(col("q"), col("cq")), col("n2"), col("cn2")))
       // max_by has a partial-aggregation mode: per-partition argmax
@@ -98,7 +105,6 @@ object VectorSearch {
       .groupBy(col("vec_id"))
       .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"),
         first(col("q")).as("q"), first(col("n2")).as("n2"))
-  }
 
   /** IVF-bucketed approximate top-k: each query probes its `nprobe`
     * nearest cells and ranks only their members. With bounded cell
@@ -114,10 +120,11 @@ object VectorSearch {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
       centroidEvery: Int = 29, sel: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val assigned = ivfAssign(corpus, centroidEvery, sel, idCol, vecCol)
-    val cents = prepared(corpus, idCol, vecCol)
-      .filter(pmod(col("vec_id"), lit(centroidEvery)) === sel)
-      .select(col("vec_id").as("cell"), col("q").as("cq"), col("n2").as("cn2"))
+    // quantize/norm the corpus ONCE; both the cell assignment and
+    // the probe-side centroid list derive from the materialized frame
+    val c = prepared(corpus, idCol, vecCol).localCheckpoint()
+    val cents = centroids(c, centroidEvery, sel)
+    val assigned = assignCells(c, cents)
     val q = prepared(queries, idCol, vecCol)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
         col("n2").as("qn2"))

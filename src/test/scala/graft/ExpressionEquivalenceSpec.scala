@@ -70,6 +70,32 @@ class ExpressionEquivalenceSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("QuantDot rejects dimension mismatches loudly") {
+    // driver-side constant folding throws raw; executor paths wrap
+    // in SparkException — accept either, require the message
+    val e = intercept[Throwable] {
+      Seq((Seq(1L, 2L, 3L), Seq(1L, 2L))).toDF("a", "b")
+        .select(HashExpressions.quantDot($"a", $"b")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("dimension mismatch")))
+  }
+
+  test("SQL-registered expressions fail analysis on wrong input types") {
+    graft.app.GraftExtensions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_polyhash(42)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("string"))
+  }
+
+  test("subword tokens split letter/digit boundaries inside a token") {
+    val r = Seq("gpt4 is 2x faster!").toDF("s")
+      .select(TextAnalysis.subwordTokens($"s")).head().getSeq[String](0)
+    assert(r == Seq("gpt", "4", "is", "2", "x", "faster", "!"))
+  }
+
   test("Shingles == naive sliding window over whitespace tokens") {
     val vocab = Vector("ab", "cde", "f", "gh1", "xyz")
     val cases = Seq.fill(200) {

@@ -48,6 +48,14 @@ class CatalogReaderSpec extends AnyFunSuite {
     assert(CatalogReader.resolveTables(cat).size == 3)
   }
 
+  test("unknown explicit tables are an error, not a silent no-op") {
+    val cat = CatalogReader.fromCsv(spark, catalogCsv)
+    val e = intercept[IllegalArgumentException] {
+      CatalogReader.resolveTables(cat, tables = Seq("log_click", "typo"))
+    }
+    assert(e.getMessage.contains("typo"))
+  }
+
   test("schemaOf maps types through TypeMapper with column skip") {
     val cat = CatalogReader.fromCsv(spark, catalogCsv)
     val s = CatalogReader.schemaOf(cat, "accounts", skip = Set("note"))
@@ -142,6 +150,13 @@ class GraftAppSpec extends AnyFunSuite {
     assert(c.tables == Seq("orders", "region"))
     assert(c.columnSkip("orders").toSet == Set("o_comment", "o_clerk"))
     assert(c.whereClauses("orders") == "o_orderkey > 5")
+  }
+
+  test("explicit tables and prefixes combine additively (union)") {
+    val c = GraftApp.Config(srcDir = dir, dstDir = "/tmp/unused",
+      tables = Seq("events"), tablePrefixes = Seq("doc"))
+    assert(GraftApp.resolveTables(spark, c).toSet ==
+      Set("events", "documents"))
   }
 
   test("create-table-sql mode emits DDL per table") {

@@ -90,6 +90,17 @@ class StreamingCdcSpec extends AnyFunSuite {
       "re-applied batch must not change the state")
   }
 
+  test("timeBatches keeps null-timestamp rows (null bucket) instead of dropping them") {
+    import spark.implicits._
+    val f = Seq(
+      (1L, Some(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")), "insert"),
+      (2L, None, "insert"))
+      .toDF("user_id", "ts", "op")
+    val batches = ChangeFeed.timeBatches(f, "day")
+    assert(batches.map(_.count()).sum == 2,
+      "every feed row must land in exactly one batch")
+  }
+
   test("fold of time-ordered batches equals single-pass compaction") {
     val months = ChangeFeed.timeBatches(feed, "week")
     val folded = CdcApplier.applyAll(feed.limit(0).drop("op"),

@@ -44,6 +44,15 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out == "v2")
   }
 
+  test("overlapping non-key column names are rejected up front") {
+    val l = Seq((1L, ts("2024-01-01 12:00:00"), "x")).toDF("k", "t", "v")
+    val r = Seq((1L, ts("2024-01-01 11:00:00"), "y")).toDF("k", "rt", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(l, r, "k", "k", "t", "rt")
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
   test("as-of join plan has one exchange on the key, no cross product") {
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
       .select($"user_id", $"event_id", $"ts")
