@@ -67,6 +67,7 @@ object SparkEntry {
     "q37_asof_join"         -> TemporalQueries.asOfOrders _,
     "q38_range_join"        -> TemporalQueries.eventBursts _,
     "q39_stream_sessions"   -> IngestQueries.streamSessions _,
+    "q40_profile"           -> PipelineQueries.profileDocuments _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -461,5 +462,23 @@ object SparkEntry {
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "q40_profile" ->
+      """SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+        |  COUNT(*) - COUNT(doc_id) AS n_null, COUNT(DISTINCT doc_id) AS n_distinct,
+        |  CAST(MIN(doc_id) AS VARCHAR) AS min_value, CAST(MAX(doc_id) AS VARCHAR) AS max_value
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+        |  MIN(lang), MAX(lang) FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+        |  CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents
+        |UNION ALL
+        |SELECT 'source', COUNT(*), COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+        |  MIN(source), MAX(source) FROM documents
+        |UNION ALL
+        |SELECT 'text', COUNT(*), COUNT(*) - COUNT(text), COUNT(DISTINCT text),
+        |  MIN(text), MAX(text) FROM documents
+        |ORDER BY col_name""".stripMargin,
   )
 }

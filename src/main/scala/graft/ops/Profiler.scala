@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Table profiling for data-quality audits: one output row per
+  * column with row/null/distinct counts and min/max rendered as
+  * strings (the profiler's common-type convention).
+  *
+  * Shape: a single wide aggregation computes every per-column
+  * statistic in one pass over the table, then one generated row per
+  * column is exploded from the collected struct — no per-column
+  * re-scan. Exact multi-column COUNT(DISTINCT) expands rows by the
+  * column count before the shuffle; at extreme scale swap in
+  * approx_count_distinct per column (HLL) — the exact form is kept
+  * here because the correctness oracle needs exact values.
+  */
+object Profiler {
+
+  def profile(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val total = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_$c")).as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_value"),
+        col(s"__mx_$c").as("max_value"))
+    }
+    total.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+}

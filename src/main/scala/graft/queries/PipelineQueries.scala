@@ -142,6 +142,13 @@ object PipelineQueries {
       threshold = 0.45, assign = 8)
       .orderBy("vec_a", "vec_b")
 
+  /** q40: data-quality profile of the documents table — one row per
+    * column with null/distinct/min/max statistics in one pass.
+    */
+  def profileDocuments(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiler.profile(Tables.load(spark, dir, "documents"))
+      .orderBy("col_name")
+
   /** q34: multimodal plumbing over the documents corpus — binary
     * envelope (payload + typed metadata), stubbed feature
     * extraction, frame fingerprints; flattened to scalars for the
