@@ -82,6 +82,38 @@ object Multimodal {
       featureStub(col("obj.payload"), dims).as("features"),
       frameFingerprints(col("obj.payload"), frames).as("frames"))
 
+  /** Batched decode via mapPartitions — the Scala analog of a
+    * `mapInPandas` decode stage: rows stream through a per-partition
+    * iterator so a real decoder can amortize model/codec
+    * initialization once per partition and process micro-batches of
+    * `batchSize` payloads (the GPU-feeding shape). The decoder here
+    * is STUBBED deterministic (sum/xor over payload bytes standing
+    * in for pixels); swap `decodeBatch` for a JNI/ONNX call and
+    * nothing else changes. Output: (doc_id, n_bytes, checksum).
+    */
+  def decodeBatched(objects: DataFrame, batchSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    implicit val enc: Encoder[(Long, Int, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.scalaLong)
+    val in = objects.select(col("doc_id"), col("obj.payload").as("payload"))
+    in.mapPartitions { rows: Iterator[Row] =>
+      // per-partition init happens HERE (once), not per row
+      rows.grouped(batchSize).flatMap { batch =>
+        decodeBatch(batch.map(r => (r.getLong(0), r.getAs[Array[Byte]](1))))
+      }
+    }.toDF("doc_id", "n_bytes", "checksum")
+  }
+
+  /** The stub "decoder": one call per micro-batch of payloads. */
+  private def decodeBatch(batch: Seq[(Long, Array[Byte])])
+      : Seq[(Long, Int, Long)] =
+    batch.map { case (id, bytes) =>
+      var sum = 0L
+      var i = 0
+      while (i < bytes.length) { sum = sum * 131 + (bytes(i) & 0xff); i += 1 }
+      (id, bytes.length, sum)
+    }
+
   /** Corpus roll-up by format: object counts, byte volume, mean
     * first-feature — the sanity aggregation a media-lake audit runs.
     */

@@ -127,6 +127,28 @@ object StreamingCdc {
       throw new java.io.IOException(s"failed to publish version pointer $p")
   }
 
+  /** Retire state versions older than the newest `keep` — the
+    * vacuum step every copy-on-write table needs: without it a
+    * long-running pump accumulates one full table copy per
+    * micro-batch. Never touches the current version or the pointer;
+    * readers of retained versions are unaffected (same contract as
+    * table-format vacuums: retention must exceed the longest
+    * reader).
+    */
+  def vacuum(spark: SparkSession, stateDir: String, keep: Int = 2): Unit = {
+    require(keep >= 1, "must keep at least the current version")
+    currentVersion(spark, stateDir).foreach { v =>
+      val root = new Path(stateDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+            n.drop(1).toLong <= v - keep)
+          fs.delete(st.getPath, true)
+      }
+    }
+  }
+
   /** Start the pump. `processingTime = None` maps the reference's
     * `--src-wait` OFF (drain available data, then exit —
     * Trigger.AvailableNow); `Some(interval)` maps `--src-wait` +

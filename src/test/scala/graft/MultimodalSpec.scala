@@ -41,6 +41,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fr.head == he)
   }
 
+  test("batched decode matches per-row semantics across batch sizes") {
+    val objects = Multimodal.fromText(docs)
+    def run(bs: Int) = Multimodal.decodeBatched(objects, bs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val one = run(1)
+    assert(run(64) == one, "batch size must not change results")
+    assert(one.size == 3)
+    val hw = one.find(_._1 == 1L).get
+    assert(hw._2 == 11)
+    assert(one.find(_._1 == 2L).get._3 == hw._3, "same payload, same checksum")
+  }
+
   test("formatSummary aggregates per format") {
     val s = Multimodal.formatSummary(
       Multimodal.extract(Multimodal.fromText(docs))).head()

@@ -110,6 +110,23 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(folded.sameElements(batchAnswer))
   }
 
+  test("vacuum retires old versions but keeps the readable tail") {
+    val root = Files.createTempDirectory("graft_vacuum").toString
+    val batches = ChangeFeed.timeBatches(feed, "week")
+    batches.foreach(b =>
+      StreamingCdc.mergeIntoState(b, s"$root/state", pk, orderCols))
+    val v = StreamingCdc.currentVersion(spark, s"$root/state").get
+    assert(v >= 2, "need several versions to vacuum")
+    StreamingCdc.vacuum(spark, s"$root/state", keep = 2)
+    val dirs = new java.io.File(s"$root/state").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName).toSet
+    assert(dirs == Set(s"v$v", s"v${v - 1}"), s"got $dirs")
+    // current state still reads
+    assert(StreamingCdc.currentState(spark, s"$root/state", feed.drop("op"))
+      .count() > 0)
+  }
+
   test("version pointer survives torn-write-free publish") {
     val root = Files.createTempDirectory("graft_scdc4").toString
     val months = ChangeFeed.timeBatches(feed, "week").take(2)
