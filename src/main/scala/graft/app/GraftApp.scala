@@ -30,6 +30,7 @@ object GraftApp {
       catalogCsv: Option[String] = None,    // INFORMATION_SCHEMA fixture
       createTableSql: Boolean = false,      // --create-table-sql
       migrateTable: Boolean = false,        // --migrate-table
+      csvExport: Boolean = false,           // --csvpool-style CSV spill
       pumpData: Boolean = false,            // --pump-data
       pk: Seq[String] = Seq("user_id"),
       orderCols: Seq[String] = Seq("ts", "event_id"),
@@ -39,6 +40,7 @@ object GraftApp {
   final case class Result(
       ddl: Seq[String] = Nil,
       migrations: Seq[Migrator.TableMigration] = Nil,
+      csvDirs: Seq[String] = Nil,
       pumpedStateDir: Option[String] = None)
 
   /** Resolve the table work-list: UNION of explicit tables and
@@ -83,6 +85,19 @@ object GraftApp {
       if (!c.migrateTable) Nil
       else Migrator.migrateAll(spark, c.srcDir, c.dstDir, tables, c.db, spec)
 
+    // --csvpool analog: spill each (transformed) table as CSV — the
+    // reference's CSV writer chain (config.py:351-367) as a batch
+    // export instead of a per-bucket fork.
+    val csvDirs =
+      if (!c.csvExport) Nil
+      else tables.map { t =>
+        val out = s"${c.dstDir}/csv/$t"
+        graft.sources.CsvSource.write(
+          Migrator.transformed(spark, c.srcDir, t, spec), out,
+          stringify = true)
+        out
+      }
+
     val pumped =
       if (!c.pumpData) None
       else {
@@ -101,7 +116,7 @@ object GraftApp {
         Some(stateDir)
       }
 
-    Result(ddl, migrations, pumped)
+    Result(ddl, migrations, csvDirs, pumped)
   }
 
   /** Minimal CLI: `--flag` booleans and `--key=value` options with
@@ -135,6 +150,7 @@ object GraftApp {
       catalogCsv = kv.get("catalog-csv"),
       createTableSql = flags("create-table-sql"),
       migrateTable = flags("migrate-table"),
+      csvExport = flags("csvpool"),
       pumpData = flags("pump-data"),
       srcWait = flags("src-wait"),
       nicePause = kv.getOrElse("nice-pause", "60 seconds"))
@@ -153,6 +169,7 @@ object GraftApp {
       println(s"migrated ${m.table}: src=${m.srcRows} dst=${m.dstRows} " +
         (if (m.reconciled) "OK" else "MISMATCH"))
     }
+    result.csvDirs.foreach(d => println(s"csv export at $d"))
     result.pumpedStateDir.foreach(d => println(s"pumped state at $d"))
     spark.stop()
   }

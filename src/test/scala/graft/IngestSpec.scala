@@ -176,6 +176,15 @@ class GraftAppSpec extends AnyFunSuite {
     assert(r.migrations.head.reconciled)
   }
 
+  test("csvpool mode spills transformed tables as CSV") {
+    val dst = Files.createTempDirectory("graft_appcsv").toString
+    val r = GraftApp.run(spark, GraftApp.Config(
+      srcDir = dir, dstDir = dst, tables = Seq("region"), csvExport = true))
+    assert(r.csvDirs == Seq(s"$dst/csv/region"))
+    val back = graft.sources.CsvSource.read(spark, s"$dst/csv/region")
+    assert(back.count() == 5)
+  }
+
   test("pump mode drains the change feed into versioned state = batch replay") {
     val dst = Files.createTempDirectory("graft_app3").toString
     val r = GraftApp.run(spark, GraftApp.Config(
