@@ -453,7 +453,7 @@ object SparkEntry {
         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS pe
         |  FROM events),
         |s AS (SELECT user_id, ts,
-        |        SUM(CASE WHEN pe IS NULL OR e - pe >= 1800000000 THEN 1 ELSE 0 END)
+        |        SUM(CASE WHEN pe IS NULL OR e - pe > 1800000000 THEN 1 ELSE 0 END)
         |          OVER (PARTITION BY user_id ORDER BY ts
         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |      FROM x)

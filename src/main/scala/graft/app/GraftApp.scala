@@ -49,13 +49,19 @@ object GraftApp {
     * given, else against tables discovered in the source dir.
     */
   def resolveTables(spark: SparkSession, c: Config): Seq[String] =
-    c.catalogCsv match {
-      case Some(path) =>
-        CatalogReader.resolveTables(CatalogReader.fromCsv(spark, path),
-          c.tables, c.tablePrefixes)
+    resolveAgainst(c, c.catalogCsv.map(CatalogReader.fromCsv(spark, _)))
+
+  private def resolveAgainst(c: Config,
+      catalog: Option[Map[String, Seq[graft.schema.ColumnDesc]]]): Seq[String] =
+    catalog match {
+      case Some(cat) =>
+        CatalogReader.resolveTables(cat, c.tables, c.tablePrefixes)
       case None =>
         val discovered = Tables.all.filter(t =>
           new java.io.File(Tables.path(c.srcDir, t)).exists())
+        val unknown = c.tables.filterNot(discovered.contains)
+        require(unknown.isEmpty,
+          s"tables not found in ${c.srcDir}: ${unknown.mkString(", ")}")
         if (c.tables.isEmpty && c.tablePrefixes.isEmpty) discovered
         else discovered.filter(t =>
           c.tables.contains(t) || c.tablePrefixes.exists(t.startsWith))
@@ -63,11 +69,11 @@ object GraftApp {
 
   /** Execute the selected modes in reference order. */
   def run(spark: SparkSession, c: Config): Result = {
-    val tables = resolveTables(spark, c)
-    val spec = Migrator.Spec(c.columnSkip, c.whereClauses)
     // catalog metadata is driver-sized; parse the fixture once, not
-    // once per table
+    // once per table (and reuse it for work-list resolution)
     val catalog = c.catalogCsv.map(CatalogReader.fromCsv(spark, _))
+    val tables = resolveAgainst(c, catalog)
+    val spec = Migrator.Spec(c.columnSkip, c.whereClauses)
 
     val ddl: Seq[String] =
       if (!c.createTableSql) Nil

@@ -27,6 +27,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  private def arity(name: String, n: Int,
+      f: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.length != n)
+        throw new IllegalArgumentException(
+          s"$name expects $n argument(s), got ${args.length}")
+      f(args)
+    }
+
   private def intArg(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
@@ -34,11 +43,12 @@ object GraftExtensions {
   }
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_polyhash" -> (args => PolyHash(args.head)),
-    "graft_shingles" -> (args =>
+    "graft_polyhash" -> arity("graft_polyhash", 1, args => PolyHash(args.head)),
+    "graft_shingles" -> arity("graft_shingles", 2, args =>
       Shingles(args.head, intArg(args(1), "shingle size"))),
-    "graft_simhash64" -> (args => SimHash64(args.head)),
-    "graft_quantdot" -> (args => QuantDot(args.head, args(1))))
+    "graft_simhash64" -> arity("graft_simhash64", 1, args => SimHash64(args.head)),
+    "graft_quantdot" -> arity("graft_quantdot", 2, args =>
+      QuantDot(args.head, args(1))))
 
   /** Register on an existing session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -93,13 +93,15 @@ object IngestQueries {
   def streamSessions(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.load(spark, dir, "events")
     val root = tmpDir("graft_stream_sess")
-    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
-    val flushTs = new java.sql.Timestamp(maxTs.getTime + 2L * 3600 * 1000)
-    val sentinel = events.limit(1).select(events.columns.map {
-      case "user_id" => lit(-1L).as("user_id")
-      case "ts"      => lit(flushTs).as("ts")
-      case c         => col(c)
-    }: _*)
+    val maxTs = Option(events.agg(max(col("ts"))).head().getTimestamp(0))
+    val sentinel = maxTs.fold(events.limit(0)) { m =>
+      val flushTs = new java.sql.Timestamp(m.getTime + 2L * 3600 * 1000)
+      events.limit(1).select(events.columns.map {
+        case "user_id" => lit(-1L).as("user_id")
+        case "ts"      => lit(flushTs).as("ts")
+        case c         => col(c)
+      }: _*)
+    }
     events.unionByName(sentinel).write.mode("overwrite")
       .parquet(s"$root/events")
     val stream = spark.readStream.schema(events.schema)

@@ -142,9 +142,10 @@ object StreamingCdc {
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.listStatus(root).foreach { st =>
         val n = st.getPath.getName
-        if (n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
-            n.drop(1).toLong <= v - keep)
-          fs.delete(st.getPath, true)
+        if (n.startsWith("v"))
+          n.drop(1).toLongOption.foreach { ver =>
+            if (ver <= v - keep) fs.delete(st.getPath, true)
+          }
       }
     }
   }
