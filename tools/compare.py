@@ -35,10 +35,22 @@ def values_equal(a, b) -> bool:
             return True
     except (TypeError, ValueError):
         pass
-    if isinstance(a, float) and isinstance(b, float):
-        return a == b or (math.isnan(a) and math.isnan(b))
+    import numbers
+    a_int = isinstance(a, numbers.Integral) and not isinstance(a, bool)
+    b_int = isinstance(b, numbers.Integral) and not isinstance(b, bool)
+    a_flt = isinstance(a, numbers.Real) and not a_int and not isinstance(a, bool)
+    b_flt = isinstance(b, numbers.Real) and not b_int and not isinstance(b, bool)
+    # Type-strict like the driver's hash gate: int64 19525 vs float64
+    # 19525.0 hash differently there, so they must FAIL here too
+    # (this laxness is how round 2 claimed 40/40 locally vs 38/40 driver).
+    if (a_int and b_flt) or (a_flt and b_int):
+        return False
+    if a_flt and b_flt:
+        return float(a) == float(b) or (math.isnan(a) and math.isnan(b))
+    if a_int and b_int:
+        return int(a) == int(b)
     if type(a) is not type(b):
-        # cross-engine int widths etc.
+        # cross-engine equivalents of the same kind (str widths, timestamps)
         try:
             return a == b
         except Exception:
@@ -81,6 +93,12 @@ def main(sf_dir: str, out_dir: str) -> int:
             ok = False
         else:
             for col in got.columns:
+                gk, ek = got[col].dtype.kind, exp[col].dtype.kind
+                if {gk, ek} <= set("iuf") and (gk in "iu") != (ek in "iu"):
+                    print(f"  ✗ {name}: col {col} dtype kind differs: "
+                          f"{got[col].dtype} vs {exp[col].dtype} (driver hash would fail)")
+                    ok = False
+                    break
                 gv, ev = got[col].tolist(), exp[col].tolist()
                 bad = [(i, a, b) for i, (a, b) in enumerate(zip(gv, ev))
                        if not values_equal(a, b)]
