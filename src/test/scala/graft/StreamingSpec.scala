@@ -113,8 +113,13 @@ class StreamingCdcSpec extends AnyFunSuite {
   test("vacuum retires old versions but keeps the readable tail") {
     val root = Files.createTempDirectory("graft_vacuum").toString
     val batches = ChangeFeed.timeBatches(feed, "week")
+    // numBuckets=1: every merge rewrites the lone bucket, so each
+    // version dir is referenced only by its own manifest and the
+    // vacuum outcome is exactly the pre-bucketing contract (newest
+    // `keep` version dirs survive, older ones go).
     batches.foreach(b =>
-      StreamingCdc.mergeIntoState(b, s"$root/state", pk, orderCols))
+      StreamingCdc.mergeIntoState(b, s"$root/state", pk, orderCols,
+        numBuckets = 1))
     val v = StreamingCdc.currentVersion(spark, s"$root/state").get
     assert(v >= 2, "need several versions to vacuum")
     StreamingCdc.vacuum(spark, s"$root/state", keep = 2)
@@ -125,6 +130,76 @@ class StreamingCdcSpec extends AnyFunSuite {
     // current state still reads
     assert(StreamingCdc.currentState(spark, s"$root/state", feed.drop("op"))
       .count() > 0)
+  }
+
+  test("vacuum keeps old version dirs that still hold live (untouched) buckets") {
+    val root = Files.createTempDirectory("graft_vacuum_b").toString
+    val batches = ChangeFeed.timeBatches(feed, "week")
+    assert(batches.size >= 3, "need several versions to vacuum")
+    // first merge spreads keys across many buckets; later merges touch
+    // only user_id=0's bucket, so v0 stays referenced by every manifest
+    StreamingCdc.mergeIntoState(batches.head, s"$root/state", pk, orderCols)
+    val touchOne = feed.filter(col("user_id") === 0)
+    assert(touchOne.count() > 0, "fixture must have user_id 0")
+    (1 to 3).foreach(_ =>
+      StreamingCdc.mergeIntoState(touchOne, s"$root/state", pk, orderCols))
+    StreamingCdc.vacuum(spark, s"$root/state", keep = 2)
+    val dirs = new java.io.File(s"$root/state").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName).toSet
+    assert(dirs.contains("v0"),
+      s"v0 holds untouched live buckets and must survive vacuum; got $dirs")
+    // keep=2 at v=3 retains the v2/v3 window (readers at version 2 are
+    // protected); v1 is older, held only user_id=0's bucket, and was
+    // superseded — it must be gone
+    assert(!dirs.contains("v1"), s"v1 is unreferenced and pre-window: $dirs")
+    assert(dirs.contains("v2") && dirs.contains("v3"), s"keep window: $dirs")
+    // state after vacuum must still be the correct merge
+    val expected = CdcApplier.replayCompact(
+      batches.head.unionByName(touchOne), pk, orderCols.map(col))
+      .select("user_id", "event_id").orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(stateKeys(s"$root/state").sameElements(expected))
+  }
+
+  test("a merge rewrites only touched buckets; untouched bucket files are byte-identical") {
+    val root = Files.createTempDirectory("graft_bucketed").toString
+    val months = ChangeFeed.timeBatches(feed, "week")
+    StreamingCdc.mergeIntoState(months.head, s"$root/state", pk, orderCols)
+    // snapshot every v0 bucket file's bytes
+    def bucketFiles(v: String): Map[String, Array[Byte]] = {
+      val base = new java.io.File(s"$root/state/$v")
+      if (!base.exists()) Map.empty
+      else base.listFiles().filter(_.getName.startsWith("graft_bucket="))
+        .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${d.getName}/${f.getName}" ->
+            java.nio.file.Files.readAllBytes(f.toPath)))
+        .toMap
+    }
+    val v0Before = bucketFiles("v0")
+    assert(v0Before.size > 1, "first batch should populate several buckets")
+
+    // second merge touches exactly one key → one bucket
+    val oneKey = feed.filter(col("user_id") === 0)
+    StreamingCdc.mergeIntoState(oneKey, s"$root/state", pk, orderCols)
+
+    val v0After = bucketFiles("v0")
+    assert(v0After.keySet == v0Before.keySet,
+      "merge must not add/remove files in the previous version dir")
+    v0Before.foreach { case (name, bytes) =>
+      assert(java.util.Arrays.equals(bytes, v0After(name)),
+        s"untouched bucket file $name was rewritten")
+    }
+    val v1Dirs = new java.io.File(s"$root/state/v1").listFiles()
+      .filter(_.getName.startsWith("graft_bucket=")).map(_.getName).toSet
+    assert(v1Dirs.size == 1,
+      s"single-key batch must write exactly one bucket, got $v1Dirs")
+    // and the combined state is still the correct merge
+    val expected = CdcApplier.replayCompact(
+      months.head.unionByName(oneKey), pk, orderCols.map(col))
+      .select("user_id", "event_id").orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(stateKeys(s"$root/state").sameElements(expected))
   }
 
   test("version pointer survives torn-write-free publish") {
