@@ -359,7 +359,8 @@ object SparkEntry {
         |cn AS (SELECT label,
         |         SUM(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))) AS cn2
         |       FROM cent GROUP BY 1),
-        |dots AS (SELECT d.label, d.vec_id, d.n2, SUM(CAST(d.v * c.s AS DECIMAL(38,0))) AS dotc
+        |dots AS (SELECT d.label, d.vec_id, d.n2,
+        |           SUM(CAST(d.v AS DECIMAL(19,0)) * CAST(c.s AS DECIMAL(19,0))) AS dotc
         |         FROM d JOIN cent c ON d.label = c.label AND d.pos = c.pos
         |         GROUP BY 1, 2, 3),
         |pm AS (SELECT dots.label,

@@ -77,24 +77,41 @@ object VectorSearch {
         round(col("cos"), 6).as("cos"))
   }
 
-  /** Deterministic IVF-style cell assignment: centroids are a fixed
-    * pseudo-random corpus subset (`vec_id % centroidEvery == sel`);
-    * every vector joins the cell of its highest-cosine centroid.
-    * Returns (vec_id, q, n2, cell).
-    *
-    * Centroid selection by id-hash is the zero-iteration stand-in
-    * for k-means (which needs iterative jobs); the IVF *query* shape
-    * — probe a few cells, scan only their members — is identical.
+  /** Resolve the centroid count: explicit `numCells` wins; 0 = auto,
+    * ~√n clamped to [16, 65536]. √n balances the two costs of IVF —
+    * assignment work O(n·cells) and per-cell scan size O(n/cells) —
+    * and, critically, keeps the broadcast centroid table BOUNDED: a
+    * fixed *fraction* of the corpus as centroids (round-2 design)
+    * meant 3.4e7 broadcast rows at 1e9 vectors, a scale-killer.
+    * 65536 64-dim long vectors ≈ 34 MB — always broadcastable.
     */
-  def ivfAssign(corpus: DataFrame, centroidEvery: Int = 29, sel: Int = 3,
+  def resolveNumCells(numCells: Int, n: Long): Int =
+    if (numCells > 0) numCells
+    else math.max(16, math.min(1 << 16,
+      math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** Deterministic IVF-style cell assignment: centroids are the
+    * `numCells` corpus rows with the smallest xxhash64(vec_id) — a
+    * bounded pseudo-random sample planned as TakeOrderedAndProject
+    * (per-partition partial top-k, one driver-sized reduce; never a
+    * full sort). Every vector joins the cell of its highest-cosine
+    * centroid. Returns (vec_id, q, n2, cell).
+    *
+    * Centroid selection by id-hash sample is the zero-iteration
+    * stand-in for k-means (which needs iterative jobs); the IVF
+    * *query* shape — probe a few cells, scan only their members —
+    * is identical.
+    */
+  def ivfAssign(corpus: DataFrame, numCells: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = prepared(corpus, idCol, vecCol)
-    val cents = centroids(c, centroidEvery, sel)
+    val c = prepared(corpus, idCol, vecCol).localCheckpoint()
+    val cents = centroids(c, resolveNumCells(numCells, c.count()))
     assignCells(c, cents)
   }
 
-  private def centroids(c: DataFrame, centroidEvery: Int, sel: Int): DataFrame =
-    c.filter(pmod(col("vec_id"), lit(centroidEvery)) === sel)
+  private def centroids(c: DataFrame, numCells: Int): DataFrame =
+    c.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(numCells)
       .select(col("vec_id").as("cell"), col("q").as("cq"), col("n2").as("cn2"))
 
   private def assignCells(c: DataFrame, cents: DataFrame): DataFrame =
@@ -118,12 +135,12 @@ object VectorSearch {
     * nprobe.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
-      centroidEvery: Int = 29, sel: Int = 3,
+      numCells: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // quantize/norm the corpus ONCE; both the cell assignment and
     // the probe-side centroid list derive from the materialized frame
     val c = prepared(corpus, idCol, vecCol).localCheckpoint()
-    val cents = centroids(c, centroidEvery, sel)
+    val cents = centroids(c, resolveNumCells(numCells, c.count()))
     val assigned = assignCells(c, cents)
     val q = prepared(queries, idCol, vecCol)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
@@ -162,11 +179,10 @@ object VectorSearch {
     * belongs to ANN search (ivfTopK), not dedup.
     */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
-      assign: Int = 8, centroidEvery: Int = 29, sel: Int = 3,
+      assign: Int = 8, numCells: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = prepared(embeddings, idCol, vecCol).localCheckpoint()
-    val cents = c.filter(pmod(col("vec_id"), lit(centroidEvery)) === sel)
-      .select(col("vec_id").as("cell"), col("q").as("cq"), col("n2").as("cn2"))
+    val cents = centroids(c, resolveNumCells(numCells, c.count()))
     val cells = c.crossJoin(broadcast(cents))
       .withColumn("ccos", cosine(dot(col("q"), col("cq")), col("n2"), col("cn2")))
       .withColumn("r", row_number().over(Window.partitionBy("vec_id")
@@ -210,10 +226,15 @@ object VectorSearch {
     val cnorm = cent.groupBy("label")
       .agg(sum(col("s").cast("decimal(19,0)") * col("s").cast("decimal(19,0)"))
         .as("cn2"))
-    // member . centroid dot: sum over pos of v*S (exact in DECIMAL)
+    // member . centroid dot: sum over pos of v*S — cast operands to
+    // decimal BEFORE multiplying (a LongType v*s can silently wrap
+    // with ANSI off once per-dimension centroid sums reach ~1e12;
+    // decimal(19,0)×decimal(19,0) widens to decimal(38,0) exactly,
+    // mirroring the cn2 computation above)
     val dots = dims.join(broadcast(cent), Seq("label", "pos"))
       .groupBy(col("label"), col("vec_id"), col("n2"))
-      .agg(sum((col("v") * col("s")).cast("decimal(38,0)")).as("dotc"))
+      .agg(sum(col("v").cast("decimal(19,0)") * col("s").cast("decimal(19,0)"))
+        .as("dotc"))
     dots.join(broadcast(cnorm), Seq("label"))
       .select(col("label"), col("vec_id"),
       round(col("dotc").cast("double") /

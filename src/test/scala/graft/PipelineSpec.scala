@@ -186,13 +186,30 @@ class VectorSearchSpec extends AnyFunSuite {
       (102L, base(1)), (103L, base(1).map(x => x * 1.0001f)))
     val emb = rows.toDF("vec_id", "embedding")
     val pairs = VectorSearch.cosineNearDupPairs(emb, threshold = 0.99,
-      assign = 2, centroidEvery = 7, sel = 1)
+      assign = 2, numCells = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 100L)) && pairs.contains((100L, 101L)))
     assert(pairs.contains((1L, 102L)) && pairs.contains((102L, 103L)))
     val plan = VectorSearch.cosineNearDupPairs(emb, 0.99, assign = 2,
-      centroidEvery = 7, sel = 1).queryExecution.executedPlan.toString
+      numCells = 6).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "near-dup must stay bucketed")
+  }
+
+  test("centroid count is bounded O(sqrt n), never a corpus fraction") {
+    // auto mode: ~sqrt(n), clamped to [16, 65536]
+    assert(VectorSearch.resolveNumCells(0, 2000L) == 45)
+    assert(VectorSearch.resolveNumCells(0, 100L) == 16)
+    assert(VectorSearch.resolveNumCells(0, 1000L * 1000 * 1000) == 31623)
+    assert(VectorSearch.resolveNumCells(0, 10L * 1000 * 1000 * 1000) == 65536)
+    // explicit numCells wins
+    assert(VectorSearch.resolveNumCells(128, 1000L * 1000 * 1000) == 128)
+    // and the assignment actually produces at most that many cells
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val n = emb.count()
+    val cells = VectorSearch.ivfAssign(emb)
+      .select("cell").distinct().count()
+    assert(cells <= VectorSearch.resolveNumCells(0, n),
+      s"$cells cells for $n vectors exceeds the sqrt-n bound")
   }
 
   test("labelCentroidStats covers every label with sane cosines") {
