@@ -33,6 +33,53 @@ object CdcApplier {
 
   val OpCol = "op"
 
+  /** Prefix for optional before-image key columns in a change batch.
+    * A feed that carries before-images (e.g. the Debezium envelope's
+    * `before` block) exposes the old primary key as
+    * `_before_<pkCol>`; rows without a PK change leave them null.
+    */
+  val BeforePrefix = "_before_"
+
+  /** Expand PK-changing UPDATEs into delete(before) + insert(after).
+    *
+    * The reference keys UPDATE application on the after-image PK only
+    * (mysqlreader.py:322 in /root/reference) — an update that moves a
+    * row to a new key leaves the stale old-key row behind. SURVEY
+    * §7.3's risk register promises the fix: when a batch carries
+    * before-image key columns (`_before_<pk>`, nullable) and a row's
+    * before-PK differs from its after-PK, that update is really a key
+    * move and must apply as TWO events — a delete of the old key and
+    * an insert of the new row. Rows with null or unchanged before-PKs
+    * pass through untouched; batches without before-image columns are
+    * returned as-is.
+    *
+    * Scale shape: three narrow filters over the (micro-batch-sized)
+    * input, no shuffle — the expansion is a unionByName of
+    * pass-through, synthesized deletes, and re-tagged inserts. The
+    * synthesized rows keep the original event's order columns, so
+    * last-write-wins ordering within the batch is preserved for both
+    * the old and the new key.
+    */
+  def normalizePkChanges(batch: DataFrame, pk: Seq[String]): DataFrame = {
+    val beforeCols = pk.map(BeforePrefix + _)
+    if (!beforeCols.forall(batch.columns.contains)) {
+      require(!beforeCols.exists(batch.columns.contains),
+        s"batch carries only some of the before-image key columns " +
+          s"${beforeCols.mkString(", ")} — all or none required")
+      return batch
+    }
+    val moved = col(OpCol) === "update" &&
+      beforeCols.map(col(_).isNotNull).reduce(_ && _) &&
+      pk.map(k => !(col(BeforePrefix + k) <=> col(k))).reduce(_ || _)
+    val pass = batch.filter(!moved)
+    // delete of the old key: PK columns take the before-image values
+    val dels = batch.filter(moved)
+      .withColumns(pk.map(k => k -> col(BeforePrefix + k)).toMap)
+      .withColumn(OpCol, lit("delete"))
+    val ins = batch.filter(moved).withColumn(OpCol, lit("insert"))
+    Seq(pass, dels, ins).map(_.drop(beforeCols: _*)).reduce(_ unionByName _)
+  }
+
   /** Apply one change batch to a state snapshot.
     *
     * Scale shape: `last` is one window per key over the (small)
@@ -45,7 +92,8 @@ object CdcApplier {
     */
   def applyBatch(state: DataFrame, batch: DataFrame, pk: Seq[String],
       orderCols: Seq[Column]): DataFrame = {
-    val last = Transforms.replacingFinal(pk, orderCols)(batch)
+    val last = Transforms.replacingFinal(pk, orderCols)(
+      normalizePkChanges(batch, pk))
     val survivors = last.filter(col(OpCol) =!= "delete").drop(OpCol)
     val touchedKeys = last.select(pk.map(col): _*)
     state
@@ -82,7 +130,7 @@ object CdcApplier {
     */
   def replayCompact(feed: DataFrame, pk: Seq[String],
       orderCols: Seq[Column]): DataFrame =
-    Transforms.replacingFinal(pk, orderCols)(feed)
+    Transforms.replacingFinal(pk, orderCols)(normalizePkChanges(feed, pk))
       .filter(col(OpCol) =!= "delete")
       .drop(OpCol)
 }

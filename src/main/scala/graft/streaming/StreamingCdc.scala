@@ -187,10 +187,14 @@ object StreamingCdc {
     * state read and the merged write are proportional to the touched
     * buckets' size, not total state size.
     */
-  def mergeIntoState(batch: DataFrame, stateDir: String, pk: Seq[String],
+  def mergeIntoState(rawBatch: DataFrame, stateDir: String, pk: Seq[String],
       orderCols: Seq[String],
       numBuckets: Int = DefaultNumBuckets): Unit = {
-    val spark = batch.sparkSession
+    val spark = rawBatch.sparkSession
+    // expand PK-moving updates BEFORE deriving the state template:
+    // normalization drops the transient `_before_<pk>` columns, which
+    // must not become part of the persisted state schema
+    val batch = CdcApplier.normalizePkChanges(rawBatch, pk)
     val template = batch.drop(CdcApplier.OpCol)
     require(!template.columns.contains(BucketCol),
       s"state schema must not contain reserved column $BucketCol")
