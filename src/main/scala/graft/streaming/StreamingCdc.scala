@@ -279,6 +279,58 @@ object StreamingCdc {
     }
   }
 
+  /** Route one multiplexed change batch into per-table state dirs —
+    * the reference's independent per-`schema.table` belts
+    * (pool/bbpool.py:13-18, 64-78 in /root/reference) re-expressed as
+    * one partitioned state tree: a feed carrying routing columns
+    * (e.g. the Debezium adapter's `db`, `table`) merges each table's
+    * slice into `stateRoot/<db>__<table>` (the reference's composed
+    * naming, DdlBuilder-compatible).
+    *
+    * Scale shape: the routing-value distinct is driver-sized by
+    * construction (bounded by the subscription list, P4). Crash
+    * recovery composes with per-table merge idempotence: a batch that
+    * died between table A and table B replays both; A's re-merge is a
+    * no-op, B's completes — same exactly-once outcome.
+    */
+  def mergeMultiplexed(batch: DataFrame, stateRoot: String, pk: Seq[String],
+      orderCols: Seq[String], routingCols: Seq[String] = Seq("db", "table"),
+      numBuckets: Int = DefaultNumBuckets): Unit = {
+    val tables = batch.select(routingCols.map(col): _*).distinct()
+      .collect().map(r => routingCols.indices.map(r.getString))
+    tables.foreach { t =>
+      val slice = routingCols.zip(t).foldLeft(batch) { case (df, (c, v)) =>
+        df.filter(col(c) === v)
+      }.drop(routingCols: _*)
+      mergeIntoState(slice, s"$stateRoot/${t.mkString("__")}", pk,
+        orderCols, numBuckets)
+    }
+  }
+
+  /** Start a multi-table pump over a multiplexed feed: one streaming
+    * query, one checkpoint, per-table state dirs (T2). Tables share
+    * the pk/orderCols convention (the reference assumes a uniform
+    * `id` key across its belt map; graft at least takes the real
+    * column list).
+    */
+  def startMultiplexed(feed: DataFrame, stateRoot: String,
+      checkpointDir: String, pk: Seq[String], orderCols: Seq[String],
+      routingCols: Seq[String] = Seq("db", "table"),
+      processingTime: Option[String] = None,
+      numBuckets: Int = DefaultNumBuckets): StreamingQuery = {
+    val trigger = processingTime
+      .map(Trigger.ProcessingTime(_))
+      .getOrElse(Trigger.AvailableNow())
+    feed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeMultiplexed(batch, stateRoot, pk, orderCols, routingCols,
+          numBuckets)
+      }
+      .start()
+  }
+
   /** Start the pump. `processingTime = None` maps the reference's
     * `--src-wait` OFF (drain available data, then exit —
     * Trigger.AvailableNow); `Some(interval)` maps `--src-wait` +

@@ -76,6 +76,33 @@ class StreamingCdcSpec extends AnyFunSuite {
       "resumed stream must land on the full batch-replay state")
   }
 
+  test("multiplexed pump routes tables into independent states (T2)") {
+    val root = Files.createTempDirectory("graft_scdc_mux").toString
+    // two logical tables multiplexed on one feed, split by user parity
+    val mux = feed.withColumn("db", lit("graft"))
+      .withColumn("table",
+        when(pmod(col("user_id"), lit(2)) === 0, "ev_even").otherwise("ev_odd"))
+    val months = ChangeFeed.timeBatches(mux, "week")
+    writeBatchFiles(s"$root/feed", months)
+    val stream = spark.readStream.schema(mux.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/feed")
+    StreamingCdc.startMultiplexed(stream, s"$root/state", s"$root/ckpt",
+      pk, orderCols).awaitTermination()
+    // each per-table state must equal the single-table replay of its slice
+    Seq(0 -> "ev_even", 1 -> "ev_odd").foreach { case (par, t) =>
+      val expected = CdcApplier.replayCompact(
+          feed.filter(pmod(col("user_id"), lit(2)) === par), pk,
+          orderCols.map(col))
+        .select("user_id", "event_id").orderBy("user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val got = StreamingCdc.currentState(spark,
+          s"$root/state/graft__$t", feed.drop("op"))
+        .select("user_id", "event_id").orderBy("user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.sameElements(expected), s"state for $t must match its replay")
+    }
+  }
+
   test("re-applying the last batch is idempotent (replay safety)") {
     val root = Files.createTempDirectory("graft_scdc3").toString
     val months = ChangeFeed.timeBatches(feed, "week")
