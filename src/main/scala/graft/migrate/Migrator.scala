@@ -3,8 +3,8 @@ package graft.migrate
 import graft.Tables
 import graft.ops.Transforms
 import graft.schema.DdlBuilder
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions.{count, expr, lit}
 
 /** End-to-end snapshot migration (SURVEY §3.2) — the Spark-native
   * `--migrate-table` path: per-table scan → column skip → WHERE →
@@ -55,21 +55,25 @@ object Migrator {
   }
 
   /** Migrate one table into `dstDir/<table>.parquet`; returns the
-    * reconciliation record. The source count reuses the transformed
-    * frame (one extra scan, pushdown-pruned), the destination count
+    * reconciliation record. The source count piggybacks on the write
+    * pass via `observe` — the rows are counted as they stream through
+    * the sink job, so the source is scanned exactly ONCE (at 100 TB a
+    * second counting scan doubles the read). The destination count
     * re-reads the sink — the manual's both-sides COUNT(*) protocol,
     * not a same-frame tautology.
     */
   def migrateTable(spark: SparkSession, srcDir: String, dstDir: String,
       table: String, db: String = "default",
       spec: Spec = Spec()): TableMigration = {
+    val srcObs = Observation(s"graft_migrate_$table")
     val out = transformed(spark, srcDir, table, spec)
+      .observe(srcObs, count(lit(1)).as("rows"))
     val sparkDdl = DdlBuilder.createTableSpark(db, table, out.schema)
     val chDdl = DdlBuilder.createTableClickHouse(db, table, out.schema)
     val dst = s"$dstDir/$table.parquet"
     out.write.mode("overwrite").parquet(dst)
     TableMigration(table,
-      srcRows = transformed(spark, srcDir, table, spec).count(),
+      srcRows = srcObs.get("rows").asInstanceOf[Long],
       dstRows = spark.read.parquet(dst).count(),
       sparkDdl = sparkDdl, chDdl = chDdl)
   }

@@ -117,6 +117,45 @@ class MigratorSpec extends AnyFunSuite {
     assert(m.chDdl.contains("ReplacingMergeTree"))
   }
 
+  test("migrateTable scans the source exactly once (observe, not recount)") {
+    // a uniquely-named probe table in a SHORT temp path: executed-plan
+    // strings truncate FileScan locations, so the unique token must
+    // land inside the printed prefix; suites run in parallel, so only
+    // probe-table executions are counted
+    val srcTmp = Files.createTempDirectory("ms").toString
+    spark.read.parquet(s"$dir/nation.parquet")
+      .write.parquet(s"$srcTmp/migprobe.parquet")
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val dst = Files.createTempDirectory("md").toString
+      val m = Migrator.migrateTable(spark, srcTmp, dst, "migprobe")
+      assert(m.reconciled && m.srcRows == 25)
+      org.apache.spark.GraftListenerBridge.waitListenerBusEmpty(spark.sparkContext)
+      val touching = plans.toArray.map(_.toString)
+        .filter(_.contains("migprobe"))
+      // exactly 2 executions touch the probe table: the write (whose
+      // plan carries the source FileScan + the CollectMetrics count)
+      // and the destination recount — a separate source-count scan
+      // (the old shape) would make it 3
+      assert(touching.length == 2,
+        s"expected write + dst recount only, saw ${touching.length} executions")
+      val write = touching.filter(_.contains("InsertIntoHadoopFsRelationCommand"))
+      assert(write.length == 1 &&
+        write.head.contains("CollectMetrics graft_migrate_migprobe"),
+        "source count must ride the write pass as an observed metric")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("migrateAll migrates a table list and fails fast on mismatch only") {
     val dst = Files.createTempDirectory("graft_migall").toString
     val ms = Migrator.migrateAll(spark, dir, dst, Seq("region", "nation"))
@@ -150,6 +189,20 @@ class GraftAppSpec extends AnyFunSuite {
     assert(c.tables == Seq("orders", "region"))
     assert(c.columnSkip("orders").toSet == Set("o_comment", "o_clerk"))
     assert(c.whereClauses("orders") == "o_orderkey > 5")
+  }
+
+  test("unknown options and flags are rejected, not silently dropped") {
+    // misspelled mode flag must not yield a successful no-op run
+    val ex = intercept[IllegalArgumentException] {
+      GraftApp.parse(Seq("--src-dir=/src", "--migrate-tabel"))
+    }
+    assert(ex.getMessage.contains("--migrate-tabel"))
+    intercept[IllegalArgumentException] {
+      GraftApp.parse(Seq("--src-dir=/src", "--dst-dirr=/x"))
+    }
+    intercept[IllegalArgumentException] {
+      GraftApp.parse(Seq("--src-dir=/src", "stray-token"))
+    }
   }
 
   test("explicit tables and prefixes combine additively (union)") {
