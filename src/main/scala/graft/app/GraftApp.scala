@@ -114,29 +114,51 @@ object GraftApp {
         val stream = spark.readStream
           .schema(feed.schema)
           .parquet(feedDir)
-        val q = StreamingCdc.start(stream, stateDir,
-          s"${c.dstDir}/_checkpoint", c.pk, c.orderCols,
-          // --src-wait OFF → drain and exit; ON → stay up on a cadence
-          processingTime = if (c.srcWait) Some(c.nicePause) else None)
-        q.awaitTermination()
+        // rows/sec + per-batch counters, the reference's
+        // PerformanceCounters log lines (mysqlreader.py:135-153)
+        val tput = graft.streaming.Throughput.attach(spark)
+        try {
+          val q = StreamingCdc.start(stream, stateDir,
+            s"${c.dstDir}/_checkpoint", c.pk, c.orderCols,
+            // --src-wait OFF → drain and exit; ON → stay up on a cadence
+            processingTime = if (c.srcWait) Some(c.nicePause) else None)
+          q.awaitTermination()
+        } finally spark.streams.removeListener(tput)
         Some(stateDir)
       }
 
     Result(ddl, migrations, csvDirs, pumped)
   }
 
+  private val KnownOptions = Set("src-dir", "dst-dir", "dst-schema",
+    "src-tables", "src-tables-prefixes", "column-skip",
+    "src-tables-where-clauses", "catalog-csv", "nice-pause")
+  private val KnownFlags = Set("create-table-sql", "migrate-table",
+    "csvpool", "pump-data", "src-wait")
+
   /** Minimal CLI: `--flag` booleans and `--key=value` options with
     * the reference's names (clioptions.py:89-574 semantics).
     * `--column-skip=t.col1,t.col2`; `--src-tables-where-clauses=
-    * table:clause[;table:clause]`.
+    * table:clause[;table:clause]`. Unknown tokens are an ERROR, not a
+    * silent no-op — a misspelled mode flag (`--migrate-tabel`) must
+    * not produce a successful run that did nothing (the reference's
+    * argparse rejects unknown options the same way).
     */
   def parse(args: Seq[String]): Config = {
+    val malformed = args.filterNot(_.startsWith("--"))
     val kv = args.collect { case a if a.startsWith("--") && a.contains("=") =>
       val Array(k, v) = a.drop(2).split("=", 2); k -> v
     }.toMap
     val flags = args.collect {
       case a if a.startsWith("--") && !a.contains("=") => a.drop(2)
     }.toSet
+    val unknown = malformed ++
+      kv.keys.filterNot(KnownOptions).map("--" + _) ++
+      flags.filterNot(KnownFlags).map("--" + _)
+    require(unknown.isEmpty,
+      s"unrecognized arguments: ${unknown.mkString(" ")} " +
+        s"(options: ${KnownOptions.toSeq.sorted.map("--" + _).mkString(", ")}; " +
+        s"flags: ${KnownFlags.toSeq.sorted.map("--" + _).mkString(", ")})")
     def list(k: String): Seq[String] =
       kv.get(k).map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     Config(

@@ -117,6 +117,44 @@ class StreamingCdcSpec extends AnyFunSuite {
       "re-applied batch must not change the state")
   }
 
+  test("pump throughput listener observes per-batch rows and rates") {
+    import graft.streaming.Throughput
+    val lines = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = Throughput.attach(spark, lines.add(_))
+    try {
+      val root = Files.createTempDirectory("graft_tput").toString
+      val months = ChangeFeed.timeBatches(feed, "week")
+      writeBatchFiles(s"$root/feed", months)
+      val stream = spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/feed")
+      StreamingCdc.start(stream, s"$root/state", s"$root/ckpt", pk, orderCols)
+        .awaitTermination()
+      org.apache.spark.GraftListenerBridge.waitListenerBusEmpty(spark.sparkContext)
+      // the pump sees every feed row exactly once across micro-batches;
+      // listener events for OTHER concurrently-running test queries may
+      // interleave, so count only this pump's batches (nonzero input)
+      assert(listener.batches.nonEmpty, "listener must capture batches")
+      assert(listener.batches.map(_.numInputRows).sum >= feed.count(),
+        "per-batch input rows must cover the feed")
+      assert(lines.toArray.exists(_.toString.contains("rows/sec=")),
+        "per-batch log lines must report rate")
+    } finally spark.streams.removeListener(listener)
+  }
+
+  test("batch throughput helper counts rows in the instrumented action") {
+    import graft.streaming.Throughput
+    val lines = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val dst = Files.createTempDirectory("graft_tputb").toString
+    val (_, rows) = Throughput.timed(feed, "probe", lines.add(_)) {
+      _.write.mode("overwrite").parquet(s"$dst/out.parquet")
+    }
+    assert(rows == feed.count())
+    assert(lines.toArray.exists(_.toString.contains("op=probe")),
+      "timed action must log a throughput line")
+  }
+
   test("timeBatches keeps null-timestamp rows (null bucket) instead of dropping them") {
     import spark.implicits._
     val f = Seq(
