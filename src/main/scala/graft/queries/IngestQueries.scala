@@ -84,11 +84,13 @@ object IngestQueries {
     * mode session windows support). Append emits a session only
     * once the watermark passes it, and the watermark never exceeds
     * the max observed event time — so the feed carries a sentinel
-    * event (user_id = -1) two hours past the real maximum,
-    * advancing the watermark beyond every real session; the
-    * sentinel's own never-emitted session is filtered out. Must
-    * agree with the batch gap-sessionization rule (oracle:
-    * lag/cumsum sessions; session start = min event ts).
+    * event two hours past the real maximum, advancing the watermark
+    * beyond every real session. The sentinel is keyed by a NULL
+    * user_id — a value outside every legitimate key domain (unlike a
+    * magic -1, which would silently swallow real negative ids) — so
+    * it forms its own null-key session group, filtered out
+    * explicitly. Must agree with the batch gap-sessionization rule
+    * (oracle: lag/cumsum sessions; session start = min event ts).
     */
   def streamSessions(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.load(spark, dir, "events")
@@ -97,7 +99,7 @@ object IngestQueries {
     val sentinel = maxTs.fold(events.limit(0)) { m =>
       val flushTs = new java.sql.Timestamp(m.getTime + 2L * 3600 * 1000)
       events.limit(1).select(events.columns.map {
-        case "user_id" => lit(-1L).as("user_id")
+        case "user_id" => lit(null).cast("long").as("user_id")
         case "ts"      => lit(flushTs).as("ts")
         case c         => col(c)
       }: _*)
@@ -123,7 +125,7 @@ object IngestQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name).filter(col("user_id") >= 0)
+    spark.table(name).filter(col("user_id").isNotNull)
       .orderBy("user_id", "session_start")
   }
 

@@ -21,9 +21,14 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Whitespace tokenizer. The fixture corpus is single-space
-    * separated; `\s+` keeps it robust to real whitespace.
+    * separated; `\s+` keeps it robust to real whitespace. Empty
+    * tokens are dropped: `split` yields a leading "" for text with
+    * leading whitespace, which would skew every count/ratio below
+    * and disagree with the native Shingles tokenizer (which skips
+    * empty tokens).
     */
-  def tokens(text: Column): Column = split(text, "\\s+")
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
 
   /** BPE-ish subword segmentation: lowercase letter runs, digit
     * runs, and single non-alphanumeric marks — the usual pre-BPE

@@ -18,6 +18,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getInt(0) == 4 && r.getInt(1) == 3)
   }
 
+  test("leading/trailing/multi whitespace yields no empty tokens") {
+    val r = one("  a  b \t c ").select(
+      TextAnalysis.tokenCount($"t"), TextAnalysis.typeCount($"t")).head()
+    assert(r.getInt(0) == 3 && r.getInt(1) == 3)
+    // and the HOF tokenizer agrees with the native Shingles tokenizer
+    val sh = one("  w1  w2   w3 ").select(TextAnalysis.shingles($"t", 2)).head()
+    assert(sh.getSeq[String](0) == Seq("w1 w2", "w2 w3"))
+  }
+
   test("polyHash matches the reference fold ((h*31+c) mod 1e9+7)") {
     // independently computed: fold over 'abc def' ascii codes
     val r = one("abc def").select(TextAnalysis.polyHash($"t")).head()
