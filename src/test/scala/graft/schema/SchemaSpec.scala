@@ -250,3 +250,66 @@ class DdlBuilderSpec extends AnyFunSuite {
     assert(DdlBuilder.createDatabase("x") == "CREATE DATABASE IF NOT EXISTS `x`")
   }
 }
+
+/** MySQL TIME value parsing (manual.md:807-825 range, boundary rows
+  * from manual.md:944-1142): ±838:59:59 clamp, microsecond
+  * fractions, malformed → NULL.
+  */
+class TimeValuesSpec extends PropBase {
+  import org.apache.spark.sql.functions._
+  lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  /** Exact interval equality against independently-built expected
+    * seconds (interval cannot cast to double; equality is exact).
+    */
+  private def parsesTo(s: String, secs: BigDecimal): Boolean =
+    Seq(s).toDF("t").select(
+      (TimeValues.parseTime(col("t")) <=> make_dt_interval(
+        lit(0), lit(0), lit(0), lit(secs).cast("decimal(18,6)"))).as("ok"))
+      .head().getBoolean(0)
+
+  private def parsesNull(s: String): Boolean =
+    Seq(s).toDF("t").select(TimeValues.parseTime(col("t")).isNull).head().getBoolean(0)
+
+  test("boundary values parse to the exact MySQL range limits") {
+    assert(parsesTo("838:59:59", BigDecimal(3020399)))
+    assert(parsesTo("-838:59:59", BigDecimal(-3020399)))
+    assert(parsesTo("00:00:00", BigDecimal(0)))
+  }
+
+  test("out-of-range values clamp to the boundary like MySQL") {
+    assert(parsesTo("900:00:00", BigDecimal(3020399)))
+    assert(parsesTo("-999:59:59", BigDecimal(-3020399)))
+  }
+
+  test("fractional seconds survive exactly (decimal, not double)") {
+    assert(parsesTo("12:34:56.5", BigDecimal(12 * 3600 + 34 * 60 + 56) + BigDecimal("0.5")))
+    assert(parsesTo("-00:00:00.000001", BigDecimal("-0.000001")))
+  }
+
+  test("malformed strings yield NULL") {
+    for (bad <- Seq("abc", "12:99:00", "12:00:99", "1:2", "", "12-00-00"))
+      assert(parsesNull(bad), s"'$bad' must not parse")
+  }
+
+  test("randomized H:M:S round-trip against independent arithmetic") {
+    val rnd = new scala.util.Random(42)
+    val cases = Seq.fill(200) {
+      val h = rnd.nextInt(839); val m = rnd.nextInt(60); val s = rnd.nextInt(60)
+      val neg = rnd.nextBoolean()
+      (f"${if (neg) "-" else ""}$h%d:$m%02d:$s%02d",
+        (if (neg) -1L else 1L) * (h * 3600L + m * 60 + s))
+    }
+    val df = cases.toDF("t", "expected")
+    val wrong = df.select(
+        TimeValues.parseTime(col("t")).cast("long").as("got"), col("expected"))
+      .filter(col("got") =!= col("expected") || col("got").isNull)
+    assert(wrong.isEmpty, "every generated TIME must parse to its seconds")
+    // and the string renderer inverts the parse at whole-second precision
+    val badFmt = df.select(col("t"),
+        TimeValues.formatTime(TimeValues.parseTime(col("t"))).as("f"))
+      .filter(regexp_replace(col("t"), "^(-?)0*(\\d)", "$1$2") =!= col("f"))
+    assert(badFmt.isEmpty, "formatTime must invert parseTime")
+  }
+}
