@@ -90,6 +90,23 @@ object VectorSearch {
     else math.max(16, math.min(1 << 16,
       math.ceil(math.sqrt(n.toDouble)).toInt))
 
+  /** Cell count for DEDUP blocking: targets a fixed cell SIZE
+    * (~`targetCellSize` members) rather than √n. The within-cell
+    * self-join generates ~cells·(assign·cellSize)²/2 candidate
+    * pairs, so cell size — not cell count — is what bounds the
+    * quadratic term; √n cells would let cell size (and the pair
+    * count) grow with the corpus. Still clamped to 65536 so the
+    * broadcast centroid table stays bounded; past the cap
+    * (n ≳ 2M at the default size) cells grow again — that regime
+    * belongs to the hash families (MinHash/SimHash), which have no
+    * quadratic term and stay linear at 100 TB.
+    */
+  def resolveDedupCells(numCells: Int, n: Long,
+      targetCellSize: Int = 32): Int =
+    if (numCells > 0) numCells
+    else math.max(16, math.min(1 << 16,
+      math.ceil(n.toDouble / targetCellSize).toInt))
+
   /** Deterministic IVF-style cell assignment: centroids are the
     * `numCells` corpus rows with the smallest xxhash64(vec_id) — a
     * bounded pseudo-random sample planned as TakeOrderedAndProject
@@ -182,7 +199,7 @@ object VectorSearch {
       assign: Int = 8, numCells: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = prepared(embeddings, idCol, vecCol).localCheckpoint()
-    val cents = centroids(c, resolveNumCells(numCells, c.count()))
+    val cents = centroids(c, resolveDedupCells(numCells, c.count()))
     val cells = c.crossJoin(broadcast(cents))
       .withColumn("ccos", cosine(dot(col("q"), col("cq")), col("n2"), col("cn2")))
       .withColumn("r", row_number().over(Window.partitionBy("vec_id")
