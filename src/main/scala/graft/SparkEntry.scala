@@ -68,6 +68,7 @@ object SparkEntry {
     "q38_range_join"        -> TemporalQueries.eventBursts _,
     "q39_stream_sessions"   -> IngestQueries.streamSessions _,
     "q40_profile"           -> PipelineQueries.profileDocuments _,
+    "q41_dup_clusters"      -> PipelineQueries.dupClusters _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -484,5 +485,29 @@ object SparkEntry {
         |SELECT 'text', COUNT(*), COUNT(*) - COUNT(text), COUNT(DISTINCT text),
         |  MIN(text), MAX(text) FROM documents
         |ORDER BY col_name""".stripMargin,
+    // q41: components of the q24 pair graph via a recursive closure —
+    // walk carries every reachable label to every node; MIN collapses
+    // to the component's min id (UNION dedup guarantees termination)
+    "q41_dup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1, len(toks)-1)])) AS s
+        |       FROM t),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |p AS (SELECT da, db
+        |      FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+        |      WHERE CAST(i AS DOUBLE)/CAST(x.n + y.n - i AS DOUBLE) >= 0.5),
+        |edges AS (SELECT da AS src, db AS dst FROM p
+        |          UNION SELECT db, da FROM p),
+        |walk(node, label) AS (
+        |  SELECT src AS node, src AS label FROM edges
+        |  UNION
+        |  SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst
+        |)
+        |SELECT node AS doc_id, MIN(label) AS cluster_id
+        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

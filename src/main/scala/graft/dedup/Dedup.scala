@@ -280,4 +280,74 @@ object Dedup {
     verifyJaccard(cand, sigs.select(col("doc_id"), col("sh")), jaccardThreshold)
       .select("doc_a", "doc_b")
   }
+
+  // ---------------------------------------------------------------
+  // Duplicate clustering (connected components)
+  // ---------------------------------------------------------------
+
+  /** Duplicate clusters from a near-dup PAIR list: connected
+    * components of the pair graph, labeled by the minimum doc id in
+    * each component — the "keep one copy per duplicate set" step
+    * every training-data dedup pipeline ends with (pairs alone
+    * over-delete: a~b and b~c must collapse to ONE keeper even when
+    * a~c was never emitted as a pair).
+    *
+    * Algorithm: iterative min-label propagation — each round every
+    * node takes the min of its own label and its neighbors' labels;
+    * converges in O(graph diameter) rounds, each one equi-join +
+    * one groupBy (two shuffles). Near-dup components are
+    * near-cliques (diameter ≲ 3 in practice — similarity is almost
+    * transitive at high thresholds), so the round count is small and
+    * the per-round cost is edge-proportional; pointer-jumping /
+    * large-star-small-star (O(log n) rounds worst-case) only pays
+    * off on long-chain graphs, which dup sets are not. Lineage is
+    * truncated per round (`localCheckpoint`) — an un-truncated
+    * 10-round loop would stack 20 shuffles into one plan.
+    *
+    * Returns (doc_id, cluster_id) for every document that appears in
+    * at least one pair; singletons (no pair) are their own implicit
+    * cluster and are not emitted. Deterministic: min-label is
+    * order-independent.
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 30,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(min("label").as("nlabel"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      changed = next.alias("n")
+        .join(labels.select(col("node"), col("label").as("old")), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0,
+      s"component labeling did not converge in $maxIter rounds")
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Keep-one-per-cluster: drop every clustered document except its
+    * cluster representative (the min-id member). Documents in no
+    * cluster survive untouched. The anti-join side is
+    * cluster-membership-sized (duplicates only), far smaller than
+    * the corpus.
+    */
+  def keepCanonical(docs: DataFrame, clusters: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      clusters.filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
 }

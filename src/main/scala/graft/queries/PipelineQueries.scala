@@ -142,6 +142,17 @@ object PipelineQueries {
       threshold = 0.45, assign = 8)
       .orderBy("vec_a", "vec_b")
 
+  /** q41: duplicate clusters — connected components of the exact
+    * 3-gram Jaccard pair graph (q24's pairs), each document labeled
+    * with the min doc id of its component. The keep-one-per-set
+    * step after any pair generator.
+    */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dupClusters(
+      Dedup.jaccardPairs(Tables.load(spark, dir, "documents"),
+        k = 3, threshold = 0.5))
+      .orderBy("doc_id")
+
   /** q40: data-quality profile of the documents table — one row per
     * column with null/distinct/min/max statistics in one pass.
     */

@@ -135,6 +135,28 @@ class DedupSpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct"), "all-pairs join in dedup plan")
     }
   }
+
+  test("dupClusters merges transitive pairs into min-labeled components") {
+    // chain 1-2-3-4-5 (diameter 4: forces several propagation rounds),
+    // separate pair (10,11), singleton 99 absent from pairs
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("keepCanonical drops all but the min-id member per cluster") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (10L, "b"), (11L, "b"),
+      (99L, "solo")).toDF("doc_id", "text")
+    val clusters = Dedup.dupClusters(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b"))
+    val kept = Dedup.keepCanonical(docs, clusters)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 10L, 99L),
+      "cluster reps and singletons survive; other members drop")
+  }
 }
 
 class VectorSearchSpec extends AnyFunSuite {
