@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic stratified sampling — the training-mix step of a
+  * large-scale data pipeline: draw each stratum (language, source,
+  * quality band…) at its own rate, reproducibly, with NO shuffle and
+  * NO random state. Selection is a pure per-row predicate
+  * `u(id) < rate(stratum)`, so the sample is:
+  *
+  *  - scan-proportional at any scale (a filter pushed at the scan —
+  *    the 100-TB plan is one pass, zero exchanges);
+  *  - stable under re-runs, partitioning, and cluster size (u
+  *    depends only on the row id, never on task order — unlike
+  *    `df.sample`, whose per-partition RNG changes with the split);
+  *  - incremental-friendly: new rows join the sample without
+  *    disturbing prior membership (the property reservoir sampling
+  *    lacks).
+  *
+  * The reference has no sampling surface; this is north-star
+  * extension scope alongside the dedup family (SURVEY §7.1 step 7).
+  */
+object Sampler {
+
+  /** Production uniform: xxhash64 → [0, 1). Full 64-bit avalanche —
+    * use this unless cross-engine reproducibility is required.
+    */
+  def uniformHash(id: Column, seed: Int = 42): Column =
+    pmod(xxhash64(id, lit(seed)), lit(1L << 40)).cast("double") /
+      (1L << 40).toDouble
+
+  /** Portable uniform: Knuth multiplicative hash,
+    * `(id * 2654435761) mod 2^32 / 2^32` — weaker mixing than
+    * xxhash64 but expressible verbatim in ANSI SQL, so an external
+    * engine can reproduce the exact sample (the oracle path).
+    * Caller must keep `id * 2654435761` inside Long (id < ~3.5e9) —
+    * beyond that use [[uniformHash]].
+    */
+  def uniformKnuth(id: Column): Column =
+    pmod(id * lit(2654435761L), lit(1L << 32)).cast("double") /
+      (1L << 32).toDouble
+
+  /** Per-stratum rate expression: `rates` maps stratum value → rate,
+    * `defaultRate` covers unlisted strata.
+    */
+  def rateFor(stratum: Column, rates: Map[String, Double],
+      defaultRate: Double): Column =
+    rates.foldRight(lit(defaultRate): Column) { case ((k, r), els) =>
+      when(stratum === k, lit(r)).otherwise(els)
+    }
+
+  /** Stratified Bernoulli sample: keep a row iff `u < rate(stratum)`.
+    * Expected per-stratum size = rate × stratum size; exact-size
+    * sampling would need a per-stratum sort (a shuffle) — the
+    * Bernoulli form is the one that scales.
+    */
+  def stratifiedSample(df: DataFrame, stratum: Column, u: Column,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame =
+    df.filter(u < rateFor(stratum, rates, defaultRate))
+}

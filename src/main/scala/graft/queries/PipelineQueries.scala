@@ -153,6 +153,22 @@ object PipelineQueries {
         k = 3, threshold = 0.5))
       .orderBy("doc_id")
 
+  /** q42: deterministic stratified training-mix sample — English
+    * down-sampled to 30%, other fixture languages up-weighted, via
+    * the portable Knuth-hash uniform so the oracle reproduces the
+    * exact row set. Zero-shuffle: one pushed filter over the scan.
+    */
+  def trainingMixSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    graft.ops.Sampler.stratifiedSample(docs, col("lang"),
+        graft.ops.Sampler.uniformKnuth(col("doc_id")),
+        rates = Map("en" -> 0.3, "zh" -> 0.8, "es" -> 0.8, "de" -> 0.8,
+          "fr" -> 0.8),
+        defaultRate = 0.1)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** q40: data-quality profile of the documents table — one row per
     * column with null/distinct/min/max statistics in one pass.
     */

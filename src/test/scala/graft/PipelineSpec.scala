@@ -159,6 +159,51 @@ class DedupSpec extends AnyFunSuite {
   }
 }
 
+class SamplerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import graft.ops.Sampler
+
+  private def docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+
+  test("sample is deterministic and respects per-stratum rates") {
+    val rates = Map("en" -> 0.3, "zh" -> 0.9)
+    def draw() = Sampler.stratifiedSample(docs, col("lang"),
+        Sampler.uniformKnuth(col("doc_id")), rates, defaultRate = 0.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s1 = draw(); val s2 = draw()
+    assert(s1 == s2, "same inputs must draw the same sample")
+    val byLang = Sampler.stratifiedSample(docs, col("lang"),
+        Sampler.uniformKnuth(col("doc_id")), rates, defaultRate = 0.0)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.keySet.subsetOf(Set("en", "zh")), "defaultRate=0 drops others")
+    // Bernoulli tolerance: observed rate within ±0.2 of target
+    for ((l, target) <- rates)
+      assert(math.abs(byLang.getOrElse(l, 0L).toDouble / totals(l) - target) < 0.2,
+        s"$l sampled at ${byLang.getOrElse(l, 0L)}/${totals(l)}, want ~$target")
+  }
+
+  test("sampling plan is a pushed filter over the scan — no exchange") {
+    val plan = Sampler.stratifiedSample(docs, col("lang"),
+        Sampler.uniformKnuth(col("doc_id")), Map("en" -> 0.5), 0.1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "stratified sample must not shuffle")
+  }
+
+  test("xxhash and knuth uniforms are in [0,1)") {
+    val r = docs.select(
+      max(Sampler.uniformHash(col("doc_id"))).as("mh"),
+      min(Sampler.uniformHash(col("doc_id"))).as("nh"),
+      max(Sampler.uniformKnuth(col("doc_id"))).as("mk"),
+      min(Sampler.uniformKnuth(col("doc_id"))).as("nk")).head()
+    for (i <- 0 until 4) {
+      assert(r.getDouble(i) >= 0.0 && r.getDouble(i) < 1.0)
+    }
+  }
+}
+
 class VectorSearchSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
