@@ -24,7 +24,8 @@ object SparkEntry {
     */
   def benchExclude: Set[String] = Set(
     "q30_migrate_counts", "q31_csv_roundtrip",
-    "q32_cdc_stream", "q33_stream_hourly", "q39_stream_sessions")
+    "q32_cdc_stream", "q33_stream_hourly", "q39_stream_sessions",
+    "q43_stream_dedup")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -69,6 +70,8 @@ object SparkEntry {
     "q39_stream_sessions"   -> IngestQueries.streamSessions _,
     "q40_profile"           -> PipelineQueries.profileDocuments _,
     "q41_dup_clusters"      -> PipelineQueries.dupClusters _,
+    "q42_training_mix"      -> PipelineQueries.trainingMixSample _,
+    "q43_stream_dedup"      -> IngestQueries.streamDedup _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -509,5 +512,23 @@ object SparkEntry {
         |)
         |SELECT node AS doc_id, MIN(label) AS cluster_id
         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q42: the Knuth multiplicative hash is chosen exactly because it
+    // is expressible verbatim here — the oracle reproduces the SAME
+    // sample, row for row
+    "q42_training_mix" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents
+        |WHERE CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0
+        |  < CASE lang WHEN 'en' THEN 0.3 WHEN 'zh' THEN 0.8
+        |      WHEN 'es' THEN 0.8 WHEN 'de' THEN 0.8 WHEN 'fr' THEN 0.8
+        |      ELSE 0.1 END
+        |ORDER BY doc_id""".stripMargin,
+    // q43: the incrementally-maintained dedup state must equal the
+    // one-shot batch aggregation (q23's oracle, BIGINT-cast count)
+    "q43_stream_dedup" ->
+      """SELECT md5(text) AS content_hash,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies,
+        |  MIN(doc_id) AS keeper_doc_id
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
   )
 }

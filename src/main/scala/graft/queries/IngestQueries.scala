@@ -77,6 +77,35 @@ object IngestQueries {
       .orderBy(col("user_id"))
   }
 
+  /** q43: exact dedup maintained INCREMENTALLY from a stream — the
+    * documents corpus arrives in micro-batches (multi-file source,
+    * one file per trigger) and IncrementalAgg folds per-batch
+    * partials (count, min) into the bucketed state store with
+    * sum/min merges. Must equal the batch q23 answer — the same
+    * oracle shape checks both; proves a maintained rollup needs no
+    * history recompute.
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.IncrementalAgg
+    val docs = Tables.load(spark, dir, "documents")
+      .select(md5(col("text")).as("content_hash"), col("doc_id"))
+    val root = tmpDir("graft_stream_dedup")
+    // several files → several micro-batches → real cross-batch merges
+    docs.repartition(8).write.mode("overwrite").parquet(s"$root/feed")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 2).parquet(s"$root/feed")
+    val keys = Seq("content_hash")
+    val batchAgg = Seq(count(lit(1)).as("n_copies"),
+      min(col("doc_id")).as("keeper_doc_id"))
+    val mergeAgg = Seq(sum(col("n_copies")).as("n_copies"),
+      min(col("keeper_doc_id")).as("keeper_doc_id"))
+    IncrementalAgg.start(stream, s"$root/state", s"$root/ckpt",
+      keys, batchAgg, mergeAgg).awaitTermination()
+    val template = docs.groupBy("content_hash").agg(batchAgg.head, batchAgg.tail: _*)
+    IncrementalAgg.current(spark, s"$root/state", template)
+      .orderBy("content_hash")
+  }
+
   private val streamCounter = new AtomicInteger(0)
 
   /** q39: session windows through Structured Streaming —

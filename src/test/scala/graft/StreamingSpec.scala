@@ -155,6 +155,51 @@ class StreamingCdcSpec extends AnyFunSuite {
       "timed action must log a throughput line")
   }
 
+  test("incremental agg: streamed fold equals one-shot aggregation") {
+    import graft.streaming.IncrementalAgg
+    val root = Files.createTempDirectory("graft_iagg").toString
+    val docs = Tables.load(spark, dir, "documents")
+      .select(md5(col("text")).as("content_hash"), col("doc_id"))
+    docs.repartition(6).write.mode("overwrite").parquet(s"$root/feed")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/feed")
+    val batchAgg = Seq(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+    val mergeAgg = Seq(sum(col("n")).as("n"), min(col("keeper")).as("keeper"))
+    IncrementalAgg.start(stream, s"$root/state", s"$root/ckpt",
+      Seq("content_hash"), batchAgg, mergeAgg).awaitTermination()
+    val template = docs.groupBy("content_hash").agg(batchAgg.head, batchAgg.tail: _*)
+    val got = IncrementalAgg.current(spark, s"$root/state", template)
+      .orderBy("content_hash").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = template.orderBy("content_hash").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.sameElements(expected),
+      "maintained aggregate must equal the one-shot groupBy")
+  }
+
+  test("batch-id fence skips a replayed non-idempotent merge") {
+    import graft.streaming.{BucketStateStore, IncrementalAgg}
+    val root = Files.createTempDirectory("graft_fence").toString
+    import spark.implicits._
+    val b = Seq(("h1", 1L), ("h1", 2L), ("h2", 3L)).toDF("k", "id")
+    val batchAgg = Seq(count(lit(1)).as("n"), min(col("id")).as("keeper"))
+    val mergeAgg = Seq(sum(col("n")).as("n"), min(col("keeper")).as("keeper"))
+    def fold(bid: Long): Unit = IncrementalAgg.mergeBatch(
+      b, s"$root/state", Seq("k"), batchAgg, mergeAgg, batchId = Some(bid))
+    fold(0L)
+    fold(0L) // crash-replay of the SAME batch: must be a no-op
+    val template = b.groupBy("k").agg(batchAgg.head, batchAgg.tail: _*)
+    val after = IncrementalAgg.current(spark, s"$root/state", template)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(after.toSeq == Seq(("h1", 2L), ("h2", 1L)),
+      "replayed batch must not double-count")
+    assert(BucketStateStore.lastBatchId(spark, s"$root/state").contains(0L))
+    fold(1L) // a genuinely new batch folds in
+    val after2 = IncrementalAgg.current(spark, s"$root/state", template)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(after2.toSeq == Seq(("h1", 4L), ("h2", 2L)))
+  }
+
   test("timeBatches keeps null-timestamp rows (null bucket) instead of dropping them") {
     import spark.implicits._
     val f = Seq(
