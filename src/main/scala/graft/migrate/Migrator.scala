@@ -78,6 +78,32 @@ object Migrator {
       sparkDdl = sparkDdl, chDdl = chDdl)
   }
 
+  /** Migrate one LIVE JDBC table into `dstDir/<table>.parquet` — the
+    * reference's actual `--migrate-table` flow (MySQL server-side
+    * cursor → sink, tablemigrator.py:180-224) with the cursor loop
+    * replaced by a partitioned JDBC range scan (JdbcSnapshot). Same
+    * single-scan reconciliation protocol as [[migrateTable]]: the
+    * source count rides the write as an observed metric, the
+    * destination recount is an independent re-read. Exercised
+    * against embedded Derby in MigratorSpec.
+    */
+  def migrateJdbcTable(spark: SparkSession,
+      jdbcOpts: Map[String, String], dstDir: String, table: String,
+      db: String = "default",
+      transform: DataFrame => DataFrame = identity): TableMigration = {
+    val srcObs = Observation(s"graft_migrate_jdbc_$table")
+    val out = transform(graft.sources.JdbcSnapshot.read(spark, jdbcOpts))
+      .observe(srcObs, count(lit(1)).as("rows"))
+    val sparkDdl = DdlBuilder.createTableSpark(db, table, out.schema)
+    val chDdl = DdlBuilder.createTableClickHouse(db, table, out.schema)
+    val dst = s"$dstDir/$table.parquet"
+    out.write.mode("overwrite").parquet(dst)
+    TableMigration(table,
+      srcRows = srcObs.get("rows").asInstanceOf[Long],
+      dstRows = spark.read.parquet(dst).count(),
+      sparkDdl = sparkDdl, chDdl = chDdl)
+  }
+
   /** Migrate a table list (the reference's db→table loop,
     * tablemigrator.py:154-178); fails fast on the first
     * non-reconciled table like the reference's per-table exception

@@ -10,9 +10,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `partitionColumn`, and `fetchsize` replaces
   * `fetchmany(pool_max_rows_num)`.
   *
-  * This environment has no live database, so only the option
-  * assembly is unit-tested here; `read` is the one-line application
-  * of those options to `spark.read.format("jdbc")`.
+  * Tested against a LIVE embedded Derby database (the JDBC engine
+  * Spark ships for its metastore): partitioned range-scan fan-out,
+  * server-side WHERE pushdown, and fetch-size plumbing execute
+  * against real JDBC (JdbcSnapshotSpec); MySQL specifics (backtick
+  * quoting) stay the default and are covered by option-assembly
+  * tests.
   */
 object JdbcSnapshot {
 
@@ -27,10 +30,12 @@ object JdbcSnapshot {
   def options(url: String, db: String, table: String,
       where: Option[String] = None,
       partitioning: Option[Partitioning] = None,
-      fetchSize: Int = 100000): Map[String, String] = {
+      fetchSize: Int = 100000,
+      quote: String = "`"): Map[String, String] = {
+    val q = quote
     val dbtable = where match {
-      case Some(w) => s"(SELECT * FROM `$db`.`$table` WHERE $w) AS t"
-      case None    => s"`$db`.`$table`"
+      case Some(w) => s"(SELECT * FROM $q$db$q.$q$table$q WHERE $w) AS t"
+      case None    => s"$q$db$q.$q$table$q"
     }
     Map(
       "url" -> url,

@@ -81,6 +81,60 @@ class JdbcSnapshotSpec extends AnyFunSuite {
     val plain = JdbcSnapshot.options("u", "d", "t")
     assert(plain("dbtable") == "`d`.`t`" && !plain.contains("partitionColumn"))
   }
+
+  // ---- live-JDBC tests against embedded Derby (ships with Spark) ----
+
+  lazy val spark = SparkTestSession.spark
+
+  private lazy val derbyUrl: String = {
+    val dbDir = Files.createTempDirectory("graft_derby").toString + "/db"
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE PEOPLE (ID BIGINT NOT NULL, NAME VARCHAR(32), SCORE DOUBLE)")
+      val ps = conn.prepareStatement("INSERT INTO PEOPLE VALUES (?, ?, ?)")
+      for (i <- 0 until 100) {
+        ps.setLong(1, i.toLong); ps.setString(2, s"name_$i")
+        ps.setDouble(3, i * 0.5); ps.addBatch()
+      }
+      ps.executeBatch()
+    } finally conn.close()
+    url
+  }
+
+  test("live JDBC: partitioned range scan fans out and reads every row") {
+    val opts = JdbcSnapshot.options(derbyUrl, "APP", "PEOPLE",
+      partitioning = Some(JdbcSnapshot.Partitioning("ID", 0L, 100L, 4)),
+      quote = "\"") + ("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val df = JdbcSnapshot.read(spark, opts)
+    assert(df.rdd.getNumPartitions == 4,
+      "range partitioning must fan out into parallel scans")
+    assert(df.count() == 100)
+    assert(df.agg(org.apache.spark.sql.functions.sum("ID")).head().getLong(0)
+      == (0 until 100).sum.toLong)
+  }
+
+  test("live JDBC: WHERE folds server-side into the dbtable subquery") {
+    val opts = JdbcSnapshot.options(derbyUrl, "APP", "PEOPLE",
+      where = Some("ID >= 50"), quote = "\"") +
+      ("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val df = JdbcSnapshot.read(spark, opts)
+    assert(df.count() == 50)
+    assert(df.agg(org.apache.spark.sql.functions.min("ID")).head().getLong(0) == 50L)
+  }
+
+  test("live JDBC: end-to-end migration with count reconciliation") {
+    val opts = JdbcSnapshot.options(derbyUrl, "APP", "PEOPLE",
+      partitioning = Some(JdbcSnapshot.Partitioning("ID", 0L, 100L, 4)),
+      quote = "\"") + ("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val dst = Files.createTempDirectory("graft_jdbcmig").toString
+    val m = graft.migrate.Migrator.migrateJdbcTable(spark, opts, dst, "people")
+    assert(m.reconciled && m.srcRows == 100 && m.dstRows == 100)
+    assert(m.chDdl.contains("ReplacingMergeTree"))
+    val back = spark.read.parquet(s"$dst/people.parquet")
+    assert(back.count() == 100 && back.columns.toSet == Set("ID", "NAME", "SCORE"))
+  }
 }
 
 class FirstRowSpec extends AnyFunSuite {
