@@ -72,6 +72,7 @@ object SparkEntry {
     "q41_dup_clusters"      -> PipelineQueries.dupClusters _,
     "q42_training_mix"      -> PipelineQueries.trainingMixSample _,
     "q43_stream_dedup"      -> IngestQueries.streamDedup _,
+    "q44_repetition"        -> PipelineQueries.repetitionSignals _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -530,5 +531,23 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_copies,
         |  MIN(doc_id) AS keeper_doc_id
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    // q44: the oracle takes the explode+groupBy formulation (DuckDB
+    // has no fold over lists); the engine's sorted-run fold must land
+    // on the same counts
+    "q44_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |base AS (SELECT doc_id, len(toks) AS n_tokens,
+        |           len(list_distinct(toks)) AS n_types FROM t),
+        |bg AS (SELECT doc_id,
+        |         unnest([array_to_string(toks[i:i+1],' ') for i in range(1, len(toks))]) AS b
+        |       FROM t),
+        |cnt AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |agg AS (SELECT doc_id AS agg_doc, MAX(c) AS topc, CAST(SUM(c) AS BIGINT) AS nb
+        |        FROM cnt GROUP BY 1)
+        |SELECT base.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(topc AS DOUBLE)/CAST(nb AS DOUBLE), 6) AS top_bigram_frac,
+        |  ROUND(1.0 - CAST(n_types AS DOUBLE)/CAST(n_tokens AS DOUBLE), 6) AS dup_token_frac
+        |FROM base LEFT JOIN agg ON base.doc_id = agg.agg_doc
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -169,6 +169,20 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q44: repetition quality signals (Gopher/FineWeb family) — top
+    * bigram fraction + duplicate-token fraction per document, each a
+    * per-row expression (sorted-array run-count, no corpus shuffle).
+    */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.topNgramFraction(col("text"), 2).as("top_bigram_frac"),
+        TextAnalysis.dupTokenFraction(col("text")).as("dup_token_frac"))
+      .orderBy("doc_id")
+  }
+
   /** q40: data-quality profile of the documents table — one row per
     * column with null/distinct/min/max statistics in one pass.
     */

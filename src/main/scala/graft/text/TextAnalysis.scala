@@ -130,4 +130,42 @@ object TextAnalysis {
     */
   def fingerprint(text: Column, k: Int = 4): Column =
     array_min(transform(shingles(text, k), polyHash(_)))
+
+  /** Count of the most frequent k-gram in the document — the
+    * numerator of the Gopher/FineWeb-family repetition filters
+    * ("top-2-gram fraction"). Computed per row with NO shuffle:
+    * sort the shingle array, then a single fold counts the longest
+    * run of equal neighbors (sorted ⇒ equal shingles are adjacent) —
+    * O(n log n) per document vs the explode + groupBy + max
+    * formulation, which shuffles every n-gram of the corpus.
+    */
+  def topNgramCount(text: Column, k: Int = 2): Column = {
+    val sorted = array_sort(shingles(text, k))
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("mx")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("mx"), run).as("mx"))
+      },
+      acc => acc("mx"))
+  }
+
+  /** Fraction of k-gram occurrences taken by the single most
+    * frequent k-gram; NULL for documents with no k-grams. High
+    * values flag boilerplate/spam repetition.
+    */
+  def topNgramFraction(text: Column, k: Int = 2): Column = {
+    val n = size(shingles(text, k))
+    when(n > 0, round(topNgramCount(text, k).cast("double") /
+      n.cast("double"), 6))
+  }
+
+  /** Fraction of token occurrences that are repeats of an
+    * already-seen token (1 − types/tokens) — the word-level
+    * repetition signal.
+    */
+  def dupTokenFraction(text: Column): Column =
+    round(lit(1.0) - typeCount(text).cast("double") /
+      tokenCount(text).cast("double"), 6)
 }

@@ -18,6 +18,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getInt(0) == 4 && r.getInt(1) == 3)
   }
 
+  test("repetition signals: top bigram run-count and dup-token fraction") {
+    // "a b a b a b c": bigrams = [a b, b a, a b, b a, a b, b c]
+    // → top bigram "a b" ×3 of 6 → 0.5; tokens 7, types 3 → dup 4/7
+    val r = one("a b a b a b c").select(
+      TextAnalysis.topNgramCount($"t", 2),
+      TextAnalysis.topNgramFraction($"t", 2),
+      TextAnalysis.dupTokenFraction($"t")).head()
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == 0.5)
+    assert(math.abs(r.getDouble(2) - (1.0 - 3.0 / 7.0)) < 1e-6)
+    // no-bigram doc → NULL fraction, not a division error
+    val n = one("solo").select(TextAnalysis.topNgramFraction($"t", 2)).head()
+    assert(n.isNullAt(0))
+  }
+
   test("leading/trailing/multi whitespace yields no empty tokens") {
     val r = one("  a  b \t c ").select(
       TextAnalysis.tokenCount($"t"), TextAnalysis.typeCount($"t")).head()
