@@ -32,7 +32,8 @@ object GraftApp {
       migrateTable: Boolean = false,        // --migrate-table
       csvExport: Boolean = false,           // --csvpool-style CSV spill
       pumpData: Boolean = false,            // --pump-data
-      pk: Seq[String] = Seq("user_id"),
+      debeziumFeed: Option[String] = None,  // --debezium-feed (JSON-lines dir)
+      pk: Seq[String] = Seq("user_id"),     // --pk
       orderCols: Seq[String] = Seq("ts", "event_id"),
       srcWait: Boolean = false,             // --src-wait
       nicePause: String = "60 seconds")     // --nice-pause
@@ -105,7 +106,26 @@ object GraftApp {
       }
 
     val pumped =
-      if (!c.pumpData) None
+      if (c.debeziumFeed.isDefined) {
+        // live-wire pump: raw Debezium JSON-lines feed → per-table
+        // parse (row schema from each subscribed table's fixture) →
+        // per-table state dirs. The production deployment points
+        // this at a Kafka value stream; the file form is the same
+        // envelope.
+        val schemas = tables.map { t =>
+          t -> Tables.load(spark, c.srcDir, t).schema
+        }.toMap
+        val stateRoot = s"${c.dstDir}/_state"
+        val raw = spark.readStream.text(c.debeziumFeed.get)
+        val tput = graft.streaming.Throughput.attach(spark)
+        try {
+          StreamingCdc.startDebezium(raw, stateRoot,
+            s"${c.dstDir}/_checkpoint", c.db, schemas, c.pk,
+            processingTime = if (c.srcWait) Some(c.nicePause) else None)
+            .awaitTermination()
+        } finally spark.streams.removeListener(tput)
+        Some(stateRoot)
+      } else if (!c.pumpData) None
       else {
         val feed = ChangeFeed.fromEvents(Tables.load(spark, c.srcDir, "events"))
         val feedDir = s"${c.dstDir}/_feed"
@@ -132,7 +152,8 @@ object GraftApp {
 
   private val KnownOptions = Set("src-dir", "dst-dir", "dst-schema",
     "src-tables", "src-tables-prefixes", "column-skip",
-    "src-tables-where-clauses", "catalog-csv", "nice-pause")
+    "src-tables-where-clauses", "catalog-csv", "nice-pause",
+    "debezium-feed", "pk")
   private val KnownFlags = Set("create-table-sql", "migrate-table",
     "csvpool", "pump-data", "src-wait")
 
@@ -176,6 +197,9 @@ object GraftApp {
           .collect { case Array(t, w) => t -> w }.toMap)
         .getOrElse(Map.empty),
       catalogCsv = kv.get("catalog-csv"),
+      debeziumFeed = kv.get("debezium-feed"),
+      pk = kv.get("pk").map(_.split(",").toSeq.filter(_.nonEmpty))
+        .getOrElse(Seq("user_id")),
       createTableSql = flags("create-table-sql"),
       migrateTable = flags("migrate-table"),
       csvExport = flags("csvpool"),

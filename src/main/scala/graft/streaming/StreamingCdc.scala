@@ -140,20 +140,67 @@ object StreamingCdc {
     * `--src-wait` OFF (drain available data, then exit —
     * Trigger.AvailableNow); `Some(interval)` maps `--src-wait` +
     * `--nice-pause` (stay up, batch on a cadence —
-    * Trigger.ProcessingTime), per SURVEY §2.10 T4.
+    * Trigger.ProcessingTime), per SURVEY §2.10 T4. `vacuumEvery > 0`
+    * retires old state versions every N batches — a long-running
+    * copy-on-write pump without vacuum accumulates dead bucket
+    * copies without bound.
     */
   def start(feed: DataFrame, stateDir: String, checkpointDir: String,
       pk: Seq[String], orderCols: Seq[String],
       processingTime: Option[String] = None,
-      numBuckets: Int = DefaultNumBuckets): StreamingQuery = {
+      numBuckets: Int = DefaultNumBuckets,
+      vacuumEvery: Int = 0, vacuumKeep: Int = 4): StreamingQuery = {
     val trigger = processingTime
       .map(Trigger.ProcessingTime(_))
       .getOrElse(Trigger.AvailableNow())
     feed.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
         mergeIntoState(batch, stateDir, pk, orderCols, numBuckets)
+        if (vacuumEvery > 0 && bid > 0 && bid % vacuumEvery == 0)
+          vacuum(batch.sparkSession, stateDir, vacuumKeep)
+      }
+      .start()
+  }
+
+  /** Start a pump over a RAW Debezium JSON-lines stream (one
+    * envelope per row in `value` — a file tail or a Kafka value
+    * feed): per subscribed table, parse with that table's row
+    * schema, slice with forTable, and merge into
+    * `stateRoot/<db>__<table>`. One query, one checkpoint, the
+    * adapter's binlog order (`_ts_ms`, `_pos`) as the merge order —
+    * the full reference pump (binlog tail → per-table belts →
+    * applied state) with Debezium as the wire format.
+    *
+    * Heterogeneous schemas force the per-table parse (one
+    * `from_json` schema cannot type every table's images); each
+    * parse is a narrow projection of the same cached batch.
+    */
+  def startDebezium(raw: DataFrame, stateRoot: String,
+      checkpointDir: String, db: String,
+      tableSchemas: Map[String, org.apache.spark.sql.types.StructType],
+      pk: Seq[String],
+      processingTime: Option[String] = None,
+      numBuckets: Int = DefaultNumBuckets): StreamingQuery = {
+    import graft.cdc.DebeziumAdapter
+    val trigger = processingTime
+      .map(Trigger.ProcessingTime(_))
+      .getOrElse(Trigger.AvailableNow())
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try tableSchemas.foreach { case (table, schema) =>
+          val slice = DebeziumAdapter.forTable(
+            DebeziumAdapter.parse(b, schema, pk), db, table)
+          // skip empty slices: a table absent from this batch must
+          // not churn its state version
+          if (!slice.isEmpty)
+            mergeIntoState(slice, s"$stateRoot/${db}__$table", pk,
+              DebeziumAdapter.orderCols, numBuckets)
+        } finally b.unpersist()
       }
       .start()
   }

@@ -105,6 +105,35 @@ class CdcApplierSpec extends AnyFunSuite {
   }
 }
 
+/** Shared test serializer: the fixture feed rendered as Debezium
+  * JSON envelopes — c/u/d op letters, before/after images per op,
+  * binlog order carried as (source.ts_ms = unix_micros(ts),
+  * source.pos = event_id) so the parsed ordering is exactly the
+  * feed's (ts, event_id) ordering.
+  */
+object DebeziumTestFeed {
+  import org.apache.spark.sql.functions._
+
+  def toDebeziumJson(f: org.apache.spark.sql.DataFrame,
+      rowSchema: org.apache.spark.sql.types.StructType,
+      wrapped: Boolean, db: String = "graft",
+      table: String = "events"): org.apache.spark.sql.DataFrame = {
+    val row = struct(rowSchema.fieldNames.map(col).toIndexedSeq: _*)
+    val nullRow = lit(null).cast(rowSchema)
+    val payload = struct(
+      when(col("op") =!= "insert", row).otherwise(nullRow).as("before"),
+      when(col("op") =!= "delete", row).otherwise(nullRow).as("after"),
+      struct(lit(db).as("db"), lit(table).as("table"),
+        unix_micros(col("ts")).as("ts_ms"), lit("binlog.000001").as("file"),
+        col("event_id").as("pos")).as("source"),
+      when(col("op") === "insert", "c").when(col("op") === "update", "u")
+        .otherwise("d").as("op"),
+      unix_micros(col("ts")).as("ts_ms"))
+    val env = if (wrapped) struct(payload.as("payload")) else payload
+    f.select(to_json(env).as("value"))
+  }
+}
+
 /** DebeziumAdapter: the public Debezium MySQL envelope → graft change
   * batches. The fixture round-trip pins semantic fidelity: a feed
   * serialized into Debezium envelopes and parsed back must replay to
@@ -122,28 +151,9 @@ class DebeziumAdapterSpec extends org.scalatest.funsuite.AnyFunSuite {
   private val rowSchema = org.apache.spark.sql.types.StructType(
     Tables.load(SparkTestSession.spark, "/root/testdata/sf0.001", "events").schema.fields)
 
-  /** Serialize the fixture feed into Debezium JSON envelopes:
-    * c/u/d op letters, before/after images per op, binlog order
-    * carried as (source.ts_ms = unix_micros(ts), source.pos =
-    * event_id) so the parsed ordering is exactly the feed's
-    * (ts, event_id) ordering.
-    */
   private def toDebeziumJson(f: org.apache.spark.sql.DataFrame,
-      wrapped: Boolean): org.apache.spark.sql.DataFrame = {
-    val row = struct(rowSchema.fieldNames.map(col).toIndexedSeq: _*)
-    val nullRow = lit(null).cast(rowSchema)
-    val payload = struct(
-      when(col("op") =!= "insert", row).otherwise(nullRow).as("before"),
-      when(col("op") =!= "delete", row).otherwise(nullRow).as("after"),
-      struct(lit("graft").as("db"), lit("events").as("table"),
-        unix_micros(col("ts")).as("ts_ms"), lit("binlog.000001").as("file"),
-        col("event_id").as("pos")).as("source"),
-      when(col("op") === "insert", "c").when(col("op") === "update", "u")
-        .otherwise("d").as("op"),
-      unix_micros(col("ts")).as("ts_ms"))
-    val env = if (wrapped) struct(payload.as("payload")) else payload
-    f.select(to_json(env).as("value"))
-  }
+      wrapped: Boolean): org.apache.spark.sql.DataFrame =
+    DebeziumTestFeed.toDebeziumJson(f, rowSchema, wrapped)
 
   test("fixture feed round-trips through the envelope to the q17 state") {
     val expected = CdcApplier.replayCompact(feed, Seq("user_id"),

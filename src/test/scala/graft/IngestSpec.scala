@@ -238,6 +238,28 @@ class GraftAppSpec extends AnyFunSuite {
     assert(back.count() == 5)
   }
 
+  test("debezium-feed mode pumps raw JSON envelopes into per-table state") {
+    val dst = Files.createTempDirectory("graft_app_dbz").toString
+    val events = Tables.load(spark, dir, "events")
+    val feed = graft.cdc.ChangeFeed.fromEvents(events)
+    val feedDir = s"$dst/dbz_feed"
+    DebeziumTestFeed.toDebeziumJson(feed, events.schema, wrapped = false,
+        db = "default", table = "events")
+      .coalesce(1).write.mode("overwrite").text(feedDir)
+    val r = GraftApp.run(spark, GraftApp.Config(
+      srcDir = dir, dstDir = dst, tables = Seq("events"),
+      debeziumFeed = Some(feedDir)))
+    val template = events.withColumn("_ts_ms", lit(0L))
+      .withColumn("_pos", lit(0L))
+    val state = graft.streaming.StreamingCdc.currentState(spark,
+      s"${r.pumpedStateDir.get}/default__events", template)
+    val expected = graft.cdc.CdcApplier.replayCompact(feed,
+      Seq("user_id"), Seq(col("ts"), col("event_id")))
+    assert(state.count() == expected.count())
+    assert(state.select("user_id", "event_id").except(
+      expected.select("user_id", "event_id")).count() == 0)
+  }
+
   test("pump mode drains the change feed into versioned state = batch replay") {
     val dst = Files.createTempDirectory("graft_app3").toString
     val r = GraftApp.run(spark, GraftApp.Config(

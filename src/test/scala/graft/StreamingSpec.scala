@@ -155,6 +155,31 @@ class StreamingCdcSpec extends AnyFunSuite {
       "timed action must log a throughput line")
   }
 
+  test("raw Debezium JSON-lines pump lands on the batch-replay state") {
+    val root = Files.createTempDirectory("graft_dbz_pump").toString
+    val rowSchema = feed.drop("op").schema
+    // one file per time bucket, in order — cross-batch merge
+    // semantics assume batches arrive in binlog (time) order, which
+    // is exactly what a real Debezium tail delivers
+    ChangeFeed.timeBatches(feed, "week").foreach { m =>
+      DebeziumTestFeed.toDebeziumJson(m, rowSchema, wrapped = false)
+        .coalesce(1).write.mode("append").text(s"$root/feed")
+    }
+    val raw = spark.readStream.option("maxFilesPerTrigger", 1)
+      .text(s"$root/feed")
+    StreamingCdc.startDebezium(raw, s"$root/state", s"$root/ckpt",
+      db = "graft", tableSchemas = Map("events" -> rowSchema),
+      pk = pk).awaitTermination()
+    val template = feed.drop("op")
+      .withColumn("_ts_ms", lit(0L)).withColumn("_pos", lit(0L))
+    val got = StreamingCdc.currentState(spark, s"$root/state/graft__events",
+        template)
+      .select("user_id", "event_id").orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sameElements(batchAnswer),
+      "debezium pump state must equal the direct batch replay")
+  }
+
   test("incremental agg: streamed fold equals one-shot aggregation") {
     import graft.streaming.IncrementalAgg
     val root = Files.createTempDirectory("graft_iagg").toString
