@@ -310,3 +310,39 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(r.forall(row => math.abs(row.getDouble(2)) <= 1.0))
   }
 }
+
+class SkewJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.ops.SkewJoin
+
+  test("salted join equals the plain join on a skewed key") {
+    // k=1 is hot (1000 rows big-side, 3 matches other-side);
+    // k=2..5 cold
+    val big = ((1 to 1000).map(i => (1L, s"b$i")) ++
+      (2L to 5L).flatMap(k => (1 to 10).map(i => (k, s"b${k}_$i"))))
+      .toDF("k", "bval")
+    val other = Seq((1L, "w1"), (1L, "w2"), (1L, "w3"),
+      (2L, "x"), (3L, "y"), (9L, "unmatched")).toDF("k", "wval")
+    val hot = Seq(Tuple1(1L)).toDF("k")
+    val salted = SkewJoin.saltedJoin(big, other, Seq("k"), hot, saltFactor = 8)
+      .select("k", "bval", "wval").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    val plain = big.join(other, Seq("k"))
+      .select("k", "bval", "wval").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    assert(salted.length == 1000 * 3 + 20)
+    assert(salted.sameElements(plain),
+      "salting must not change the join result")
+  }
+
+  test("salting is deterministic across evaluations (retry safety)") {
+    val big = (1 to 200).map(i => (1L, i.toLong)).toDF("k", "v")
+    val other = Seq((1L, "w")).toDF("k", "w")
+    val hot = Seq(Tuple1(1L)).toDF("k")
+    def run() = SkewJoin.saltedJoin(big, other, Seq("k"), hot, 4)
+      .agg(sum("v")).head().getLong(0)
+    assert(run() == run())
+    assert(run() == (1 to 200).map(_.toLong).sum)
+  }
+}
