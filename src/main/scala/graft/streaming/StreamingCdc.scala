@@ -100,29 +100,33 @@ object StreamingCdc {
     */
   def mergeMultiplexed(batch: DataFrame, stateRoot: String, pk: Seq[String],
       orderCols: Seq[String], routingCols: Seq[String] = Seq("db", "table"),
-      numBuckets: Int = DefaultNumBuckets): Unit = {
+      numBuckets: Int = DefaultNumBuckets,
+      pkFor: Map[String, Seq[String]] = Map.empty): Unit = {
     val tables = batch.select(routingCols.map(col): _*).distinct()
       .collect().map(r => routingCols.indices.map(r.getString))
     tables.foreach { t =>
       val slice = routingCols.zip(t).foldLeft(batch) { case (df, (c, v)) =>
         df.filter(col(c) === v)
       }.drop(routingCols: _*)
-      mergeIntoState(slice, s"$stateRoot/${t.mkString("__")}", pk,
-        orderCols, numBuckets)
+      val name = t.mkString("__")
+      // per-table key override: the reference hard-codes `id` across
+      // its whole belt map; here each table can carry its own PK
+      mergeIntoState(slice, s"$stateRoot/$name",
+        pkFor.getOrElse(name, pk), orderCols, numBuckets)
     }
   }
 
   /** Start a multi-table pump over a multiplexed feed: one streaming
-    * query, one checkpoint, per-table state dirs (T2). Tables share
-    * the pk/orderCols convention (the reference assumes a uniform
-    * `id` key across its belt map; graft at least takes the real
-    * column list).
+    * query, one checkpoint, per-table state dirs (T2). `pk` is the
+    * default key convention; `pkFor` overrides it per composed table
+    * name (`db__table`) for tables keyed differently.
     */
   def startMultiplexed(feed: DataFrame, stateRoot: String,
       checkpointDir: String, pk: Seq[String], orderCols: Seq[String],
       routingCols: Seq[String] = Seq("db", "table"),
       processingTime: Option[String] = None,
-      numBuckets: Int = DefaultNumBuckets): StreamingQuery = {
+      numBuckets: Int = DefaultNumBuckets,
+      pkFor: Map[String, Seq[String]] = Map.empty): StreamingQuery = {
     val trigger = processingTime
       .map(Trigger.ProcessingTime(_))
       .getOrElse(Trigger.AvailableNow())
@@ -131,7 +135,7 @@ object StreamingCdc {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         mergeMultiplexed(batch, stateRoot, pk, orderCols, routingCols,
-          numBuckets)
+          numBuckets, pkFor)
       }
       .start()
   }

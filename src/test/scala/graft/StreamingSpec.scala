@@ -86,18 +86,23 @@ class StreamingCdcSpec extends AnyFunSuite {
     writeBatchFiles(s"$root/feed", months)
     val stream = spark.readStream.schema(mux.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$root/feed")
+    // ev_odd overrides the key convention: keyed by event_id, so every
+    // odd-user event survives (no per-user merge) — pins per-table pkFor
     StreamingCdc.startMultiplexed(stream, s"$root/state", s"$root/ckpt",
-      pk, orderCols).awaitTermination()
-    // each per-table state must equal the single-table replay of its slice
+      pk, orderCols,
+      pkFor = Map("graft__ev_odd" -> Seq("event_id"))).awaitTermination()
+    // each per-table state must equal the single-table replay of its
+    // slice under ITS OWN key
     Seq(0 -> "ev_even", 1 -> "ev_odd").foreach { case (par, t) =>
+      val tablePk = if (t == "ev_odd") Seq("event_id") else pk
       val expected = CdcApplier.replayCompact(
-          feed.filter(pmod(col("user_id"), lit(2)) === par), pk,
+          feed.filter(pmod(col("user_id"), lit(2)) === par), tablePk,
           orderCols.map(col))
-        .select("user_id", "event_id").orderBy("user_id")
+        .select("user_id", "event_id").orderBy("user_id", "event_id")
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       val got = StreamingCdc.currentState(spark,
           s"$root/state/graft__$t", feed.drop("op"))
-        .select("user_id", "event_id").orderBy("user_id")
+        .select("user_id", "event_id").orderBy("user_id", "event_id")
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       assert(got.sameElements(expected), s"state for $t must match its replay")
     }
