@@ -73,6 +73,7 @@ object SparkEntry {
     "q42_training_mix"      -> PipelineQueries.trainingMixSample _,
     "q43_stream_dedup"      -> IngestQueries.streamDedup _,
     "q44_repetition"        -> PipelineQueries.repetitionSignals _,
+    "q45_percentiles"       -> PipelineQueries.lineitemPercentiles _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -549,5 +550,21 @@ object SparkEntry {
         |  ROUND(1.0 - CAST(n_types AS DOUBLE)/CAST(n_tokens AS DOUBLE), 6) AS dup_token_frac
         |FROM base LEFT JOIN agg ON base.doc_id = agg.agg_doc
         |ORDER BY doc_id""".stripMargin,
+    // q45: DuckDB quantile_cont interpolates exactly like Spark's
+    // percentile (index p*(n-1), linear) — values compare bit-for-bit
+    "q45_percentiles" ->
+      """SELECT 'l_discount' AS col_name,
+        |  quantile_cont(l_discount, 0.5) AS p50,
+        |  quantile_cont(l_discount, 0.95) AS p95 FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', quantile_cont(l_extendedprice, 0.5),
+        |  quantile_cont(l_extendedprice, 0.95) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', quantile_cont(l_quantity, 0.5),
+        |  quantile_cont(l_quantity, 0.95) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_tax', quantile_cont(l_tax, 0.5),
+        |  quantile_cont(l_tax, 0.95) FROM lineitem
+        |ORDER BY col_name""".stripMargin,
   )
 }

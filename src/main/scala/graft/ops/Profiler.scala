@@ -38,4 +38,32 @@ object Profiler {
     }
     total.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
+
+  /** Exact interpolated percentiles for numeric columns, one output
+    * row per column — the distribution half of the audit
+    * (min/max/null above tell you nothing about shape). Same
+    * one-pass-then-explode pattern as `profile`.
+    *
+    * Scale note: exact `percentile` buffers each column's values
+    * per-partition (memory ∝ distinct values) — fine to tens of
+    * millions of rows per executor; at 100 TB swap in
+    * `approx_percentile(c, p, accuracy)` (KLL-sketch bound memory,
+    * bounded rank error). The exact form is kept because the
+    * correctness oracle needs exact values (Spark's interpolation
+    * matches DuckDB's quantile_cont bit-for-bit: index p·(n−1),
+    * linear interpolation in doubles).
+    */
+  def numericPercentiles(df: DataFrame, cols: Seq[String],
+      ps: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
+    def tag(p: Double): String = "p" + (p * 100).round.toString
+    val aggs = for { c <- cols; p <- ps } yield
+      percentile(col(c), lit(p)).as(s"__${tag(p)}_$c")
+    val total = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("col_name") +:
+        ps.map(p => col(s"__${tag(p)}_$c").as(tag(p))): _*)
+    }
+    total.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
 }

@@ -183,6 +183,15 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q45: exact p50/p95 percentiles for lineitem's numeric measures —
+    * one pass, one output row per column.
+    */
+  def lineitemPercentiles(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiler.numericPercentiles(
+        Tables.load(spark, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy("col_name")
+
   /** q40: data-quality profile of the documents table — one row per
     * column with null/distinct/min/max statistics in one pass.
     */

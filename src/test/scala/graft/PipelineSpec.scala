@@ -311,6 +311,19 @@ class VectorSearchSpec extends AnyFunSuite {
   }
 }
 
+class ProfilerPercentileSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("numericPercentiles interpolates exactly (p at index p*(n-1))") {
+    // values 1..5: p50 = 3.0; p95 = 1 + 0.95*4 = 4.8
+    val df = (1 to 5).map(_.toDouble).toDF("v")
+    val r = graft.ops.Profiler.numericPercentiles(df, Seq("v")).head()
+    assert(r.getString(0) == "v")
+    assert(r.getDouble(1) == 3.0 && math.abs(r.getDouble(2) - 4.8) < 1e-12)
+  }
+}
+
 class SkewJoinSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
