@@ -56,13 +56,19 @@ object Profiler {
   def numericPercentiles(df: DataFrame, cols: Seq[String],
       ps: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
     def tag(p: Double): String = "p" + (p * 100).round.toString
-    val aggs = for { c <- cols; p <- ps } yield
-      percentile(col(c), lit(p)).as(s"__${tag(p)}_$c")
+    // ONE percentile(col, array(ps)) per column — a per-(col, p)
+    // call would buffer and sort the column once per requested
+    // percentile; the array form buffers and sorts it once total
+    val aggs = cols.map { c =>
+      percentile(col(c), array(ps.map(lit): _*)).as(s"__ps_$c")
+    }
     val total = df.agg(aggs.head, aggs.tail: _*)
     val rows = cols.map { c =>
       struct(
         lit(c).as("col_name") +:
-        ps.map(p => col(s"__${tag(p)}_$c").as(tag(p))): _*)
+        ps.zipWithIndex.map { case (p, i) =>
+          col(s"__ps_$c").getItem(i).as(tag(p))
+        }: _*)
     }
     total.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
