@@ -313,3 +313,35 @@ class TimeValuesSpec extends PropBase {
     assert(badFmt.isEmpty, "formatTime must invert parseTime")
   }
 }
+
+/** MySQL SET / BIT value parsing (§7.2 decision table). */
+class MySqlValuesSpec extends PropBase {
+  import org.apache.spark.sql.functions._
+  lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+  import graft.schema.MySqlValues
+
+  test("SET strings split to member arrays; empty set is no members") {
+    val r = Seq("read,write", "", "admin").toDF("s")
+      .select(MySqlValues.setToArray(col("s"))).collect()
+      .map(_.getSeq[String](0))
+    assert(r(0) == Seq("read", "write"))
+    assert(r(1).isEmpty)
+    assert(r(2) == Seq("admin"))
+  }
+
+  test("BIT bytes parse big-endian; BIT(64) high-bit needs decimal") {
+    val rows = Seq(
+      Array[Byte](0x05),                      // 5
+      Array[Byte](0x01, 0x00),                // 256
+      Array[Byte](0x7f, -1, -1, -1, -1, -1, -1, -1)) // Long.MaxValue
+      .toDF("b")
+    val longs = rows.select(MySqlValues.bitToLong(col("b"))).collect()
+      .map(_.getLong(0))
+    assert(longs.toSeq == Seq(5L, 256L, Long.MaxValue))
+    // 0xFFFF_FFFF_FFFF_FFFF = 2^64 - 1: beyond Long, exact in decimal
+    val big = Seq(Array.fill[Byte](8)(-1)).toDF("b")
+      .select(MySqlValues.bitToDecimal(col("b"))).head().getDecimal(0)
+    assert(big.toString == "18446744073709551615")
+  }
+}
