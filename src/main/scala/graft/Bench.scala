@@ -41,15 +41,28 @@ object Bench {
         None
       } catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
 
+    // Drop persisted blocks between runs: several queries
+    // localCheckpoint intermediates (dedup indexes, prepared vector
+    // frames), and without an explicit unpersist those blocks pile up
+    // in the block manager across the whole bench — the timed queries
+    // then pay GC/eviction for the warmup pass's leftovers.
+    def clearState(): Unit = {
+      spark.sqlContext.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+
     // warmup pass (untimed)
     names.foreach(runOnce)
+    clearState()
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = names.map { name =>
       val t0 = System.nanoTime()
       val err = runOnce(name)
       err.foreach(errors += name -> _)
-      name -> (if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      clearState() // outside the timed window
+      name -> (if (err.isEmpty) secs else -1.0)
     }
 
     def esc(s: String): String =
