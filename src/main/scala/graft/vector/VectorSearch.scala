@@ -234,11 +234,17 @@ object VectorSearch {
     val m = embeddings.select(col(labelCol).as("label"),
       col(idCol).as("vec_id"), quantize(col(vecCol)).as("q"))
       .withColumn("n2", norm2(col("q")))
+    // materialized: the exploded corpus feeds BOTH the centroid sums
+    // and the member-dot aggregation, and `cent` is itself read twice
+    // (cnorm + the dots join) — unmaterialized, the explode and the
+    // first aggregation would each run twice
     val dims = m.select(col("label"), col("vec_id"), col("n2"),
       posexplode(col("q")).as(Seq("pos", "v")))
+      .localCheckpoint()
     // exact per-dimension component sums S(label, pos)
     val cent = dims.groupBy("label", "pos")
       .agg(sum(col("v")).as("s"))
+      .localCheckpoint()
     // centroid squared norm: sum of S^2 in DECIMAL(38,0) (exact)
     val cnorm = cent.groupBy("label")
       .agg(sum(col("s").cast("decimal(19,0)") * col("s").cast("decimal(19,0)"))
