@@ -74,6 +74,7 @@ object SparkEntry {
     "q43_stream_dedup"      -> IngestQueries.streamDedup _,
     "q44_repetition"        -> PipelineQueries.repetitionSignals _,
     "q45_percentiles"       -> PipelineQueries.lineitemPercentiles _,
+    "q46_pipeline"          -> PipelineQueries.trainingPipeline _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -566,5 +567,46 @@ object SparkEntry {
         |SELECT 'l_tax', quantile_cont(l_tax, 0.5),
         |  quantile_cont(l_tax, 0.95) FROM lineitem
         |ORDER BY col_name""".stripMargin,
+    // q46: composition of the verified q23/q41/q21/q20/q42 fragments —
+    // exact-dedup keepers ∩ cluster reps ∩ langid=en ∩ quality>=0.5 ∩
+    // 50% deterministic sample
+    "q46_pipeline" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |ex AS (SELECT md5(text) AS h, MIN(doc_id) AS keeper FROM documents GROUP BY 1),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1, len(toks)-1)])) AS s
+        |       FROM t),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |p AS (SELECT da, db
+        |      FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+        |      WHERE CAST(i AS DOUBLE)/CAST(x.n + y.n - i AS DOUBLE) >= 0.5),
+        |edges AS (SELECT da AS src, db AS dst FROM p UNION SELECT db, da FROM p),
+        |walk(node, label) AS (
+        |  SELECT src AS node, src AS label FROM edges
+        |  UNION
+        |  SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst
+        |),
+        |cl AS (SELECT node, MIN(label) AS cluster_id FROM walk GROUP BY 1),
+        |qual AS (
+        |  SELECT doc_id,
+        |    len(string_split(text,' ')) AS n_tok,
+        |    round(0.3*least(len(string_split(text,' '))/50.0, 1.0)
+        |      + 0.3*(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)/len(string_split(text,' ')))
+        |      + 0.2*greatest(0.0, 1.0 - abs(CAST(len(list_filter(string_split(text,' '), x -> x='the' OR x='a')) AS DOUBLE)/len(string_split(text,' ')) - 0.08)*4.0)
+        |      + 0.2*greatest(0.0, 1.0 - (CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)/length(text))*2.0), 6) AS quality
+        |  FROM documents)
+        |SELECT d.doc_id, CAST(qual.n_tok AS BIGINT) AS n_tokens, qual.quality
+        |FROM documents d
+        |JOIN ex ON md5(d.text) = ex.h AND d.doc_id = ex.keeper
+        |LEFT JOIN cl ON d.doc_id = cl.node
+        |JOIN qual ON qual.doc_id = d.doc_id
+        |WHERE (cl.node IS NULL OR cl.cluster_id = d.doc_id)
+        |  AND (CASE WHEN len(list_filter(string_split(d.text,' '), x -> x='the' OR x='a')) >= 2 THEN 'en' ELSE 'und' END) = 'en'
+        |  AND qual.quality >= 0.5
+        |  AND CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE)/4294967296.0 < 0.5
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }

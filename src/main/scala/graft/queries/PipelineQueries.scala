@@ -192,6 +192,44 @@ object PipelineQueries {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
       .orderBy("col_name")
 
+  /** q46: the end-to-end training-data pipeline, composed entirely
+    * from the library's own operators — the "a user could run their
+    * whole curation job on this" demonstration:
+    *
+    *  1. exact dedup (keep the min-id copy of each distinct text);
+    *  2. near-dup clustering over the 3-gram Jaccard pair graph
+    *     (keep each component's representative);
+    *  3. language filter (stopword-profile langid == 'en');
+    *  4. quality threshold (composite score ≥ 0.5);
+    *  5. deterministic Bernoulli sample at 50% (Knuth-hash uniform).
+    *
+    * Every stage is individually oracle-verified (q23, q41, q21,
+    * q20, q42); this query pins their COMPOSITION against one SQL
+    * oracle. Scale shape: steps 3-5 are per-row expressions fused
+    * into one scan; steps 1-2 are the bucketed dedup shuffles.
+    */
+  def trainingPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val docs = Tables.load(spark, dir, "documents")
+    val exactKeepers = Dedup.exactDedup(docs)
+      .select(col("keeper_doc_id").as("doc_id"))
+    val clusters = Dedup.dupClusters(
+      Dedup.jaccardPairs(docs, k = 3, threshold = 0.5))
+    val nearDupLosers = clusters
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    docs
+      .join(exactKeepers, Seq("doc_id"), "left_semi")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .filter(TextAnalysis.langId(col("text"),
+        TextAnalysis.defaultProfiles) === "en")
+      .filter(TextAnalysis.qualityScore(col("text"), Stopwords) >= 0.5)
+      .filter(graft.ops.Sampler.uniformKnuth(col("doc_id")) < 0.5)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.qualityScore(col("text"), Stopwords).as("quality"))
+      .orderBy("doc_id")
+  }
+
   /** q40: data-quality profile of the documents table — one row per
     * column with null/distinct/min/max statistics in one pass.
     */
