@@ -219,3 +219,53 @@ class DebeziumAdapterSpec extends org.scalatest.funsuite.AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("debezium")))
   }
 }
+
+/** Adversarial envelope handling: partial/odd-but-valid Debezium
+  * inputs must parse predictably; only truly malformed ones raise.
+  */
+class DebeziumFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import graft.cdc.DebeziumAdapter
+  import spark.implicits._
+
+  private val rowSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("v",
+      org.apache.spark.sql.types.StringType)))
+
+  private def parseOne(json: String) =
+    DebeziumAdapter.parse(Seq(json).toDF("value"), rowSchema, Seq("id"))
+      .collect()
+
+  test("missing source block still parses (null routing, order from ts_ms)") {
+    val out = parseOne(
+      """{"before":null,"after":{"id":1,"v":"x"},"op":"c","ts_ms":42}""")
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[String]("op") == "insert" && r.getAs[Long]("_ts_ms") == 42L)
+    assert(r.isNullAt(r.fieldIndex("db")) && r.isNullAt(r.fieldIndex("table")))
+  }
+
+  test("extra unknown fields in the envelope are ignored") {
+    val out = parseOne(
+      """{"before":null,"after":{"id":2,"v":"y","extra_col":9},"op":"c",
+        |"ts_ms":1,"transaction":{"id":"t1"},"source":{"db":"d","table":"t",
+        |"ts_ms":5,"pos":7,"snapshot":"false"}}""".stripMargin.replace("\n", ""))
+    assert(out.length == 1 && out(0).getAs[Long]("id") == 2L)
+    assert(out(0).getAs[Long]("_ts_ms") == 5L)
+  }
+
+  test("delete with null after takes the before image") {
+    val out = parseOne(
+      """{"before":{"id":3,"v":"z"},"after":null,"op":"d","ts_ms":1,
+        |"source":{"db":"d","table":"t","ts_ms":1,"pos":1}}"""
+        .stripMargin.replace("\n", ""))
+    assert(out(0).getAs[String]("op") == "delete" && out(0).getAs[Long]("id") == 3L)
+  }
+
+  test("non-JSON garbage and missing op raise, never silently drop") {
+    for (bad <- Seq("not json at all", "{}", """{"after":{"id":1,"v":"x"}}"""))
+      intercept[Exception] { parseOne(bad) }
+  }
+}

@@ -115,3 +115,32 @@ class ExpressionEquivalenceSpec extends AnyFunSuite {
     }
   }
 }
+
+/** The sorted-run fold (topNgramCount) vs a naive Scala mode count
+  * on seeded random token streams with planted repetition.
+  */
+class RunFoldEquivalenceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(77)
+
+  private def naiveTopBigram(text: String): Long = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < 2) 0L
+    else toks.sliding(2).map(_.mkString(" ")).toSeq
+      .groupBy(identity).values.map(_.size.toLong).max
+  }
+
+  test("topNgramCount == naive sliding-window mode on random texts") {
+    val vocab = Seq("a", "b", "c", "dd", "ee")
+    val cases = Seq.fill(300) {
+      Seq.fill(rnd.nextInt(30) + 2)(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    } :+ "x" :+ "x y" :+ "r r r r r r"
+    val got = cases.toDF("t")
+      .select(graft.text.TextAnalysis.topNgramCount($"t", 2))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == cases.map(naiveTopBigram))
+  }
+}
