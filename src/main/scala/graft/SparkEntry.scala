@@ -75,6 +75,7 @@ object SparkEntry {
     "q44_repetition"        -> PipelineQueries.repetitionSignals _,
     "q45_percentiles"       -> PipelineQueries.lineitemPercentiles _,
     "q46_pipeline"          -> PipelineQueries.trainingPipeline _,
+    "q47_token_budget"      -> PipelineQueries.tokenBudget _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -608,5 +609,23 @@ object SparkEntry {
         |  AND qual.quality >= 0.5
         |  AND CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE)/4294967296.0 < 0.5
         |ORDER BY d.doc_id""".stripMargin,
+    // q47: the engine's two-phase distributed prefix sum must equal
+    // the single global window formulation
+    "q47_token_budget" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |    round(0.3*least(len(string_split(text,' '))/50.0, 1.0)
+        |      + 0.3*(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)/len(string_split(text,' ')))
+        |      + 0.2*greatest(0.0, 1.0 - abs(CAST(len(list_filter(string_split(text,' '), x -> x='the' OR x='a')) AS DOUBLE)/len(string_split(text,' ')) - 0.08)*4.0)
+        |      + 0.2*greatest(0.0, 1.0 - (CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)/length(text))*2.0), 6) AS quality
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tokens, quality,
+        |        CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id)
+        |          AS BIGINT) AS running_total
+        |      FROM q)
+        |SELECT doc_id, n_tokens, quality, running_total
+        |FROM r WHERE running_total <= 5000
+        |ORDER BY quality DESC, doc_id""".stripMargin,
   )
 }

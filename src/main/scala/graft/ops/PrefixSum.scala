@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global prefix sum — and its training-data use, budget
+  * selection ("take the best documents until N total tokens").
+  *
+  * The naive formulation `sum(v).over(Window.orderBy(...))` with no
+  * partitionBy collapses the whole dataset into ONE task — the
+  * classic single-partition-window scale trap (fine at 60k rows,
+  * dead at 100 TB). The scalable shape is the textbook two-phase
+  * scan:
+  *
+  *  1. range-repartition by the global order (distributed sort —
+  *     Spark's range partitioner keeps partition i's keys wholly
+  *     before partition i+1's);
+  *  2. per-partition running sum (window partitioned by the physical
+  *     partition id — parallel);
+  *  3. per-partition totals to the driver (≤ #partitions rows),
+  *     prefix-summed into offsets, added back as a literal map
+  *     lookup.
+  *
+  * The result is EXACTLY the global running sum in `order` — range
+  * boundaries are sampling-based and nondeterministic, but offsets
+  * are computed from the actual partitions, so boundary placement
+  * cancels out.
+  */
+object PrefixSum {
+
+  /** Append `outCol` = running total of `value` in the total order
+    * `order` (which must be a total order — add a unique tiebreak
+    * column, or equal rows make the running value order-dependent).
+    */
+  def withRunningTotal(df: DataFrame, order: Seq[Column], value: Column,
+      outCol: String = "running_total"): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // materialized: the per-partition frame feeds both the offsets
+    // collect and the final projection; and partition ids must not
+    // be re-rolled between the two uses
+    val local = df.repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__run",
+        sum(value).over(Window.partitionBy("__pid").orderBy(order: _*)))
+      .localCheckpoint()
+    // driver-sized by construction: one row per partition
+    val totals = local.groupBy("__pid").agg(sum(value).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // offset of pid = sum of totals of all partitions before it
+    val offsetFor: Map[Int, Long] = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _).init).toMap
+    local
+      .withColumn(outCol,
+        col("__run") + coalesce(
+          element_at(typedlit(offsetFor), col("__pid")), lit(0L)))
+      .drop("__pid", "__run")
+  }
+
+  /** Keep rows while the running total of `value` (in `order`) stays
+    * within `budget` — e.g. "highest-quality documents until 5M
+    * tokens". Emits the selected rows with their running total.
+    */
+  def takeByBudget(df: DataFrame, order: Seq[Column], value: Column,
+      budget: Long, outCol: String = "running_total"): DataFrame =
+    withRunningTotal(df, order, value, outCol)
+      .filter(col(outCol) <= budget)
+}

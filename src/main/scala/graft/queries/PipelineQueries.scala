@@ -230,6 +230,22 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q47: token-budget selection — the highest-quality documents
+    * until a 5 000-token budget, via the distributed two-phase
+    * prefix sum (no single-partition window).
+    */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val docs = Tables.load(spark, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextAnalysis.qualityScore(col("text"), Stopwords).as("quality"))
+    graft.ops.PrefixSum.takeByBudget(docs,
+        Seq(col("quality").desc, col("doc_id")), col("n_tokens"),
+        budget = 5000L)
+      .orderBy(col("quality").desc, col("doc_id"))
+  }
+
   /** q40: data-quality profile of the documents table — one row per
     * column with null/distinct/min/max statistics in one pass.
     */

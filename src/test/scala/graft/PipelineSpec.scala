@@ -359,3 +359,36 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(run() == (1 to 200).map(_.toLong).sum)
   }
 }
+
+class PrefixSumSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.ops.PrefixSum
+
+  test("distributed running total equals the sequential scan") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 5000).map(i => (i.toLong, rnd.nextInt(100).toLong))
+    val df = rows.toDF("id", "v").repartition(16) // scrambled input
+    val got = PrefixSum.withRunningTotal(df, Seq(col("id")), col("v"))
+      .orderBy("id").collect().map(r => r.getAs[Long]("running_total"))
+    val want = rows.sortBy(_._1).map(_._2).scanLeft(0L)(_ + _).tail
+    assert(got.toSeq == want)
+  }
+
+  test("takeByBudget keeps the exact order prefix within budget") {
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("id", "v")
+    val kept = PrefixSum.takeByBudget(df, Seq(col("id")), col("v"), 60L)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 2L, 3L)) // 10+20+30=60 <= 60, +40 exceeds
+  }
+
+  test("no single-partition global window in the plan") {
+    val df = (1 to 100).map(i => (i.toLong, 1L)).toDF("id", "v")
+    val plan = PrefixSum.withRunningTotal(df, Seq(col("id")), col("v"))
+      .queryExecution.executedPlan.toString
+    // the window must be partitioned (by __pid), never a bare
+    // global-order window (which plans a SinglePartition exchange)
+    assert(!plan.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      "global cumsum must not collapse to one partition")
+  }
+}
