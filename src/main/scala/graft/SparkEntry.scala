@@ -76,6 +76,7 @@ object SparkEntry {
     "q45_percentiles"       -> PipelineQueries.lineitemPercentiles _,
     "q46_pipeline"          -> PipelineQueries.trainingPipeline _,
     "q47_token_budget"      -> PipelineQueries.tokenBudget _,
+    "q48_contamination"     -> PipelineQueries.contamination _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -627,5 +628,17 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, quality, running_total
         |FROM r WHERE running_total <= 5000
         |ORDER BY quality DESC, doc_id""".stripMargin,
+    // q48: distinct 3-shingles shared with the probe set (every 100th
+    // doc), counted per corpus doc
+    "q48_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1, len(toks)-1)])) AS s
+        |       FROM t),
+        |probe AS (SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 0)
+        |SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |FROM sh JOIN probe ON sh.s = probe.s
+        |WHERE sh.doc_id % 100 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

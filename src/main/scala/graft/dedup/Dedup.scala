@@ -338,6 +338,28 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Benchmark decontamination: count, per corpus document, how many
+    * distinct probe k-shingles it contains — the train/eval overlap
+    * check every LLM data pipeline runs before training (a document
+    * quoting an eval benchmark must be dropped or the benchmark is
+    * contaminated).
+    *
+    * Scale shape: probe sets are benchmark-sized (thousands of
+    * documents → ~1e5-1e6 shingles), so the probe shingle set
+    * BROADCASTS and the corpus is scanned exactly once — one
+    * explode + broadcast-hash semi-join + per-doc count, no shuffle
+    * of corpus shingles at any corpus size.
+    */
+  def contaminationScan(docs: DataFrame, probes: DataFrame, k: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val probeShingles = shingleRows(probes, k, idCol, textCol)
+      .select("shingle").distinct()
+    shingleRows(docs, k, idCol, textCol)
+      .join(broadcast(probeShingles), Seq("shingle"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits")) // shingleRows emits distinct shingles
+  }
+
   /** Keep-one-per-cluster: drop every clustered document except its
     * cluster representative (the min-id member). Documents in no
     * cluster survive untouched. The anti-join side is

@@ -246,6 +246,18 @@ object PipelineQueries {
       .orderBy(col("quality").desc, col("doc_id"))
   }
 
+  /** q48: benchmark decontamination — every 100th document plays the
+    * eval set; corpus documents sharing any 3-shingle with it are
+    * flagged with their distinct-hit counts.
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val probes = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(100)) =!= 0)
+    Dedup.contaminationScan(corpus, probes, k = 3)
+      .orderBy("doc_id")
+  }
+
   /** q40: data-quality profile of the documents table — one row per
     * column with null/distinct/min/max statistics in one pass.
     */

@@ -392,3 +392,26 @@ class PrefixSumSpec extends AnyFunSuite {
       "global cumsum must not collapse to one partition")
   }
 }
+
+class ContaminationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("contaminationScan counts distinct shared shingles, broadcast plan") {
+    val probes = Seq((100L, "the secret benchmark answer is forty two"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "i quote the secret benchmark answer is forty two verbatim"),
+      (2L, "completely unrelated text about other topics entirely here"),
+      (3L, "partially the secret benchmark but then it diverges a lot"))
+      .toDF("doc_id", "text")
+    val scan = Dedup.contaminationScan(corpus, probes, k = 3)
+    val hits = scan.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // doc 1 contains the full probe phrase → many shared 3-shingles;
+    // doc 3 shares only the leading ones; doc 2 none (absent)
+    assert(hits(1L) >= 5 && hits(3L) >= 1 && !hits.contains(2L))
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "probe shingles must broadcast — corpus shingles never shuffle")
+  }
+}
