@@ -77,6 +77,7 @@ object SparkEntry {
     "q46_pipeline"          -> PipelineQueries.trainingPipeline _,
     "q47_token_budget"      -> PipelineQueries.tokenBudget _,
     "q48_contamination"     -> PipelineQueries.contamination _,
+    "q49_cube"              -> Relational.cubeSummary _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -640,5 +641,15 @@ object SparkEntry {
         |FROM sh JOIN probe ON sh.s = probe.s
         |WHERE sh.doc_id % 100 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q49: GROUPING() bitmask follows the SQL-standard convention in
+    // both engines (bit = 1 when the column is aggregated away)
+    "q49_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
   )
 }

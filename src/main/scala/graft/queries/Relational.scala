@@ -221,6 +221,25 @@ object Relational {
         col("l_linestatus").asc_nulls_first)
   }
 
+  /** q49: CUBE with grouping_id — all 2^k grouping-set combinations
+    * in ONE pass (Spark's Expand: each input row fans out once per
+    * grouping set before the partial aggregation, so the cost is
+    * sets × scan, never sets separate scans). grouping_id
+    * disambiguates a real NULL key from a subtotal row — without it
+    * rollup/cube output is ambiguous on nullable keys.
+    */
+  def cubeSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_items"),
+        sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+      .orderBy(col("gid"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
   /** q14: DISTINCT aggregation — count(distinct) triggers Spark's
     * two-phase expand+agg; paired with a plain count in one pass.
     */
