@@ -78,6 +78,7 @@ object SparkEntry {
     "q47_token_budget"      -> PipelineQueries.tokenBudget _,
     "q48_contamination"     -> PipelineQueries.contamination _,
     "q49_cube"              -> Relational.cubeSummary _,
+    "q50_pivot"             -> Relational.dailyEventPivot _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -651,5 +652,14 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    // q50: pivot == conditional aggregation (the portable formulation)
+    "q50_pivot" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        |  CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

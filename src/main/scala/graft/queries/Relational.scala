@@ -240,6 +240,24 @@ object Relational {
         col("l_linestatus").asc_nulls_first)
   }
 
+  /** q50: PIVOT — daily event counts spread across one column per
+    * event type. The explicit value list matters twice over: it
+    * keeps the output schema deterministic (no extra pass to
+    * discover values), and at scale an UNLISTED pivot first runs a
+    * distinct-collect over the pivot column — a hidden job on 100 TB
+    * of events. Pivot compiles to one conditional aggregation pass
+    * (count(when(type = v, 1)) per v), not one scan per column.
+    */
+  def dailyEventPivot(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    ev.groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+        .as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("day")
+  }
+
   /** q14: DISTINCT aggregation — count(distinct) triggers Spark's
     * two-phase expand+agg; paired with a plain count in one pass.
     */
