@@ -25,7 +25,7 @@ object SparkEntry {
   def benchExclude: Set[String] = Set(
     "q30_migrate_counts", "q31_csv_roundtrip",
     "q32_cdc_stream", "q33_stream_hourly", "q39_stream_sessions",
-    "q43_stream_dedup")
+    "q43_stream_dedup", "q51_stream_enrich")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -79,6 +79,7 @@ object SparkEntry {
     "q48_contamination"     -> PipelineQueries.contamination _,
     "q49_cube"              -> Relational.cubeSummary _,
     "q50_pivot"             -> Relational.dailyEventPivot _,
+    "q51_stream_enrich"     -> IngestQueries.streamStaticEnrich _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -661,5 +662,14 @@ object SparkEntry {
         |  CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
         |  CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q51: streamed enrichment == the batch join+agg
+    "q51_stream_enrich" ->
+      """SELECT n_name,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

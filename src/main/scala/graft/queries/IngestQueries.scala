@@ -106,6 +106,40 @@ object IngestQueries {
       .orderBy("content_hash")
   }
 
+  /** q51: stream–static enrichment join — the CDC-adjacent pattern
+    * of joining a live event stream against slowly-changing
+    * dimensions. The static side (customer ⋈ nation, pre-joined and
+    * broadcast) never re-reads per micro-batch shuffle; the stream
+    * side joins map-side. Complete-mode count/sum per nation must
+    * equal the batch formulation — one oracle checks both.
+    */
+  def streamStaticEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val dim = Tables.load(spark, dir, "customer")
+      .join(Tables.load(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val root = tmpDir("graft_stream_enrich")
+    events.write.mode("overwrite").parquet(s"$root/events")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 4).parquet(s"$root/events")
+    val name = s"graft_enrich_${streamCounter.incrementAndGet()}"
+    val q = stream
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double")
+          .as("total_value"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("n_name")
+  }
+
   private val streamCounter = new AtomicInteger(0)
 
   /** q39: session windows through Structured Streaming —
