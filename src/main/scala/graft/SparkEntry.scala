@@ -80,6 +80,7 @@ object SparkEntry {
     "q49_cube"              -> Relational.cubeSummary _,
     "q50_pivot"             -> Relational.dailyEventPivot _,
     "q51_stream_enrich"     -> IngestQueries.streamStaticEnrich _,
+    "q52_except"            -> Relational.exceptCustomers _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -671,5 +672,10 @@ object SparkEntry {
         |JOIN customer c ON e.user_id = c.c_custkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q52_except" ->
+      """SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1998
+        |ORDER BY o_custkey""".stripMargin,
   )
 }

@@ -187,6 +187,17 @@ object Relational {
     y97.intersect(y98).orderBy(col("o_custkey"))
   }
 
+  /** q52: EXCEPT (set difference with dedup) — customers ordering in
+    * 1997 but not 1998. Plans as a left-anti join over distinct
+    * rows, same bucketed shuffle shape as intersect.
+    */
+  def exceptCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val y97 = o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey"))
+    val y98 = o.filter(year(col("o_orderdate")) === 1998).select(col("o_custkey"))
+    y97.except(y98).orderBy(col("o_custkey"))
+  }
+
   /** q11: anti-join (NOT EXISTS) — customers with no high-value
     * orders. The filter on the probe side is pushed below the join,
     * shrinking the build side before any shuffle.
