@@ -42,9 +42,11 @@ object VectorSearch {
   def cosine(dotAB: Column, n2a: Column, n2b: Column): Column =
     dotAB.cast("double") / sqrt(n2a.cast("double") * n2b.cast("double"))
 
-  /** Corpus annotated with quantized vector + exact norm. */
-  private def prepared(embeddings: DataFrame, idCol: String,
-      vecCol: String): DataFrame =
+  /** Corpus annotated with quantized vector + exact norm —
+    * (vec_id, q, n2), the input shape of the centroid utilities.
+    */
+  def prepared(embeddings: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
     embeddings.select(col(idCol).as("vec_id"),
       quantize(col(vecCol)).as("q"))
       .withColumn("n2", norm2(col("q")))
@@ -112,7 +114,8 @@ object VectorSearch {
     * bounded pseudo-random sample planned as TakeOrderedAndProject
     * (per-partition partial top-k, one driver-sized reduce; never a
     * full sort). Every vector joins the cell of its highest-cosine
-    * centroid. Returns (vec_id, q, n2, cell).
+    * centroid. Returns (vec_id, q, n2, cell). `refineIters > 0`
+    * upgrades the sample with Lloyd rounds (refineCentroids).
     *
     * Centroid selection by id-hash sample is the zero-iteration
     * stand-in for k-means (which needs iterative jobs); the IVF
@@ -120,9 +123,12 @@ object VectorSearch {
     * is identical.
     */
   def ivfAssign(corpus: DataFrame, numCells: Int = 0,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      refineIters: Int = 0): DataFrame = {
     val c = prepared(corpus, idCol, vecCol).localCheckpoint()
-    val cents = centroids(c, resolveNumCells(numCells, c.count()))
+    val seed = centroids(c, resolveNumCells(numCells, c.count()))
+    val cents =
+      if (refineIters <= 0) seed else refineCentroids(c, seed, refineIters)
     assignCells(c, cents)
   }
 
@@ -130,6 +136,44 @@ object VectorSearch {
     c.orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(numCells)
       .select(col("vec_id").as("cell"), col("q").as("cq"), col("n2").as("cn2"))
+
+  /** Lloyd refinement of an IVF centroid set: `iters` rounds of
+    * assign-to-nearest → re-center on the cell mean. Upgrades the
+    * zero-iteration hash sample toward real k-means cells (tighter
+    * cells → better recall at a given nprobe); cosine-space
+    * assignment with Euclidean mean re-centering is the standard
+    * spherical-k-means-ish compromise.
+    *
+    * Scale shape per round: one broadcast-assign pass over the
+    * corpus + one (cell, pos)-keyed mean aggregation whose output is
+    * centroid-sized (≤ 65536 rows) — the iteration cost is O(iters ·
+    * n · cells) dot products, the same as IVF assignment itself.
+    * Means round back to the quantized-integer grid, so refined
+    * centroids stay in the exact-arithmetic domain.
+    */
+  def refineCentroids(c: DataFrame, cents: DataFrame, iters: Int): DataFrame =
+    (1 to iters).foldLeft(cents) { (cur, _) =>
+      val assigned = assignCells(c, cur.localCheckpoint())
+      val means = assigned
+        .select(col("cell"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(round(avg(col("v"))).cast("long").as("m"))
+      means.groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("cq"))
+        .withColumn("cn2", norm2(col("cq")))
+    }
+
+  /** Within-cell cohesion of a centroid set: mean best
+    * member-to-centroid cosine over the whole corpus (higher =
+    * tighter cells). The measurable objective `refineCentroids`
+    * improves.
+    */
+  def cellCohesion(c: DataFrame, cents: DataFrame): Double =
+    c.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(dot(col("q"), col("cq")), col("n2"), col("cn2")))
+      .groupBy("vec_id").agg(max(col("ccos")).as("best"))
+      .agg(avg(col("best"))).head().getDouble(0)
 
   private def assignCells(c: DataFrame, cents: DataFrame): DataFrame =
     c.crossJoin(broadcast(cents))

@@ -303,6 +303,29 @@ class VectorSearchSpec extends AnyFunSuite {
       s"$cells cells for $n vectors exceeds the sqrt-n bound")
   }
 
+  test("Lloyd refinement does not degrade cell cohesion") {
+    import spark.implicits._
+    // two tight clusters; hash-seeded centroids may land both in one
+    val rnd = new scala.util.Random(9)
+    def near(base: Float) =
+      Array.fill(16)(base + rnd.nextFloat() * 0.05f)
+    val rows = (0L until 100L).map(i =>
+      (i, near(if (i % 2 == 0) 1.0f else -1.0f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val c = VectorSearch.prepared(emb).localCheckpoint()
+    val seed = c.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(2)
+      .select(col("vec_id").as("cell"), col("q").as("cq"), col("n2").as("cn2"))
+    val seedCoh = VectorSearch.cellCohesion(c, seed)
+    val refined = VectorSearch.refineCentroids(c, seed, iters = 2)
+    val refCoh = VectorSearch.cellCohesion(c, refined)
+    assert(refCoh >= seedCoh - 1e-9,
+      s"refinement degraded cohesion: $seedCoh -> $refCoh")
+    // and the refined assignment still covers every vector
+    val assigned = VectorSearch.ivfAssign(emb, numCells = 2, refineIters = 2)
+    assert(assigned.count() == 100)
+    assert(assigned.select("cell").distinct().count() <= 2)
+  }
+
   test("labelCentroidStats covers every label with sane cosines") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val r = VectorSearch.labelCentroidStats(emb).collect()
