@@ -346,9 +346,10 @@ object Dedup {
     *
     * Scale shape: probe sets are benchmark-sized (thousands of
     * documents → ~1e5-1e6 shingles), so the probe shingle set
-    * BROADCASTS and the corpus is scanned exactly once — one
-    * explode + broadcast-hash semi-join + per-doc count, no shuffle
-    * of corpus shingles at any corpus size.
+    * BROADCASTS and the corpus is scanned exactly once — explode +
+    * broadcast-hash join with no corpus-side shuffle; only the HITS
+    * (probe matches, a tiny fraction of the corpus) shuffle into the
+    * per-doc count.
     */
   def contaminationScan(docs: DataFrame, probes: DataFrame, k: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
