@@ -81,6 +81,7 @@ object SparkEntry {
     "q50_pivot"             -> Relational.dailyEventPivot _,
     "q51_stream_enrich"     -> IngestQueries.streamStaticEnrich _,
     "q52_except"            -> Relational.exceptCustomers _,
+    "q53_ntile"             -> Relational.customerSpendQuartiles _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -677,5 +678,19 @@ object SparkEntry {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1998
         |ORDER BY o_custkey""".stripMargin,
+    // q53: ntile/percent_rank are SQL-standard rank functions with
+    // identical tie/bucket semantics in both engines
+    "q53_ntile" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, o_orderpriority,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_custkey, o_orderpriority, spend,
+        |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |  ROUND(PERCENT_RANK() OVER w, 6) AS pr
+        |FROM spend
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY spend DESC, o_custkey)
+        |ORDER BY o_orderpriority, o_custkey""".stripMargin,
   )
 }

@@ -187,6 +187,24 @@ object Relational {
     y97.intersect(y98).orderBy(col("o_custkey"))
   }
 
+  /** q53: ranking-window variants — spend quartiles (ntile) and
+    * percent_rank per customer within their order-priority class.
+    * Both are rank-family functions: one shuffle on the partition
+    * key, one sorted pass; percent_rank needs the partition row
+    * count, which the same window pass provides.
+    */
+  def customerSpendQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val spend = o.groupBy(col("o_custkey"), col("o_orderpriority"))
+      .agg(sum(dec2(col("o_totalprice"))).cast(DoubleType).as("spend"))
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("spend").desc, col("o_custkey"))
+    spend.select(col("o_custkey"), col("o_orderpriority"), col("spend"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"))
+      .orderBy("o_orderpriority", "o_custkey")
+  }
+
   /** q52: EXCEPT (set difference with dedup) — customers ordering in
     * 1997 but not 1998. Plans as a left-anti join over distinct
     * rows, same bucketed shuffle shape as intersect.
