@@ -25,7 +25,7 @@ object SparkEntry {
   def benchExclude: Set[String] = Set(
     "q30_migrate_counts", "q31_csv_roundtrip",
     "q32_cdc_stream", "q33_stream_hourly", "q39_stream_sessions",
-    "q43_stream_dedup", "q51_stream_enrich")
+    "q43_stream_dedup", "q51_stream_enrich", "q59_stream_stream_join")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -82,6 +82,13 @@ object SparkEntry {
     "q51_stream_enrich"     -> IngestQueries.streamStaticEnrich _,
     "q52_except"            -> Relational.exceptCustomers _,
     "q53_ntile"             -> Relational.customerSpendQuartiles _,
+    "q54_grouping_sets"     -> Relational.groupingSetsSummary _,
+    "q55_token_freq"        -> Relational.tokenFrequency _,
+    "q56_semi_join"         -> Relational.customersWithUrgentOrders _,
+    "q57_scalar_funcs"      -> Relational.scalarFunctionShowcase _,
+    "q58_array_funcs"       -> Relational.arrayFunctionShowcase _,
+    "q59_stream_stream_join" -> IngestQueries.streamStreamJoin _,
+    "q60_knn_int8"          -> PipelineQueries.knnInt8 _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -692,5 +699,109 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY spend DESC, o_custkey)
         |ORDER BY o_orderpriority, o_custkey""".stripMargin,
+    // q54: GROUPING() bitmask is SQL-standard in both engines (same
+    // convention q49/cube already verified)
+    "q54_grouping_sets" ->
+      """SELECT CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+        |  o_orderpriority, o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |  (o_orderstatus), ())
+        |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    // q55: unnest == explode; both engines split on the literal
+    // single space and drop empty tokens
+    "q55_token_freq" ->
+      """SELECT tok, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |WHERE tok <> ''
+        |GROUP BY tok
+        |ORDER BY n DESC, tok
+        |LIMIT 25""".stripMargin,
+    "q56_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderpriority = '1-URGENT'
+        |    AND o_totalprice > 350000)
+        |ORDER BY c_custkey""".stripMargin,
+    // q57: DuckDB date-part/string functions return BIGINT — the
+    // Spark side casts its INT results to long to match; isodow
+    // (1=Monday) == Spark weekday (0=Monday) + 1
+    "q57_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS yr,
+        |  month(o_orderdate) AS mo,
+        |  isodow(o_orderdate) AS iso_dow,
+        |  string_split(o_orderpriority, '-')[2] AS pr_word,
+        |  lower(o_orderstatus) AS status_lc,
+        |  concat_ws('#', o_orderstatus, o_orderpriority) AS tag,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+        |  CAST(length(o_orderpriority) AS BIGINT) AS pr_len,
+        |  o_orderkey % 7 AS key_mod7
+        |FROM orders
+        |WHERE o_orderkey % 1000 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    // q58: list_* == array_*; min/max over VARCHAR is binary UTF-8
+    // order in both engines
+    "q58_array_funcs" ->
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |           FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_toks,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |  list_aggregate(toks, 'min') AS tok_min,
+        |  list_aggregate(toks, 'max') AS tok_max,
+        |  list_contains(toks, 'the') AS has_the
+        |FROM t
+        |ORDER BY doc_id""".stripMargin,
+    // q59: the streamed join must equal the batch self-join with the
+    // same two-sided time-range predicate
+    "q59_stream_stream_join" ->
+      """SELECT p.user_id AS user_id, COUNT(*) AS n_pairs,
+        |  COUNT(DISTINCT p.event_id) AS n_purchases
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND c.ts >= p.ts - INTERVAL 10 MINUTE
+        | AND c.ts <= p.ts
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |GROUP BY p.user_id
+        |ORDER BY user_id""".stripMargin,
+    // q60: q27's quantized-cosine oracle with the int8 rescale step
+    // inserted — round(x*127/maxabs) on exact integer inputs is one
+    // correctly-rounded double op, identical in both engines
+    "q60_knn_int8" ->
+      """WITH e AS (SELECT vec_id,
+        |             [CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) for x in embedding] AS v
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |        list_reduce([CAST(0 AS BIGINT)] + [abs(x) for x in v],
+        |          (a,b) -> greatest(a,b)) AS mx
+        |      FROM e),
+        |q8 AS (SELECT vec_id,
+        |         CASE WHEN mx = 0 THEN [CAST(0 AS BIGINT) for x in v]
+        |              ELSE [CAST(round(CAST(x AS DOUBLE)*127.0/CAST(mx AS DOUBLE)) AS BIGINT) for x in v]
+        |         END AS q
+        |       FROM m),
+        |n AS (SELECT vec_id, q,
+        |        list_reduce([CAST(0 AS BIGINT)] + [x*x for x in q], (a,b) -> a+b) AS n2
+        |      FROM q8),
+        |qs AS (SELECT vec_id AS qid, q AS qq, n2 AS qn2 FROM n WHERE vec_id % 100 = 0),
+        |d AS (SELECT qid, vec_id,
+        |        list_reduce([CAST(0 AS BIGINT)] + [qq[i]*q[i] for i in range(1, len(q)+1)],
+        |          (a,b) -> a+b) AS dot,
+        |        qn2, n2
+        |      FROM qs CROSS JOIN n WHERE vec_id != qid),
+        |c AS (SELECT qid AS query_id, vec_id,
+        |        CAST(dot AS DOUBLE)/sqrt(CAST(qn2 AS DOUBLE)*CAST(n2 AS DOUBLE)) AS cos
+        |      FROM d),
+        |r AS (SELECT query_id, vec_id, cos,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        |      FROM c)
+        |SELECT query_id, rnk, vec_id, round(cos, 6) AS cos
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
   )
 }

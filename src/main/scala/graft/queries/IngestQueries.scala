@@ -222,4 +222,47 @@ object IngestQueries {
     q.awaitTermination()
     spark.table(name).orderBy("hour", "event_type")
   }
+
+  /** q59: stream-stream inner join (SURVEY §2.10 — beyond the
+    * reference's processing-time-only model): purchases join clicks
+    * of the same user within the preceding 10 minutes. Watermarks on
+    * BOTH inputs plus the two-sided time-range predicate are what
+    * let Spark bound the join state — each side's buffered rows are
+    * evicted once the other side's watermark passes the range, so
+    * state stays O(window), not O(stream), at any scale. Inner-join
+    * results emit as matches arrive (append mode); the drained pairs
+    * are then batch-aggregated per user and must equal the
+    * equivalent batch self-join (the oracle).
+    */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val root = tmpDir("graft_ss_join")
+    events.write.mode("overwrite").parquet(s"$root/events")
+    def side(tpe: String) = spark.readStream.schema(events.schema)
+      .parquet(s"$root/events").filter(col("event_type") === tpe)
+    val clicks = side("click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = side("purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    val name = s"graft_ssjoin_${streamCounter.incrementAndGet()}"
+    val q = purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("click_ts") <= col("purchase_ts"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("purchase_id")).as("n_purchases"))
+      .orderBy(col("user_id"))
+  }
 }

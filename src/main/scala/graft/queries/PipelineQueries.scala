@@ -124,6 +124,19 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** q60: brute-force top-10 over int8-quantized vectors for the
+    * same query set — the compressed-domain ranking (8× smaller
+    * vector payload) an SQ index runs at 100 TB. Fully
+    * oracle-checked because the int8 codes are deterministic;
+    * recall@10 vs the exact q27 baseline is additionally pinned by
+    * unit test.
+    */
+  def knnInt8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    VectorSearch.int8TopK(emb, knnQueries(emb), k = 10)
+      .orderBy("query_id", "rnk")
+  }
+
   /** q29: per-label centroid cohesion stats. */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame =
     VectorSearch.labelCentroidStats(Tables.load(spark, dir, "embeddings"))

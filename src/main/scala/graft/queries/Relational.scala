@@ -316,6 +316,113 @@ object Relational {
       .orderBy(col("k_decile"))
   }
 
+  /** q54: GROUPING SETS — arbitrary subtotal combinations, the
+    * general form cube/rollup specialize (SURVEY §2.5). The chosen
+    * sets ((priority, status), (status), ()) are NOT a rollup prefix
+    * chain — (status) alone drops the leading key — so this exercises
+    * the set-list surface specifically. Like cube, Spark plans ONE
+    * Expand + partial aggregation pass: each input row fans out once
+    * per set before the map-side combine, so the scan count stays 1
+    * no matter how many sets are requested.
+    */
+  def groupingSetsSummary(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    o.groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        grouping_id().cast(LongType).as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast(DoubleType).as("total"))
+      .orderBy(col("gid"),
+        col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+  }
+
+  /** q55: generator/UDTF surface (SURVEY §2.11) — explode a split
+    * array into rows, then aggregate: corpus-wide token frequency
+    * top-25. The explode is Spark's built-in Generate operator
+    * (codegen'd, no UDTF interpreter); the count is a standard
+    * partial+final hash aggregation over the generated rows, and the
+    * top-25 plans as TakeOrderedAndProject — at 100 TB the only full
+    * shuffle is the per-token partial counts, not the exploded rows.
+    */
+  def tokenFrequency(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    d.select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(25)
+  }
+
+  /** q56: LEFT SEMI join (EXISTS) — customers with at least one
+    * urgent high-value order. Semi joins at scale beat the
+    * equivalent inner-join+distinct: the build side stores keys
+    * only, each probe row emits at most once, and no post-join
+    * dedup shuffle is needed. The order-side filter pushes below
+    * the join into the parquet scan.
+    */
+  def customersWithUrgentOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 350000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q57: scalar-function family sampler (SURVEY §2.9) — date parts
+    * (year/month/ISO day-of-week), string ops (split-index, lower,
+    * concat_ws, length), math (floor, modulo) in one row-level
+    * projection. All are codegen'd built-ins inside one
+    * WholeStageCodegen span over the scan — zero shuffles; the
+    * key-sampling filter pushes into the parquet scan. Cross-engine
+    * notes: Spark `weekday` is 0=Monday, DuckDB `isodow` 1=Monday,
+    * hence the +1; int-typed results are cast to long to match
+    * DuckDB's BIGINT function results bit-for-bit.
+    */
+  def scalarFunctionShowcase(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    o.filter(pmod(col("o_orderkey"), lit(1000)) === 0)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast(LongType).as("yr"),
+        month(col("o_orderdate")).cast(LongType).as("mo"),
+        (weekday(col("o_orderdate")) + 1).cast(LongType).as("iso_dow"),
+        element_at(split(col("o_orderpriority"), "-"), 2).as("pr_word"),
+        lower(col("o_orderstatus")).as("status_lc"),
+        concat_ws("#", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+        floor(col("o_totalprice")).cast(LongType).as("price_floor"),
+        length(col("o_orderpriority")).cast(LongType).as("pr_len"),
+        (col("o_orderkey") % 7).as("key_mod7"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** q58: array-function family (SURVEY §2.9) — per-document token
+    * array statistics via higher-order functions: filter (drop empty
+    * tokens), array_distinct, array_min/max (binary UTF-8 order in
+    * both engines), array_contains. Everything is per-row inside one
+    * codegen span; no shuffle at any scale. The repeated `toks`
+    * subtree is eliminated by codegen common-subexpression handling
+    * within the single projection.
+    */
+  def arrayFunctionShowcase(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    d.select(
+        col("doc_id"),
+        size(toks).cast(LongType).as("n_toks"),
+        size(array_distinct(toks)).cast(LongType).as("n_distinct"),
+        array_min(toks).as("tok_min"),
+        array_max(toks).as("tok_max"),
+        array_contains(toks, "the").as("has_the"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q16: event-time tumbling window aggregation (SURVEY §2.10 T5) —
     * batch form of the streaming windowed agg; 1-hour buckets.
     */

@@ -286,6 +286,28 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "near-dup must stay bucketed")
   }
 
+  test("int8 quantization: per-vector symmetric scale to [-127, 127]") {
+    val emb = Seq((0L, Seq(0.5f, -1.0f, 0.25f)), (1L, Seq(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = VectorSearch.preparedInt8(emb).orderBy("vec_id")
+      .collect().map(_.getSeq[Long](1))
+    // max |component| maps to ±127; 63.5 rounds half-away to 64
+    assert(q(0) == Seq(64L, -127L, 32L))
+    // zero vector quantizes to zeros, not a division error
+    assert(q(1) == Seq(0L, 0L, 0L))
+  }
+
+  test("int8TopK recall@10 vs the exact baseline on the fixture") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(pmod($"vec_id", lit(10)) === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = pairs(VectorSearch.bruteForceTopK(emb, q, 10))
+    val i8 = pairs(VectorSearch.int8TopK(emb, q, 10))
+    val recall = (brute intersect i8).size.toDouble / brute.size
+    assert(recall >= 0.9, s"int8 recall@10 = $recall")
+  }
+
   test("centroid count is bounded O(sqrt n), never a corpus fraction") {
     // auto mode: ~sqrt(n), clamped to [16, 65536]
     assert(VectorSearch.resolveNumCells(0, 2000L) == 45)

@@ -151,3 +151,74 @@ class TransformsSpec extends AnyFunSuite {
     assert(out.getString(2) == "[1,2]")
   }
 }
+
+/** q54-q58: grouping sets / generator / semi-join / scalar+array
+  * function families.
+  */
+class FunctionSurfaceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import graft.queries.Relational
+  val dir = "/root/testdata/sf0.001"
+
+  test("grouping sets output is exactly the union of its member groupings") {
+    val gs = Relational.groupingSetsSummary(spark, dir)
+    val o = Tables.load(spark, dir, "orders")
+    val nPairs = o.select("o_orderpriority", "o_orderstatus").distinct().count()
+    val nStatus = o.select("o_orderstatus").distinct().count()
+    // gid bitmask: 0 = both keys live, 2 = priority aggregated away,
+    // 3 = grand total (SQL-standard GROUPING() convention)
+    assert(gs.filter(col("gid") === 0).count() == nPairs)
+    assert(gs.filter(col("gid") === 2).count() == nStatus)
+    assert(gs.filter(col("gid") === 3).count() == 1)
+    assert(gs.count() == nPairs + nStatus + 1)
+    assert(gs.filter(col("gid") === 3).head().getAs[Long]("n_orders")
+      == o.count())
+  }
+
+  test("grouping sets plans one Expand pass, not one scan per set") {
+    val plan = Relational.groupingSetsSummary(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"))
+    assert("(?s)Scan parquet".r.findAllIn(plan).size == 1,
+      "each grouping set must NOT re-scan the table")
+  }
+
+  test("semi join emits each matching customer once, same as IN-subquery") {
+    val r = Relational.customersWithUrgentOrders(spark, dir)
+    assert(r.count() == r.select("c_custkey").distinct().count())
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 350000.0)
+    val expected = Tables.load(spark, dir, "customer")
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .select("c_custkey").distinct().count()
+    assert(r.count() == expected)
+  }
+
+  test("token frequency counts match a hand-computed corpus") {
+    import spark.implicits._
+    val docs = Seq("a b a", "b  c", "a").toDF("text")
+    val r = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").count()
+      .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+    // the double space in "b  c" must not yield an empty token
+    assert(r == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("scalar showcase: ISO day-of-week and split-index semantics") {
+    val r = Relational.scalarFunctionShowcase(spark, dir)
+    assert(r.filter(col("iso_dow") < 1 || col("iso_dow") > 7).count() == 0)
+    assert(r.filter(!col("pr_word").isin(
+      "URGENT", "HIGH", "MEDIUM", "NOT SPECIFIED", "LOW")).count() == 0)
+    assert(r.filter(col("key_mod7") < 0 || col("key_mod7") > 6).count() == 0)
+  }
+
+  test("array showcase invariants: distinct <= total, min <= max") {
+    val r = Relational.arrayFunctionShowcase(spark, dir)
+    assert(r.count() ==
+      Tables.load(spark, dir, "documents").count())
+    assert(r.filter(col("n_distinct") > col("n_toks")).count() == 0)
+    assert(r.filter(col("tok_min") > col("tok_max")).count() == 0)
+  }
+}

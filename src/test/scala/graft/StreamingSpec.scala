@@ -373,4 +373,24 @@ class StreamingAggSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(streamed == batch)
   }
+
+  test("stream-stream join equals the batch self-join") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.queries.IngestQueries.streamStreamJoin(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val ev = graft.Tables.load(spark, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("event_id").as("pid"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val batch = p.join(c, col("user_id") === col("cu") &&
+        col("cts") >= col("pts") - expr("INTERVAL 10 MINUTES") &&
+        col("cts") <= col("pts"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("pid")).as("n_purchases"))
+      .select("user_id", "n_pairs", "n_purchases")
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
