@@ -87,9 +87,22 @@ object Dedup {
             count(lit(1)).over(org.apache.spark.sql.expressions.Window
               .partitionBy("doc_id")))
       }
-    val a = capped.select(col("doc_id").as("doc_a"), col("n_sh").as("na"),
+    // Prune shingles with document frequency 1 BEFORE the self-join:
+    // they cannot produce a pair, and in real corpora they are the
+    // vast majority of the index (80-95%). The per-doc sizes na/nb
+    // were computed on the FULL index above, so the Jaccard ratio is
+    // unchanged — only dead join input is dropped. The window runs
+    // partitioned by shingle, which is exactly the self-join key, so
+    // the join below reuses the window's exchange+sort instead of
+    // re-shuffling both sides.
+    val paired = capped
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .filter(col("df") > 1)
+      .drop("df")
+    val a = paired.select(col("doc_id").as("doc_a"), col("n_sh").as("na"),
       col("shingle"))
-    val b = capped.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"),
+    val b = paired.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"),
       col("shingle"))
     a.join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
@@ -322,15 +335,20 @@ object Dedup {
       val nbrMin = edges
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node")).agg(min("label").as("nlabel"))
+      // convergence count rides the SAME job that materializes the
+      // new labels (observe fires during localCheckpoint) — one pass
+      // per iteration instead of a separate change-count join+scan
+      val obs = org.apache.spark.sql.Observation()
       val next = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"))
+        .observe(obs, count(when(col("label") =!= col("old"), 1L))
+          .as("changed"))
+        .select("node", "label")
         .localCheckpoint()
-      changed = next.alias("n")
-        .join(labels.select(col("node"), col("label").as("old")), "node")
-        .filter(col("label") =!= col("old")).count()
       labels = next
+      changed = obs.get("changed").asInstanceOf[Long]
       iter += 1
     }
     require(changed == 0,
