@@ -25,7 +25,8 @@ object SparkEntry {
   def benchExclude: Set[String] = Set(
     "q30_migrate_counts", "q31_csv_roundtrip",
     "q32_cdc_stream", "q33_stream_hourly", "q39_stream_sessions",
-    "q43_stream_dedup", "q51_stream_enrich", "q59_stream_stream_join")
+    "q43_stream_dedup", "q51_stream_enrich", "q59_stream_stream_join",
+    "q61_json_roundtrip")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -89,6 +90,8 @@ object SparkEntry {
     "q58_array_funcs"       -> Relational.arrayFunctionShowcase _,
     "q59_stream_stream_join" -> IngestQueries.streamStreamJoin _,
     "q60_knn_int8"          -> PipelineQueries.knnInt8 _,
+    "q61_json_roundtrip"    -> IngestQueries.jsonRoundtrip _,
+    "q62_range_frame"       -> Relational.trailingWindowStats _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -803,5 +806,21 @@ object SparkEntry {
         |      FROM c)
         |SELECT query_id, rnk, vec_id, round(cos, 6) AS cos
         |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    // q61: the JSON roundtrip must reproduce the parquet original
+    "q61_json_roundtrip" ->
+      """SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+        |  o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // q62: RANGE frame bounds in epoch microseconds (epoch_us ==
+    // unix_micros); decimal window-SUM cast to double, COUNT is
+    // BIGINT in both engines
+    "q62_range_frame" ->
+      """SELECT user_id, event_id, value,
+        |  COUNT(*) OVER w AS n_30m,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS v_30m
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
   )
 }

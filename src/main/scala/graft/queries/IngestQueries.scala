@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.cdc.ChangeFeed
 import graft.migrate.Migrator
-import graft.sources.CsvSource
+import graft.sources.{CsvSource, JsonSource}
 import graft.streaming.StreamingCdc
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -52,6 +52,22 @@ object IngestQueries {
     CsvSource.write(src, path)
     val sortedSchema = StructType(src.schema.fields.sortBy(_.name))
     CsvSource.read(spark, path, Some(sortedSchema)).orderBy("c_custkey")
+  }
+
+  /** q61: JSON-lines source/sink roundtrip (SURVEY §2.1/§2.2 —
+    * the batch face of the CDC envelope format): orders written as
+    * sorted-column JSON lines, read back with the explicit schema
+    * (typed single-pass scan — no inference pass), must equal the
+    * parquet original. Null handling differs from CSV: JSON omits
+    * null fields instead of writing '', so the roundtrip is
+    * type-faithful without the ''→NULL convention.
+    */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.load(spark, dir, "orders")
+    val path = tmpDir("graft_json")
+    JsonSource.write(src, path)
+    val sortedSchema = StructType(src.schema.fields.sortBy(_.name))
+    JsonSource.read(spark, path, Some(sortedSchema)).orderBy("o_orderkey")
   }
 
   /** q32: CDC final state through the STREAMING path — the change

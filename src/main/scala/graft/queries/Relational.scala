@@ -423,6 +423,27 @@ object Relational {
       .orderBy(col("doc_id"))
   }
 
+  /** q62: RANGE-frame window (SURVEY §2.6) — per-user trailing
+    * 30-minute event count and value sum. RANGE frames differ from
+    * ROWS frames on tied order keys: all peers share one frame, so
+    * the result is deterministic even with duplicate timestamps
+    * (a ROWS frame over ties would depend on physical row order).
+    * The frame bound is in epoch microseconds — `unix_micros` ==
+    * DuckDB `epoch_us` bit-for-bit under UTC. One shuffle on
+    * user_id; the frame scan is a single sorted pass per partition
+    * with a sliding accumulator, not a per-row rescan.
+    */
+  def trailingWindowStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts").cast(TimestampType)))
+      .rangeBetween(-30L * 60 * 1000000, Window.currentRow)
+    e.select(col("user_id"), col("event_id"), col("value"),
+        count(lit(1)).over(w).as("n_30m"),
+        sum(dec2(col("value"))).over(w).cast(DoubleType).as("v_30m"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** q16: event-time tumbling window aggregation (SURVEY §2.10 T5) —
     * batch form of the streaming windowed agg; 1-hour buckets.
     */

@@ -97,6 +97,25 @@ class CsvSourceSpec extends AnyFunSuite {
     val b = back.orderBy("n_nationkey").collect()
     assert(a.sameElements(b))
   }
+
+  test("JSON lines round-trip is type-faithful including nulls and timestamps") {
+    import graft.sources.JsonSource
+    val dir = Files.createTempDirectory("graft_jsonrt").toString
+    val df = Seq(
+        (1L, Some("x"), Some(java.sql.Timestamp.valueOf("2024-03-01 10:30:00")), 1.5),
+        (2L, None, None, -2.25))
+      .toDF("id", "s", "ts", "v")
+    JsonSource.write(df, dir)
+    val schema = StructType(df.schema.fields.sortBy(_.name))
+    val back = JsonSource.read(spark, dir, Some(schema)).orderBy("id")
+    assert(back.columns.toSeq == Seq("id", "s", "ts", "v"))
+    val rows = back.collect()
+    assert(rows(0).getAs[java.sql.Timestamp]("ts")
+      == java.sql.Timestamp.valueOf("2024-03-01 10:30:00"))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("s")))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("ts")))
+    assert(rows.map(_.getAs[Double]("v")).toSeq == Seq(1.5, -2.25))
+  }
 }
 
 class MigratorSpec extends AnyFunSuite {

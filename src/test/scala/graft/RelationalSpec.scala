@@ -214,6 +214,21 @@ class FunctionSurfaceSpec extends AnyFunSuite {
     assert(r.filter(col("key_mod7") < 0 || col("key_mod7") > 6).count() == 0)
   }
 
+  test("RANGE frame shares one frame across tied order keys (unlike ROWS)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // two events at the same instant: RANGE gives both the full peer
+    // frame (n=2 for each); a ROWS frame would give 1 then 2
+    val df = Seq((1L, 1000000L), (1L, 1000000L), (1L, 5000000000L))
+      .toDF("user_id", "us")
+    val range = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-1800000000L, Window.currentRow)
+    val r = df.select(col("us"), count(lit(1)).over(range).as("n"))
+      .orderBy("us").collect().map(_.getLong(1))
+    assert(r.toSeq == Seq(2L, 2L, 1L),
+      "peers must share a frame; far row must fall outside the range")
+  }
+
   test("array showcase invariants: distinct <= total, min <= max") {
     val r = Relational.arrayFunctionShowcase(spark, dir)
     assert(r.count() ==
