@@ -92,6 +92,7 @@ object SparkEntry {
     "q60_knn_int8"          -> PipelineQueries.knnInt8 _,
     "q61_json_roundtrip"    -> IngestQueries.jsonRoundtrip _,
     "q62_range_frame"       -> Relational.trailingWindowStats _,
+    "q63_udaf_weighted_mean" -> Relational.weightedAvgPrice _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -822,5 +823,16 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+    // q63: the UDAF's exact-decimal sums == SQL decimal sums; one
+    // final double division on each side
+    "q63_udaf_weighted_mean" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS wavg_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -50,7 +50,20 @@ object GraftExtensions {
     "graft_quantdot" -> arity("graft_quantdot", 2, args =>
       QuantDot(args.head, args(1))))
 
-  /** Register on an existing session (temp functions). */
-  def register(spark: SparkSession): Unit =
+  /** Register on an existing session (temp functions + UDAFs). */
+  def register(spark: SparkSession): Unit = {
     GraftFunctionRegistrar.register(spark, builders)
+    registerUdafs(spark)
+  }
+
+  /** UDAFs go through the udf registry (a different mechanism than
+    * expression injection — Aggregators carry their own encoders).
+    * Registered: graft_weighted_mean(v DECIMAL, w DECIMAL) → DOUBLE.
+    */
+  def registerUdafs(spark: SparkSession): Unit = {
+    implicit val inEnc: org.apache.spark.sql.Encoder[graft.functions.WeightedMean.In] =
+      org.apache.spark.sql.Encoders.product[graft.functions.WeightedMean.In]
+    spark.udf.register("graft_weighted_mean",
+      org.apache.spark.sql.functions.udaf(graft.functions.WeightedMean))
+  }
 }

@@ -444,6 +444,26 @@ object Relational {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** q63: typed UDAF (SURVEY §2.11) — quantity-weighted mean price
+    * per return flag through a custom `Aggregator[In, Acc, Double]`
+    * (graft.functions.WeightedMean). An Aggregator compiles to a
+    * regular two-phase aggregate: only per-group (Σvw, Σw) buffers
+    * shuffle, never rows — the UDAF costs the same plan shape as a
+    * built-in. Buffers are exact BigDecimal (associative +
+    * commutative), so partial-aggregation order cannot perturb the
+    * result; inputs are pre-cast to DECIMAL(12,2) so the one
+    * double→decimal rounding happens in Catalyst, mirroring the
+    * oracle.
+    */
+  def weightedAvgPrice(spark: SparkSession, dir: String): DataFrame = {
+    val wm = udaf(graft.functions.WeightedMean)
+    val li = Tables.load(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(wm(dec2(col("l_extendedprice")), dec2(col("l_quantity")))
+        .as("wavg_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** q16: event-time tumbling window aggregation (SURVEY §2.10 T5) —
     * batch form of the streaming windowed agg; 1-hour buckets.
     */

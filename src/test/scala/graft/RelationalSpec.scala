@@ -55,6 +55,31 @@ class RelationalSpec extends AnyFunSuite {
       .isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
   }
 
+  test("weighted-mean UDAF: hand value, SQL registration, partial-agg plan") {
+    import spark.implicits._
+    graft.app.GraftExtensions.register(spark)
+    // (10·1 + 20·3) / 4 = 17.5
+    Seq((1, 10.0, 1.0), (1, 20.0, 3.0)).toDF("g", "v", "w")
+      .createOrReplaceTempView("wm_in")
+    val r = spark.sql(
+      """SELECT graft_weighted_mean(CAST(v AS DECIMAL(12,2)),
+        |  CAST(w AS DECIMAL(12,2))) AS m FROM wm_in GROUP BY g""".stripMargin)
+      .head().getDouble(0)
+    assert(r == 17.5)
+    // empty group never occurs, but a zero-weight group is NaN not a crash
+    val wm = udaf(graft.functions.WeightedMean)
+    val z = Seq((1, 5.0, 0.0)).toDF("g", "v", "w")
+      .select(wm(col("v").cast("decimal(12,2)"),
+        col("w").cast("decimal(12,2)")).as("m"))
+      .head().getDouble(0)
+    assert(z.isNaN)
+    // the Aggregator plans as a two-phase aggregate (map-side combine)
+    val plan = graft.queries.Relational.weightedAvgPrice(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_weightedmean"),
+      s"expected a map-side partial aggregation phase in:\n$plan")
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
