@@ -17,12 +17,28 @@ import org.apache.spark.sql.functions._
   */
 object Profiler {
 
-  def profile(df: DataFrame): DataFrame = {
+  def profile(df: DataFrame): DataFrame =
+    profileWith(df, c => countDistinct(col(c)))
+
+  /** The 100-TB form of [[profile]]: distinct counts via
+    * `approx_count_distinct` (HyperLogLog++, relative error `rsd`).
+    * Exact multi-column COUNT(DISTINCT) expands every row once per
+    * profiled column before the shuffle — a columns× blow-up of 100 TB
+    * — while the HLL sketch is a fixed few-KB buffer per column
+    * merged map-side, so the whole profile stays one narrow pass no
+    * matter the cardinality. Same output schema as [[profile]];
+    * n_distinct carries the documented ±rsd error.
+    */
+  def approxProfile(df: DataFrame, rsd: Double = 0.05): DataFrame =
+    profileWith(df, c => approx_count_distinct(col(c), rsd))
+
+  private def profileWith(df: DataFrame,
+      distinctAgg: String => org.apache.spark.sql.Column): DataFrame = {
     val cols = df.columns.toSeq
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"__nn_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"),
+        distinctAgg(c).as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__mn_$c"),
         max(col(c)).cast("string").as(s"__mx_$c"))
     }
@@ -68,6 +84,33 @@ object Profiler {
         lit(c).as("col_name") +:
         ps.zipWithIndex.map { case (p, i) =>
           col(s"__ps_$c").getItem(i).as(tag(p))
+        }: _*)
+    }
+    total.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** The 100-TB form of [[numericPercentiles]]:
+    * `approx_percentile` (a rank-error-bounded quantile sketch).
+    * Exact `percentile` buffers every value of every profiled column
+    * per partition; the sketch is a bounded buffer of ~`accuracy`
+    * entries per column regardless of row count, merged map-side.
+    * Guarantee is on RANK (within 1/accuracy of the requested
+    * quantile position), not value — the right contract for audit
+    * dashboards; keep the exact form where values feed decisions.
+    */
+  def approxNumericPercentiles(df: DataFrame, cols: Seq[String],
+      ps: Seq[Double] = Seq(0.5, 0.95), accuracy: Int = 10000): DataFrame = {
+    def tag(p: Double): String = "p" + (p * 100).round.toString
+    val aggs = cols.map { c =>
+      percentile_approx(col(c), array(ps.map(lit): _*), lit(accuracy))
+        .as(s"__ps_$c")
+    }
+    val total = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("col_name") +:
+        ps.zipWithIndex.map { case (p, i) =>
+          col(s"__ps_$c").getItem(i).cast("double").as(tag(p))
         }: _*)
     }
     total.select(explode(array(rows: _*)).as("p")).select("p.*")

@@ -367,6 +367,42 @@ class ProfilerPercentileSpec extends AnyFunSuite {
     assert(r.getString(0) == "v")
     assert(r.getDouble(1) == 3.0 && math.abs(r.getDouble(2) - 4.8) < 1e-12)
   }
+
+  test("approxProfile tracks the exact profile within the HLL error bound") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def byCol(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val exact = byCol(graft.ops.Profiler.profile(docs))
+    val approx = byCol(graft.ops.Profiler.approxProfile(docs, rsd = 0.02))
+    exact.foreach { case (c, (n, nulls, nd)) =>
+      val (an, anulls, and) = approx(c)
+      // row/null counts are exact in both forms; only n_distinct
+      // carries sketch error
+      assert(an == n && anulls == nulls)
+      assert(math.abs(and - nd) <= math.max(1, (nd * 0.06).toLong),
+        s"$c: approx $and vs exact $nd")
+    }
+  }
+
+  test("approxNumericPercentiles stays within rank error of exact") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_quantity", "l_extendedprice")
+    val exact = graft.ops.Profiler
+      .numericPercentiles(li, Seq("l_quantity", "l_extendedprice"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = graft.ops.Profiler
+      .approxNumericPercentiles(li, Seq("l_quantity", "l_extendedprice"),
+        accuracy = 10000)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (c, (p50, p95)) =>
+      val (a50, a95) = approx(c)
+      // rank-error contract: the sketch answer must sit within a few
+      // percent of the exact value on these smooth distributions
+      assert(math.abs(a50 - p50) <= math.abs(p50) * 0.05 + 1e-9, s"$c p50")
+      assert(math.abs(a95 - p95) <= math.abs(p95) * 0.05 + 1e-9, s"$c p95")
+    }
+  }
 }
 
 class SkewJoinSpec extends AnyFunSuite {

@@ -28,7 +28,14 @@ class TableSinkSpec extends AnyFunSuite {
     val pruned = back.filter(col("o_orderdate_month") === 199701)
     val plan = pruned.queryExecution.executedPlan.toString
     assert(back.drop("o_orderdate_month").columns.sameElements(src.columns))
-    assert(plan.contains("PartitionFilters") || pruned.count() >= 0)
+    // pruning must be real: the month predicate lands in
+    // PartitionFilters (directory-level skip — the scan never opens
+    // other months' files), not in the row-level data filters
+    assert("PartitionFilters: \\[[^\\]]*o_orderdate_month".r
+      .findFirstIn(plan).isDefined, s"month filter not pruned in:\n$plan")
+    assert(pruned.count() ==
+      src.filter(year(col("o_orderdate")) * 100 + month(col("o_orderdate"))
+        === 199701).count())
   }
 
   test("tables without a date column write unpartitioned") {
