@@ -93,6 +93,7 @@ object SparkEntry {
     "q61_json_roundtrip"    -> IngestQueries.jsonRoundtrip _,
     "q62_range_frame"       -> Relational.trailingWindowStats _,
     "q63_udaf_weighted_mean" -> Relational.weightedAvgPrice _,
+    "q64_skew_join"         -> Relational.skewJoinRevenue _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -834,5 +835,14 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // q64: the salted join must equal the plain join — salting is a
+    // physical rebalance with no semantic effect
+    "q64_skew_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
   )
 }

@@ -464,6 +464,32 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q64: skew-mitigated join (SURVEY §2.4 at 100 TB) — the revenue
+    * join routed through ops/SkewJoin.saltedJoin: the 100 heaviest
+    * order keys are salted across 8 sub-keys (their matching order
+    * rows replicated 8×), cold keys join 1:1 untouched. The result
+    * is IDENTICAL to the plain join — the oracle is the plain SQL
+    * join — which is the point: salting is a physical rebalance, not
+    * a semantic change. On the uniform fixture this costs a little
+    * (hot-key discovery + replication); on a power-law 100-TB key it
+    * converts one straggler reducer into 8 parallel ones.
+    */
+  def skewJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), dec2(col("l_extendedprice")).as("price"))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val hot = li.groupBy("l_orderkey").count()
+      .orderBy(col("count").desc, col("l_orderkey")).limit(100)
+      .select("l_orderkey")
+    graft.ops.SkewJoin.saltedJoin(li, o, Seq("l_orderkey"), hot,
+        saltFactor = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("price")).cast(DoubleType).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** q16: event-time tumbling window aggregation (SURVEY §2.10 T5) —
     * batch form of the streaming windowed agg; 1-hour buckets.
     */

@@ -76,6 +76,40 @@ class StreamingCdcSpec extends AnyFunSuite {
       "resumed stream must land on the full batch-replay state")
   }
 
+  test("state schema evolves: column added across restarts, old rows read null") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_scdc_evo").toString
+    // phase 1: feed schema (id, ver, a)
+    val f1 = Seq((1L, 1L, "x", "insert"), (2L, 1L, "y", "insert"))
+      .toDF("id", "ver", "a", "op")
+    f1.coalesce(1).write.mode("append").parquet(s"$root/feed1")
+    StreamingCdc.start(
+        spark.readStream.schema(f1.schema).parquet(s"$root/feed1"),
+        s"$root/state", s"$root/ckpt1", Seq("id"), Seq("ver"))
+      .awaitTermination()
+    // "schema migration": the restarted feed carries a new column b.
+    // The state template follows the batch schema, and parquet reads
+    // of the old buckets surface the missing column as NULL — no
+    // rewrite of historical state is needed.
+    val f2 = Seq((2L, 2L, "y2", "fresh", "update"),
+        (3L, 1L, "z", "new", "insert"))
+      .toDF("id", "ver", "a", "b", "op")
+    f2.coalesce(1).write.mode("append").parquet(s"$root/feed2")
+    StreamingCdc.start(
+        spark.readStream.schema(f2.schema).parquet(s"$root/feed2"),
+        s"$root/state", s"$root/ckpt2", Seq("id"), Seq("ver"))
+      .awaitTermination()
+    val state = StreamingCdc.currentState(spark, s"$root/state",
+        f2.drop("op")).orderBy("id").collect()
+    assert(state.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(state(0).isNullAt(state(0).fieldIndex("b")),
+      "pre-evolution row must read the new column as null")
+    assert(state(1).getAs[String]("b") == "fresh",
+      "updated row must carry the new column")
+    assert(state(2).getAs[String]("b") == "new")
+    assert(state(1).getAs[String]("a") == "y2")
+  }
+
   test("multiplexed pump routes tables into independent states (T2)") {
     val root = Files.createTempDirectory("graft_scdc_mux").toString
     // two logical tables multiplexed on one feed, split by user parity
