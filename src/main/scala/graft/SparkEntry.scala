@@ -94,6 +94,7 @@ object SparkEntry {
     "q62_range_frame"       -> Relational.trailingWindowStats _,
     "q63_udaf_weighted_mean" -> Relational.weightedAvgPrice _,
     "q64_skew_join"         -> Relational.skewJoinRevenue _,
+    "q65_funnel"            -> TemporalQueries.funnelDepth _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -844,5 +845,27 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // q65: stage timestamps compared as epoch_us integers; depth from
+    // the same strictly-after chain
+    "q65_funnel" ->
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS view_us
+        |           FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS click_us
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.view_us
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS purchase_us
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.click_us
+        |      GROUP BY e.user_id)
+        |SELECT v.user_id,
+        |  CAST(CASE WHEN p.purchase_us IS NOT NULL THEN 3
+        |            WHEN c.click_us IS NOT NULL THEN 2
+        |            ELSE 1 END AS BIGINT) AS depth,
+        |  v.view_us, c.click_us, p.purchase_us
+        |FROM v
+        |LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
   )
 }

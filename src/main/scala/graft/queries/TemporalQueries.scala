@@ -26,6 +26,45 @@ object TemporalQueries {
       .orderBy("user_id")
   }
 
+  /** q65: sequence funnel (ClickHouse windowFunnel re-expressed
+    * Spark-first) — per user, the earliest strictly-ordered
+    * view → click → purchase chain, reported as the reached depth
+    * plus the stage timestamps in epoch µs (exact integers — no
+    * timestamp rendering ambiguity across engines).
+    *
+    * Shape: one aggregation per funnel stage, each keyed on user_id;
+    * every stage joins the (user-keyed) previous frontier and
+    * min-aggregates the next event time. All three shuffles hash the
+    * SAME key, so Catalyst reuses the partitioning across stages —
+    * the plan is a chain of co-partitioned joins+aggs, never a
+    * per-user sort of the whole event stream, and never a stateful
+    * row-by-row scan like the native windowFunnel (which must see
+    * each user's events in time order on one node).
+    */
+  def funnelDepth(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+    def stage(of: String, after: DataFrame, afterCol: String): DataFrame =
+      ev.filter(col("event_type") === of)
+        .join(after, "user_id")
+        .filter(col("us") > col(afterCol))
+        .groupBy("user_id").agg(min(col("us")).as(s"${of}_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("view_us"))
+    val clicks = stage("click", views, "view_us")
+    val purchases = stage("purchase", clicks, "click_us")
+    views
+      .join(clicks, Seq("user_id"), "left")
+      .join(purchases, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("purchase_us").isNotNull, 3)
+          .when(col("click_us").isNotNull, 2)
+          .otherwise(1).cast("long").as("depth"),
+        col("view_us"), col("click_us"), col("purchase_us"))
+      .orderBy(col("user_id"))
+  }
+
   /** q37: backward as-of join — each event matched to the user's
     * latest order at or before the event time. The right side is
     * pre-deduplicated to one order per (customer, timestamp) so tie

@@ -85,3 +85,29 @@ class SessionizeSpec extends AnyFunSuite {
     assert(out == Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L)))
   }
 }
+
+class FunnelSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("funnel requires strictly-ordered stages and reports partial depth") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    // u1: full chain; u2: click BEFORE first view (doesn't count) and
+    // no later click → depth 1; u3: view+click, purchase before click
+    // (doesn't count) → depth 2; u4: no view at all → absent
+    val rows = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(5)), (1L, "purchase", ts(9)),
+      (2L, "click", ts(0)), (2L, "view", ts(3)),
+      (3L, "purchase", ts(1)), (3L, "view", ts(2)), (3L, "click", ts(4)),
+      (4L, "purchase", ts(0)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    rows.toDF("user_id", "event_type", "ts")
+      .withColumn("event_id", col("user_id"))
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.queries.TemporalQueries.funnelDepth(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(r == Seq((1L, 3L), (2L, 1L), (3L, 2L)))
+  }
+}
