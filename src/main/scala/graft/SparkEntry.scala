@@ -95,6 +95,8 @@ object SparkEntry {
     "q63_udaf_weighted_mean" -> Relational.weightedAvgPrice _,
     "q64_skew_join"         -> Relational.skewJoinRevenue _,
     "q65_funnel"            -> TemporalQueries.funnelDepth _,
+    "q66_lag_lead"          -> Relational.interEventGaps _,
+    "q67_group_percentiles" -> Relational.groupedPercentiles _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -867,5 +869,22 @@ object SparkEntry {
         |LEFT JOIN c ON v.user_id = c.user_id
         |LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+    // q66: lag/lead over epoch-µs integers — exact in both engines
+    "q66_lag_lead" ->
+      """SELECT user_id, event_id, event_type,
+        |  epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w AS gap_us,
+        |  LEAD(event_type, 1) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    // q67: grouped quantile_cont == Spark percentile (q45's parity,
+    // per group)
+    "q67_group_percentiles" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.95) AS p95
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
   )
 }

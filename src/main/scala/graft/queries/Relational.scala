@@ -490,6 +490,44 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** q66: lag/lead analytics (SURVEY §2.6) — per-user inter-event
+    * gap (lag) and next event type (lead) in one window pass. Both
+    * functions share a single (partition, order) spec, so Spark
+    * evaluates them in ONE sorted scan per user partition — adding
+    * analytic columns to an existing window is free; a second
+    * differing window spec would cost another sort. Timestamps are
+    * differenced as epoch µs integers (exact in both engines).
+    */
+  def interEventGaps(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    val us = unix_micros(col("ts").cast(TimestampType))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(us, col("event_id"))
+    e.select(col("user_id"), col("event_id"), col("event_type"),
+        (us - lag(us, 1).over(w)).as("gap_us"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** q67: grouped exact percentiles (SURVEY §2.5/§2.6) — median and
+    * p95 of the event value per event type. Unlike q45's whole-table
+    * profile, the percentile here is a grouped aggregate: each
+    * group's values are buffered and ranked within its partial
+    * aggregation — one shuffle on the group key, no global sort.
+    * Interpolation (index p·(n−1), linear in doubles) matches
+    * DuckDB's quantile_cont bit-for-bit — same sorted values, same
+    * two IEEE ops (q45 established this for the whole-table form).
+    */
+  def groupedPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "events")
+    e.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.95)).as("p95"))
+      .orderBy(col("event_type"))
+  }
+
   /** q16: event-time tumbling window aggregation (SURVEY §2.10 T5) —
     * batch form of the streaming windowed agg; 1-hour buckets.
     */
