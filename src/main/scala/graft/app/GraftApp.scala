@@ -29,6 +29,8 @@ object GraftApp {
       whereClauses: Map[String, String] = Map.empty, // --src-tables-where-clauses
       catalogCsv: Option[String] = None,    // INFORMATION_SCHEMA fixture
       createTableSql: Boolean = false,      // --create-table-sql
+      createTableTemplate: Boolean = false, // --create-table-sql-template
+      dstCreateTable: Boolean = false,      // --dst-create-table
       migrateTable: Boolean = false,        // --migrate-table
       csvExport: Boolean = false,           // --csvpool-style CSV spill
       pumpData: Boolean = false,            // --pump-data
@@ -40,6 +42,8 @@ object GraftApp {
 
   final case class Result(
       ddl: Seq[String] = Nil,
+      templates: Seq[String] = Nil,
+      createdTables: Seq[String] = Nil,
       migrations: Seq[Migrator.TableMigration] = Nil,
       csvDirs: Seq[String] = Nil,
       pumpedStateDir: Option[String] = None)
@@ -76,16 +80,37 @@ object GraftApp {
     val tables = resolveAgainst(c, catalog)
     val spec = Migrator.Spec(c.columnSkip, c.whereClauses)
 
+    def schemaFor(t: String) = catalog match {
+      case Some(cat) => CatalogReader.schemaOf(cat, t,
+        c.columnSkip.getOrElse(t, Nil).toSet, chCompat = true)
+      case None => Migrator.transformed(spark, c.srcDir, t, spec).schema
+    }
+
     val ddl: Seq[String] =
       if (!c.createTableSql) Nil
       else DdlBuilder.createDatabase(c.db) +: tables.flatMap { t =>
-        val schema = catalog match {
-          case Some(cat) => CatalogReader.schemaOf(cat, t,
-            c.columnSkip.getOrElse(t, Nil).toSet, chCompat = true)
-          case None => Migrator.transformed(spark, c.srcDir, t, spec).schema
-        }
+        val schema = schemaFor(t)
         Seq(DdlBuilder.createTableSpark(c.db, t, schema),
           DdlBuilder.createTableClickHouse(c.db, t, schema))
+      }
+
+    // --create-table-sql-template (D1): placeholder DDL for manual
+    // editing (tablesqlbuilder.py:78-106)
+    val templates: Seq[String] =
+      if (!c.createTableTemplate) Nil
+      else tables.map(t => DdlBuilder.createTableTemplate(c.db, t, schemaFor(t)))
+
+    // --dst-create-table (D5 first half, tablemigrator.py:121-152):
+    // EXECUTE the Spark-dialect DDL against the session catalog so
+    // the destination tables exist before any migration runs
+    val createdTables: Seq[String] =
+      if (!c.dstCreateTable) Nil
+      else {
+        spark.sql(DdlBuilder.createDatabase(c.db))
+        tables.map { t =>
+          spark.sql(DdlBuilder.createTableSpark(c.db, t, schemaFor(t)))
+          s"${c.db}.$t"
+        }
       }
 
     val migrations =
@@ -147,14 +172,15 @@ object GraftApp {
         Some(stateDir)
       }
 
-    Result(ddl, migrations, csvDirs, pumped)
+    Result(ddl, templates, createdTables, migrations, csvDirs, pumped)
   }
 
   private val KnownOptions = Set("src-dir", "dst-dir", "dst-schema",
     "src-tables", "src-tables-prefixes", "column-skip",
     "src-tables-where-clauses", "catalog-csv", "nice-pause",
     "debezium-feed", "pk")
-  private val KnownFlags = Set("create-table-sql", "migrate-table",
+  private val KnownFlags = Set("create-table-sql",
+    "create-table-sql-template", "dst-create-table", "migrate-table",
     "csvpool", "pump-data", "src-wait")
 
   /** Minimal CLI: `--flag` booleans and `--key=value` options with
@@ -201,6 +227,8 @@ object GraftApp {
       pk = kv.get("pk").map(_.split(",").toSeq.filter(_.nonEmpty))
         .getOrElse(Seq("user_id")),
       createTableSql = flags("create-table-sql"),
+      createTableTemplate = flags("create-table-sql-template"),
+      dstCreateTable = flags("dst-create-table"),
       migrateTable = flags("migrate-table"),
       csvExport = flags("csvpool"),
       pumpData = flags("pump-data"),

@@ -240,6 +240,25 @@ class GraftAppSpec extends AnyFunSuite {
     assert(r.ddl.head.startsWith("CREATE DATABASE"))
   }
 
+  test("template mode emits placeholder DDL; dst-create-table executes it") {
+    val run = System.nanoTime()
+    val r = GraftApp.run(spark, GraftApp.Config(
+      srcDir = dir, dstDir = Files.createTempDirectory("graft_app_t").toString,
+      db = s"graft_dst_$run", tables = Seq("region"),
+      createTableTemplate = true, dstCreateTable = true))
+    // D1: the template keeps the manual-edit placeholder
+    assert(r.templates.length == 1)
+    assert(r.templates.head.contains("<PRIMARY_DATE_FIELD>") ||
+      r.templates.head.contains("PARTITION BY"))
+    // D5 first half: the table now EXISTS in the session catalog
+    assert(r.createdTables == Seq(s"graft_dst_$run.region"))
+    assert(spark.catalog.tableExists(s"graft_dst_$run", "region"))
+    // parse() accepts the reference-named flags
+    val c = GraftApp.parse(Seq(s"--src-dir=$dir",
+      "--create-table-sql-template", "--dst-create-table"))
+    assert(c.createTableTemplate && c.dstCreateTable)
+  }
+
   test("migrate mode migrates the resolved work list") {
     val dst = Files.createTempDirectory("graft_app2").toString
     val r = GraftApp.run(spark, GraftApp.Config(
