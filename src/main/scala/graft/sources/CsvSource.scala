@@ -36,6 +36,62 @@ object CsvSource {
     schema.fold(r.option("inferSchema", true))(s => r.schema(s)).csv(path)
   }
 
+  /** Sniff the CSV dialect from the first ~1 KiB, the reference's
+    * `csv.Sniffer` move (reader/csvreader.py:32-37): delimiter =
+    * the candidate splitting the first line into the most fields
+    * (consistently with the second line); header = some column
+    * whose second-row cell is numeric while the first-row cell is
+    * not. Returns (delimiter, hasHeader).
+    *
+    * Driver-side by design: it opens ONE file and reads ~1 KiB —
+    * exploration/onboarding only. Production readers pass explicit
+    * options + schema (one typed pass, no sampling).
+    */
+  def sniff(spark: SparkSession, path: String,
+      sampleBytes: Int = 1024): (String, Boolean) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .sortBy(_.getName).headOption
+          .getOrElse(throw new java.io.FileNotFoundException(s"no files in $path"))
+      else p
+    val in = fs.open(file)
+    val buf = new Array[Byte](sampleBytes)
+    val n = try in.read(buf, 0, sampleBytes) finally in.close()
+    val sample = new String(buf, 0, math.max(n, 0),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val lines = sample.split("\r?\n").filter(_.nonEmpty).take(2)
+    require(lines.nonEmpty, s"cannot sniff an empty file: $file")
+    val candidates = Seq(",", ";", "\t", "|")
+    val delimiter = candidates.maxBy { d =>
+      val c1 = lines(0).split(java.util.regex.Pattern.quote(d), -1).length
+      val c2 = if (lines.length > 1)
+        lines(1).split(java.util.regex.Pattern.quote(d), -1).length else c1
+      // reward many fields, require the two lines to agree
+      if (c1 == c2) c1 else 0
+    }
+    def numeric(s: String) = s.nonEmpty &&
+      scala.util.Try(s.trim.toDouble).isSuccess
+    val hasHeader = lines.length > 1 && {
+      val h = lines(0).split(java.util.regex.Pattern.quote(delimiter), -1)
+      val r = lines(1).split(java.util.regex.Pattern.quote(delimiter), -1)
+      h.zip(r).exists { case (hc, rc) => !numeric(hc) && numeric(rc) }
+    }
+    (delimiter, hasHeader)
+  }
+
+  /** Read with a sniffed dialect — the reference's zero-config CSV
+    * open. Schema inference included (this is the exploration path;
+    * see [[sniff]] for the production contract).
+    */
+  def readSniffed(spark: SparkSession, path: String): DataFrame = {
+    val (delimiter, header) = sniff(spark, path)
+    read(spark, path, schema = None, header = header, delimiter = delimiter)
+  }
+
   /** Write as CSV: header, lexicographically sorted columns
     * (csvwriter.py:122), NULL as empty string, timestamps in the
     * reference's '%Y-%m-%d %H:%M:%S' shape. Non-scalar columns must

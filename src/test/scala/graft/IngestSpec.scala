@@ -98,6 +98,26 @@ class CsvSourceSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("dialect sniffing detects delimiter and header like the reference") {
+    val dir = Files.createTempDirectory("graft_sniff").toString
+    def put(name: String, text: String): String = {
+      val p = java.nio.file.Paths.get(dir, name)
+      java.nio.file.Files.write(p, text.getBytes("UTF-8"))
+      p.toString
+    }
+    // semicolon + header
+    val semi = put("a.csv", "id;name;price\n1;widget;9.50\n2;bolt;0.25\n")
+    assert(CsvSource.sniff(spark, semi) == (";", true))
+    // tab + no header (numbers in both rows)
+    val tab = put("b.csv", "1\tx\t2.5\n2\ty\t3.5\n")
+    assert(CsvSource.sniff(spark, tab) == ("\t", false))
+    // comma + header, and readSniffed parses a directory end-to-end
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, "c"))
+    put("c/part-0.csv", "k,v\n1,a\n2,b\n")
+    val back = CsvSource.readSniffed(spark, s"$dir/c")
+    assert(back.columns.toSeq == Seq("k", "v") && back.count() == 2)
+  }
+
   test("JSON lines round-trip is type-faithful including nulls and timestamps") {
     import graft.sources.JsonSource
     val dir = Files.createTempDirectory("graft_jsonrt").toString
