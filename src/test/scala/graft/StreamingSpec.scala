@@ -408,6 +408,30 @@ class StreamingAggSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("dropDuplicatesWithinWatermark dedups replays inside the horizon") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val spark0 = spark
+    val events = graft.Tables.load(spark0, dir, "events").limit(200)
+    val root = Files.createTempDirectory("graft_ddww").toString
+    // the same 200 events written twice = an at-least-once replay
+    events.coalesce(1).write.mode("append").parquet(s"$root/feed")
+    events.coalesce(1).write.mode("append").parquet(s"$root/feed")
+    val name = s"graft_ddww_${System.nanoTime()}"
+    val q = spark0.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/feed")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the duplicate file's rows were all within the watermark horizon
+    // of the originals → exactly one survivor per event_id
+    assert(spark0.table(name).count() == events.count())
+    assert(spark0.table(name).select("event_id").distinct().count()
+      == events.count())
+  }
+
   test("stream-stream join equals the batch self-join") {
     import org.apache.spark.sql.functions._
     val streamed = graft.queries.IngestQueries.streamStreamJoin(spark, dir)
