@@ -50,9 +50,14 @@ object TemporalQueries {
         .join(after, "user_id")
         .filter(col("us") > col(afterCol))
         .groupBy("user_id").agg(min(col("us")).as(s"${of}_us"))
+    // each frontier is referenced by BOTH the next stage and the
+    // final join — materialize (user-count-sized frames) or Catalyst
+    // re-evaluates the whole upstream chain per reference, re-scanning
+    // events 6× instead of 3× (once per stage)
     val views = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min(col("us")).as("view_us"))
-    val clicks = stage("click", views, "view_us")
+      .localCheckpoint()
+    val clicks = stage("click", views, "view_us").localCheckpoint()
     val purchases = stage("purchase", clicks, "click_us")
     views
       .join(clicks, Seq("user_id"), "left")
