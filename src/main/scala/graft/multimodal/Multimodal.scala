@@ -59,6 +59,27 @@ object Multimodal {
     }: _*)
   }
 
+  /** "Resize": deterministic downsample of the payload to
+    * `targetBytes` by striding — every ceil(len/target)-th byte is
+    * kept, so the output is reproducible, size-bounded, and
+    * content-derived (the real operator would decode + bilinear
+    * resample; the Spark-side contract — binary in, smaller binary
+    * out, pure per-row column expression, no shuffle — is identical).
+    * Payloads already at or under the target pass through unchanged.
+    */
+  def resizeStub(payload: Column, targetBytes: Int = 64): Column = {
+    val stride = greatest(
+      ceil(length(payload).cast("double") / lit(targetBytes)).cast("int"),
+      lit(1))
+    // one 1-byte slice per kept position; positions past the end
+    // yield empty slices, so short payloads need no special case in
+    // the concat (binary substr/concat stay binary end-to-end)
+    when(length(payload) <= targetBytes, payload)
+      .otherwise(concat((0 until targetBytes).map { i =>
+        payload.substr(lit(i) * stride + 1, lit(1))
+      }: _*))
+  }
+
   /** Attach the multimodal envelope + stub features to a text corpus
     * by treating the UTF-8 text bytes as the payload — how the
     * fixture (which has no real media) exercises the full pipeline

@@ -61,4 +61,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(s.getAs[Long]("n_distinct") == 2L) // two identical payloads
     assert(s.getAs[Long]("total_bytes") == 25L)
   }
+
+  test("resize stub bounds size, strides deterministically, passes small through") {
+    import org.apache.spark.sql.functions._
+    val big = ("ab" * 100).getBytes("UTF-8") // 200 bytes
+    val small = "xyz".getBytes("UTF-8")
+    val df = Seq(Tuple1(big), Tuple1(small)).toDF("payload")
+      .select(Multimodal.resizeStub(col("payload"), targetBytes = 10)
+        .as("resized"))
+    val rows = df.collect().map(_.getAs[Array[Byte]](0))
+    // 200 bytes / target 10 → stride 20: positions 0,20,...,180 are
+    // all 'a' (even offsets of the "ab" repeat)
+    assert(rows(0).length == 10)
+    assert(rows(0).forall(_ == 'a'.toByte))
+    // at-or-under target passes through untouched
+    assert(new String(rows(1), "UTF-8") == "xyz")
+    // deterministic: same input, same bytes
+    val again = df.collect().map(_.getAs[Array[Byte]](0))
+    assert(java.util.Arrays.equals(rows(0), again(0)))
+  }
 }

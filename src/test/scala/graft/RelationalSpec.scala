@@ -254,6 +254,25 @@ class FunctionSurfaceSpec extends AnyFunSuite {
       "peers must share a frame; far row must fall outside the range")
   }
 
+  test("map function family: build from entries, lookup, keys") {
+    import spark.implicits._
+    val df = Seq((1L, "click", 2L), (1L, "view", 5L), (2L, "click", 1L))
+      .toDF("user_id", "t", "n")
+    val m = df.groupBy("user_id")
+      .agg(map_from_entries(array_sort(collect_list(struct(col("t"), col("n")))))
+        .as("counts"))
+    val rows = m.orderBy("user_id").collect()
+    assert(rows(0).getMap[String, Long](1).toMap
+      == Map("click" -> 2L, "view" -> 5L))
+    val looked = m
+      .select(col("user_id"),
+        element_at(col("counts"), "view").as("views"),
+        size(map_keys(col("counts"))).as("n_types"))
+      .orderBy("user_id").collect()
+    assert(looked(0).getLong(1) == 5L && looked(0).getInt(2) == 2)
+    assert(looked(1).isNullAt(1) && looked(1).getInt(2) == 1)
+  }
+
   test("array showcase invariants: distinct <= total, min <= max") {
     val r = Relational.arrayFunctionShowcase(spark, dir)
     assert(r.count() ==
