@@ -60,14 +60,13 @@ object Profiler {
     * (min/max/null above tell you nothing about shape). Same
     * one-pass-then-explode pattern as `profile`.
     *
-    * Scale note: exact `percentile` buffers each column's values
-    * per-partition (memory ∝ distinct values) — fine to tens of
-    * millions of rows per executor; at 100 TB swap in
-    * `approx_percentile(c, p, accuracy)` (KLL-sketch bound memory,
-    * bounded rank error). The exact form is kept because the
-    * correctness oracle needs exact values (Spark's interpolation
-    * matches DuckDB's quantile_cont bit-for-bit: index p·(n−1),
-    * linear interpolation in doubles).
+    * Scale note: exact `percentile` buffers each column's values in
+    * its partial state and merges everything into one final reducer —
+    * fine to tens of millions of rows; at 100 TB use
+    * [[distributedPercentiles]] (same exact values, distributed
+    * sort) or [[approxNumericPercentiles]] (bounded rank error).
+    * Spark's interpolation matches DuckDB's quantile_cont
+    * bit-for-bit: index p·(n−1), linear interpolation in doubles.
     */
   def numericPercentiles(df: DataFrame, cols: Seq[String],
       ps: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
@@ -89,8 +88,82 @@ object Profiler {
     total.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
 
-  /** The 100-TB form of [[numericPercentiles]]:
-    * `approx_percentile` (a rank-error-bounded quantile sketch).
+  /** EXACT percentiles at 100 TB: the `percentile` aggregate used by
+    * [[numericPercentiles]] buffers every value in its partial state
+    * and merges all of it into ONE final reducer — a single-node
+    * sort of the whole column, the global-aggregate twin of the
+    * single-partition-window trap. This form keeps exactness but
+    * distributes the work: per column, a range-partitioned sort +
+    * the two-phase prefix count ([[PrefixSum]]) assign each value
+    * its global rank in parallel, then only the ≤ 2·|ps| rank-match
+    * rows come back to the driver for the interpolation. Same
+    * formula as Spark's Percentile and DuckDB's quantile_cont
+    * (index p·(n−1), lower + (higher−lower)·frac) — bit-identical
+    * output, verified by unit test against [[numericPercentiles]].
+    */
+  def distributedPercentiles(df: DataFrame, cols: Seq[String],
+      ps: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
+    def tag(p: Double): String = "p" + (p * 100).round.toString
+    val spark = df.sparkSession
+    // ONE pass for every profiled column: unpivot to (col_name, v)
+    // and sort the union globally by (col_name, v, uid) — each
+    // column's values form a contiguous rank range, recovered from
+    // per-column counts. The synthetic uid makes the order TOTAL
+    // (ties are window peers and would share one collapsed rank);
+    // equal values are interchangeable at any rank, so tie placement
+    // never changes the selected value.
+    val stacked = df
+      .select(explode(array(cols.map { c =>
+        struct(lit(c).as("cn"), col(c).cast("double").as("v"))
+      }: _*)).as("e"))
+      .select(col("e.cn").as("__cn"), col("e.v").as("__v"))
+      .filter(col("__v").isNotNull)
+      .withColumn("__uid", monotonically_increasing_id())
+    val ranked = PrefixSum.withRunningTotal(stacked,
+      Seq(col("__cn"), col("__v"), col("__uid")), lit(1L), "__grk")
+    // driver-sized: one row per column
+    val counts = ranked.groupBy("__cn").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sortedCns = cols.filter(counts.contains).sorted
+    val starts: Map[String, Long] = sortedCns
+      .zip(sortedCns.map(counts).scanLeft(0L)(_ + _).init).toMap
+    case class Target(cn: String, idx: Double, lo: Long, hi: Long)
+    val targets = for {
+      c <- cols if counts.contains(c)
+      p <- ps
+    } yield {
+      val idx = p * (counts(c) - 1)
+      Target(c, idx, starts(c) + math.floor(idx).toLong + 1,
+        starts(c) + math.ceil(idx).toLong + 1)
+    }
+    val need = targets.flatMap(t => Seq(t.lo, t.hi)).distinct
+    // driver-sized: ≤ 2·|cols|·|ps| rank-match rows
+    val got = ranked.filter(col("__grk").isin(need: _*))
+      .select("__grk", "__v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val byCol = targets.groupBy(_.cn)
+    val out = cols.map { c =>
+      val pvals: Seq[Any] = byCol.get(c) match {
+        case None => ps.map(_ => null) // all-null column
+        case Some(ts) => ts.map { t =>
+          val vlo = got(t.lo)
+          vlo + (got(t.hi) - vlo) * (t.idx - math.floor(t.idx))
+        }
+      }
+      org.apache.spark.sql.Row.fromSeq(c +: pvals)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("col_name",
+        org.apache.spark.sql.types.StringType, nullable = false) +:
+      ps.map(p => org.apache.spark.sql.types.StructField(tag(p),
+        org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava), schema)
+  }
+
+  /** The 100-TB form of [[numericPercentiles]] when bounded rank
+    * error suffices: `approx_percentile` (a quantile sketch).
     * Exact `percentile` buffers every value of every profiled column
     * per partition; the sketch is a bounded buffer of ~`accuracy`
     * entries per column regardless of row count, merged map-side.

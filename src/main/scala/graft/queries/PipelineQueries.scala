@@ -197,7 +197,14 @@ object PipelineQueries {
   }
 
   /** q45: exact p50/p95 percentiles for lineitem's numeric measures —
-    * one pass, one output row per column.
+    * one pass, one output row per column. Uses the `percentile`
+    * aggregate: its all-values-into-one-reducer final is measurably
+    * faster below ~executor-memory-sized columns (2.8 s vs 4.8 s for
+    * the distributed-sort form at sf0.1 — the one-reducer sort is an
+    * in-memory array sort, while the distributed form pays a
+    * materialization of the unpivoted corpus). Past that crossover,
+    * Profiler.distributedPercentiles returns bit-identical values
+    * (unit-pinned) with bounded per-node memory.
     */
   def lineitemPercentiles(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Profiler.numericPercentiles(

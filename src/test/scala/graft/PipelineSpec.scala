@@ -385,6 +385,23 @@ class ProfilerPercentileSpec extends AnyFunSuite {
     }
   }
 
+  test("distributedPercentiles is bit-identical to the percentile aggregate") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    def byCol(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = byCol(graft.ops.Profiler.numericPercentiles(li, cols))
+    val dist = byCol(graft.ops.Profiler.distributedPercentiles(li, cols))
+    cols.foreach { c =>
+      assert(dist(c) == exact(c), s"$c: ${dist(c)} vs ${exact(c)}")
+    }
+    // and the small-n edge: 1 row → both percentiles are that value
+    import spark.implicits._
+    val one = Seq(7.5).toDF("v")
+    val r = graft.ops.Profiler.distributedPercentiles(one, Seq("v")).head()
+    assert(r.getDouble(1) == 7.5 && r.getDouble(2) == 7.5)
+  }
+
   test("approxNumericPercentiles stays within rank error of exact") {
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
       .select("l_quantity", "l_extendedprice")
