@@ -27,6 +27,7 @@ object GraftApp {
       tablePrefixes: Seq[String] = Nil,     // --src-tables-prefixes
       columnSkip: Map[String, Seq[String]] = Map.empty, // --column-skip
       whereClauses: Map[String, String] = Map.empty, // --src-tables-where-clauses
+      defaults: Map[String, Map[String, Any]] = Map.empty, // --column-default-value
       catalogCsv: Option[String] = None,    // INFORMATION_SCHEMA fixture
       createTableSql: Boolean = false,      // --create-table-sql
       createTableTemplate: Boolean = false, // --create-table-sql-template
@@ -78,7 +79,7 @@ object GraftApp {
     // once per table (and reuse it for work-list resolution)
     val catalog = c.catalogCsv.map(CatalogReader.fromCsv(spark, _))
     val tables = resolveAgainst(c, catalog)
-    val spec = Migrator.Spec(c.columnSkip, c.whereClauses)
+    val spec = Migrator.Spec(c.columnSkip, c.whereClauses, c.defaults)
 
     def schemaFor(t: String) = catalog match {
       case Some(cat) => CatalogReader.schemaOf(cat, t,
@@ -177,11 +178,17 @@ object GraftApp {
 
   private val KnownOptions = Set("src-dir", "dst-dir", "dst-schema",
     "src-tables", "src-tables-prefixes", "column-skip",
-    "src-tables-where-clauses", "catalog-csv", "nice-pause",
-    "debezium-feed", "pk")
+    "src-tables-where-clauses", "column-default-value", "catalog-csv",
+    "nice-pause", "debezium-feed", "pk")
   private val KnownFlags = Set("create-table-sql",
     "create-table-sql-template", "dst-create-table", "migrate-table",
     "csvpool", "pump-data", "src-wait")
+
+  /** `--column-default-value=t.col=v` values: numeric if they parse,
+    * else the literal string (na.fill applies them type-matched).
+    */
+  private def parseDefaultValue(v: String): Any =
+    scala.util.Try(v.toLong).orElse(scala.util.Try(v.toDouble)).getOrElse(v)
 
   /** Minimal CLI: `--flag` booleans and `--key=value` options with
     * the reference's names (clioptions.py:89-574 semantics).
@@ -222,6 +229,14 @@ object GraftApp {
         .map(_.split(";").toSeq.map(_.split(":", 2))
           .collect { case Array(t, w) => t -> w }.toMap)
         .getOrElse(Map.empty),
+      defaults = list("column-default-value")
+        .map(_.split("=", 2)).collect { case Array(tc, v) => (tc, v) }
+        .flatMap { case (tc, v) => tc.split("\\.", 2) match {
+          case Array(t, c0) => Some((t, c0, parseDefaultValue(v)))
+          case _ => None
+        } }
+        .groupBy(_._1)
+        .map { case (t, xs) => t -> xs.map(x => x._2 -> x._3).toMap },
       catalogCsv = kv.get("catalog-csv"),
       debeziumFeed = kv.get("debezium-feed"),
       pk = kv.get("pk").map(_.split(",").toSeq.filter(_.nonEmpty))

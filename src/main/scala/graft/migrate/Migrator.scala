@@ -33,12 +33,14 @@ object Migrator {
   }
 
   /** Per-table migration spec: columns to drop (`--column-skip`),
-    * WHERE clause (`--src-tables-where-clauses`), pluggable
-    * transforms (`--ch-converter-*`).
+    * WHERE clause (`--src-tables-where-clauses`), NULL defaults
+    * (`--column-default-value`, converter/csvwriteconverter.py:19-33
+    * semantics), pluggable transforms (`--ch-converter-*`).
     */
   final case class Spec(
       skipColumns: Map[String, Seq[String]] = Map.empty,
       whereClauses: Map[String, String] = Map.empty,
+      defaults: Map[String, Map[String, Any]] = Map.empty,
       transforms: Transforms.TransformRegistry = new Transforms.TransformRegistry)
 
   /** The transform chain for one table, exposed for reuse by the
@@ -51,7 +53,9 @@ object Migrator {
       spec.skipColumns.getOrElse(table, Nil))(src)
     val filtered = spec.whereClauses.get(table)
       .fold(pruned)(w => pruned.filter(expr(w)))
-    spec.transforms(table, filtered)
+    val filled = spec.defaults.get(table)
+      .fold(filtered)(d => Transforms.fillDefaults(d)(filtered))
+    spec.transforms(table, filled)
   }
 
   /** Migrate one table into `dstDir/<table>.parquet`; returns the

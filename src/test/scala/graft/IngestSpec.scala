@@ -142,6 +142,25 @@ class MigratorSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val dir = "/root/testdata/sf0.001"
 
+  test("column-default-value flows parse -> spec -> filled frame") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_defaults").toString
+    Seq((1L, Some("a"), Some(2.5)), (2L, None, None))
+      .toDF("c_custkey", "c_mktsegment", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    val c = GraftApp.parse(Seq(s"--src-dir=$tmp",
+      "--column-default-value=customer.c_mktsegment=UNKNOWN,customer.c_acctbal=0"))
+    assert(c.defaults == Map("customer" ->
+      Map("c_mktsegment" -> "UNKNOWN", "c_acctbal" -> 0L)))
+    val out = Migrator.transformed(spark, tmp, "customer",
+        Migrator.Spec(defaults = c.defaults))
+      .orderBy("c_custkey").collect()
+    assert(out(1).getString(1) == "UNKNOWN")
+    assert(out(1).getDouble(2) == 0.0)
+    // non-defaulted rows untouched
+    assert(out(0).getString(1) == "a" && out(0).getDouble(2) == 2.5)
+  }
+
   test("migrateTable applies skip + where, reconciles counts, emits DDL") {
     val dst = Files.createTempDirectory("graft_mig").toString
     val spec = Migrator.Spec(
