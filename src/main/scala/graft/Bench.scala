@@ -31,8 +31,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_BENCH_ONLY=q24_ngram_jaccard,q41_dup_clusters —
+    // iterate on a subset without the full sweep (record format is
+    // unchanged; the driver never sets this)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(SparkEntry.benchExclude)
+      .filter(n => only.forall(_.contains(n)))
 
     def runOnce(name: String): Option[String] =
       try {

