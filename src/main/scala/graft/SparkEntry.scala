@@ -262,10 +262,10 @@ object SparkEntry {
         |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct
         |  FROM documents)
         |SELECT doc_id, n_tok AS n_tokens,
-        |  round(0.3*least(n_tok/50.0, 1.0)
+        |  floor((0.3*least(n_tok/50.0, 1.0)
         |      + 0.3*(CAST(n_typ AS DOUBLE)/n_tok)
         |      + 0.2*greatest(0.0, 1.0 - abs(CAST(n_stop AS DOUBLE)/n_tok - 0.08)*4.0)
-        |      + 0.2*greatest(0.0, 1.0 - (CAST(n_punct AS DOUBLE)/n_ch)*2.0), 6) AS quality
+        |      + 0.2*greatest(0.0, 1.0 - (CAST(n_punct AS DOUBLE)/n_ch)*2.0))*1000000.0 + 0.5)/1000000.0 AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
     "q21_langid" ->
       """SELECT lang,
@@ -615,10 +615,10 @@ object SparkEntry {
         |qual AS (
         |  SELECT doc_id,
         |    len(string_split(text,' ')) AS n_tok,
-        |    round(0.3*least(len(string_split(text,' '))/50.0, 1.0)
+        |    floor((0.3*least(len(string_split(text,' '))/50.0, 1.0)
         |      + 0.3*(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)/len(string_split(text,' ')))
         |      + 0.2*greatest(0.0, 1.0 - abs(CAST(len(list_filter(string_split(text,' '), x -> x='the' OR x='a')) AS DOUBLE)/len(string_split(text,' ')) - 0.08)*4.0)
-        |      + 0.2*greatest(0.0, 1.0 - (CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)/length(text))*2.0), 6) AS quality
+        |      + 0.2*greatest(0.0, 1.0 - (CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)/length(text))*2.0))*1000000.0 + 0.5)/1000000.0 AS quality
         |  FROM documents)
         |SELECT d.doc_id, CAST(qual.n_tok AS BIGINT) AS n_tokens, qual.quality
         |FROM documents d
@@ -636,10 +636,10 @@ object SparkEntry {
       """WITH q AS (
         |  SELECT doc_id,
         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
-        |    round(0.3*least(len(string_split(text,' '))/50.0, 1.0)
+        |    floor((0.3*least(len(string_split(text,' '))/50.0, 1.0)
         |      + 0.3*(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)/len(string_split(text,' ')))
         |      + 0.2*greatest(0.0, 1.0 - abs(CAST(len(list_filter(string_split(text,' '), x -> x='the' OR x='a')) AS DOUBLE)/len(string_split(text,' ')) - 0.08)*4.0)
-        |      + 0.2*greatest(0.0, 1.0 - (CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)/length(text))*2.0), 6) AS quality
+        |      + 0.2*greatest(0.0, 1.0 - (CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)/length(text))*2.0))*1000000.0 + 0.5)/1000000.0 AS quality
         |  FROM documents),
         |r AS (SELECT doc_id, n_tokens, quality,
         |        CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id)

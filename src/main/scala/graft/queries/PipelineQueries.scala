@@ -144,15 +144,16 @@ object PipelineQueries {
 
   /** q35: embedding-cosine near-duplicate pairs (cos >= 0.45) via
     * IVF-cell blocked candidate generation + exact quantized-cosine
-    * verification. assign=8 is the recall dial pinned by local
-    * cross-check against the exhaustive oracle (exact at sf0.001
-    * and sf0.01; see cosineNearDupPairs scaladoc for why mining far
-    * below the near-dup regime needs wider assignment). The planted
-    * near-identical case is unit-tested with small `assign`.
+    * verification. assign=10 is the recall dial pinned by local
+    * cross-check against the exhaustive oracle at sf0.001, sf0.01
+    * AND sf0.1 (assign=8 missed one borderline 0.45-cosine pair at
+    * sf0.1 — 143/144; see cosineNearDupPairs scaladoc for why mining
+    * far below the near-dup regime needs wider assignment). The
+    * planted near-identical case is unit-tested with small `assign`.
     */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
     VectorSearch.cosineNearDupPairs(Tables.load(spark, dir, "embeddings"),
-      threshold = 0.45, assign = 8)
+      threshold = 0.45, assign = 10)
       .orderBy("vec_a", "vec_b")
 
   /** q41: duplicate clusters — connected components of the exact

@@ -74,8 +74,15 @@ object TextAnalysis {
     // natural prose sits near ~8% stopwords; score falls off linearly
     val stopTerm = greatest(lit(0.0), lit(1.0) - abs(stop - lit(0.08)) * lit(4.0))
     val punctTerm = greatest(lit(0.0), lit(1.0) - punctRatio(text) * lit(2.0))
-    round(lit(0.3) * lenTerm + lit(0.3) * diversity +
-      lit(0.2) * stopTerm + lit(0.2) * punctTerm, 6)
+    val raw = lit(0.3) * lenTerm + lit(0.3) * diversity +
+      lit(0.2) * stopTerm + lit(0.2) * punctTerm
+    // floor-based fixed-point rounding, NOT round(x, 6): Spark's
+    // round goes through the decimal string repr (HALF_UP) while
+    // DuckDB rounds in float math, and they split on exact 1e-6
+    // ties — which these small-rational terms actually hit (found by
+    // the sf0.1 cross-check). floor(x*1e6 + 0.5) is the same double
+    // pipeline in both engines → bit-identical at any scale.
+    floor(raw * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
   }
 
   /** Language-ID by stopword-profile voting: each language has a
