@@ -60,6 +60,15 @@ object Bench {
     // warmup pass (untimed)
     names.foreach(runOnce)
     clearState()
+    // clearState drops persisted blocks but not the heap/codegen-cache
+    // debt of the warmup pass — without an explicit GC plus one
+    // sacrificial untimed query, the FIRST timed queries absorb the
+    // whole sweep's garbage (measured: q01 7.1s in-sweep vs 1.6s
+    // isolated) and the record lies about them.
+    System.gc()
+    names.headOption.foreach(runOnce)
+    clearState()
+    System.gc()
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = names.map { name =>

@@ -353,7 +353,7 @@ object SparkEntry {
         |r AS (SELECT query_id, vec_id, cos,
         |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
         |      FROM c)
-        |SELECT query_id, rnk, vec_id, round(cos, 6) AS cos
+        |SELECT query_id, rnk, vec_id, floor(cos*1000000.0 + 0.5)/1000000.0 AS cos
         |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
     "q28_knn_ivf" ->
       """WITH e AS (SELECT vec_id,
@@ -374,7 +374,7 @@ object SparkEntry {
         |r AS (SELECT query_id, vec_id, cos,
         |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
         |      FROM c)
-        |SELECT query_id, rnk, vec_id, round(cos, 6) AS cos
+        |SELECT query_id, rnk, vec_id, floor(cos*1000000.0 + 0.5)/1000000.0 AS cos
         |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
     "q29_label_centroid" ->
       """WITH e AS (SELECT label, vec_id,
@@ -396,7 +396,7 @@ object SparkEntry {
         |         CAST(round(CAST(dotc AS DOUBLE)/sqrt(CAST(n2 AS DOUBLE)*CAST(cn2 AS DOUBLE))*1e9) AS BIGINT) AS cos_e9
         |       FROM dots JOIN cn ON dots.label = cn.label)
         |SELECT label, COUNT(*) AS n_members,
-        |  round(CAST(SUM(cos_e9) AS DOUBLE)/(COUNT(*)*1e9), 6) AS avg_cos
+        |  floor(CAST(SUM(cos_e9) AS DOUBLE)/(COUNT(*)*1e9)*1000000.0 + 0.5)/1000000.0 AS avg_cos
         |FROM pm GROUP BY label ORDER BY label""".stripMargin,
     "q30_migrate_counts" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
@@ -450,7 +450,7 @@ object SparkEntry {
         |             (x,y) -> x+y) AS DOUBLE)
         |          / sqrt(CAST(a.n2 AS DOUBLE)*CAST(b.n2 AS DOUBLE)) AS cos
         |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
-        |SELECT vec_a, vec_b, round(cos, 6) AS cos
+        |SELECT vec_a, vec_b, floor(cos*1000000.0 + 0.5)/1000000.0 AS cos
         |FROM p WHERE cos >= 0.45 ORDER BY vec_a, vec_b""".stripMargin,
     "q36_sessionize" ->
       """WITH x AS (
@@ -569,8 +569,8 @@ object SparkEntry {
         |agg AS (SELECT doc_id AS agg_doc, MAX(c) AS topc, CAST(SUM(c) AS BIGINT) AS nb
         |        FROM cnt GROUP BY 1)
         |SELECT base.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-        |  ROUND(CAST(topc AS DOUBLE)/CAST(nb AS DOUBLE), 6) AS top_bigram_frac,
-        |  ROUND(1.0 - CAST(n_types AS DOUBLE)/CAST(n_tokens AS DOUBLE), 6) AS dup_token_frac
+        |  floor(CAST(topc AS DOUBLE)/CAST(nb AS DOUBLE)*1000000.0 + 0.5)/1000000.0 AS top_bigram_frac,
+        |  floor((1.0 - CAST(n_types AS DOUBLE)/CAST(n_tokens AS DOUBLE))*1000000.0 + 0.5)/1000000.0 AS dup_token_frac
         |FROM base LEFT JOIN agg ON base.doc_id = agg.agg_doc
         |ORDER BY doc_id""".stripMargin,
     // q45: DuckDB quantile_cont interpolates exactly like Spark's
@@ -702,7 +702,7 @@ object SparkEntry {
         |  FROM orders GROUP BY 1, 2)
         |SELECT o_custkey, o_orderpriority, spend,
         |  CAST(NTILE(4) OVER w AS INT) AS quartile,
-        |  ROUND(PERCENT_RANK() OVER w, 6) AS pr
+        |  floor((PERCENT_RANK() OVER w)*1000000.0 + 0.5)/1000000.0 AS pr
         |FROM spend
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY spend DESC, o_custkey)
@@ -809,7 +809,7 @@ object SparkEntry {
         |r AS (SELECT query_id, vec_id, cos,
         |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
         |      FROM c)
-        |SELECT query_id, rnk, vec_id, round(cos, 6) AS cos
+        |SELECT query_id, rnk, vec_id, floor(cos*1000000.0 + 0.5)/1000000.0 AS cos
         |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
     // q61: the JSON roundtrip must reproduce the parquet original
     "q61_json_roundtrip" ->

@@ -37,6 +37,7 @@ object GraftApp {
       pumpData: Boolean = false,            // --pump-data
       debeziumFeed: Option[String] = None,  // --debezium-feed (JSON-lines dir)
       pk: Seq[String] = Seq("user_id"),     // --pk
+      pkFor: Map[String, Seq[String]] = Map.empty, // --pk-for=t:c1+c2;t2:id
       orderCols: Seq[String] = Seq("ts", "event_id"),
       srcWait: Boolean = false,             // --src-wait
       nicePause: String = "60 seconds")     // --nice-pause
@@ -147,7 +148,8 @@ object GraftApp {
         try {
           StreamingCdc.startDebezium(raw, stateRoot,
             s"${c.dstDir}/_checkpoint", c.db, schemas, c.pk,
-            processingTime = if (c.srcWait) Some(c.nicePause) else None)
+            processingTime = if (c.srcWait) Some(c.nicePause) else None,
+            pkFor = c.pkFor)
             .awaitTermination()
         } finally spark.streams.removeListener(tput)
         Some(stateRoot)
@@ -179,7 +181,7 @@ object GraftApp {
   private val KnownOptions = Set("src-dir", "dst-dir", "dst-schema",
     "src-tables", "src-tables-prefixes", "column-skip",
     "src-tables-where-clauses", "column-default-value", "catalog-csv",
-    "nice-pause", "debezium-feed", "pk")
+    "nice-pause", "debezium-feed", "pk", "pk-for")
   private val KnownFlags = Set("create-table-sql",
     "create-table-sql-template", "dst-create-table", "migrate-table",
     "csvpool", "pump-data", "src-wait")
@@ -241,6 +243,14 @@ object GraftApp {
       debeziumFeed = kv.get("debezium-feed"),
       pk = kv.get("pk").map(_.split(",").toSeq.filter(_.nonEmpty))
         .getOrElse(Seq("user_id")),
+      // --pk-for=table:col1+col2;table2:id — per-table PK override
+      // for multi-table pumps over heterogeneously-keyed tables
+      pkFor = kv.get("pk-for")
+        .map(_.split(";").toSeq.map(_.split(":", 2))
+          .collect { case Array(t, cols) =>
+            t -> cols.split("\\+").toSeq.filter(_.nonEmpty)
+          }.toMap)
+        .getOrElse(Map.empty),
       createTableSql = flags("create-table-sql"),
       createTableTemplate = flags("create-table-sql-template"),
       dstCreateTable = flags("dst-create-table"),

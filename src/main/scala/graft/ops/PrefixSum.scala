@@ -32,21 +32,30 @@ object PrefixSum {
   /** Append `outCol` = running total of `value` in the total order
     * `order` (which must be a total order — add a unique tiebreak
     * column, or equal rows make the running value order-dependent).
+    *
+    * `value` is summed as LONG (`outCol` is LongType): integer
+    * budgets (token counts, byte sizes) are this operator's domain,
+    * and a float running total would drift with partition boundaries
+    * anyway. A non-integral `value` column is truncated per row by
+    * the cast — cast-and-scale first if fractional values matter.
     */
   def withRunningTotal(df: DataFrame, order: Seq[Column], value: Column,
       outCol: String = "running_total"): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val v = value.cast("long")
     // materialized: the per-partition frame feeds both the offsets
     // collect and the final projection; and partition ids must not
     // be re-rolled between the two uses
     val local = df.repartitionByRange(parts, order: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__run",
-        sum(value).over(Window.partitionBy("__pid").orderBy(order: _*)))
+        sum(v).over(Window.partitionBy("__pid").orderBy(order: _*)))
       .localCheckpoint()
-    // driver-sized by construction: one row per partition
-    val totals = local.groupBy("__pid").agg(sum(value).as("t"))
+    // driver-sized by construction: one row per partition; coalesce
+    // guards the all-NULL-partition case (sum of no non-null rows)
+    val totals = local.groupBy("__pid")
+      .agg(coalesce(sum(v), lit(0L)).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     // offset of pid = sum of totals of all partitions before it
     val offsetFor: Map[Int, Long] = totals.map(_._1)

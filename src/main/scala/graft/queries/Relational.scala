@@ -201,7 +201,7 @@ object Relational {
       .orderBy(col("spend").desc, col("o_custkey"))
     spend.select(col("o_custkey"), col("o_orderpriority"), col("spend"),
         ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pr"))
+        graft.text.TextAnalysis.round6(percent_rank().over(w)).as("pr"))
       .orderBy("o_orderpriority", "o_custkey")
   }
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, hash, lit, pmod}
 
@@ -53,7 +53,8 @@ object BucketStateStore {
     * absent from the map is empty (all its keys deleted or never
     * seen).
     */
-  private case class Manifest(numBuckets: Int, buckets: Map[Int, Long])
+  private case class Manifest(numBuckets: Int, buckets: Map[Int, Long],
+      fence: Option[Long] = None)
 
   // ---- small atomic-file helpers (single text blob, rename publish) ----
 
@@ -78,32 +79,65 @@ object BucketStateStore {
   }
 
   /** Write-then-rename publish: readers see the old file or the new
-    * one, never a torn write (rename is atomic on HDFS and posix
-    * local FS; fs.create(p, overwrite) alone is not).
+    * one, never a torn write or a missing file. The rename carries
+    * OVERWRITE semantics (FileContext.rename, atomic on HDFS and
+    * posix local FS) — a delete-then-rename would open a window where
+    * the pointer does not exist and a crashed writer leaves the store
+    * reading as empty, losing the batch-id fence.
     */
   private[streaming] def publishTextFile(spark: SparkSession, p: Path,
       content: String): Unit = {
     val fs = fsFor(spark, p)
     fs.mkdirs(p.getParent)
-    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val qp = fs.makeQualified(p)
+    val tmp = new Path(qp.getParent, s".${qp.getName}.tmp")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"failed to publish $p")
+    val fc = FileContext.getFileContext(qp.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, qp, Options.Rename.OVERWRITE)
+  }
+
+  /** Latest version with a committed manifest — the recovery source
+    * of truth when the `_version` pointer is absent (manual deletion
+    * or a legacy delete-then-rename crash). Safe because manifests
+    * publish strictly AFTER their data and strictly BEFORE the
+    * pointer flip: the newest manifest always describes complete
+    * data.
+    */
+  private def latestManifestVersion(spark: SparkSession,
+      stateDir: String): Option[Long] = {
+    val mdir = new Path(stateDir, ManifestDir)
+    val fs = fsFor(spark, mdir)
+    if (!fs.exists(mdir)) None
+    else fs.listStatus(mdir).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("v"))
+      .flatMap(_.drop(1).toLongOption)
+      .maxOption
   }
 
   def currentVersion(spark: SparkSession, stateDir: String): Option[Long] =
     readTextFile(spark, new Path(stateDir, VersionFile))
       .map(_.trim.split(':')(0).toLong)
+      .orElse(latestManifestVersion(spark, stateDir))
 
   /** The streaming batch id fenced into the last committed version
-    * (None before any fenced merge). See `merge(batchId = …)`.
+    * (None before any fenced merge). See `merge(batchId = …)`. The
+    * fence rides the pointer AND the manifest, so a missing pointer
+    * recovers it rather than silently re-admitting replayed batches.
     */
   def lastBatchId(spark: SparkSession, stateDir: String): Option[Long] =
-    readTextFile(spark, new Path(stateDir, VersionFile))
-      .map(_.trim.split(':')).collect { case Array(_, b) => b.toLong }
+    readTextFile(spark, new Path(stateDir, VersionFile)) match {
+      case Some(text) =>
+        text.trim.split(':') match {
+          case Array(_, b) => Some(b.toLong)
+          case _           => None
+        }
+      case None =>
+        latestManifestVersion(spark, stateDir)
+          .flatMap(v => readManifest(spark, stateDir, v).fence)
+    }
 
   private def manifestPath(stateDir: String, v: Long): Path =
     new Path(s"$stateDir/$ManifestDir", s"v$v")
@@ -114,17 +148,21 @@ object BucketStateStore {
         s"state manifest missing for committed version $v at $stateDir"))
     val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
     val k = lines.head.stripPrefix("numBuckets=").toInt
-    val buckets = lines.tail.map { l =>
+    val (fenceLines, bucketLines) =
+      lines.tail.partition(_.startsWith("batchId="))
+    val fence = fenceLines.headOption.map(_.stripPrefix("batchId=").toLong)
+    val buckets = bucketLines.map { l =>
       val Array(b, bv) = l.split('=')
       b.toInt -> bv.toLong
     }.toMap
-    Manifest(k, buckets)
+    Manifest(k, buckets, fence)
   }
 
   private def writeManifest(spark: SparkSession, stateDir: String, v: Long,
       m: Manifest): Unit = {
     val body = (s"numBuckets=${m.numBuckets}" +:
-      m.buckets.toSeq.sorted.map { case (b, bv) => s"$b=$bv" }).mkString("\n")
+      (m.fence.map(b => s"batchId=$b").toSeq ++
+        m.buckets.toSeq.sorted.map { case (b, bv) => s"$b=$bv" })).mkString("\n")
     publishTextFile(spark, manifestPath(stateDir, v), body)
   }
 
@@ -215,7 +253,7 @@ object BucketStateStore {
       .map(_.stripPrefix(s"$BucketCol=").toInt)
       .toSet
     val nextBuckets = (manifest.buckets -- touched) ++ written.map(_ -> v)
-    writeManifest(spark, stateDir, v, Manifest(k, nextBuckets))
+    writeManifest(spark, stateDir, v, Manifest(k, nextBuckets, batchId))
     // Atomic publish: manifest + data land first, pointer flips last
     // (with the batch-id fence riding the same atomic rename).
     publishTextFile(spark, new Path(stateDir, VersionFile),
@@ -237,7 +275,9 @@ object BucketStateStore {
       val floor = v - keep + 1
       val referenced: Set[Long] = (math.max(0L, floor) to v).flatMap { mv =>
         readTextFile(spark, manifestPath(stateDir, mv)).toSeq.flatMap { text =>
-          text.linesIterator.map(_.trim).filter(_.nonEmpty).drop(1)
+          // bucket lines only — skip the numBuckets/batchId headers
+          text.linesIterator.map(_.trim)
+            .filter(_.matches("""\d+=\d+"""))
             .map(_.split('=')(1).toLong)
         }
       }.toSet

@@ -104,6 +104,13 @@ object StreamingCdc {
       pkFor: Map[String, Seq[String]] = Map.empty): Unit = {
     val tables = batch.select(routingCols.map(col): _*).distinct()
       .collect().map(r => routingCols.indices.map(r.getString))
+    // fail-fast on unroutable changes: a NULL routing value would
+    // match no equality slice below and silently vanish —
+    // contradicting the adapter's never-drop-a-change stance
+    val unroutable = tables.filter(_.exists(_ == null))
+    require(unroutable.isEmpty,
+      s"CDC batch contains changes with NULL routing columns " +
+        s"(${routingCols.mkString(",")}) — refusing to drop them")
     tables.foreach { t =>
       val slice = routingCols.zip(t).foldLeft(batch) { case (df, (c, v)) =>
         df.filter(col(c) === v)
@@ -180,13 +187,26 @@ object StreamingCdc {
     * Heterogeneous schemas force the per-table parse (one
     * `from_json` schema cannot type every table's images); each
     * parse is a narrow projection of the same cached batch.
+    *
+    * `pkFor` overrides the default `pk` per table name — tables with
+    * heterogeneous primary keys must NOT share one global key, or the
+    * wrongly-keyed tables merge into corrupt state.
+    *
+    * Routing accounting (never-drop-a-change): an envelope whose
+    * `source` block is missing/null parses but matches no forTable
+    * slice — the pump FAILS on those rather than dropping them.
+    * Envelopes for tables outside the subscription are counted and
+    * logged (a multiplexed feed may legitimately carry more tables
+    * than this pump subscribes to — the reference's only-tables
+    * filter has the same semantics).
     */
   def startDebezium(raw: DataFrame, stateRoot: String,
       checkpointDir: String, db: String,
       tableSchemas: Map[String, org.apache.spark.sql.types.StructType],
       pk: Seq[String],
       processingTime: Option[String] = None,
-      numBuckets: Int = DefaultNumBuckets): StreamingQuery = {
+      numBuckets: Int = DefaultNumBuckets,
+      pkFor: Map[String, Seq[String]] = Map.empty): StreamingQuery = {
     import graft.cdc.DebeziumAdapter
     val trigger = processingTime
       .map(Trigger.ProcessingTime(_))
@@ -196,16 +216,41 @@ object StreamingCdc {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.persist()
-        try tableSchemas.foreach { case (table, schema) =>
-          val slice = DebeziumAdapter.forTable(
-            DebeziumAdapter.parse(b, schema, pk), db, table)
-          // skip empty slices: a table absent from this batch must
-          // not churn its state version
-          if (!slice.isEmpty)
-            mergeIntoState(slice, s"$stateRoot/${db}__$table", pk,
-              DebeziumAdapter.orderCols, numBuckets)
+        try {
+          // routing columns are schema-independent — one pass with any
+          // subscribed schema audits the whole batch (driver-sized:
+          // one row per distinct (db, table))
+          val routes = DebeziumAdapter.parse(b, tableSchemas.head._2, Nil)
+            .groupBy("db", "table").count().collect()
+          val unroutable = routes
+            .filter(r => r.isNullAt(0) || r.isNullAt(1))
+            .map(_.getLong(2)).sum
+          if (unroutable > 0)
+            throw new IllegalStateException(
+              s"debezium pump: $unroutable envelope(s) with NULL " +
+                "source.db/source.table — refusing to drop changes")
+          routes.filter(r => r.getString(0) != db ||
+              !tableSchemas.contains(r.getString(1)))
+            .foreach { r =>
+              log.warn(s"debezium pump: skipping ${r.getLong(2)} " +
+                s"envelope(s) for unsubscribed ${r.getString(0)}." +
+                s"${r.getString(1)}")
+            }
+          tableSchemas.foreach { case (table, schema) =>
+            val tpk = pkFor.getOrElse(table, pk)
+            val slice = DebeziumAdapter.forTable(
+              DebeziumAdapter.parse(b, schema, tpk), db, table)
+            // skip empty slices: a table absent from this batch must
+            // not churn its state version
+            if (!slice.isEmpty)
+              mergeIntoState(slice, s"$stateRoot/${db}__$table", tpk,
+                DebeziumAdapter.orderCols, numBuckets)
+          }
         } finally b.unpersist()
       }
       .start()
   }
+
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(StreamingCdc.getClass)
 }

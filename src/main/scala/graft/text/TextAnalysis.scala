@@ -20,6 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Fixed-point 6-digit rounding: `floor(x*1e6 + 0.5)/1e6`. NOT
+    * `round(x, 6)` — Spark's round goes through the decimal string
+    * repr (HALF_UP) while DuckDB rounds in float math, and they split
+    * on exact 1e-6 ties, which small-rational ratios actually hit
+    * (e.g. 128 bigrams with an odd top count: p*1e6/128 = p*7812.5).
+    * The floor form is the same double pipeline in both engines →
+    * bit-identical at any scale.
+    */
+  def round6(x: Column): Column =
+    floor(x * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+
   /** Whitespace tokenizer. The fixture corpus is single-space
     * separated; `\s+` keeps it robust to real whitespace. Empty
     * tokens are dropped: `split` yields a leading "" for text with
@@ -76,13 +87,8 @@ object TextAnalysis {
     val punctTerm = greatest(lit(0.0), lit(1.0) - punctRatio(text) * lit(2.0))
     val raw = lit(0.3) * lenTerm + lit(0.3) * diversity +
       lit(0.2) * stopTerm + lit(0.2) * punctTerm
-    // floor-based fixed-point rounding, NOT round(x, 6): Spark's
-    // round goes through the decimal string repr (HALF_UP) while
-    // DuckDB rounds in float math, and they split on exact 1e-6
-    // ties — which these small-rational terms actually hit (found by
-    // the sf0.1 cross-check). floor(x*1e6 + 0.5) is the same double
-    // pipeline in both engines → bit-identical at any scale.
-    floor(raw * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+    // fixed-point rounding — tie-divergence rationale on round6
+    round6(raw)
   }
 
   /** Language-ID by stopword-profile voting: each language has a
@@ -164,8 +170,8 @@ object TextAnalysis {
     */
   def topNgramFraction(text: Column, k: Int = 2): Column = {
     val n = size(shingles(text, k))
-    when(n > 0, round(topNgramCount(text, k).cast("double") /
-      n.cast("double"), 6))
+    when(n > 0, round6(topNgramCount(text, k).cast("double") /
+      n.cast("double")))
   }
 
   /** Fraction of token occurrences that are repeats of an
@@ -173,6 +179,6 @@ object TextAnalysis {
     * repetition signal.
     */
   def dupTokenFraction(text: Column): Column =
-    round(lit(1.0) - typeCount(text).cast("double") /
-      tokenCount(text).cast("double"), 6)
+    round6(lit(1.0) - typeCount(text).cast("double") /
+      tokenCount(text).cast("double"))
 }

@@ -92,7 +92,7 @@ object VectorSearch {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("vec_id"),
-        round(col("cos"), 6).as("cos"))
+        graft.text.TextAnalysis.round6(col("cos")).as("cos"))
   }
 
   /** Brute-force exact top-k cosine neighbors for a (small) query
@@ -263,7 +263,7 @@ object VectorSearch {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("vec_id"),
-        round(col("cos"), 6).as("cos"))
+        graft.text.TextAnalysis.round6(col("cos")).as("cos"))
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a, b) with
@@ -303,7 +303,7 @@ object VectorSearch {
         col("n2").as("nb")), "vec_b")
       .withColumn("cos", cosine(dot(col("qa"), col("qb")), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+      .select(col("vec_a"), col("vec_b"), graft.text.TextAnalysis.round6(col("cos")).as("cos"))
   }
 
   /** Per-label centroid cohesion: for each label, the mean cosine of
@@ -353,6 +353,6 @@ object VectorSearch {
       .agg(count(lit(1)).as("n_members"),
         (sum(col("cos_e9")).cast("double") /
           (count(lit(1)).cast("double") * lit(1e9))).as("avg_cos"))
-      .select(col("label"), col("n_members"), round(col("avg_cos"), 6).as("avg_cos"))
+      .select(col("label"), col("n_members"), graft.text.TextAnalysis.round6(col("avg_cos")).as("avg_cos"))
   }
 }
