@@ -26,7 +26,7 @@ object SparkEntry {
     "q30_migrate_counts", "q31_csv_roundtrip",
     "q32_cdc_stream", "q33_stream_hourly", "q39_stream_sessions",
     "q43_stream_dedup", "q51_stream_enrich", "q59_stream_stream_join",
-    "q61_json_roundtrip")
+    "q61_json_roundtrip", "q68_jdbc_cdc_live", "q69_jdbc_sink_roundtrip")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -97,6 +97,8 @@ object SparkEntry {
     "q65_funnel"            -> TemporalQueries.funnelDepth _,
     "q66_lag_lead"          -> Relational.interEventGaps _,
     "q67_group_percentiles" -> Relational.groupedPercentiles _,
+    "q68_jdbc_cdc_live"     -> IngestQueries.jdbcCdcLive _,
+    "q69_jdbc_sink_roundtrip" -> IngestQueries.jdbcSinkRoundtrip _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -886,5 +888,18 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // q68: the live-polled JDBC CDC state must equal the whole events
+    // table — two thirds loaded before stream start, one third
+    // inserted live after it
+    "q68_jdbc_cdc_live" ->
+      """SELECT event_id, user_id, event_type, value,
+        |  epoch_us(ts) AS ts_us
+        |FROM events ORDER BY event_id""".stripMargin,
+    // q69: the JDBC write sink round-trip must reproduce the parquet
+    // original (q61's shape, through a live server instead of files)
+    "q69_jdbc_sink_roundtrip" ->
+      """SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+        |  o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -108,6 +108,40 @@ object Migrator {
       sparkDdl = sparkDdl, chDdl = chDdl)
   }
 
+  /** Migrate one table INTO a live JDBC destination — the direction
+    * the reference actually ships (parquet/MySQL → ClickHouse INSERT
+    * pump, writer/chwriter.py:47-112): transform chain → batched
+    * parallel JDBC INSERTs (JdbcSink) → independent COUNT(*) re-read
+    * of the destination for reconciliation (docs/manual.md:366-494
+    * protocol). The destination table must exist (pair with
+    * DdlBuilder / `--dst-create-table`); `mode = Append` matches the
+    * reference's insert-only pump.
+    */
+  def migrateTableToJdbc(spark: SparkSession, srcDir: String, table: String,
+      url: String, dbtable: String, spec: Spec = Spec(),
+      db: String = "default", batchSize: Int = 10000,
+      driver: Option[String] = None,
+      numPartitions: Option[Int] = None): TableMigration = {
+    val out = transformed(spark, srcDir, table, spec)
+    val sparkDdl = DdlBuilder.createTableSpark(db, table, out.schema)
+    val chDdl = DdlBuilder.createTableClickHouse(db, table, out.schema)
+    graft.sources.JdbcSink.write(out, url, dbtable,
+      batchSize = batchSize, driver = driver, numPartitions = numPartitions)
+    // the parquet path piggybacks the source count on the write via
+    // observe(); the JDBC writer executes as an RDD action outside an
+    // observable SQL execution, so the source count is its own scan —
+    // acceptable because the INSERT pump, not the re-read, dominates
+    // this direction's cost
+    val readBack = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", dbtable)
+      .options(driver.map("driver" -> _).toMap)
+      .load()
+    TableMigration(table,
+      srcRows = out.count(),
+      dstRows = readBack.count(),
+      sparkDdl = sparkDdl, chDdl = chDdl)
+  }
+
   /** Migrate a table list (the reference's db→table loop,
     * tablemigrator.py:154-178); fails fast on the first
     * non-reconciled table like the reference's per-table exception

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.cdc.ChangeFeed
 import graft.migrate.Migrator
-import graft.sources.{CsvSource, JsonSource}
+import graft.sources.{CsvSource, JdbcSink, JdbcSnapshot, JsonSource}
 import graft.streaming.StreamingCdc
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -24,6 +24,116 @@ object IngestQueries {
 
   private def tmpDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
+
+  private val DerbyDriver = Some("org.apache.derby.jdbc.EmbeddedDriver")
+
+  private def execSql(url: String, sqls: String*): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      sqls.foreach(st.execute)
+    } finally conn.close()
+  }
+
+  /** q68: LIVE incremental CDC over JDBC — the replication loop the
+    * reference actually is (mysqlreader.py:362-448 in
+    * /root/reference: tail the source, resume from a persisted
+    * position, land changes downstream), self-contained: an embedded
+    * Derby database plays the live source, the graft-jdbc
+    * MicroBatchStream polls it keyed on the PK, and each micro-batch
+    * merges into the bucketed copy-on-write state store. Two-phase
+    * proof: a third of the events table arrives AFTER the stream
+    * starts (live INSERTs between processAllAvailable fences), so the
+    * final state provably contains post-start rows — and must equal
+    * the whole events table (the oracle).
+    */
+  def jdbcCdcLive(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value").as("val"), col("ts"))
+    val root = tmpDir("graft_jdbc_cdc")
+    val url = s"jdbc:derby:$root/db;create=true"
+    execSql(url, "CREATE TABLE EVENTS (EVENT_ID BIGINT NOT NULL, " +
+      "USER_ID BIGINT, EVENT_TYPE VARCHAR(16), VAL DOUBLE, TS TIMESTAMP)")
+    // phase split respects the source's append-monotonic key
+    // contract: phase-2 rows must carry keys strictly ABOVE every
+    // phase-1 key (as a live auto-increment table would) — an
+    // id-modulo split would hide phase-2 rows below the committed
+    // offset
+    val split = events.agg(percentile_approx(col("event_id"), lit(0.66),
+      lit(10000))).head().getLong(0)
+    // phase 1: the pre-existing snapshot (keys up to the split point)
+    JdbcSink.write(events.filter(col("event_id") <= split), url,
+      "APP.EVENTS", batchSize = 5000, driver = DerbyDriver,
+      numPartitions = Some(4))
+    val stream = spark.readStream.format("graft-jdbc")
+      .option("url", url)
+      .option("driver", DerbyDriver.get)
+      .option("dbtable", "APP.EVENTS")
+      .option("keyColumn", "EVENT_ID")
+      .option("numPartitions", "4")
+      .load()
+    val stateDir = s"$root/state"
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.ProcessingTime("250 milliseconds"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty)
+          StreamingCdc.mergeIntoState(
+            b.withColumn("op", lit("insert")), stateDir,
+            pk = Seq("EVENT_ID"), orderCols = Seq("TS", "EVENT_ID"))
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // phase 2: live inserts AFTER stream start — the incremental
+      // poll must pick up exactly these
+      JdbcSink.write(events.filter(col("event_id") > split), url,
+        "APP.EVENTS", batchSize = 5000, driver = DerbyDriver,
+        numPartitions = Some(4))
+      q.processAllAvailable()
+    } finally q.stop()
+    val template = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), stream.schema)
+    StreamingCdc.currentState(spark, stateDir, template)
+      .select(col("EVENT_ID").as("event_id"), col("USER_ID").as("user_id"),
+        col("EVENT_TYPE").as("event_type"), col("VAL").as("value"),
+        unix_micros(col("TS")).as("ts_us"))
+      .orderBy("event_id")
+  }
+
+  /** q69: JDBC WRITE sink round-trip — the reference's primary sink
+    * direction (batched multi-row INSERTs into a live server,
+    * writer/chwriter.py:47-112), against embedded Derby: orders →
+    * parallel batched INSERT (JdbcSink via Migrator, with the
+    * count-reconciliation protocol) → partitioned JDBC read-back,
+    * which must reproduce the parquet original byte for byte.
+    */
+  def jdbcSinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val root = tmpDir("graft_jdbc_sink")
+    val url = s"jdbc:derby:$root/db;create=true"
+    execSql(url, "CREATE TABLE ORDERS (O_ORDERKEY BIGINT, O_CUSTKEY BIGINT, " +
+      "O_ORDERSTATUS VARCHAR(4), O_TOTALPRICE DOUBLE, " +
+      "O_ORDERDATE TIMESTAMP, O_ORDERPRIORITY VARCHAR(20))")
+    val m = Migrator.migrateTableToJdbc(spark, dir, "orders", url,
+      "APP.ORDERS", batchSize = 5000, driver = DerbyDriver,
+      numPartitions = Some(4))
+    require(m.reconciled,
+      s"JDBC sink count mismatch: src=${m.srcRows} dst=${m.dstRows}")
+    val hi = Tables.load(spark, dir, "orders")
+      .agg(max(col("o_orderkey"))).head().getLong(0) + 1
+    val back = JdbcSnapshot.read(spark,
+      JdbcSnapshot.options(url, "APP", "ORDERS",
+        partitioning = Some(JdbcSnapshot.Partitioning("O_ORDERKEY", 0L, hi, 4)),
+        quote = "\"") + ("driver" -> DerbyDriver.get))
+    back.select(col("O_ORDERKEY").as("o_orderkey"),
+        col("O_CUSTKEY").as("o_custkey"),
+        col("O_ORDERSTATUS").as("o_orderstatus"),
+        col("O_TOTALPRICE").as("o_totalprice"),
+        col("O_ORDERDATE").as("o_orderdate"),
+        col("O_ORDERPRIORITY").as("o_orderpriority"))
+      .orderBy("o_orderkey")
+  }
 
   /** q30: snapshot migration of `lineitem` through the full chain —
     * column skip + WHERE + auto-DDL + count reconciliation — then
