@@ -99,6 +99,7 @@ object SparkEntry {
     "q67_group_percentiles" -> Relational.groupedPercentiles _,
     "q68_jdbc_cdc_live"     -> IngestQueries.jdbcCdcLive _,
     "q69_jdbc_sink_roundtrip" -> IngestQueries.jdbcSinkRoundtrip _,
+    "q70_image_decode"      -> PipelineQueries.imageDecode _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -901,5 +902,30 @@ object SparkEntry {
       """SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
         |  o_orderstatus, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // q70: every feature the real PNG decode must produce, recomputed
+    // from the synthesis formulas (Images.fixturePng): red gradient
+    // along x, solid green/blue, BT.601 fixed-point luma samples
+    "q70_image_decode" ->
+      """WITH t AS (SELECT doc_id,
+        |    4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+        |    (doc_id * 7) % 256 AS g, (doc_id * 13) % 256 AS b
+        |  FROM documents),
+        |px AS (SELECT doc_id,
+        |    list_reduce([CAST(0 AS BIGINT)] + [(doc_id + x) % 256 for x in range(0, w)],
+        |      (a,c) -> a+c) AS row_r
+        |  FROM t),
+        |lm AS (SELECT doc_id,
+        |    list_reduce([CAST(0 AS BIGINT)] +
+        |        [(77*((doc_id + (i*w)//4) % 256) + 150*g + 29*b)//256 for i in range(0, 4)],
+        |      (a,c) -> (a*31 + c) % 1000000007) AS luma_fp
+        |  FROM t)
+        |SELECT t.doc_id, TRUE AS decoded,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(h * px.row_r AS BIGINT) AS sum_r,
+        |  CAST(w * h * g AS BIGINT) AS sum_g,
+        |  CAST(w * h * b AS BIGINT) AS sum_b,
+        |  lm.luma_fp
+        |FROM t JOIN px ON t.doc_id = px.doc_id JOIN lm ON t.doc_id = lm.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
   )
 }

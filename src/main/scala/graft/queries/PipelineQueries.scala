@@ -303,4 +303,25 @@ object PipelineQueries {
         element_at(col("frames"), 4).as("frame_last"))
       .orderBy("doc_id")
   }
+
+  /** q70: REAL image decode through `javax.imageio` — one synthesized
+    * PNG per document (dimensions and colors are integer formulas
+    * over doc_id, see Images.fixturePng), decoded by the actual PNG
+    * codec (zlib inflate + defilter) in a batched mapPartitions
+    * stage. The oracle recomputes every decoded feature (dims, exact
+    * per-channel pixel sums, downsampled-luma fingerprint) from the
+    * same formulas — so a codec-path bug (wrong channel order, bad
+    * defilter, off-by-one sampling) cannot hash-match.
+    */
+  def imageDecode(spark: SparkSession, dir: String): DataFrame = {
+    val mkPng = udf((id: Long) => graft.multimodal.Images.fixturePng(id))
+    val objects = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), mkPng(col("doc_id")).as("payload"))
+    graft.multimodal.Images.decodeImages(objects)
+      .select(col("doc_id"), col("decoded"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"), col("luma_fp"))
+      .orderBy("doc_id")
+  }
 }

@@ -62,6 +62,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(s.getAs[Long]("total_bytes") == 25L)
   }
 
+  test("real PNG decode: dims, channel sums, luma fingerprint; corrupt payload falls back") {
+    import graft.multimodal.Images
+    val id = 7L
+    val df = Seq(
+      (id, Images.fixturePng(id)),              // real PNG
+      (8L, Array[Byte](1, 2, 3)),                // garbage bytes
+      (9L, "not an image at all".getBytes("UTF-8"))) // text bytes
+      .toDF("doc_id", "payload")
+    val out = Images.decodeImages(df).collect().sortBy(_.doc_id)
+    val ok = out(0)
+    // id=7: w=4+7%5=6, h=3+7%4=6, g=49, b=91, red gradient 7..12
+    assert(ok.decoded)
+    assert(ok.width.contains(6) && ok.height.contains(6))
+    assert(ok.sum_r.contains(6L * (7 to 12).sum))
+    assert(ok.sum_g.contains(36L * 49) && ok.sum_b.contains(36L * 91))
+    // luma fp over samples x=0,1,3,4 → r=7,8,10,11
+    val expFp = Seq(7, 8, 10, 11).map(r => (77 * r + 150 * 49 + 29 * 91) >> 8)
+      .foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    assert(ok.luma_fp.contains(expFp))
+    // corrupt payloads: decoded=false, null features, NO exception —
+    // the md5 pseudo-feature path stays available for these rows
+    out.drop(1).foreach { bad =>
+      assert(!bad.decoded && bad.width.isEmpty && bad.sum_r.isEmpty &&
+        bad.luma_fp.isEmpty)
+    }
+  }
+
   test("resize stub bounds size, strides deterministically, passes small through") {
     import org.apache.spark.sql.functions._
     val big = ("ab" * 100).getBytes("UTF-8") // 200 bytes
