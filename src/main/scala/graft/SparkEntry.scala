@@ -26,7 +26,8 @@ object SparkEntry {
     "q30_migrate_counts", "q31_csv_roundtrip",
     "q32_cdc_stream", "q33_stream_hourly", "q39_stream_sessions",
     "q43_stream_dedup", "q51_stream_enrich", "q59_stream_stream_join",
-    "q61_json_roundtrip", "q68_jdbc_cdc_live", "q69_jdbc_sink_roundtrip")
+    "q61_json_roundtrip", "q68_jdbc_cdc_live", "q69_jdbc_sink_roundtrip",
+    "q71_catalog_migrate")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -100,6 +101,7 @@ object SparkEntry {
     "q68_jdbc_cdc_live"     -> IngestQueries.jdbcCdcLive _,
     "q69_jdbc_sink_roundtrip" -> IngestQueries.jdbcSinkRoundtrip _,
     "q70_image_decode"      -> PipelineQueries.imageDecode _,
+    "q71_catalog_migrate"   -> IngestQueries.catalogMigrate _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -927,5 +929,10 @@ object SparkEntry {
         |  lm.luma_fp
         |FROM t JOIN px ON t.doc_id = px.doc_id JOIN lm ON t.doc_id = lm.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // q71: the catalog-driven migrate's DDL-created, loaded, re-read
+    // table must equal the source table
+    "q71_catalog_migrate" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
   )
 }

@@ -102,6 +102,49 @@ object IngestQueries {
       .orderBy("event_id")
   }
 
+  /** q71: catalog-driven migrate, end to end through the mode
+    * dispatcher — the reference's full `--create-table-sql
+    * --dst-create-table --migrate-table` flow (main.py:104-148 in
+    * /root/reference) driven by an INFORMATION_SCHEMA fixture:
+    * prefix expansion resolves the work list against the catalog
+    * (S4), the MySQL-typed catalog schemas generate DDL in both
+    * dialects (D1-D4), the Spark-dialect DDL EXECUTES against the
+    * session catalog (D5), the migration chain runs with count
+    * reconciliation, and the migrated rows are loaded INTO the
+    * DDL-created table (K1), which is what's re-read and compared —
+    * a wrong type mapping, DDL shape, or work-list resolution all
+    * fail the hash.
+    */
+  def catalogMigrate(spark: SparkSession, dir: String): DataFrame = {
+    val root = tmpDir("graft_catalog_migrate")
+    val csv = s"$root/catalog.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(csv),
+      """table_name,ordinal_position,column_name,column_type,is_nullable,column_key,column_default,extra
+        |nation,1,n_nationkey,int(11),NO,PRI,,
+        |nation,2,n_name,varchar(32),YES,,,
+        |nation,3,n_regionkey,int(11),YES,,,
+        |region,1,r_regionkey,int(11),NO,PRI,,
+        |region,2,r_name,varchar(32),YES,,,
+        |""".stripMargin)
+    val db = s"graft_q71_${System.nanoTime()}"
+    val res = graft.app.GraftApp.run(spark, graft.app.GraftApp.Config(
+      srcDir = dir, dstDir = root, db = db,
+      tablePrefixes = Seq("nat", "reg"),
+      catalogCsv = Some(csv),
+      createTableSql = true, dstCreateTable = true, migrateTable = true))
+    require(res.createdTables.toSet == Set(s"$db.nation", s"$db.region"),
+      s"prefix expansion + dst-create-table resolved ${res.createdTables}")
+    require(res.migrations.forall(_.reconciled), "migration counts diverged")
+    require(res.ddl.exists(_.contains("MergeTree")) &&
+      res.ddl.exists(_.contains("USING PARQUET")),
+      "create-table-sql must emit both dialects")
+    // load the migrated rows INTO the DDL-created table; the catalog
+    // table — not the parquet intermediate — is what gets compared
+    spark.read.parquet(s"$root/nation.parquet")
+      .write.insertInto(s"$db.nation")
+    spark.table(s"$db.nation").orderBy("n_nationkey")
+  }
+
   /** q69: JDBC WRITE sink round-trip — the reference's primary sink
     * direction (batched multi-row INSERTs into a live server,
     * writer/chwriter.py:47-112), against embedded Derby: orders →
