@@ -36,6 +36,10 @@ object GraftApp {
       csvExport: Boolean = false,           // --csvpool-style CSV spill
       pumpData: Boolean = false,            // --pump-data
       debeziumFeed: Option[String] = None,  // --debezium-feed (JSON-lines dir)
+      srcJdbcUrl: Option[String] = None,    // --src-jdbc-url (live pump)
+      srcJdbcTable: Option[String] = None,  // --src-jdbc-table
+      srcJdbcKey: Option[String] = None,    // --src-jdbc-key (monotonic PK)
+      srcJdbcDriver: Option[String] = None, // --src-jdbc-driver
       pk: Seq[String] = Seq("user_id"),     // --pk
       pkFor: Map[String, Seq[String]] = Map.empty, // --pk-for=t:c1+c2;t2:id
       orderCols: Seq[String] = Seq("ts", "event_id"),
@@ -133,7 +137,49 @@ object GraftApp {
       }
 
     val pumped =
-      if (c.debeziumFeed.isDefined) {
+      if (c.srcJdbcUrl.isDefined) {
+        // LIVE replication pump over a real database connection — the
+        // reference's primary deployment (reader loop,
+        // mysqlreader.py:362-448) with the binlog tail replaced by
+        // the incremental key-range poll (graft-jdbc source). The
+        // monotonic key doubles as PK and merge order; offsets ride
+        // the streaming checkpoint, so restarts resume exactly.
+        val table = c.srcJdbcTable.getOrElse(
+          throw new IllegalArgumentException(
+            "--src-jdbc-url requires --src-jdbc-table"))
+        val key = c.srcJdbcKey.getOrElse(
+          throw new IllegalArgumentException(
+            "--src-jdbc-url requires --src-jdbc-key"))
+        val stateDir = s"${c.dstDir}/_state"
+        val reader = spark.readStream.format("graft-jdbc")
+          .option("url", c.srcJdbcUrl.get)
+          .option("dbtable", table)
+          .option("keyColumn", key)
+          .option("numPartitions",
+            spark.conf.get("spark.sql.shuffle.partitions"))
+        val stream = c.srcJdbcDriver
+          .fold(reader)(d => reader.option("driver", d)).load()
+        val tput = graft.streaming.Throughput.attach(spark)
+        try {
+          val trigger = if (c.srcWait)
+            org.apache.spark.sql.streaming.Trigger.ProcessingTime(c.nicePause)
+          else org.apache.spark.sql.streaming.Trigger.AvailableNow()
+          stream.writeStream
+            .option("checkpointLocation", s"${c.dstDir}/_checkpoint")
+            .trigger(trigger)
+            .foreachBatch {
+              (b: org.apache.spark.sql.DataFrame, _: Long) =>
+                if (!b.isEmpty)
+                  StreamingCdc.mergeIntoState(
+                    b.withColumn(graft.cdc.CdcApplier.OpCol,
+                      org.apache.spark.sql.functions.lit("insert")),
+                    stateDir, pk = Seq(key), orderCols = Seq(key))
+            }
+            .start()
+            .awaitTermination()
+        } finally spark.streams.removeListener(tput)
+        Some(stateDir)
+      } else if (c.debeziumFeed.isDefined) {
         // live-wire pump: raw Debezium JSON-lines feed → per-table
         // parse (row schema from each subscribed table's fixture) →
         // per-table state dirs. The production deployment points
@@ -181,7 +227,8 @@ object GraftApp {
   private val KnownOptions = Set("src-dir", "dst-dir", "dst-schema",
     "src-tables", "src-tables-prefixes", "column-skip",
     "src-tables-where-clauses", "column-default-value", "catalog-csv",
-    "nice-pause", "debezium-feed", "pk", "pk-for", "config")
+    "nice-pause", "debezium-feed", "pk", "pk-for", "config",
+    "src-jdbc-url", "src-jdbc-table", "src-jdbc-key", "src-jdbc-driver")
   private val KnownFlags = Set("create-table-sql",
     "create-table-sql-template", "dst-create-table", "migrate-table",
     "csvpool", "pump-data", "src-wait")
@@ -287,6 +334,10 @@ object GraftApp {
         .map { case (t, xs) => t -> xs.map(x => x._2 -> x._3).toMap },
       catalogCsv = kv.get("catalog-csv"),
       debeziumFeed = kv.get("debezium-feed"),
+      srcJdbcUrl = kv.get("src-jdbc-url"),
+      srcJdbcTable = kv.get("src-jdbc-table"),
+      srcJdbcKey = kv.get("src-jdbc-key"),
+      srcJdbcDriver = kv.get("src-jdbc-driver"),
       pk = kv.get("pk").map(_.split(",").toSeq.filter(_.nonEmpty))
         .getOrElse(Seq("user_id")),
       // --pk-for=table:col1+col2;table2:id — per-table PK override

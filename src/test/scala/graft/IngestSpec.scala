@@ -263,6 +263,38 @@ class GraftAppSpec extends AnyFunSuite {
     }
   }
 
+  test("live JDBC pump mode replicates a real database through the CLI surface") {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_clijdbc").toString
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE ITEMS (ID BIGINT NOT NULL, NAME VARCHAR(32))")
+      val ps = conn.prepareStatement("INSERT INTO ITEMS VALUES (?, ?)")
+      for (i <- 0 until 25) { ps.setLong(1, i.toLong); ps.setString(2, s"n$i"); ps.addBatch() }
+      ps.executeBatch()
+    } finally conn.close()
+    val dst = java.nio.file.Files.createTempDirectory("graft_clijdbc_out").toString
+    // --src-wait off → AvailableNow: drain the table, then exit
+    val c = GraftApp.parse(Seq(s"--src-dir=$dir", s"--dst-dir=$dst",
+      s"--src-jdbc-url=$url", "--src-jdbc-table=APP.ITEMS",
+      "--src-jdbc-key=ID",
+      "--src-jdbc-driver=org.apache.derby.jdbc.EmbeddedDriver"))
+    val res = GraftApp.run(spark, c)
+    assert(res.pumpedStateDir.contains(s"$dst/_state"))
+    val template = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "APP.ITEMS")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver").load()
+    val state = graft.streaming.StreamingCdc.currentState(
+      spark, s"$dst/_state", template)
+    assert(state.count() == 25)
+    // missing companion options fail fast
+    intercept[IllegalArgumentException] {
+      GraftApp.run(spark, GraftApp.Config(srcDir = dir, dstDir = dst,
+        srcJdbcUrl = Some(url)))
+    }
+  }
+
   test("config file aggregates under the CLI: file run == CLI run, CLI overrides file") {
     val cfg = java.nio.file.Files.createTempFile("graft", ".conf")
     java.nio.file.Files.writeString(cfg,
