@@ -13,9 +13,12 @@ import org.apache.spark.sql.SparkSession
   * /root/reference): the create-sql / migrate / pump modes are
   * combinable in one invocation and execute in the reference's
   * order (create-sql → migrate → pump, main.py:104-148). Option
-  * semantics follow clioptions.py; parsing fidelity (configobj
-  * files, daemon mode) is intentionally out of scope —
-  * `spark-submit` owns process concerns.
+  * semantics follow clioptions.py, including the config-file
+  * aggregation (CLI > file > defaults) and the service surface
+  * (--log-file/--log-level/--pid-file/--daemon/--install); process
+  * BACKGROUNDING alone stays with `spark-submit`/systemd — a JVM
+  * cannot double-fork (daemon.py:18-63), so --daemon here means
+  * "stay resident on the nice-pause cadence".
   */
 object GraftApp {
 
@@ -44,7 +47,12 @@ object GraftApp {
       pkFor: Map[String, Seq[String]] = Map.empty, // --pk-for=t:c1+c2;t2:id
       orderCols: Seq[String] = Seq("ts", "event_id"),
       srcWait: Boolean = false,             // --src-wait
-      nicePause: String = "60 seconds")     // --nice-pause
+      nicePause: String = "60 seconds",     // --nice-pause
+      logFile: Option[String] = None,       // --log-file
+      logLevel: Option[String] = None,      // --log-level
+      pidFile: Option[String] = None,       // --pid-file
+      daemon: Boolean = false,              // --daemon
+      install: Boolean = false)             // --install
 
   final case class Result(
       ddl: Seq[String] = Nil,
@@ -52,7 +60,8 @@ object GraftApp {
       createdTables: Seq[String] = Nil,
       migrations: Seq[Migrator.TableMigration] = Nil,
       csvDirs: Seq[String] = Nil,
-      pumpedStateDir: Option[String] = None)
+      pumpedStateDir: Option[String] = None,
+      installedFiles: Seq[String] = Nil)
 
   /** Resolve the table work-list: UNION of explicit tables and
     * prefix matches (the reference's additive semantics,
@@ -78,8 +87,87 @@ object GraftApp {
           c.tables.contains(t) || c.tablePrefixes.exists(t.startsWith))
     }
 
+  /** Python-logging level names the reference accepts
+    * (clioptions.py:187-192) → log4j levels for
+    * `sparkContext.setLogLevel`.
+    */
+  private[app] val LogLevels = Map(
+    "debug" -> "DEBUG", "info" -> "INFO", "warning" -> "WARN",
+    "error" -> "ERROR", "critical" -> "ERROR", "notset" -> "INFO")
+
+  /** Append-only service log in the reference's line format
+    * (`asctime:LEVEL:message`, main.py:40-44). Driver-side process
+    * concern — data-plane logging stays with Spark's own log4j.
+    */
+  private[app] def logLine(c: Config, level: String, msg: String): Unit =
+    c.logFile.foreach { path =>
+      val p = java.nio.file.Paths.get(path)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(p,
+        s"${java.time.Instant.now()}:${level.toUpperCase}:$msg\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+
+  /** `--daemon` keeps the pump resident on the nice-pause cadence —
+    * the JVM/Spark analog of the reference's double-fork service loop
+    * (daemon.py:18-63). Actual process backgrounding belongs to
+    * spark-submit / systemd (the generated unit file), not the app.
+    */
+  private[graft] def stayUp(c: Config): Boolean = c.srcWait || c.daemon
+
+  /** `--install` analog (main.py:57-95): the reference copies its
+    * init.d script + example config into /etc; under Spark the
+    * service wrapper is a systemd unit around spark-submit. Files are
+    * generated under `dstDir/service/` (no /etc writes) for the
+    * operator to install.
+    */
+  private[app] def installService(dstDir: String): Seq[String] = {
+    val dir = java.nio.file.Paths.get(dstDir, "service")
+    java.nio.file.Files.createDirectories(dir)
+    val conf = dir.resolve("graft-example.conf")
+    val unit = dir.resolve("graft.service")
+    java.nio.file.Files.writeString(conf,
+      """# graft example config (CLI > file > defaults; see --config)
+        |[graft]
+        |src-dir = /data/src
+        |dst-dir = /data/out
+        |dst-schema = default
+        |migrate-table = no
+        |pump-data = yes
+        |src-wait = yes
+        |nice-pause = 60 seconds
+        |pk = user_id
+        |""".stripMargin)
+    java.nio.file.Files.writeString(unit,
+      s"""[Unit]
+         |Description=graft replication pump
+         |After=network.target
+         |
+         |[Service]
+         |Type=simple
+         |ExecStart=spark-submit --class graft.app.GraftApp graft.jar --config=${conf.toAbsolutePath} --daemon --log-file=/var/log/graft/graft.log --pid-file=/var/run/graft/graft.pid
+         |Restart=on-failure
+         |
+         |[Install]
+         |WantedBy=multi-user.target
+         |""".stripMargin)
+    Seq(unit.toString, conf.toString)
+  }
+
   /** Execute the selected modes in reference order. */
   def run(spark: SparkSession, c: Config): Result = {
+    // process-level surface first, like the reference's startup order
+    // (logging config → pidfile → dispatch, main.py:39-73)
+    c.logLevel.foreach(l => spark.sparkContext.setLogLevel(LogLevels(l)))
+    logLine(c, "info", "Starting")
+    c.pidFile.foreach { path =>
+      val p = java.nio.file.Paths.get(path)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(p, s"${ProcessHandle.current().pid()}\n")
+      p.toFile.deleteOnExit() // the atexit delete_pidfile analog
+    }
+    if (c.install) return Result(installedFiles = installService(c.dstDir))
     // catalog metadata is driver-sized; parse the fixture once, not
     // once per table (and reuse it for work-list resolution)
     val catalog = c.catalogCsv.map(CatalogReader.fromCsv(spark, _))
@@ -161,7 +249,7 @@ object GraftApp {
           .fold(reader)(d => reader.option("driver", d)).load()
         val tput = graft.streaming.Throughput.attach(spark)
         try {
-          val trigger = if (c.srcWait)
+          val trigger = if (stayUp(c))
             org.apache.spark.sql.streaming.Trigger.ProcessingTime(c.nicePause)
           else org.apache.spark.sql.streaming.Trigger.AvailableNow()
           stream.writeStream
@@ -194,7 +282,7 @@ object GraftApp {
         try {
           StreamingCdc.startDebezium(raw, stateRoot,
             s"${c.dstDir}/_checkpoint", c.db, schemas, c.pk,
-            processingTime = if (c.srcWait) Some(c.nicePause) else None,
+            processingTime = if (stayUp(c)) Some(c.nicePause) else None,
             pkFor = c.pkFor)
             .awaitTermination()
         } finally spark.streams.removeListener(tput)
@@ -215,7 +303,7 @@ object GraftApp {
           val q = StreamingCdc.start(stream, stateDir,
             s"${c.dstDir}/_checkpoint", c.pk, c.orderCols,
             // --src-wait OFF → drain and exit; ON → stay up on a cadence
-            processingTime = if (c.srcWait) Some(c.nicePause) else None)
+            processingTime = if (stayUp(c)) Some(c.nicePause) else None)
           q.awaitTermination()
         } finally spark.streams.removeListener(tput)
         Some(stateDir)
@@ -228,10 +316,11 @@ object GraftApp {
     "src-tables", "src-tables-prefixes", "column-skip",
     "src-tables-where-clauses", "column-default-value", "catalog-csv",
     "nice-pause", "debezium-feed", "pk", "pk-for", "config",
-    "src-jdbc-url", "src-jdbc-table", "src-jdbc-key", "src-jdbc-driver")
+    "src-jdbc-url", "src-jdbc-table", "src-jdbc-key", "src-jdbc-driver",
+    "log-file", "log-level", "pid-file")
   private val KnownFlags = Set("create-table-sql",
     "create-table-sql-template", "dst-create-table", "migrate-table",
-    "csvpool", "pump-data", "src-wait")
+    "csvpool", "pump-data", "src-wait", "daemon", "install")
 
   /** `--column-default-value=t.col=v` values: numeric if they parse,
     * else the literal string (na.fill applies them type-matched).
@@ -250,7 +339,7 @@ object GraftApp {
     * (`migrate-table = yes`); unknown keys are an error, same
     * fail-fast stance as the CLI.
     */
-  private[app] def parseConfigFile(path: String): (Map[String, String], Set[String]) = {
+  private[graft] def parseConfigFile(path: String): (Map[String, String], Set[String]) = {
     val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
     val entries = scala.jdk.CollectionConverters.ListHasAsScala(lines).asScala
       .map(_.trim)
@@ -311,8 +400,12 @@ object GraftApp {
     def list(k: String): Seq[String] =
       kv.get(k).map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     Config(
+      // --install generates service files only — no data source needed
+      // (the reference's install path exits before any reader starts,
+      // main.py:57-73)
       srcDir = kv.getOrElse("src-dir",
-        throw new IllegalArgumentException("--src-dir required")),
+        if (flags("install")) ""
+        else throw new IllegalArgumentException("--src-dir required")),
       dstDir = kv.getOrElse("dst-dir", "/tmp/graft-out"),
       db = kv.getOrElse("dst-schema", "default"),
       tables = list("src-tables"),
@@ -355,7 +448,20 @@ object GraftApp {
       csvExport = flags("csvpool"),
       pumpData = flags("pump-data"),
       srcWait = flags("src-wait"),
-      nicePause = kv.getOrElse("nice-pause", "60 seconds"))
+      nicePause = kv.getOrElse("nice-pause", "60 seconds"),
+      logFile = kv.get("log-file"),
+      logLevel = kv.get("log-level").map { l =>
+        val lower = l.toLowerCase
+        require(LogLevels.contains(lower),
+          s"--log-level=$l: expected one of ${LogLevels.keys.toSeq.sorted.mkString(", ")}")
+        lower
+      },
+      // reference default kicks in only for daemon runs
+      // (clioptions.py:102, 210-213)
+      pidFile = kv.get("pid-file")
+        .orElse(if (flags("daemon")) Some("/tmp/graft.pid") else None),
+      daemon = flags("daemon"),
+      install = flags("install"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -373,6 +479,7 @@ object GraftApp {
     }
     result.csvDirs.foreach(d => println(s"csv export at $d"))
     result.pumpedStateDir.foreach(d => println(s"pumped state at $d"))
+    result.installedFiles.foreach(f => println(s"installed $f"))
     spark.stop()
   }
 }

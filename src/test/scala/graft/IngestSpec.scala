@@ -338,6 +338,52 @@ class GraftAppSpec extends AnyFunSuite {
     }
   }
 
+  test("service surface: log/pid files, daemon cadence, install artifacts") {
+    // parse recognizes the reference's process options
+    // (clioptions.py:181-213, 299)
+    val tmp = Files.createTempDirectory("graft_svc").toString
+    val c = GraftApp.parse(Seq(s"--src-dir=$dir", s"--dst-dir=$tmp",
+      s"--log-file=$tmp/g.log", "--log-level=warning",
+      s"--pid-file=$tmp/g.pid", "--daemon"))
+    assert(c.logFile.contains(s"$tmp/g.log") && c.logLevel.contains("warning"))
+    assert(c.pidFile.contains(s"$tmp/g.pid") && c.daemon)
+    // --daemon alone gets the reference's default pidfile
+    // (clioptions.py:102); a plain run gets none
+    assert(GraftApp.parse(Seq(s"--src-dir=$dir", "--daemon"))
+      .pidFile.contains("/tmp/graft.pid"))
+    assert(GraftApp.parse(Seq(s"--src-dir=$dir")).pidFile.isEmpty)
+    // a bad level fails at parse time, not mid-run
+    intercept[IllegalArgumentException] {
+      GraftApp.parse(Seq(s"--src-dir=$dir", "--log-level=loud"))
+    }
+    // daemon implies the resident trigger even without --src-wait
+    assert(GraftApp.stayUp(c) && !c.srcWait)
+    assert(!GraftApp.stayUp(GraftApp.parse(Seq(s"--src-dir=$dir"))))
+    // run writes the pid (this JVM's) and the Starting log line
+    GraftApp.run(spark, c.copy(daemon = false))
+    val pid = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$tmp/g.pid")).trim
+    assert(pid == ProcessHandle.current().pid().toString)
+    val log = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$tmp/g.log"))
+    assert(log.contains(":INFO:Starting"))
+  }
+
+  test("install mode generates a systemd unit and a parseable example config") {
+    val dst = Files.createTempDirectory("graft_install").toString
+    // install needs no --src-dir, like the reference (main.py:57-73)
+    val r = GraftApp.run(spark, GraftApp.parse(Seq(s"--dst-dir=$dst", "--install")))
+    assert(r.installedFiles.length == 2)
+    val Seq(unit, conf) = r.installedFiles
+    val unitText = java.nio.file.Files.readString(java.nio.file.Paths.get(unit))
+    assert(unitText.contains("ExecStart=spark-submit") &&
+      unitText.contains("--daemon"))
+    // the generated example must round-trip through our own parser —
+    // a drifting example config is worse than none
+    val (kv, flags) = GraftApp.parseConfigFile(conf)
+    assert(kv("src-dir") == "/data/src" && flags("pump-data") && !flags("migrate-table"))
+  }
+
   test("explicit tables and prefixes combine additively (union)") {
     val c = GraftApp.Config(srcDir = dir, dstDir = "/tmp/unused",
       tables = Seq("events"), tablePrefixes = Seq("doc"))
