@@ -34,12 +34,24 @@ object Sampler {
     * `(id * 2654435761) mod 2^32 / 2^32` — weaker mixing than
     * xxhash64 but expressible verbatim in ANSI SQL, so an external
     * engine can reproduce the exact sample (the oracle path).
-    * Caller must keep `id * 2654435761` inside Long (id < ~3.5e9) —
-    * beyond that use [[uniformHash]].
+    *
+    * The product is computed overflow-safely for ANY non-negative
+    * Long id: `(id·K) mod 2^32` depends only on `id mod 2^32`, and
+    * splitting that residue into 16-bit halves keeps every
+    * intermediate ≤ ~2^48 (the naive `id * K` overflows Long past
+    * id ≈ 3.5e9 — ids at the 1e10 scale hit exactly that under ANSI
+    * mode; caught by the 10× scale soak). Values are bit-identical
+    * to the naive formula wherever it doesn't overflow.
     */
-  def uniformKnuth(id: Column): Column =
-    pmod(id * lit(2654435761L), lit(1L << 32)).cast("double") /
-      (1L << 32).toDouble
+  def uniformKnuth(id: Column): Column = {
+    val K = lit(2654435761L)
+    val a = pmod(id, lit(1L << 32))
+    val ah = shiftright(a, 16)
+    val al = a.bitwiseAND(lit(0xFFFFL))
+    // (a·K) mod 2^32 = ((ah·K mod 2^16)·2^16 + al·K) mod 2^32
+    pmod(pmod(ah * K, lit(1L << 16)) * lit(1L << 16) + al * K, lit(1L << 32))
+      .cast("double") / (1L << 32).toDouble
+  }
 
   /** Per-stratum rate expression: `rates` maps stratum value → rate,
     * `defaultRate` covers unlisted strata.
