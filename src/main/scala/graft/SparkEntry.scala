@@ -102,6 +102,7 @@ object SparkEntry {
     "q69_jdbc_sink_roundtrip" -> IngestQueries.jdbcSinkRoundtrip _,
     "q70_image_decode"      -> PipelineQueries.imageDecode _,
     "q71_catalog_migrate"   -> IngestQueries.catalogMigrate _,
+    "q72_contamination_bloom" -> PipelineQueries.contaminationBloom _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -544,11 +545,16 @@ object SparkEntry {
         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
     // q42: the Knuth multiplicative hash is chosen exactly because it
     // is expressible verbatim here — the oracle reproduces the SAME
-    // sample, row for row
+    // sample, row for row, in the engine's overflow-safe split-multiply
+    // formulation (identical values to the naive product)
     "q42_training_mix" ->
-      """SELECT doc_id, lang, source, n_chars
-        |FROM documents
-        |WHERE CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0
+      """WITH h AS (SELECT doc_id, lang, source, n_chars,
+        |    CAST(((doc_id % 4294967296) - (doc_id % 65536)) / 65536 AS BIGINT) AS ah,
+        |    doc_id % 65536 AS al
+        |  FROM documents)
+        |SELECT doc_id, lang, source, n_chars
+        |FROM h
+        |WHERE CAST((((ah * 2654435761) % 65536) * 65536 + al * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0
         |  < CASE lang WHEN 'en' THEN 0.3 WHEN 'zh' THEN 0.8
         |      WHEN 'es' THEN 0.8 WHEN 'de' THEN 0.8 WHEN 'fr' THEN 0.8
         |      ELSE 0.1 END
@@ -633,7 +639,7 @@ object SparkEntry {
         |WHERE (cl.node IS NULL OR cl.cluster_id = d.doc_id)
         |  AND (CASE WHEN len(list_filter(string_split(d.text,' '), x -> x='the' OR x='a')) >= 2 THEN 'en' ELSE 'und' END) = 'en'
         |  AND qual.quality >= 0.5
-        |  AND CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE)/4294967296.0 < 0.5
+        |  AND CAST((((CAST(((d.doc_id % 4294967296) - (d.doc_id % 65536)) / 65536 AS BIGINT) * 2654435761) % 65536) * 65536 + (d.doc_id % 65536) * 2654435761) % 4294967296 AS DOUBLE)/4294967296.0 < 0.5
         |ORDER BY d.doc_id""".stripMargin,
     // q47: the engine's two-phase distributed prefix sum must equal
     // the single global window formulation
@@ -934,5 +940,18 @@ object SparkEntry {
     "q71_catalog_migrate" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    // q72: identical semantics to q48 at a denser probe stride — the
+    // engine side runs the bloom-prefilter path, and the oracle pins
+    // that the prefilter changes nothing
+    "q72_contamination_bloom" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1, len(toks)-1)])) AS s
+        |       FROM t),
+        |probe AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0)
+        |SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |FROM sh JOIN probe ON sh.s = probe.s
+        |WHERE sh.doc_id % 50 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

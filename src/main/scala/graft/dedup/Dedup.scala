@@ -405,6 +405,50 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits")) // shingleRows emits distinct shingles
   }
 
+  /** Contamination scan for probe sets too large to broadcast as an
+    * exact hash set (full eval-suite unions reach 1e8+ shingles ≈
+    * multi-GB): a Bloom prefilter + exact verify join. Results are
+    * EXACTLY [[contaminationScan]]'s — the bloom only bounds what
+    * shuffles:
+    *
+    *  1. the probe bloom is built as a real distributed aggregate
+    *     (native `BloomFilterAggregate`, the codegen'd expression
+    *     behind Spark's own runtime row-level filtering) over
+    *     xxhash64(shingle); the result is ONE binary row bounded by
+    *     numBits — collected like a broadcast variable, not data;
+    *  2. corpus shingles pass through codegen'd
+    *     `BloomFilterMightContain` inside the scan stage — the
+    *     corpus-side shuffle shrinks to true hits + the fpp·corpus
+    *     false-positive sliver;
+    *  3. the survivors semi-join the true probe shingle set, which
+    *     eliminates every false positive exactly. Unlike
+    *     [[contaminationScan]]'s broadcast join, this join may
+    *     shuffle — but only the prefiltered sliver does.
+    */
+  def contaminationScanBloom(docs: DataFrame, probes: DataFrame, k: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      expectedShingles: Long = 4L * 1024 * 1024): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => c, expression => e}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val probeShingles = shingleRows(probes, k, idCol, textCol)
+      .select("shingle").distinct()
+    val bloomAgg = new BloomFilterAggregate(
+      e(xxhash64(col("shingle"))), expectedShingles)
+    val bloomBytes = probeShingles
+      .agg(c(bloomAgg.toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val corpus = shingleRows(docs, k, idCol, textCol)
+    // empty probe set → empty bloom aggregate (null): nothing can hit
+    val prefiltered =
+      if (bloomBytes == null) corpus.where(lit(false))
+      else corpus.where(c(BloomFilterMightContain(
+        Literal(bloomBytes), e(xxhash64(col("shingle"))))))
+    prefiltered.join(probeShingles, Seq("shingle"), "left_semi")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits")) // shingleRows emits distinct shingles
+  }
+
   /** Keep-one-per-cluster: drop every clustered document except its
     * cluster representative (the min-id member). Documents in no
     * cluster survive untouched. The anti-join side is

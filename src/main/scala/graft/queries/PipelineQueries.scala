@@ -282,6 +282,19 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q72: the same decontamination semantics through the bloom
+    * prefilter scale path (every 50th document plays the eval set —
+    * a denser probe split than q48 so the two queries do different
+    * work). Exactness is the point: the bloom only prunes.
+    */
+  def contaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val probes = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+    Dedup.contaminationScanBloom(corpus, probes, k = 3)
+      .orderBy("doc_id")
+  }
+
   /** q40: data-quality profile of the documents table — one row per
     * column with null/distinct/min/max statistics in one pass.
     */

@@ -229,6 +229,25 @@ class SamplerSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), "stratified sample must not shuffle")
   }
 
+  test("knuth uniform survives 1e10-scale ids and matches the naive formula") {
+    import spark.implicits._
+    // ids at the 10x-soak scale (base + i*1e9 key shifts) overflowed
+    // the naive id*K product under ANSI mode; the split-multiply form
+    // must (a) not throw, (b) equal the naive product computed wide
+    val ids = Seq(0L, 1L, 65535L, 65536L, 4294967295L, 4294967296L,
+      3500000017L, 9000000000L + 12345L, Long.MaxValue / 3)
+    val got = ids.toDF("id")
+      .select(Sampler.uniformKnuth(col("id")).as("u"))
+      .collect().map(_.getDouble(0))
+    val want = ids.map { id =>
+      val prod = (BigInt(id) * BigInt(2654435761L)).mod(BigInt(1L) << 32)
+      prod.toDouble / (1L << 32).toDouble
+    }
+    (got zip want).zip(ids).foreach { case ((g, w), id) =>
+      assert(g == w, s"id=$id: got $g want $w")
+    }
+  }
+
   test("xxhash and knuth uniforms are in [0,1)") {
     val r = docs.select(
       max(Sampler.uniformHash(col("doc_id"))).as("mh"),
@@ -533,5 +552,24 @@ class ContaminationSpec extends AnyFunSuite {
     val plan = scan.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       "probe shingles must broadcast — corpus shingles never shuffle")
+  }
+
+  test("contaminationScanBloom equals the exact scan; bloom only prunes") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val probes = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+    val exact = Dedup.contaminationScan(corpus, probes, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val bloomDf = Dedup.contaminationScanBloom(corpus, probes, k = 3)
+    val bloom = bloomDf.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(exact.nonEmpty && bloom == exact,
+      "bloom prefilter must not change results — it only bounds the shuffle")
+    // the prefilter must actually be IN the plan, upstream of the join
+    val plan = bloomDf.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "corpus shingles must pass through BloomFilterMightContain")
+    // empty probe set → empty result, not a crash on a null bloom
+    assert(Dedup.contaminationScanBloom(
+      corpus, probes.where(lit(false)), k = 3).count() == 0)
   }
 }
