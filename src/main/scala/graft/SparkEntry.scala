@@ -27,7 +27,7 @@ object SparkEntry {
     "q32_cdc_stream", "q33_stream_hourly", "q39_stream_sessions",
     "q43_stream_dedup", "q51_stream_enrich", "q59_stream_stream_join",
     "q61_json_roundtrip", "q68_jdbc_cdc_live", "q69_jdbc_sink_roundtrip",
-    "q71_catalog_migrate")
+    "q71_catalog_migrate", "q73_orc_roundtrip")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -103,6 +103,7 @@ object SparkEntry {
     "q70_image_decode"      -> PipelineQueries.imageDecode _,
     "q71_catalog_migrate"   -> IngestQueries.catalogMigrate _,
     "q72_contamination_bloom" -> PipelineQueries.contaminationBloom _,
+    "q73_orc_roundtrip"     -> IngestQueries.orcRoundtrip _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -940,6 +941,13 @@ object SparkEntry {
     "q71_catalog_migrate" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    // q73: the ORC round-trip must surface the parquet original
+    // value-identically across every column type
+    "q73_orc_roundtrip" ->
+      """SELECT l_discount, l_extendedprice, l_linenumber, l_linestatus,
+        |  l_orderkey, l_partkey, l_quantity, l_returnflag, l_shipdate,
+        |  l_suppkey, l_tax
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // q72: identical semantics to q48 at a denser probe stride — the
     // engine side runs the bloom-prefilter path, and the oracle pins
     // that the prefilter changes nothing

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.cdc.ChangeFeed
 import graft.migrate.Migrator
-import graft.sources.{CsvSource, JdbcSink, JdbcSnapshot, JsonSource}
+import graft.sources.{CsvSource, JdbcSink, JdbcSnapshot, JsonSource, OrcSource}
 import graft.streaming.StreamingCdc
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -221,6 +221,20 @@ object IngestQueries {
     JsonSource.write(src, path)
     val sortedSchema = StructType(src.schema.fields.sortBy(_.name))
     JsonSource.read(spark, path, Some(sortedSchema)).orderBy("o_orderkey")
+  }
+
+  /** q73: ORC sink → source round-trip of `lineitem` (the widest
+    * fact table: int/long/double/string/timestamp columns, bloom
+    * indexes on the join keys) must be value-identical to the
+    * parquet original.
+    */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.load(spark, dir, "lineitem")
+    val path = tmpDir("graft_orc")
+    OrcSource.write(src, path, bloomFor = Seq("l_orderkey", "l_partkey"))
+    val sortedSchema = StructType(src.schema.fields.sortBy(_.name))
+    OrcSource.read(spark, path, Some(sortedSchema))
+      .orderBy("l_orderkey", "l_linenumber")
   }
 
   /** q32: CDC final state through the STREAMING path — the change

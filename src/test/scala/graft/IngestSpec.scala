@@ -233,6 +233,35 @@ class MigratorSpec extends AnyFunSuite {
   }
 }
 
+class OrcSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import graft.sources.OrcSource
+
+  test("ORC round-trip is value-identical across every column type") {
+    val src = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val path = Files.createTempDirectory("graft_orc").toString + "/li"
+    OrcSource.write(src, path, bloomFor = Seq("l_orderkey"))
+    val back = OrcSource.read(spark, path,
+      Some(StructType(src.schema.fields.sortBy(_.name))))
+    assert(back.count() == src.count())
+    val key = Seq("l_orderkey", "l_linenumber")
+    assert(back.orderBy(key.map(col): _*).collect().toSeq ==
+      graft.ops.Transforms.sortedColumns(src)
+        .orderBy(key.map(col): _*).collect().toSeq)
+  }
+
+  test("predicates push down to the ORC scan") {
+    val src = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val path = Files.createTempDirectory("graft_orc_pf").toString + "/li"
+    OrcSource.write(src, path)
+    val plan = OrcSource.read(spark, path)
+      .filter(col("l_orderkey") === 1L).select("l_quantity")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,1)]"),
+      s"ORC scan must receive the pushed predicate: $plan")
+  }
+}
+
 class GraftAppSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val dir = "/root/testdata/sf0.001"
