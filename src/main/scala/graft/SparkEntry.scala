@@ -27,7 +27,7 @@ object SparkEntry {
     "q32_cdc_stream", "q33_stream_hourly", "q39_stream_sessions",
     "q43_stream_dedup", "q51_stream_enrich", "q59_stream_stream_join",
     "q61_json_roundtrip", "q68_jdbc_cdc_live", "q69_jdbc_sink_roundtrip",
-    "q71_catalog_migrate", "q73_orc_roundtrip")
+    "q71_catalog_migrate", "q73_orc_roundtrip", "q74_converted_migrate")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -104,6 +104,7 @@ object SparkEntry {
     "q71_catalog_migrate"   -> IngestQueries.catalogMigrate _,
     "q72_contamination_bloom" -> PipelineQueries.contaminationBloom _,
     "q73_orc_roundtrip"     -> IngestQueries.orcRoundtrip _,
+    "q74_converted_migrate" -> IngestQueries.convertedMigrate _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -948,6 +949,12 @@ object SparkEntry {
         |  l_orderkey, l_partkey, l_quantity, l_returnflag, l_shipdate,
         |  l_suppkey, l_tax
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // q74: the registered-converter migrate equals the SQL
+    // formulation of the same conversion over the source table
+    "q74_converted_migrate" ->
+      """SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_cents,
+        |  upper(s_name) AS s_name, s_nationkey, s_suppkey
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
     // q72: identical semantics to q48 at a denser probe stride — the
     // engine side runs the bloom-prefilter path, and the oracle pins
     // that the prefilter changes nothing

@@ -196,6 +196,29 @@ object IngestQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** q74: migration with a REGISTERED converter plugin (X1 — the
+    * reference's `--column-convert`/custom-converter surface,
+    * converter/ in /root/reference): a per-table transform hooked
+    * into the migrate chain rewrites columns mid-flight
+    * (upper-cased name, account balance re-expressed in cents), and
+    * the migrated table — read back from disk — must equal the
+    * oracle's SQL formulation of the same conversion.
+    */
+  def convertedMigrate(spark: SparkSession, dir: String): DataFrame = {
+    val dst = tmpDir("graft_convert")
+    val reg = new graft.ops.Transforms.TransformRegistry()
+      .register("supplier", df => df
+        .withColumn("s_name", upper(col("s_name")))
+        .withColumn("s_acctbal_cents",
+          round(col("s_acctbal") * 100).cast("long"))
+        .drop("s_acctbal"))
+    val m = Migrator.migrateTable(spark, dir, dst, "supplier",
+      spec = Migrator.Spec(transforms = reg))
+    require(m.reconciled,
+      s"count reconciliation failed: src=${m.srcRows} dst=${m.dstRows}")
+    spark.read.parquet(s"$dst/supplier.parquet").orderBy("s_suppkey")
+  }
+
   /** q31: CSV sink → source round-trip of `customer` (sorted header
     * layout, '' ↔ NULL, typed read-back via explicit schema).
     */
