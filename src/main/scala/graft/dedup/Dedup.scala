@@ -431,8 +431,11 @@ object Dedup {
     import org.apache.spark.sql.GraftColumnBridge.{column => c, expression => e}
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    // materialized: the probe shingle set feeds TWO jobs (the bloom
+    // build and the verify semi-join) — unmaterialized, the probe
+    // shingling pass runs twice
     val probeShingles = shingleRows(probes, k, idCol, textCol)
-      .select("shingle").distinct()
+      .select("shingle").distinct().localCheckpoint()
     val bloomAgg = new BloomFilterAggregate(
       e(xxhash64(col("shingle"))), expectedShingles)
     val bloomBytes = probeShingles
