@@ -105,6 +105,7 @@ object SparkEntry {
     "q72_contamination_bloom" -> PipelineQueries.contaminationBloom _,
     "q73_orc_roundtrip"     -> IngestQueries.orcRoundtrip _,
     "q74_converted_migrate" -> IngestQueries.convertedMigrate _,
+    "q75_sequence_packing"  -> PipelineQueries.sequencePacking _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -955,6 +956,19 @@ object SparkEntry {
       """SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_cents,
         |  upper(s_name) AS s_name, s_nationkey, s_suppkey
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    // q75: concat-and-chunk packing == the global-window formulation
+    // (bin = first token's window, offset = its position within it)
+    "q75_sequence_packing" ->
+      """WITH q AS (SELECT doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS running_total
+        |  FROM q)
+        |SELECT doc_id, n_tokens, running_total,
+        |  CAST(floor((running_total - n_tokens) / 2048.0) AS BIGINT) AS bin_id,
+        |  (running_total - n_tokens) % 2048 AS bin_offset
+        |FROM r ORDER BY doc_id""".stripMargin,
     // q72: identical semantics to q48 at a denser probe stride — the
     // engine side runs the bloom-prefilter path, and the oracle pins
     // that the prefilter changes nothing

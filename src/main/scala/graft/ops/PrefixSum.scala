@@ -75,4 +75,32 @@ object PrefixSum {
       budget: Long, outCol: String = "running_total"): DataFrame =
     withRunningTotal(df, order, value, outCol)
       .filter(col(outCol) <= budget)
+
+  /** Sequence packing, concat-and-chunk style: lay documents out
+    * back-to-back in the total order `order` and cut the resulting
+    * token stream into fixed `contextLen` windows — the layout step
+    * every LLM training pipeline runs before batching. Each row
+    * gains:
+    *
+    *  - `bin_id`: the context window its FIRST token lands in,
+    *  - `bin_offset`: its first token's position within that window,
+    *  - the running total (`outCol`) it derives from.
+    *
+    * A document whose tokens cross a window boundary spans into the
+    * following window(s), exactly like the streamed concatenation it
+    * models — packing with per-document no-split placement is a
+    * bin-packing problem whose greedy solutions are
+    * partition-order-dependent and thus not reproducible at scale;
+    * the concat-and-chunk form is the one with a deterministic,
+    * engine-independent answer. Scale shape: inherits the two-phase
+    * prefix sum — one range shuffle, no single-partition window.
+    */
+  def packSequences(df: DataFrame, order: Seq[Column], tokens: Column,
+      contextLen: Long, outCol: String = "running_total"): DataFrame = {
+    require(contextLen > 0, s"contextLen must be positive: $contextLen")
+    val start = col(outCol) - tokens.cast("long")
+    withRunningTotal(df, order, tokens, outCol)
+      .withColumn("bin_id", floor(start / lit(contextLen)))
+      .withColumn("bin_offset", start % lit(contextLen))
+  }
 }

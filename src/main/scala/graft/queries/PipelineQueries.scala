@@ -270,6 +270,21 @@ object PipelineQueries {
       .orderBy(col("quality").desc, col("doc_id"))
   }
 
+  /** q75: sequence packing — documents laid out back-to-back in
+    * doc_id order and cut into 2048-token context windows (the
+    * concat-and-chunk layout step before training batches), via the
+    * distributed two-phase prefix sum.
+    */
+  def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val docs = Tables.load(spark, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.ops.PrefixSum.packSequences(docs, Seq(col("doc_id")),
+        col("n_tokens"), contextLen = 2048L)
+      .orderBy("doc_id")
+  }
+
   /** q48: benchmark decontamination — every 100th document plays the
     * eval set; corpus documents sharing any 3-shingle with it are
     * flagged with their distinct-hit counts.

@@ -521,6 +521,23 @@ class PrefixSumSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 2L, 3L)) // 10+20+30=60 <= 60, +40 exceeds
   }
 
+  test("packSequences lays out the concat-and-chunk windows exactly") {
+    // tokens: 1000, 1500, 100, 2048 in id order; C=2048
+    // starts:     0, 1000, 2500, 2600
+    // bins:       0,    0,    1,    1   offsets: 0, 1000, 452, 552
+    val df = Seq((1L, 1000L), (2L, 1500L), (3L, 100L), (4L, 2048L))
+      .toDF("id", "n").repartition(3)
+    val got = PrefixSum.packSequences(df, Seq(col("id")), col("n"), 2048L)
+      .orderBy("id")
+      .select("id", "bin_id", "bin_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 1000L),
+      (3L, 1L, 452L), (4L, 1L, 552L)))
+    intercept[IllegalArgumentException] {
+      PrefixSum.packSequences(df, Seq(col("id")), col("n"), 0L)
+    }
+  }
+
   test("no single-partition global window in the plan") {
     val df = (1 to 100).map(i => (i.toLong, 1L)).toDF("id", "v")
     val plan = PrefixSum.withRunningTotal(df, Seq(col("id")), col("v"))
