@@ -292,6 +292,12 @@ object VectorSearch {
         .orderBy(col("ccos").desc, col("cell"))))
       .filter(col("r") <= assign)
       .select(col("vec_id"), col("cell"))
+      // materialized: the self-join's aliased sides do NOT hit
+      // exchange reuse, so unmaterialized the whole assignment
+      // subtree (corpus × centroids dot products + top-`assign`
+      // WindowGroupLimit) executes twice; the frame is only
+      // (vec_id, cell) × assign rows
+      .localCheckpoint()
     val cand = cells.alias("x").join(cells.alias("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
