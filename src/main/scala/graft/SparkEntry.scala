@@ -106,6 +106,7 @@ object SparkEntry {
     "q73_orc_roundtrip"     -> IngestQueries.orcRoundtrip _,
     "q74_converted_migrate" -> IngestQueries.convertedMigrate _,
     "q75_sequence_packing"  -> PipelineQueries.sequencePacking _,
+    "q76_document_chunks"   -> PipelineQueries.documentChunks _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -969,6 +970,18 @@ object SparkEntry {
         |  CAST(floor((running_total - n_tokens) / 2048.0) AS BIGINT) AS bin_id,
         |  (running_total - n_tokens) % 2048 AS bin_offset
         |FROM r ORDER BY doc_id""".stripMargin,
+    // q76: sliding-window chunking == the unnest(range) formulation
+    // (DuckDB list slices are 1-based inclusive; range excludes the
+    // stop, matching the engine's starts-below-n rule)
+    "q76_document_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |        unnest(range(0, greatest(len(toks), 1), 32)) AS chunk_start
+        |      FROM t)
+        |SELECT doc_id, chunk_start,
+        |  array_to_string(toks[chunk_start+1:chunk_start+64], ' ') AS chunk_text,
+        |  len(toks[chunk_start+1:chunk_start+64]) AS chunk_len
+        |FROM c ORDER BY doc_id, chunk_start""".stripMargin,
     // q72: identical semantics to q48 at a denser probe stride — the
     // engine side runs the bloom-prefilter path, and the oracle pins
     // that the prefilter changes nothing

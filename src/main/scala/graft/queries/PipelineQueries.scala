@@ -285,6 +285,16 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q76: sliding-window chunking of the corpus — 64-token windows
+    * every 32 tokens (2× overlap), the retrieval/embedding slicing
+    * step; ordered by (doc, start) for the compare.
+    */
+  def documentChunks(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.chunkDocuments(
+        Tables.load(spark, dir, "documents"),
+        windowTokens = 64, strideTokens = 32)
+      .orderBy("doc_id", "chunk_start")
+
   /** q48: benchmark decontamination — every 100th document plays the
     * eval set; corpus documents sharing any 3-shingle with it are
     * flagged with their distinct-hit counts.

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column functions for large-scale training-data
@@ -181,4 +181,33 @@ object TextAnalysis {
   def dupTokenFraction(text: Column): Column =
     round6(lit(1.0) - typeCount(text).cast("double") /
       tokenCount(text).cast("double"))
+
+  /** Sliding-window document chunking: one output row per window of
+    * `windowTokens` tokens, windows starting every `strideTokens`
+    * (overlapping when stride < window) — the slicing step of
+    * retrieval/embedding pipelines and long-document pretraining
+    * prep. A start is emitted for every offset < n (so short
+    * documents yield exactly one chunk and tail windows may run
+    * short); callers wanting only full windows filter on
+    * `chunk_len`.
+    *
+    * Scale shape: tokenize → `explode` over the start sequence →
+    * per-row `slice`, all inside one scan (a Generate over
+    * codegen'd expressions); zero shuffle, chunk count bounded by
+    * n/stride per document.
+    */
+  def chunkDocuments(df: DataFrame, windowTokens: Int, strideTokens: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive: $windowTokens")
+    require(strideTokens > 0 && strideTokens <= windowTokens,
+      s"strideTokens must be in [1, windowTokens]: $strideTokens")
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("chunk_start", explode(sequence(lit(0),
+        greatest(size(col("__toks")) - 1, lit(0)), lit(strideTokens))))
+      .withColumn("__chunk",
+        slice(col("__toks"), col("chunk_start") + 1, lit(windowTokens)))
+      .select(col(idCol), col("chunk_start"),
+        array_join(col("__chunk"), " ").as("chunk_text"),
+        size(col("__chunk")).as("chunk_len"))
+  }
 }

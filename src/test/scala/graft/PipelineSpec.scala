@@ -18,6 +18,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getInt(0) == 4 && r.getInt(1) == 3)
   }
 
+  test("chunkDocuments slides overlapping windows, short docs yield one chunk") {
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6"), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(docs, windowTokens = 4, strideTokens = 2)
+      .orderBy("doc_id", "chunk_start")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0, "t0 t1 t2 t3", 4), (1L, 2, "t2 t3 t4 t5", 4),
+      (1L, 4, "t4 t5 t6", 3), (1L, 6, "t6", 1),
+      (2L, 0, "a b", 2)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(docs, windowTokens = 4, strideTokens = 5)
+    }
+    // zero shuffle: chunking is a Generate inside one scan
+    val plan = TextAnalysis.chunkDocuments(docs, 4, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle: $plan")
+  }
+
   test("repetition signals: top bigram run-count and dup-token fraction") {
     // "a b a b a b c": bigrams = [a b, b a, a b, b a, a b, b c]
     // → top bigram "a b" ×3 of 6 → 0.5; tokens 7, types 3 → dup 4/7
