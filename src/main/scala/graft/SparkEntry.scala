@@ -107,6 +107,7 @@ object SparkEntry {
     "q74_converted_migrate" -> IngestQueries.convertedMigrate _,
     "q75_sequence_packing"  -> PipelineQueries.sequencePacking _,
     "q76_document_chunks"   -> PipelineQueries.documentChunks _,
+    "q77_fixed_mix"         -> PipelineQueries.fixedMixSample _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -970,6 +971,21 @@ object SparkEntry {
         |  CAST(floor((running_total - n_tokens) / 2048.0) AS BIGINT) AS bin_id,
         |  (running_total - n_tokens) % 2048 AS bin_offset
         |FROM r ORDER BY doc_id""".stripMargin,
+    // q77: exact-size per-language sample — same split-multiply Knuth
+    // uniform as q42, ranked per stratum with a doc_id tiebreak
+    "q77_fixed_mix" ->
+      """WITH h AS (SELECT doc_id, lang, source, n_chars,
+        |    CAST(((doc_id % 4294967296) - (doc_id % 65536)) / 65536 AS BIGINT) AS ah,
+        |    doc_id % 65536 AS al
+        |  FROM documents),
+        |u AS (SELECT doc_id, lang, source, n_chars,
+        |    CAST((((ah * 2654435761) % 65536) * 65536 + al * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 AS uu
+        |  FROM h),
+        |r AS (SELECT doc_id, lang, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY uu, doc_id) AS rn
+        |  FROM u)
+        |SELECT doc_id, lang, source, n_chars
+        |FROM r WHERE rn <= 25 ORDER BY doc_id""".stripMargin,
     // q76: sliding-window chunking == the unnest(range) formulation
     // (DuckDB list slices are 1-based inclusive; range excludes the
     // stop, matching the engine's starts-below-n rule)

@@ -63,11 +63,36 @@ object Sampler {
     }
 
   /** Stratified Bernoulli sample: keep a row iff `u < rate(stratum)`.
-    * Expected per-stratum size = rate × stratum size; exact-size
-    * sampling would need a per-stratum sort (a shuffle) — the
-    * Bernoulli form is the one that scales.
+    * Expected per-stratum size = rate × stratum size; for exact
+    * per-stratum counts use [[stratifiedFixedSample]] (which pays
+    * the per-stratum shuffle the Bernoulli form avoids).
     */
   def stratifiedSample(df: DataFrame, stratum: Column, u: Column,
       rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame =
     df.filter(u < rateFor(stratum, rates, defaultRate))
+
+  /** Stratified EXACT-size sample: the `k` rows of each stratum
+    * with the smallest `u`, ties broken by `tiebreak` (which must
+    * make (u, tiebreak) a total order — a unique id). Deterministic
+    * like the Bernoulli form (membership depends only on row
+    * identity), but with a guaranteed per-stratum count — the
+    * "exactly 100k docs per language" requirement Bernoulli can only
+    * hit in expectation.
+    *
+    * Scale shape: one shuffle on the stratum key; the rank filter
+    * plans as WindowGroupLimit, so each map task forwards only its
+    * local top-k per stratum and the post-shuffle sort touches at
+    * most k·partitions rows per stratum, not the stratum. Skew
+    * bound: the largest stratum costs its top-k maintenance, not a
+    * full sort.
+    */
+  def stratifiedFixedSample(df: DataFrame, stratum: Column, u: Column,
+      tiebreak: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(stratum).orderBy(u, tiebreak)))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
 }

@@ -186,6 +186,19 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q77: exact-size training mix — exactly 25 documents per
+    * language, the smallest Knuth-hash members with doc_id
+    * tiebreak, so membership is deterministic and engine-portable
+    * like q42's Bernoulli mix but with guaranteed counts.
+    */
+  def fixedMixSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    graft.ops.Sampler.stratifiedFixedSample(docs, col("lang"),
+        graft.ops.Sampler.uniformKnuth(col("doc_id")), col("doc_id"), k = 25)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** q44: repetition quality signals (Gopher/FineWeb family) — top
     * bigram fraction + duplicate-token fraction per document, each a
     * per-row expression (sorted-array run-count, no corpus shuffle).

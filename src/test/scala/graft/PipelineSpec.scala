@@ -248,6 +248,27 @@ class SamplerSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), "stratified sample must not shuffle")
   }
 
+  test("fixed-size stratified sample: exact counts, deterministic, WindowGroupLimit plan") {
+    val out = Sampler.stratifiedFixedSample(docs, col("lang"),
+      Sampler.uniformKnuth(col("doc_id")), col("doc_id"), k = 5)
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exactly k per stratum (or the whole stratum when smaller)
+    for ((l, n) <- totals)
+      assert(counts(l) == math.min(5L, n), s"$l: ${counts(l)} of $n")
+    // same inputs draw the same members
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Sampler.stratifiedFixedSample(docs, col("lang"),
+      Sampler.uniformKnuth(col("doc_id")), col("doc_id"), k = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet)
+    // the rank filter must plan as a partial top-k, not a full sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k must push partial top-k below the shuffle: $plan")
+  }
+
   test("knuth uniform survives 1e10-scale ids and matches the naive formula") {
     import spark.implicits._
     // ids at the 10x-soak scale (base + i*1e9 key shifts) overflowed
