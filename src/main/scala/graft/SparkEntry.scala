@@ -108,6 +108,7 @@ object SparkEntry {
     "q75_sequence_packing"  -> PipelineQueries.sequencePacking _,
     "q76_document_chunks"   -> PipelineQueries.documentChunks _,
     "q77_fixed_mix"         -> PipelineQueries.fixedMixSample _,
+    "q78_price_histogram"   -> PipelineQueries.priceHistogram _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -986,6 +987,22 @@ object SparkEntry {
         |  FROM u)
         |SELECT doc_id, lang, source, n_chars
         |FROM r WHERE rn <= 25 ORDER BY doc_id""".stripMargin,
+    // q78: fixed-bin histogram — identical double arithmetic on both
+    // sides (width = (mx-mn)/20.0, bucket = clamped floor, bounds =
+    // mn + bucket*width) so values are bit-equal
+    "q78_price_histogram" ->
+      """WITH b AS (SELECT min(CAST(l_extendedprice AS DOUBLE)) AS mn,
+        |                  max(CAST(l_extendedprice AS DOUBLE)) AS mx
+        |           FROM lineitem),
+        |g AS (SELECT CAST(least(19, floor((CAST(l_extendedprice AS DOUBLE) - mn)
+        |               / ((mx - mn)/20.0))) AS INT) AS bucket,
+        |        COUNT(*) AS n, any_value(mn) AS mn2, any_value(mx) AS mx2
+        |      FROM lineitem, b
+        |      WHERE l_extendedprice IS NOT NULL
+        |      GROUP BY 1)
+        |SELECT bucket, mn2 + bucket*((mx2 - mn2)/20.0) AS lo,
+        |  mn2 + (bucket+1)*((mx2 - mn2)/20.0) AS hi, n
+        |FROM g ORDER BY bucket""".stripMargin,
     // q76: sliding-window chunking == the unnest(range) formulation
     // (DuckDB list slices are 1-based inclusive; range excludes the
     // stop, matching the engine's starts-below-n rule)

@@ -188,4 +188,31 @@ object Profiler {
     }
     total.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
+
+  /** Fixed-bin numeric histogram: `bins` equal-width buckets over
+    * the column's observed [min, max], one row per non-empty bucket
+    * with its bounds and count. Two passes by construction (the
+    * bounds aggregate, then one bucket groupBy) — both full scans,
+    * no row expansion, so the cost is 2× a count(*) at any scale.
+    * The max lands in the last bucket (clamped), and a degenerate
+    * single-value range collapses to bucket 0.
+    */
+  def histogram(df: DataFrame, valueCol: String, bins: Int = 20): DataFrame = {
+    require(bins > 0, s"bins must be positive: $bins")
+    val v = col(valueCol).cast("double")
+    // driver-sized by construction: one row, two doubles
+    val b = df.agg(min(v), max(v)).head()
+    require(!b.isNullAt(0), s"histogram($valueCol): no non-null values")
+    val (mn, mx) = (b.getDouble(0), b.getDouble(1))
+    val width = (mx - mn) / bins
+    val bucket =
+      if (width == 0) lit(0)
+      else least(lit(bins - 1), floor((v - lit(mn)) / lit(width)).cast("int"))
+    df.filter(v.isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo", lit(mn) + col("bucket") * lit(width))
+      .withColumn("hi", lit(mn) + (col("bucket") + 1) * lit(width))
+      .select("bucket", "lo", "hi", "n")
+  }
 }

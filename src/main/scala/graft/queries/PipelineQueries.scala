@@ -333,6 +333,14 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q78: 20-bin histogram of lineitem extended prices — the
+    * distribution-shape profile (bounds pass + one bucket groupBy).
+    */
+  def priceHistogram(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiler.histogram(
+        Tables.load(spark, dir, "lineitem"), "l_extendedprice", bins = 20)
+      .orderBy("bucket")
+
   /** q40: data-quality profile of the documents table — one row per
     * column with null/distinct/min/max statistics in one pass.
     */

@@ -441,6 +441,26 @@ class ProfilerPercentileSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("histogram: bucket layout, clamped max, degenerate range") {
+    import graft.ops.Profiler
+    // 0..99 in 10 bins: width 9.9, every bin gets 10; 99 clamps to 9
+    val df = (0 until 100).map(_.toDouble).toDF("v")
+    val h = Profiler.histogram(df, "v", bins = 10)
+      .orderBy("bucket").collect()
+    assert(h.map(_.getAs[Long]("n")).sum == 100)
+    assert(h.head.getAs[Int]("bucket") == 0 && h.last.getAs[Int]("bucket") == 9)
+    assert(h.head.getAs[Double]("lo") == 0.0)
+    assert(math.abs(h.last.getAs[Double]("hi") - 99.0) < 1e-9)
+    // single distinct value → one bucket holding everything
+    val flat = Profiler.histogram(Seq(5.0, 5.0, 5.0).toDF("v"), "v", 10)
+      .collect()
+    assert(flat.length == 1 && flat.head.getAs[Int]("bucket") == 0 &&
+      flat.head.getAs[Long]("n") == 3)
+    intercept[IllegalArgumentException] {
+      Profiler.histogram(df, "v", bins = 0)
+    }
+  }
+
   test("numericPercentiles interpolates exactly (p at index p*(n-1))") {
     // values 1..5: p50 = 3.0; p95 = 1 + 0.95*4 = 4.8
     val df = (1 to 5).map(_.toDouble).toDF("v")
