@@ -109,6 +109,7 @@ object SparkEntry {
     "q76_document_chunks"   -> PipelineQueries.documentChunks _,
     "q77_fixed_mix"         -> PipelineQueries.fixedMixSample _,
     "q78_price_histogram"   -> PipelineQueries.priceHistogram _,
+    "q79_gap_filled_hourly" -> TemporalQueries.gapFilledHourly _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -987,6 +988,17 @@ object SparkEntry {
         |  FROM u)
         |SELECT doc_id, lang, source, n_chars
         |FROM r WHERE rn <= 25 ORDER BY doc_id""".stripMargin,
+    // q79: hourly series resampled onto the full calendar spine —
+    // generate_series is inclusive on both ends like Spark's sequence
+    "q79_gap_filled_hourly" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |b AS (SELECT min(h) AS mn, max(h) AS mx FROM c),
+        |s AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b)
+        |SELECT strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  COALESCE(c.n, 0) AS n
+        |FROM s LEFT JOIN c ON s.h = c.h
+        |ORDER BY hour""".stripMargin,
     // q78: fixed-bin histogram — identical double arithmetic on both
     // sides (width = (mx-mn)/20.0, bucket = clamped floor, bounds =
     // mn + bucket*width) so values are bit-equal

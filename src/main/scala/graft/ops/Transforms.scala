@@ -106,6 +106,29 @@ object Transforms {
         Window.currentRow)))
   }
 
+  /** Calendar gap fill for bucketed time series: left-join `df`
+    * (one row per time bucket in `tsCol`) onto the complete spine of
+    * `step`-spaced buckets between its own min and max (inclusive),
+    * filling the absent buckets' columns from `fill` — the resample
+    * step that turns "hours with events" into "every hour, zeros
+    * where quiet" for monitoring and training-telemetry series.
+    *
+    * Scale shape: the spine is bounded by wall-clock span ÷ step
+    * (driver-sized even over 100 TB of events — a decade of hours is
+    * 87,600 rows), generated as one `sequence` explode and joined
+    * against the ALREADY-aggregated buckets, so the join is
+    * spine × buckets, never touching raw rows.
+    */
+  def gapFill(df: DataFrame, tsCol: String, step: String,
+      fill: Map[String, Any]): DataFrame = {
+    val b = df.agg(min(col(tsCol)), max(col(tsCol))).head()
+    if (b.isNullAt(0)) return df // no buckets → nothing to fill
+    val spine = df.sparkSession.range(1).select(
+      explode(sequence(lit(b.getTimestamp(0)), lit(b.getTimestamp(1)),
+        expr(s"INTERVAL $step"))).as(tsCol))
+    spine.join(df, Seq(tsCol), "left").na.fill(fill)
+  }
+
   /** Per-table pluggable row transform registry — the Spark analog of
     * the `--ch-converter-file`/`--ch-converter-class` plugin surface
     * (clioptions.py:492-503, converter/converter.py:9-35). Instead of

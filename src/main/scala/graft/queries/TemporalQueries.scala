@@ -112,4 +112,19 @@ object TemporalQueries {
         countDistinct(col("eid_b")).as("n_predecessors"))
       .orderBy("user_id")
   }
+
+  /** q79: gap-filled hourly purchase counts — the aggregated series
+    * resampled onto the full hourly calendar spine, quiet hours as
+    * explicit zeros (Transforms.gapFill).
+    */
+  def gapFilledHourly(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    Transforms.gapFill(counts, "h", "1 HOUR", Map("n" -> 0L))
+      .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("n"))
+      .orderBy("hour")
+  }
 }

@@ -111,3 +111,25 @@ class FunnelSpec extends AnyFunSuite {
     assert(r == Seq((1L, 3L), (2L, 1L), (3L, 2L)))
   }
 }
+
+class GapFillSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def ts(s: String) = Timestamp.valueOf(s)
+
+  test("gapFill inserts zero rows for the missing buckets, endpoints inclusive") {
+    // hours 10:00 and 13:00 present; 11:00 and 12:00 are gaps
+    val counts = Seq((ts("2024-01-01 10:00:00"), 5L),
+      (ts("2024-01-01 13:00:00"), 2L)).toDF("h", "n")
+    val got = Transforms.gapFill(counts, "h", "1 HOUR", Map("n" -> 0L))
+      .orderBy("h").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01 10:00:00.0", 5L), ("2024-01-01 11:00:00.0", 0L),
+      ("2024-01-01 12:00:00.0", 0L), ("2024-01-01 13:00:00.0", 2L)))
+    // an empty series has no spine — returned as-is, not an NPE
+    assert(Transforms.gapFill(counts.where(lit(false)), "h", "1 HOUR",
+      Map("n" -> 0L)).count() == 0)
+  }
+}
