@@ -110,6 +110,8 @@ object SparkEntry {
     "q77_fixed_mix"         -> PipelineQueries.fixedMixSample _,
     "q78_price_histogram"   -> PipelineQueries.priceHistogram _,
     "q79_gap_filled_hourly" -> TemporalQueries.gapFilledHourly _,
+    "q80_pii_redaction"     -> PipelineQueries.piiRedaction _,
+    "q81_domain_traffic"    -> PipelineQueries.domainTraffic _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1040,5 +1042,60 @@ object SparkEntry {
         |FROM sh JOIN probe ON sh.s = probe.s
         |WHERE sh.doc_id % 50 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q80: the raw contact card is the same integer-formula synthesis
+    // on both sides; patterns are the Java-regex/RE2 shared subset.
+    // DuckDB's regexp_replace is first-match-only without the 'g'
+    // flag — the engine side (Java) is global by default.
+    "q80_pii_redaction" ->
+      """WITH raw AS (SELECT c_custkey,
+        |    'reach ' || lower(replace(c_name, '#', '')) ||
+        |    '@mail' || CAST(c_custkey % 7 AS VARCHAR) || '.example.com' ||
+        |    CASE WHEN c_custkey % 3 = 0 THEN ' cc admin' ||
+        |      CAST(c_custkey % 5 AS VARCHAR) || '@corp.example.org'
+        |      ELSE '' END ||
+        |    ' or call 555-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') ||
+        |    '-' || lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0') ||
+        |    ' from 10.' || CAST(c_nationkey % 256 AS VARCHAR) ||
+        |    '.0.' || CAST(c_custkey % 256 AS VARCHAR) ||
+        |    CASE WHEN c_custkey % 4 = 0 THEN ' ssn ' ||
+        |      lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |      lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || '-' ||
+        |      lpad(CAST((c_custkey * 3) % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END AS t
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+        |    AS redacted,
+        |  len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(t, '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phone,
+        |  len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS n_ssn,
+        |  len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ip
+        |FROM raw ORDER BY c_custkey""".stripMargin,
+    // q81: the oracle re-parses the synthesized URLs with component
+    // regexes (authority / path / query-param) and folds www. itself
+    "q81_domain_traffic" ->
+      """WITH u AS (SELECT
+        |    'https://' || CASE WHEN o_orderkey % 5 = 0 THEN 'www.' ELSE '' END ||
+        |    'shop' || CAST(o_custkey % 20 AS VARCHAR) || '.example.com/cat/' ||
+        |    CAST(o_orderkey % 7 AS VARCHAR) || '/p' ||
+        |    CAST(o_orderkey % 97 AS VARCHAR) ||
+        |    '?item=' || CAST(o_orderkey AS VARCHAR) ||
+        |    '&ref=r' || CAST(o_custkey % 3 AS VARCHAR) AS url,
+        |    o_totalprice
+        |  FROM orders)
+        |SELECT
+        |  regexp_replace(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+        |    '^www\.', '') AS domain,
+        |  COUNT(*) AS n_urls,
+        |  COUNT(DISTINCT regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1))
+        |    AS n_paths,
+        |  CAST(SUM(CAST(regexp_extract(url, '[?&]item=([^&#]*)', 1) AS BIGINT))
+        |    AS BIGINT) AS sum_item,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM u GROUP BY domain ORDER BY domain""".stripMargin,
   )
 }

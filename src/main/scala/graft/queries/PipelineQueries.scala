@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.dedup.Dedup
-import graft.text.TextAnalysis
+import graft.text.{TextAnalysis, WebAnalysis}
 import graft.vector.VectorSearch
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -385,5 +385,84 @@ object PipelineQueries {
         col("height").cast("long").as("height"),
         col("sum_r"), col("sum_g"), col("sum_b"), col("luma_fp"))
       .orderBy("doc_id")
+  }
+
+  /** q80: PII redaction sweep. The fixture corpus carries no real
+    * PII, so the query plants it deterministically: each customer
+    * row is rendered as a contact card (email, phone, SSN, IP —
+    * integer formulas over the key, reproduced verbatim by the
+    * oracle), then [[TextAnalysis.redactPii]] scrubs it and
+    * [[TextAnalysis.piiCount]] reports what was found. Every row's
+    * redacted text and per-type counts hash against DuckDB running
+    * the same RE2-compatible patterns — a regex-dialect divergence
+    * or a missed occurrence cannot pass.
+    *
+    * Scale shape: pure per-row regex chain inside one scan; the only
+    * ordering is the output sort.
+    */
+  def piiRedaction(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val k = col("c_custkey")
+    val raw = concat(
+      lit("reach "), lower(regexp_replace(col("c_name"), "#", "")),
+      lit("@mail"), (k % 7).cast("string"), lit(".example.com"),
+      when(k % 3 === 0,
+        concat(lit(" cc admin"), (k % 5).cast("string"),
+          lit("@corp.example.org"))).otherwise(lit("")),
+      lit(" or call 555-"),
+      lpad((k % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad(((k * 7) % 10000).cast("string"), 4, "0"),
+      lit(" from 10."), (col("c_nationkey") % 256).cast("string"),
+      lit(".0."), (k % 256).cast("string"),
+      when(k % 4 === 0,
+        concat(lit(" ssn "), lpad((k % 1000).cast("string"), 3, "0"),
+          lit("-"), lpad((k % 100).cast("string"), 2, "0"), lit("-"),
+          lpad(((k * 3) % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    cust.select(
+      k.as("c_custkey"),
+      TextAnalysis.redactPii(raw).as("redacted"),
+      TextAnalysis.piiCount(raw, TextAnalysis.EmailPattern).as("n_email"),
+      TextAnalysis.piiCount(raw, TextAnalysis.PhonePattern).as("n_phone"),
+      TextAnalysis.piiCount(raw, TextAnalysis.SsnPattern).as("n_ssn"),
+      TextAnalysis.piiCount(raw, TextAnalysis.Ipv4Pattern).as("n_ip"))
+      .orderBy("c_custkey")
+  }
+
+  /** q81: per-domain web-corpus accounting. One URL is synthesized
+    * per order (integer formulas over the keys, reproduced verbatim
+    * by the oracle; every 5th URL carries a `www.` alias), then
+    * [[WebAnalysis]] extracts host/path/query-param with Spark's
+    * native `parse_url` and the rows aggregate per registered
+    * domain — the grouping key of C4-family web filtering. The
+    * oracle re-parses the same URLs with regexes, so a component
+    * boundary bug (query leaking into path, `www.` not folded)
+    * cannot hash-match.
+    *
+    * Scale shape: per-row parsing in the scan, one hash aggregate on
+    * a low-cardinality key; money through DECIMAL(12,2).
+    */
+  def domainTraffic(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val url = concat(lit("https://"),
+      when(col("o_orderkey") % 5 === 0, lit("www.")).otherwise(lit("")),
+      lit("shop"), (col("o_custkey") % 20).cast("string"),
+      lit(".example.com/cat/"), (col("o_orderkey") % 7).cast("string"),
+      lit("/p"), (col("o_orderkey") % 97).cast("string"),
+      lit("?item="), col("o_orderkey").cast("string"),
+      lit("&ref=r"), (col("o_custkey") % 3).cast("string"))
+    o.select(
+      WebAnalysis.registeredDomain(url).as("domain"),
+      WebAnalysis.path(url).as("path"),
+      WebAnalysis.queryParam(url, "item").cast("long").as("item"),
+      col("o_totalprice"))
+      .groupBy("domain")
+      .agg(
+        count(lit(1)).as("n_urls"),
+        countDistinct(col("path")).as("n_paths"),
+        sum(col("item")).as("sum_item"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+          .as("total_price"))
+      .orderBy("domain")
   }
 }

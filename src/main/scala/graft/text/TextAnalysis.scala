@@ -210,4 +210,50 @@ object TextAnalysis {
         array_join(col("__chunk"), " ").as("chunk_text"),
         size(col("__chunk")).as("chunk_len"))
   }
+
+  // --------------------------------------------------------------
+  // PII detection / redaction — the scrubbing step every public
+  // training corpus goes through before a token reaches a model.
+  // Patterns stay inside the syntax subset Java regex and RE2 share
+  // (character classes, bounded repetition, \b), so an external
+  // engine reproduces the exact same match set — which is what makes
+  // the redaction oracle-checkable.
+  // --------------------------------------------------------------
+
+  /** Email addresses (pragmatic RFC-lite shape). */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+
+  /** NANP-style phone numbers `[+]NNN-NNN-NNNN`. */
+  val PhonePattern = "\\+?[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** US SSN shape `NNN-NN-NNNN` (word-bounded so it never fires
+    * inside a longer digit run).
+    */
+  val SsnPattern = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  /** Dotted-quad IPv4 (word-bounded; octet range not validated —
+    * over-redaction is the safe failure mode for PII).
+    */
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Count of matches of `pattern` in `text` — computed on the
+    * UNREDACTED text, so counts are independent of redaction order.
+    */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Replace every email/phone/SSN/IPv4 occurrence with a typed
+    * placeholder. Pure codegen'd `regexp_replace` chain — per-row
+    * work, zero shuffle, one scan at any corpus size. Order is part
+    * of the contract: emails first (their local parts may contain
+    * digit runs), then phones before SSNs (disjoint digit shapes,
+    * but a fixed order keeps the output deterministic if a future
+    * pattern overlaps).
+    */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val noPhone = regexp_replace(noEmail, PhonePattern, "<PHONE>")
+    val noSsn = regexp_replace(noPhone, SsnPattern, "<SSN>")
+    regexp_replace(noSsn, Ipv4Pattern, "<IP>")
+  }
 }

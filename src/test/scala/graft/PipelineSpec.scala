@@ -52,6 +52,48 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("PII redaction scrubs all four types, globally, word-bounded") {
+    val r = one("mail a.b+c@x-corp.io and a.b+c@x-corp.io call +555-123-4567 " +
+      "ssn 123-45-6789 host 10.0.255.3 ref 123-456-7890")
+      .select(TextAnalysis.redactPii($"t"),
+        TextAnalysis.piiCount($"t", TextAnalysis.EmailPattern),
+        TextAnalysis.piiCount($"t", TextAnalysis.PhonePattern),
+        TextAnalysis.piiCount($"t", TextAnalysis.SsnPattern),
+        TextAnalysis.piiCount($"t", TextAnalysis.Ipv4Pattern)).head()
+    // both email occurrences scrubbed (global replace); 123-456-7890
+    // is a phone shape, not an SSN
+    assert(r.getString(0) == "mail <EMAIL> and <EMAIL> call <PHONE> " +
+      "ssn <SSN> host <IP> ref <PHONE>")
+    assert((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)) == (2, 2, 1, 1))
+  }
+
+  test("PII patterns do not fire inside longer digit runs") {
+    val r = one("id 1234-56-78901 build 2024.01.15.999 v10.2.3.4.5")
+      .select(TextAnalysis.redactPii($"t")).head()
+    // SSN needs \b before its 3-digit group (1234- has none);
+    // 2024.01.15.999 has no boundary-started dotted quad; v10.2.3.4.5
+    // redacts only the boundary-started "2.3.4.5" — over-redaction
+    // inside version-ish strings is the safe failure mode for PII
+    assert(r.getString(0) == "id 1234-56-78901 build 2024.01.15.999 v10.<IP>")
+  }
+
+  test("URL components: host, path, query param, www-folded domain") {
+    val r = one("https://www.shop7.example.com/cat/3/p42?item=99&ref=r1")
+      .select(text.WebAnalysis.host($"t"), text.WebAnalysis.path($"t"),
+        text.WebAnalysis.queryParam($"t", "item"),
+        text.WebAnalysis.queryParam($"t", "absent"),
+        text.WebAnalysis.registeredDomain($"t")).head()
+    assert(r.getString(0) == "www.shop7.example.com")
+    assert(r.getString(1) == "/cat/3/p42")
+    assert(r.getString(2) == "99")
+    assert(r.isNullAt(3))
+    assert(r.getString(4) == "shop7.example.com")
+    // www folds only as a leading label — never inside the domain
+    val d = one("https://wwwx.example.com/a")
+      .select(text.WebAnalysis.registeredDomain($"t")).head()
+    assert(d.getString(0) == "wwwx.example.com")
+  }
+
   test("leading/trailing/multi whitespace yields no empty tokens") {
     val r = one("  a  b \t c ").select(
       TextAnalysis.tokenCount($"t"), TextAnalysis.typeCount($"t")).head()
