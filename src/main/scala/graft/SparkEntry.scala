@@ -112,6 +112,10 @@ object SparkEntry {
     "q79_gap_filled_hourly" -> TemporalQueries.gapFilledHourly _,
     "q80_pii_redaction"     -> PipelineQueries.piiRedaction _,
     "q81_domain_traffic"    -> PipelineQueries.domainTraffic _,
+    "q82_tfidf_terms"       -> PipelineQueries.tfidfTerms _,
+    "q83_weighted_sample"   -> PipelineQueries.weightedSample _,
+    "q84_heavy_hitters"     -> PipelineQueries.heavyParts _,
+    "q85_value_anomalies"   -> TemporalQueries.valueAnomalies _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1097,5 +1101,65 @@ object SparkEntry {
         |    AS BIGINT) AS sum_item,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
         |FROM u GROUP BY domain ORDER BY domain""".stripMargin,
+    // q82: linear-idf tf-idf — score (tf·N)/(len·df) is one division
+    // of exact integers, so the doubles (and the ranking) are
+    // bit-identical across engines; ln(N/df) could not promise that
+    "q82_tfidf_terms" ->
+      """WITH tok AS (SELECT doc_id, len(string_split(text,' ')) AS doc_len,
+        |    unnest(string_split(text,' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, doc_len, token, COUNT(*) AS tf
+        |       FROM tok GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+        |scored AS (SELECT doc_id, token, tf, dfreq,
+        |    CAST(tf * (SELECT COUNT(*) FROM documents) AS DOUBLE) /
+        |      CAST(doc_len * dfreq AS DOUBLE) AS tfidf
+        |  FROM tf JOIN dfreq USING (token)),
+        |ranked AS (SELECT doc_id, token, tf, dfreq, tfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, token) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, rnk, token, CAST(tf AS BIGINT) AS tf,
+        |  CAST(dfreq AS BIGINT) AS dfreq, tfidf
+        |FROM ranked WHERE rnk <= 2 ORDER BY doc_id, rnk""".stripMargin,
+    // q83: same split-multiply Knuth uniform as q42, divided by the
+    // weight — one correctly-rounded division, bit-portable
+    "q83_weighted_sample" ->
+      """WITH h AS (SELECT doc_id, lang, n_chars,
+        |    CAST(((doc_id % 4294967296) - (doc_id % 65536)) / 65536 AS BIGINT) AS ah,
+        |    doc_id % 65536 AS al
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars,
+        |  (CAST((((ah * 2654435761) % 65536) * 65536 + al * 2654435761)
+        |      % 4294967296 AS DOUBLE) / 4294967296.0)
+        |    / CAST(n_chars AS DOUBLE) AS priority
+        |FROM h ORDER BY priority, doc_id LIMIT 100""".stripMargin,
+    // q84: the oracle is the full-cardinality groupBy the sketch
+    // path must reproduce exactly
+    "q84_heavy_hitters" ->
+      """SELECT l_partkey, COUNT(*) AS cnt FROM lineitem
+        |GROUP BY l_partkey HAVING COUNT(*) >= 45
+        |ORDER BY l_partkey""".stripMargin,
+    // q85: decimal windowed sums (order-independent), double
+    // finishers written in the engine's exact expression order
+    "q85_value_anomalies" ->
+      """WITH w AS (SELECT user_id, event_id, value,
+        |    COUNT(*) OVER tw AS n_prev,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER tw AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+        |      OVER tw AS DOUBLE) AS s2
+        |  FROM events
+        |  WINDOW tw AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT user_id, event_id, value, n_prev,
+        |    s1 / CAST(n_prev AS DOUBLE) AS trail_mean,
+        |    (value - s1 / CAST(n_prev AS DOUBLE)) /
+        |      sqrt(s2 / CAST(n_prev AS DOUBLE) -
+        |        (s1 / CAST(n_prev AS DOUBLE)) * (s1 / CAST(n_prev AS DOUBLE)))
+        |      AS zscore
+        |  FROM w)
+        |SELECT user_id, event_id, value, CAST(n_prev AS BIGINT) AS n_prev,
+        |  trail_mean, zscore
+        |FROM z WHERE n_prev >= 10 AND abs(zscore) > 2.0
+        |ORDER BY user_id, event_id""".stripMargin,
   )
 }

@@ -95,4 +95,31 @@ object Sampler {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Efraimidis–Spirakis A-ES key `u^(1/w)`: taking the k LARGEST
+    * keys draws an exact probability-proportional-to-size sample
+    * without replacement. The production weighted sampler —
+    * deterministic within the engine (hash uniforms), but `pow` is
+    * not an IEEE correctly-rounded operation, so the key itself is
+    * not bit-reproducible by an external engine; cross-engine
+    * verification uses [[weightedPriorityKey]] instead.
+    */
+  def aresKey(id: Column, weight: Column, seed: Int = 42): Column =
+    pow(uniformHash(id, seed), lit(1.0) / weight.cast("double"))
+
+  /** Portable weighted priority `u(id)/w`: the k SMALLEST priorities
+    * form a weighted sample biased toward heavy rows (selection odds
+    * scale with w, though not the exact PPS law of [[aresKey]] — an
+    * item's priority beats an exp(1)-race only linearly). Every
+    * ingredient is exact (u is an integer over 2^32, w an integer)
+    * and the single division is correctly rounded, so the priority
+    * column is bit-identical in any IEEE engine — the oracle-checkable
+    * face of weighted sampling.
+    *
+    * Scale shape: per-row arithmetic at the scan; a global top-k by
+    * priority plans as TakeOrderedAndProject (per-partition heaps,
+    * never a full sort).
+    */
+  def weightedPriorityKey(id: Column, weight: Column): Column =
+    uniformKnuth(id) / weight.cast("double")
 }

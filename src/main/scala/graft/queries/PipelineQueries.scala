@@ -465,4 +465,45 @@ object PipelineQueries {
           .as("total_price"))
       .orderBy("domain")
   }
+
+  /** q82: top-2 TF-IDF terms per document (linear-idf form — see
+    * TextAnalysis.tfidfTopTerms for why `N/df` instead of `ln(N/df)`
+    * is what makes the score column cross-engine bit-comparable).
+    */
+  def tfidfTerms(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(Tables.load(spark, dir, "documents"), k = 2)
+      .orderBy("doc_id", "rnk")
+
+  /** q83: weighted document sampling — 100 docs drawn with priority
+    * `u(doc_id)/n_chars` (longer documents proportionally likelier),
+    * the portable face of A-ES weighted sampling
+    * (Sampler.weightedPriorityKey; the `u^(1/w)` production key is
+    * unit-tested in-engine, `pow` not being cross-engine
+    * bit-stable). The top-k by priority plans as
+    * TakeOrderedAndProject — per-partition heaps, no global sort.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.select(col("doc_id"), col("lang"), col("n_chars"),
+        graft.ops.Sampler.weightedPriorityKey(col("doc_id"), col("n_chars"))
+          .as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(100)
+  }
+
+  /** q84: exact heavy hitters over lineitem part keys — every part
+    * appearing ≥ 45 times, via the fixed-memory Misra–Gries
+    * candidates + exact-recount plan (HeavyHitters.exactHeavyHitters)
+    * rather than a full-cardinality groupBy. The oracle IS the full
+    * groupBy — the sketch path must reproduce it exactly.
+    */
+  def heavyParts(spark: SparkSession, dir: String): DataFrame =
+    // capacity 2^18 keeps the recall bound N/capacity under the fixed
+    // minCount up to the sf1 soak (6M rows → bound 22.9 < 45); ~4 MB
+    // of counters per task
+    graft.ops.HeavyHitters.exactHeavyHitters(
+        Tables.load(spark, dir, "lineitem"), col("l_partkey"),
+        minCount = 45L, capacity = 1 << 18)
+      .select(col("key").as("l_partkey"), col("cnt"))
+      .orderBy("l_partkey")
 }

@@ -127,4 +127,39 @@ object TemporalQueries {
         col("n"))
       .orderBy("hour")
   }
+
+  /** q85: trailing z-score anomaly detection — flag events whose
+    * value sits more than 2σ from the mean of the SAME user's
+    * previous 20 events (a leading frame would leak the future; the
+    * trailing frame is the streaming-compatible form).
+    *
+    * Determinism across engines: the windowed sums run in
+    * DECIMAL(12,2)/(25,4) (order-independent exact accumulation —
+    * a double sum would depend on row order within the frame), and
+    * the mean/variance/z finishers are double ops written in the
+    * same expression order on both sides, so every IEEE step rounds
+    * identically. Variance via E[x²]−mean² — one pass, no second
+    * frame scan.
+    *
+    * Scale shape: one shuffle on user_id, one sorted pass per user;
+    * frames are ROWS-bounded so state per row is O(1).
+    */
+  def valueAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-20, -1)
+    val dec = col("value").cast("decimal(12,2)")
+    val s1 = sum(dec).over(w).cast("double")
+    val s2 = sum(dec * dec).over(w).cast("double")
+    val n = count(lit(1)).over(w)
+    val mean = s1 / n.cast("double")
+    val variance = s2 / n.cast("double") - mean * mean
+    val z = (col("value") - mean) / sqrt(variance)
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value"),
+        n.as("n_prev"), mean.as("trail_mean"), z.as("zscore"))
+      .filter(col("n_prev") >= 10 && abs(col("zscore")) > 2.0)
+      .orderBy("user_id", "event_id")
+  }
 }

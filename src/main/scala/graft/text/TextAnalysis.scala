@@ -211,6 +211,47 @@ object TextAnalysis {
         size(col("__chunk")).as("chunk_len"))
   }
 
+  /** TF-IDF term scoring with the top `k` terms kept per document —
+    * the classic salient-term extractor (keyword tagging, near-dup
+    * feature vectors, quality heuristics).
+    *
+    * The idf factor is the LINEAR form `N/df`, not `ln(N/df)`: the
+    * score is then `(tf·N)/(len·df)` — a single division of two
+    * exact integers, which IEEE rounds identically in every engine,
+    * making the full score column (and the ranking derived from it)
+    * bit-comparable to an external oracle. `ln` is not a
+    * correctly-rounded operation, so the logarithmic form cannot
+    * make that promise cross-engine; rankings are identical either
+    * way because `ln` is monotonic.
+    *
+    * Scale shape: doc length rides the tokenize scan (no second
+    * pass), one (doc, term) hash aggregate, a vocabulary-sized df
+    * aggregate broadcast back, and a per-doc top-k window that
+    * Spark executes as WindowGroupLimit (partial top-k before the
+    * exchange). The corpus shuffles once on (doc, term).
+    */
+  def tfidfTopTerms(df: DataFrame, k: Int = 1, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val n = df.count()
+    val tok = df
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).as("doc_len"),
+        explode(col("__toks")).as("token"))
+    val tf = tok.groupBy(col(idCol), col("doc_len"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("dfreq"))
+    val scored = tf.join(broadcast(dfreq), "token")
+      .withColumn("tfidf", (col("tf") * lit(n)).cast("double") /
+        (col("doc_len") * col("dfreq")).cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("token"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("token"), col("tf"),
+        col("dfreq"), col("tfidf"))
+  }
+
   // --------------------------------------------------------------
   // PII detection / redaction — the scrubbing step every public
   // training corpus goes through before a token reaches a model.

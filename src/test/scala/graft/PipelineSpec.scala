@@ -94,6 +94,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(d.getString(0) == "wwwx.example.com")
   }
 
+  test("tfidf: hand-computed linear-idf scores, top-k per doc") {
+    // corpus of 3 docs; "rare" appears only in doc 1, "common" in all
+    val docs = Seq((1L, "common rare common"), (2L, "common x"),
+      (3L, "common y")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, k = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getDouble(5))))
+      .toMap
+    // doc1: rare tf=1 len=3 df=1 n=3 → 1*3/(3*1)=1.0 beats common 2*3/(3*3)=0.667
+    assert(got(1L) == ("rare", 1.0))
+    // doc2: x 1*3/(2*1)=1.5 beats common 1*3/(2*3)=0.5
+    assert(got(2L) == ("x", 1.5))
+    assert(got(3L) == ("y", 1.5))
+    // per-doc top-k must plan as a partial top-k below the exchange
+    val plan = TextAnalysis.tfidfTopTerms(docs, k = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("leading/trailing/multi whitespace yields no empty tokens") {
     val r = one("  a  b \t c ").select(
       TextAnalysis.tokenCount($"t"), TextAnalysis.typeCount($"t")).head()
@@ -309,6 +327,44 @@ class SamplerSpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"),
       s"rank<=k must push partial top-k below the shuffle: $plan")
+  }
+
+  test("weighted priority: u/w formula, heavier rows win, TakeOrdered plan") {
+    import spark.implicits._
+    val rows = (0L until 400L).map(id => (id, if (id % 100 == 7) 10000L else 1L))
+      .toDF("id", "w")
+    val sel = rows.select(col("id"), col("w"),
+        Sampler.weightedPriorityKey(col("id"), col("w")).as("p"))
+      .orderBy(col("p"), col("id")).limit(8)
+    val got = sel.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // formula: priority = knuth-uniform / weight, exactly
+    got.foreach { case (id, w, p) =>
+      val u = Seq(id).toDF("id").select(Sampler.uniformKnuth(col("id")))
+        .head().getDouble(0)
+      assert(p == u / w.toDouble, s"id=$id")
+    }
+    // all four 10000x-weight rows must beat the ~396 weight-1 rows
+    val heavy = got.filter(_._2 == 10000L).map(_._1).toSet
+    assert(heavy == Set(7L, 107L, 207L, 307L),
+      s"heavy rows must dominate the sample: $got")
+    // global top-k must be per-partition heaps, not a full sort
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("A-ES key: in [0,1], weight-1 key is u itself, heavier keys larger") {
+    import spark.implicits._
+    val df = (1L to 200L).toDF("id").select(col("id"),
+      Sampler.uniformHash(col("id")).as("u"),
+      Sampler.aresKey(col("id"), lit(1L)).as("k1"),
+      Sampler.aresKey(col("id"), lit(50L)).as("k50"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      val (u, k1, k50) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(k1 >= 0 && k1 <= 1 && k50 >= 0 && k50 <= 1)
+      assert(k1 == u, "u^(1/1) = u")
+      assert(k50 >= k1, "same u at higher weight must not shrink the key")
+    }
   }
 
   test("knuth uniform survives 1e10-scale ids and matches the naive formula") {
@@ -690,5 +746,49 @@ class ContaminationSpec extends AnyFunSuite {
     // empty probe set → empty result, not a crash on a null bloom
     assert(Dedup.contaminationScanBloom(
       corpus, probes.where(lit(false)), k = 3).count() == 0)
+  }
+}
+
+class HeavyHittersSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.ops.HeavyHitters
+
+  test("misraGries: undercount bounded, heavy survivors present") {
+    // 600 copies of key 1, 300 of key 2, 900 distinct singletons
+    // (n=1800). capacity=8 → undercount ≤ n/capacity = 225, so keys
+    // with count > 225 MUST survive the sketch.
+    val stream = Seq.fill(600)(1L) ++ Seq.fill(300)(2L) ++
+      (1000L until 1900L)
+    // interleave deterministically so heavy keys aren't front-loaded
+    val shuffled = stream.sortBy(k => (k * 2654435761L) % 104729)
+    val survivors = HeavyHitters.misraGries(shuffled.iterator, 8).toSet
+    assert(survivors.contains(1L), "600 of 1800 must survive capacity 8")
+    assert(survivors.contains(2L), "300 of 1800 must survive capacity 8")
+    assert(survivors.size <= 8, "never more than capacity counters")
+  }
+
+  test("exactHeavyHitters equals the full groupBy under a planted skew") {
+    // 50k rows over 5k distinct keys; keys 0..9 are hot (1000 each),
+    // the rest appear ~8 times. tiny capacity keeps sketches honest.
+    val rows = (0 until 10).flatMap(k => Seq.fill(1000)(k.toLong)) ++
+      (0 until 40000).map(i => 100L + i % 5000)
+    val df = rows.toDF("k").repartition(13) // uneven partition mix
+    val got = HeavyHitters.exactHeavyHitters(df, col("k"),
+        minCount = 500L, capacity = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = df.groupBy("k").count().filter(col("count") >= 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.size == 10,
+      s"sketch path must reproduce the exact groupBy: got=$got")
+  }
+
+  test("recall-bound violation is an error, not a weaker answer") {
+    val df = (0L until 10000L).toDF("k")
+    val e = intercept[IllegalArgumentException] {
+      HeavyHitters.exactHeavyHitters(df, col("k"),
+        minCount = 3L, capacity = 16)
+    }
+    assert(e.getMessage.contains("recall bound"))
   }
 }

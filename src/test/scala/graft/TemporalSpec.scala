@@ -133,3 +133,36 @@ class GapFillSpec extends AnyFunSuite {
       Map("n" -> 0L)).count() == 0)
   }
 }
+
+class AnomalySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("trailing z-score flags match a direct recomputation") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.TemporalQueries.valueAnomalies(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(5)))
+    assert(got.nonEmpty, "sf0.001 must contain some 2-sigma outliers")
+    val hist = Tables.load(spark, dir, "events")
+      .select("user_id", "event_id", "value", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getTimestamp(3)))
+      .groupBy(_._1)
+      .map { case (u, rs) =>
+        u -> rs.sortBy(r => (r._4.getTime, r._4.getNanos, r._2)).toVector
+      }
+    got.take(10).foreach { case (u, e, v, nPrev, z) =>
+      val series = hist(u)
+      val idx = series.indexWhere(_._2 == e)
+      val prev = series.slice(math.max(0, idx - 20), idx).map(_._3)
+      assert(prev.length == nPrev && nPrev >= 10)
+      // recompute with exact decimal sums like the engine
+      val s1 = prev.map(BigDecimal(_)).sum.toDouble
+      val s2 = prev.map(x => BigDecimal(x) * BigDecimal(x)).sum.toDouble
+      val n = prev.length.toDouble
+      val mean = s1 / n
+      val want = (v - mean) / math.sqrt(s2 / n - mean * mean)
+      assert(math.abs(want - z) < 1e-9, s"user=$u event=$e: $want vs $z")
+      assert(math.abs(z) > 2.0)
+    }
+  }
+}
