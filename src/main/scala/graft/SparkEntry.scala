@@ -116,6 +116,7 @@ object SparkEntry {
     "q83_weighted_sample"   -> PipelineQueries.weightedSample _,
     "q84_heavy_hitters"     -> PipelineQueries.heavyParts _,
     "q85_value_anomalies"   -> TemporalQueries.valueAnomalies _,
+    "q86_vocab_encode"      -> PipelineQueries.vocabEncode _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1161,5 +1162,25 @@ object SparkEntry {
         |  trail_mean, zscore
         |FROM z WHERE n_prev >= 10 AND abs(zscore) > 2.0
         |ORDER BY user_id, event_id""".stripMargin,
+    // q86: two unnests in one SELECT zip positionally in DuckDB —
+    // that carries token order into the string_agg reassembly
+    "q86_vocab_encode" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(text,' ')) AS token,
+        |    unnest(range(1, len(string_split(text,' ')) + 1)) AS pos
+        |  FROM documents),
+        |counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        |vocab AS (SELECT token, id FROM (
+        |    SELECT token, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS id
+        |    FROM counts) WHERE id <= 16),
+        |enc AS (SELECT t.doc_id,
+        |    string_agg(CAST(COALESCE(v.id, 0) AS VARCHAR), ' ' ORDER BY t.pos)
+        |      AS ids,
+        |    COUNT(*) AS n_tokens,
+        |    SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS n_oov
+        |  FROM tok t LEFT JOIN vocab v USING (token) GROUP BY 1)
+        |SELECT doc_id, ids, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_oov AS BIGINT) AS n_oov
+        |FROM enc ORDER BY doc_id""".stripMargin,
   )
 }

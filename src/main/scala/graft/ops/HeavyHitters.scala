@@ -92,9 +92,12 @@ object HeavyHitters {
       s"recall bound violated: minCount=$minCount must exceed " +
         s"N/capacity=${total / capacity} (N=$total, " +
         s"capacity=$capacity) — raise capacity or minCount")
-    // candidate set is ≤ capacity × partitions keys — broadcast-sized
+    // candidate set is ≤ capacity × partitions keys — broadcast-sized.
+    // Materialize it (localCheckpoint truncates the lineage), then
+    // drop the sketch cache so the operator leaves no storage behind.
     val candidates = sketched.filter(col("is_key"))
-      .select(col("v").as("key")).distinct()
+      .select(col("v").as("key")).distinct().localCheckpoint()
+    sketched.unpersist()
     keys.toDF("key")
       .join(broadcast(candidates), "key")
       .groupBy("key").agg(count(lit(1)).as("cnt"))

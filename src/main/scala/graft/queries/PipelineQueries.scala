@@ -497,6 +497,20 @@ object PipelineQueries {
     * rather than a full-cardinality groupBy. The oracle IS the full
     * groupBy — the sketch path must reproduce it exactly.
     */
+  /** q86: tokenizer-prep vocabulary encoding — the 16 most frequent
+    * corpus tokens become ids 1..16 (count-desc, token-asc ties) and
+    * every document is rewritten as its id sequence (0 = OOV), plus
+    * token/OOV accounting. Vocab ranking runs over the
+    * vocabulary-sized count frame, never the corpus (Vocab.scala
+    * scale note); encoding is explode → broadcast-vocab join →
+    * per-doc reassembly.
+    */
+  def vocabEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val vocab = graft.text.Vocab.buildVocab(docs, v = 16)
+    graft.text.Vocab.encodeDocuments(docs, vocab).orderBy("doc_id")
+  }
+
   def heavyParts(spark: SparkSession, dir: String): DataFrame =
     // capacity 2^18 keeps the recall bound N/capacity under the fixed
     // minCount up to the sf1 soak (6M rows → bound 22.9 < 45); ~4 MB

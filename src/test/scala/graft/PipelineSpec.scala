@@ -112,6 +112,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("vocab: count-desc/token-asc ids, OOV encodes to 0, empty doc kept") {
+    val docs = Seq((1L, "b b b a a c"), (2L, "a z b"), (3L, ""))
+      .toDF("doc_id", "text")
+    val vocab = graft.text.Vocab.buildVocab(docs, v = 3)
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    // counts: b=4, a=3, c=1, z=1 → ties (c,z) break by token asc
+    assert(vocab == Map("b" -> 1, "a" -> 2, "c" -> 3))
+    val enc = graft.text.Vocab.encodeDocuments(docs,
+        graft.text.Vocab.buildVocab(docs, v = 3))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(enc.toSeq == Seq(
+      (1L, "1 1 1 2 2 3", 6L, 0L),
+      (2L, "2 0 1", 3L, 1L), // z is OOV → 0
+      (3L, "", 0L, 0L)))     // empty doc survives with an empty code
+  }
+
   test("leading/trailing/multi whitespace yields no empty tokens") {
     val r = one("  a  b \t c ").select(
       TextAnalysis.tokenCount($"t"), TextAnalysis.typeCount($"t")).head()
