@@ -117,6 +117,9 @@ object SparkEntry {
     "q84_heavy_hitters"     -> PipelineQueries.heavyParts _,
     "q85_value_anomalies"   -> TemporalQueries.valueAnomalies _,
     "q86_vocab_encode"      -> PipelineQueries.vocabEncode _,
+    "q87_knn_pq"            -> PipelineQueries.knnPq _,
+    "q88_source_drift"      -> PipelineQueries.sourceDrift _,
+    "q89_cohort_retention"  -> TemporalQueries.cohortRetention _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1182,5 +1185,78 @@ object SparkEntry {
         |SELECT doc_id, ids, CAST(n_tokens AS BIGINT) AS n_tokens,
         |  CAST(n_oov AS BIGINT) AS n_oov
         |FROM enc ORDER BY doc_id""".stripMargin,
+    // q87: full PQ re-derivation — Knuth-sampled codebooks (same
+    // split-multiply uniform as q42/q83), integer L2 code
+    // assignment (ties to smallest code), ADC table-lookup sums.
+    // Everything is exact integers; the hash compare covers the
+    // distances themselves, not just the neighbor lists.
+    "q87_knn_pq" ->
+      """WITH e AS (SELECT vec_id,
+        |    [CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) for x in embedding] AS q
+        |  FROM embeddings),
+        |u AS (SELECT vec_id, q,
+        |    CAST((((CAST(((vec_id % 4294967296) - (vec_id % 65536)) / 65536 AS BIGINT)
+        |      * 2654435761) % 65536) * 65536 + (vec_id % 65536) * 2654435761)
+        |      % 4294967296 AS BIGINT) AS uk
+        |  FROM e),
+        |seeds AS (SELECT vec_id, q,
+        |    ROW_NUMBER() OVER (ORDER BY uk, vec_id) AS code FROM u),
+        |books AS (SELECT code, t.sub, q[t.sub*16+1 : t.sub*16+16] AS cw
+        |  FROM seeds, range(0, 4) t(sub) WHERE code <= 16),
+        |enc0 AS (SELECT v.vec_id, b.sub, b.code,
+        |    list_reduce([CAST(0 AS BIGINT)] +
+        |      [(v.q[b.sub*16+i] - b.cw[i]) * (v.q[b.sub*16+i] - b.cw[i])
+        |        for i in range(1, 17)], (a, x) -> a + x) AS dist
+        |  FROM e v CROSS JOIN books b),
+        |enc AS (SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+        |        ORDER BY dist, code) AS rn
+        |    FROM enc0) WHERE rn = 1),
+        |qs AS (SELECT vec_id AS qid, q AS qq FROM e WHERE vec_id % 100 = 0),
+        |dt AS (SELECT qid, b.sub, b.code,
+        |    list_reduce([CAST(0 AS BIGINT)] +
+        |      [(qq[b.sub*16+i] - b.cw[i]) * (qq[b.sub*16+i] - b.cw[i])
+        |        for i in range(1, 17)], (a, x) -> a + x) AS d
+        |  FROM qs CROSS JOIN books b),
+        |ad AS (SELECT dt.qid, enc.vec_id, SUM(dt.d) AS adist
+        |  FROM enc JOIN dt ON enc.sub = dt.sub AND enc.code = dt.code
+        |  WHERE enc.vec_id <> dt.qid
+        |  GROUP BY 1, 2),
+        |r AS (SELECT qid AS query_id, vec_id, adist,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rnk
+        |  FROM ad)
+        |SELECT query_id, rnk, vec_id, CAST(adist AS BIGINT) AS adist
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    // q88: exact integer L1 numerator (HUGEINT in DuckDB, decimal in
+    // the engine — both exact), one correctly-rounded division
+    "q88_source_drift" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text,' ')) AS token
+        |  FROM documents),
+        |bs AS (SELECT source, token, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+        |ct AS (SELECT token, SUM(c_st) AS c_t FROM bs GROUP BY 1),
+        |ns AS (SELECT source, SUM(c_st) AS n_s FROM bs GROUP BY 1),
+        |n AS (SELECT SUM(c_t) AS nt FROM ct),
+        |j AS (SELECT g.source, g.n_s, g.c_t, COALESCE(bs.c_st, 0) AS c_st
+        |  FROM (SELECT ns.source, ns.n_s, ct.token, ct.c_t
+        |        FROM ns CROSS JOIN ct) g
+        |  LEFT JOIN bs ON g.source = bs.source AND g.token = bs.token),
+        |agg AS (SELECT source, n_s,
+        |    SUM(abs(c_st * (SELECT nt FROM n) - c_t * n_s)) AS l1_num
+        |  FROM j GROUP BY 1, 2)
+        |SELECT source, CAST(n_s AS BIGINT) AS n_s,
+        |  CAST(l1_num AS BIGINT) AS l1_num,
+        |  CAST(l1_num AS DOUBLE) /
+        |    CAST(n_s * (SELECT nt FROM n) AS DOUBLE) AS l1
+        |FROM agg ORDER BY source""".stripMargin,
+    // q89: first-activity cohorts × day offsets, exact distinct users
+    "q89_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY 1)
+        |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  ev.day - c.cohort_day AS day_offset,
+        |  COUNT(DISTINCT ev.user_id) AS n_active
+        |FROM ev JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -139,6 +139,20 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** q87: product-quantization ADC top-10 for the same query set —
+    * the compression step past int8 (q60): 64-dim vectors stored as
+    * m=4 codes from 16-entry per-subspace codebooks, candidates
+    * ranked by exact-integer table-lookup distances. The oracle
+    * re-derives the codebooks from the same portable Knuth sample
+    * and recomputes every code and every ADC distance — a codebook,
+    * assignment, or lookup bug cannot hash-match.
+    */
+  def knnPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    VectorSearch.pqTopK(emb, knnQueries(emb), k = 10)
+      .orderBy("query_id", "rnk")
+  }
+
   /** q29: per-label centroid cohesion stats. */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame =
     VectorSearch.labelCentroidStats(Tables.load(spark, dir, "embeddings"))
@@ -510,6 +524,32 @@ object PipelineQueries {
     val vocab = graft.text.Vocab.buildVocab(docs, v = 16)
     graft.text.Vocab.encodeDocuments(docs, vocab).orderBy("doc_id")
   }
+
+  /** q88: per-source token-distribution drift — L1 distance between
+    * each source's token distribution and the whole corpus's (the
+    * domain-drift / contamination-shift monitor of a multi-source
+    * training mix; sources whose unigram mix diverges get human
+    * eyes).
+    *
+    * Exactness: with per-source counts c_st (n_s total) and corpus
+    * counts c_t (N total), L1 = Σ_t |c_st/n_s − c_t/N| is computed
+    * as the exact integer numerator Σ|c_st·N − c_t·n_s| divided ONCE
+    * by n_s·N — products stay far under 2^63 (counts are
+    * corpus-bounded) and the single division is correctly rounded,
+    * so the drift scores are bit-identical in any engine. A float
+    * per-token sum would be order-dependent and hash-unstable.
+    *
+    * Scale shape: one (source, token) aggregate, a vocabulary-sized
+    * corpus-count frame broadcast back, per-source integer sums.
+    * Tokens absent from a source still contribute |0 − c_t·n_s|:
+    * the corpus frame left-joins the per-source counts per source
+    * via a source×vocab expansion bounded by |sources|·|vocab|, not
+    * by the corpus.
+    */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenDistributionDrift(
+      Tables.load(spark, dir, "documents"), groupCol = "source")
+      .orderBy("source")
 
   def heavyParts(spark: SparkSession, dir: String): DataFrame =
     // capacity 2^18 keeps the recall bound N/capacity under the fixed

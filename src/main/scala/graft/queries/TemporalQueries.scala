@@ -162,4 +162,21 @@ object TemporalQueries {
       .filter(col("n_prev") >= 10 && abs(col("zscore")) > 2.0)
       .orderBy("user_id", "event_id")
   }
+
+  /** q89: cohort retention — the product-analytics staple: users
+    * grouped by first-activity day (their cohort), then distinct
+    * active users counted at each day offset from the cohort day.
+    *
+    * Scale shape: the cohort frame and the activity frame shuffle on
+    * the SAME key (user_id), so the join reuses the aggregation's
+    * exchange; the final (cohort, offset) aggregate is
+    * calendar-bounded output. countDistinct(user) inside is the one
+    * genuinely heavy term — it re-shuffles (cohort, offset, user)
+    * once, which is the minimum for an exact distinct.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame =
+    Transforms.cohortRetention(Tables.load(spark, dir, "events"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("n_active"))
+      .orderBy("cohort_day", "day_offset")
 }

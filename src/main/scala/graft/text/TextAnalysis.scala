@@ -252,6 +252,49 @@ object TextAnalysis {
         col("dfreq"), col("tfidf"))
   }
 
+  /** Per-group token-distribution drift: L1 distance between each
+    * group's unigram distribution and the whole corpus's — the
+    * domain-drift / mix-shift monitor of a multi-source training
+    * pipeline. Returns (group, n_s, l1_num, l1).
+    *
+    * Exactness: with group counts c_st (n_s total) and corpus counts
+    * c_t (N total), L1 = Σ_t |c_st/n_s − c_t/N| is computed as the
+    * exact integer numerator Σ|c_st·N − c_t·n_s| (decimal(38,0) —
+    * exact even at 1e12-token count magnitudes) divided ONCE at the
+    * end; the single division is correctly rounded, so the scores
+    * are bit-identical in any engine. A float per-token sum would be
+    * order-dependent.
+    *
+    * Scale shape: ONE corpus shuffle to the (group, token)
+    * aggregate; every other frame (corpus counts, group totals, the
+    * group×vocab grid) derives from that |groups|·|vocab|-sized
+    * frame. Tokens absent from a group still contribute
+    * |0 − c_t·n_s| via the grid.
+    */
+  def tokenDistributionDrift(df: DataFrame, groupCol: String,
+      textCol: String = "text"): DataFrame = {
+    val tok = df.select(col(groupCol),
+      explode(tokens(col(textCol))).as("token"))
+    val byGroup = tok.groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("c_st")).localCheckpoint()
+    val corpus = byGroup.groupBy("token").agg(sum(col("c_st")).as("c_t"))
+    val groups = byGroup.groupBy(groupCol).agg(sum(col("c_st")).as("n_s"))
+    val nTotal = corpus.agg(coalesce(sum(col("c_t")), lit(0L)))
+      .head().getLong(0)
+    def d(c: Column) = c.cast("decimal(19,0)")
+    groups.crossJoin(broadcast(corpus))
+      .join(byGroup, Seq(groupCol, "token"), "left")
+      .na.fill(0L, Seq("c_st"))
+      .withColumn("num",
+        abs(d(col("c_st")) * d(lit(nTotal)) - d(col("c_t")) * d(col("n_s"))))
+      .groupBy(col(groupCol), col("n_s"))
+      .agg(sum(col("num")).as("l1_dec"))
+      .select(col(groupCol), col("n_s"),
+        col("l1_dec").cast("long").as("l1_num"),
+        (col("l1_dec").cast("double") /
+          (d(col("n_s")) * d(lit(nTotal))).cast("double")).as("l1"))
+  }
+
   // --------------------------------------------------------------
   // PII detection / redaction — the scrubbing step every public
   // training corpus goes through before a token reaches a model.

@@ -266,6 +266,120 @@ object VectorSearch {
         graft.text.TextAnalysis.round6(col("cos")).as("cos"))
   }
 
+  // --------------------------------------------------------------
+  // Product quantization (PQ) — the compression family one step past
+  // int8 scalar quantization: each vector is split into `m`
+  // subvectors and every subvector is replaced by the id of its
+  // nearest codeword from a per-subspace codebook of `ksub` entries,
+  // so a d-dim float32 vector (4d bytes) stores as m code bytes
+  // (64-dim, m=8: 256 B → 8 B). Queries rank candidates with
+  // asymmetric distance (ADC): the query stays exact, and its
+  // distance to any code combination is a sum of m table lookups.
+  //
+  // Everything runs on the 1e6-quantized integer grid with SQUARED
+  // L2 distances — integer subtraction/multiply/sum only, so
+  // codebook choice, code assignment, distance tables, and the final
+  // ADC ranking are ALL exact integers: the complete PQ pipeline is
+  // bit-reproducible in any engine (the oracle re-derives codebooks
+  // from the same portable Knuth sample and must reach identical
+  // top-k lists AND distances).
+  // --------------------------------------------------------------
+
+  /** PQ codebooks from a prepared (vec_id, q, n2) corpus: the `ksub`
+    * rows with the smallest portable Knuth uniform become the
+    * codewords of every subspace (their sub-slices), code ids 1..ksub
+    * in (u, vec_id) order. Sample-based codebooks are the
+    * zero-iteration stand-in for per-subspace k-means, mirroring
+    * [[ivfAssign]]'s centroid choice — and the selection is
+    * expressible in ANSI SQL, which k-means iterations are not.
+    *
+    * Driver-resident by design: codebook size is ksub·d longs
+    * regardless of corpus size (the FAISS shape — codebooks are
+    * broadcast constants, never a distributed join side). The
+    * selection itself is a TakeOrderedAndProject over one corpus
+    * pass.
+    *
+    * Returns books(sub)(code-1) = codeword subvector.
+    */
+  def pqCodebooks(c: DataFrame, m: Int, ksub: Int): Array[Array[Array[Long]]] = {
+    require(m > 0 && ksub > 0, s"m=$m and ksub=$ksub must be positive")
+    val seeds = c
+      .orderBy(graft.ops.Sampler.uniformKnuth(col("vec_id")), col("vec_id"))
+      .limit(ksub)
+      .select(col("q")).collect().map(_.getSeq[Long](0).toArray)
+    require(seeds.nonEmpty, "pqCodebooks: empty corpus")
+    val d = seeds.head.length
+    require(d % m == 0, s"dimension $d not divisible into m=$m subspaces")
+    val dsub = d / m
+    Array.tabulate(m)(s => seeds.map(_.slice(s * dsub, (s + 1) * dsub)))
+  }
+
+  /** Exact integer squared-L2 between a sub-slice of `vec` (subspace
+    * `s`) and each codeword of that subspace, as an array in code
+    * order.
+    */
+  private def pqSubDists(vec: Column, books: Array[Array[Array[Long]]],
+      s: Int, dsub: Int): Column = {
+    val cws = typedLit(books(s).map(_.toSeq).toSeq)
+    val sub = slice(vec, s * dsub + 1, dsub)
+    transform(cws, cw => aggregate(
+      zip_with(sub, cw, (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x))
+  }
+
+  /** Encode a prepared corpus against `books`: (vec_id, codes) with
+    * codes(s) the 1-based id of the nearest subspace-`s` codeword
+    * (ties to the smallest code — `array_position` finds the FIRST
+    * minimum). Pure per-row expressions over literal codebooks:
+    * encoding is one scan, zero shuffle, zero joins.
+    */
+  def pqEncode(c: DataFrame, books: Array[Array[Array[Long]]]): DataFrame = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    val codes = array((0 until m).map { s =>
+      val dists = pqSubDists(col("q"), books, s, dsub)
+      array_position(dists, array_min(dists))
+    }: _*)
+    c.select(col("vec_id"), codes.as("codes"))
+  }
+
+  /** PQ/ADC approximate top-k: encode the corpus once, give each
+    * query an m×ksub exact distance table, and rank candidates by
+    * the sum of m table lookups — integer adds only, no per-pair
+    * vector math. Output (query_id, rnk, vec_id, adist) where adist
+    * is the exact integer ADC squared-L2 on the 1e6 grid.
+    *
+    * Scale shape: codebooks are driver constants; the corpus is
+    * scanned once to encode (and could be stored encoded at m bytes
+    * per vector); the query table set broadcasts; per-query top-k is
+    * the WindowGroupLimit partial-top-k shape shared with
+    * [[bruteForceTopK]].
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
+      ksub: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = prepared(corpus, idCol, vecCol)
+    val books = pqCodebooks(c, m, ksub)
+    val dsub = books(0)(0).length
+    val enc = pqEncode(c, books)
+    val dt = array((0 until m).map(s =>
+      pqSubDists(col("qq"), books, s, dsub)): _*)
+    val q = prepared(queries, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+      .select(col("query_id"), dt.as("dt"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist"), col("vec_id"))
+    enc.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist", aggregate(
+        zip_with(col("codes"), col("dt"),
+          (code, row) => element_at(row, code.cast("int"))),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("adist"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a, b) with
     * cosine >= `threshold`, candidates generated by IVF-cell
     * blocking with multi-assignment — each vector joins its

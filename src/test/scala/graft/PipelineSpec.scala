@@ -129,6 +129,18 @@ class TextAnalysisSpec extends AnyFunSuite {
       (3L, "", 0L, 0L)))     // empty doc survives with an empty code
   }
 
+  test("token-distribution drift: exact integer L1 numerators") {
+    // A: "x x y" (n=3), B: "y z" (n=2); corpus x=2 y=2 z=1, N=5
+    // L1_A num: |2*5-2*3| + |1*5-2*3| + |0*5-1*3| = 4+1+3 = 8
+    // L1_B num: |0*5-2*2| + |1*5-2*2| + |1*5-1*2| = 4+1+3 = 8
+    val docs = Seq(("A", "x x y"), ("B", "y z")).toDF("source", "text")
+    val got = TextAnalysis.tokenDistributionDrift(docs, "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("A") == ((3L, 8L, 8.0 / 15.0)))
+    assert(got("B") == ((2L, 8L, 8.0 / 10.0)))
+  }
+
   test("leading/trailing/multi whitespace yields no empty tokens") {
     val r = one("  a  b \t c ").select(
       TextAnalysis.tokenCount($"t"), TextAnalysis.typeCount($"t")).head()
@@ -418,6 +430,53 @@ class SamplerSpec extends AnyFunSuite {
 class VectorSearchSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
+
+  test("PQ: codebook shape, code assignment, exact ADC distances") {
+    // dim 4, m=2, dsub=2; 4 corpus vectors → ksub=2 codebooks
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.1f, 0.9f)),
+      (2L, Seq(0.0f, 1.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.1f, 0.9f, 0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val c = VectorSearch.prepared(corpus)
+    val books = VectorSearch.pqCodebooks(c, m = 2, ksub = 2)
+    assert(books.length == 2 && books.forall(_.length == 2) &&
+      books.forall(_.forall(_.length == 2)))
+    val codes = VectorSearch.pqEncode(c, books).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes.values.forall(cs => cs.length == 2 &&
+      cs.forall(x => x >= 1 && x <= 2)))
+    // Knuth order over ids {0,1,2,3} picks seeds {0, 2} — one per
+    // planted cluster — so 0/1 share codes, 2/3 share codes, and the
+    // clusters get distinct codewords in every subspace
+    assert(codes(0L) == codes(1L) && codes(2L) == codes(3L) &&
+      codes(0L) != codes(2L), s"$codes")
+    // ADC distance recomputed by hand for one (query, vec) pair
+    val out = VectorSearch.pqTopK(corpus, corpus.filter($"vec_id" === 0L),
+        k = 3, m = 2, ksub = 2)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toMap
+    val q0 = c.filter($"vec_id" === 0L).select("q").head().getSeq[Long](0)
+    def l2(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for ((vid, adist) <- out) {
+      val cs = codes(vid)
+      val want = l2(q0.slice(0, 2), books(0)(cs(0).toInt - 1)) +
+        l2(q0.slice(2, 4), books(1)(cs(1).toInt - 1))
+      assert(adist == want, s"vec $vid: $adist != $want")
+    }
+    // nearest neighbor of 0 must come from its own cluster {1}
+    val top1 = VectorSearch.pqTopK(corpus, corpus.filter($"vec_id" === 0L),
+      k = 1, m = 2, ksub = 2).head().getLong(2)
+    assert(top1 == 1L, s"PQ top-1 of vec 0 must be its near-dup 1, got $top1")
+  }
+
+  test("PQ rejects dimensions not divisible into m subspaces") {
+    val corpus = Seq((0L, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      VectorSearch.pqCodebooks(VectorSearch.prepared(corpus), m = 2, ksub = 1)
+    }
+    assert(e.getMessage.contains("not divisible"))
+  }
 
   test("quantized dot and cosine of known vectors") {
     val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)), (Seq(1.0f, 1.0f), Seq(1.0f, 1.0f)))

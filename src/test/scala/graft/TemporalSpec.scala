@@ -166,3 +166,23 @@ class AnomalySpec extends AnyFunSuite {
     }
   }
 }
+
+class CohortSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("cohort retention: first-day cohorts, distinct actives per offset") {
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$d%d 10:00:00")
+    // u1 first on d1 (active d1,d1,d3), u2 only d1, u3 first d3 (d3,d4)
+    val ev = Seq((1L, t(1)), (1L, t(1)), (1L, t(3)), (2L, t(1)),
+      (3L, t(3)), (3L, t(4))).toDF("user_id", "ts")
+    val got = graft.ops.Transforms.cohortRetention(ev)
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(got == Set(
+      ("2024-01-01", 0, 2L), // u1+u2 on their cohort day
+      ("2024-01-01", 2, 1L), // u1 returns two days later
+      ("2024-01-03", 0, 1L), // u3 cohort day
+      ("2024-01-03", 1, 1L)))
+  }
+}
