@@ -120,6 +120,9 @@ object SparkEntry {
     "q87_knn_pq"            -> PipelineQueries.knnPq _,
     "q88_source_drift"      -> PipelineQueries.sourceDrift _,
     "q89_cohort_retention"  -> TemporalQueries.cohortRetention _,
+    "q90_fuzzy_match"       -> PipelineQueries.fuzzyCustomers _,
+    "q91_exact_corr"        -> PipelineQueries.priceQuantityCorr _,
+    "q92_copurchase_rank"   -> PipelineQueries.copurchaseRank _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1258,5 +1261,72 @@ object SparkEntry {
         |  COUNT(DISTINCT ev.user_id) AS n_active
         |FROM ev JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q90: same integer-formula corruption, same nation blocking,
+    // same classic Levenshtein — distances included in the hash
+    "q90_fuzzy_match" ->
+      """WITH clean AS (SELECT c_custkey AS id, c_name AS key,
+        |    c_nationkey AS block FROM customer),
+        |dirty AS (SELECT c_custkey + 1000000 AS id,
+        |    CASE WHEN c_custkey % 3 = 0
+        |           THEN substr(c_name, 1, 9) || substr(c_name, 11)
+        |         WHEN c_custkey % 3 = 1
+        |           THEN substr(c_name, 1, 11) || 'x' || substr(c_name, 13)
+        |         ELSE c_name END AS key,
+        |    c_nationkey AS block FROM customer)
+        |SELECT l.id AS left_id, r.id AS right_id,
+        |  levenshtein(l.key, r.key) AS dist
+        |FROM clean l JOIN dirty r ON l.block = r.block
+        |WHERE levenshtein(l.key, r.key) <= 2
+        |ORDER BY left_id, right_id""".stripMargin,
+    // q91: HUGEINT moment sums mirror the engine's decimal(38,0)
+    // exactness; identical double finisher expression order
+    "q91_exact_corr" ->
+      """WITH g AS (SELECT l_returnflag,
+        |    CAST(round(CAST(l_quantity AS DOUBLE) * 100.0) AS BIGINT) AS x,
+        |    CAST(round(CAST(l_extendedprice AS DOUBLE) * 100.0) AS BIGINT) AS y
+        |  FROM lineitem),
+        |a AS (SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM g GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0 THEN
+        |    CAST(n*sxy - sx*sy AS DOUBLE) /
+        |      (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+        |       sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+        |  END AS corr
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    // q92: the same three integer PageRank iterations, unrolled —
+    // BIGINT // floor-div matches the engine's `div` on positives
+    "q92_copurchase_rank" ->
+      """WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS src, p + 10000000 AS dst FROM pairs
+        |      UNION ALL SELECT p + 10000000, c FROM pairs),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+        |r1 AS (SELECT n.node,
+        |    150000 + COALESCE(SUM((r.rank * 85) // (100 * od.outdeg)), 0)
+        |      AS rank
+        |  FROM nodes n LEFT JOIN e ON e.dst = n.node
+        |  LEFT JOIN od ON od.src = e.src
+        |  LEFT JOIN r0 r ON r.node = e.src GROUP BY 1),
+        |r2 AS (SELECT n.node,
+        |    150000 + COALESCE(SUM((r.rank * 85) // (100 * od.outdeg)), 0)
+        |      AS rank
+        |  FROM nodes n LEFT JOIN e ON e.dst = n.node
+        |  LEFT JOIN od ON od.src = e.src
+        |  LEFT JOIN r1 r ON r.node = e.src GROUP BY 1),
+        |r3 AS (SELECT n.node,
+        |    150000 + COALESCE(SUM((r.rank * 85) // (100 * od.outdeg)), 0)
+        |      AS rank
+        |  FROM nodes n LEFT JOIN e ON e.dst = n.node
+        |  LEFT JOIN od ON od.src = e.src
+        |  LEFT JOIN r2 r ON r.node = e.src GROUP BY 1)
+        |SELECT node, CAST(rank AS BIGINT) AS rank
+        |FROM r3 ORDER BY node""".stripMargin,
   )
 }

@@ -551,6 +551,65 @@ object PipelineQueries {
       Tables.load(spark, dir, "documents"), groupCol = "source")
       .orderBy("source")
 
+  /** q90: fuzzy entity matching — a deterministically-corrupted copy
+    * of the customer register (one dropped char, one substituted
+    * char, or untouched, by key mod 3) is matched back to the clean
+    * register at Levenshtein ≤ 2, blocked by nation (the realistic
+    * "match within country" block — no all-pairs product; candidate
+    * cost is Σ per-nation |L|·|R|). Spark's and DuckDB's levenshtein
+    * agree, so the entire match set including distances is
+    * hash-compared.
+    */
+  def fuzzyCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val clean = cust.select(col("c_custkey").as("id"),
+      col("c_name").as("key"), col("c_nationkey").as("block"))
+    val k = col("c_custkey")
+    val dirtyName = when(k % 3 === 0,
+        concat(substring(col("c_name"), 1, 9), substring(col("c_name"), 11, 1000)))
+      .when(k % 3 === 1,
+        concat(substring(col("c_name"), 1, 11), lit("x"),
+          substring(col("c_name"), 13, 1000)))
+      .otherwise(col("c_name"))
+    val dirty = cust.select((k + 1000000L).as("id"), dirtyName.as("key"),
+      col("c_nationkey").as("block"))
+    graft.ops.FuzzyMatch.fuzzyPairs(clean, dirty, maxEdits = 2)
+      .orderBy("left_id", "right_id")
+  }
+
+  /** q91: per-returnflag Pearson correlation of quantity vs extended
+    * price through Profiler.exactCorrelation — decimal moment sums,
+    * double finishers only (bit-portable, unlike `corr()`'s
+    * partitioning-dependent float moments).
+    */
+  def priceQuantityCorr(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiler.exactCorrelation(
+        Tables.load(spark, dir, "lineitem"),
+        groupCol = "l_returnflag", xCol = "l_quantity",
+        yCol = "l_extendedprice")
+      .orderBy("l_returnflag")
+
+  /** q92: co-purchase authority — deterministic integer PageRank
+    * (3 damped iterations, millionth-scaled ranks, floor-div
+    * updates) over the bipartite customer↔part graph of distinct
+    * purchase pairs; part nodes are offset by 1e7 into a disjoint id
+    * space. The oracle unrolls the same three integer iterations —
+    * every rank matches to the unit.
+    */
+  def copurchaseRank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
+    val edges = pairs
+      .select(col("c").as("src"), (col("p") + 10000000L).as("dst"))
+      .union(pairs.select((col("p") + 10000000L).as("src"),
+        col("c").as("dst")))
+    graft.ops.PageRank.integerPageRank(edges, iters = 3).orderBy("node")
+  }
+
   def heavyParts(spark: SparkSession, dir: String): DataFrame =
     // capacity 2^18 keeps the recall bound N/capacity under the fixed
     // minCount up to the sf1 soak (6M rows → bound 22.9 < 45); ~4 MB

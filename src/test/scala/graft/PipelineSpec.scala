@@ -868,3 +868,81 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(e.getMessage.contains("recall bound"))
   }
 }
+
+class FuzzyMatchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.ops.FuzzyMatch
+
+  test("blocked fuzzy pairs: distance filter, block recall contract") {
+    val left = Seq((1L, "jonathan", "j"), (2L, "marta", "m"))
+      .toDF("id", "key", "block")
+    val right = Seq(
+      (10L, "jonathon", "j"),  // dist 1, same block → match
+      (11L, "jxnxthxn", "j"),  // dist 3 → dropped
+      (12L, "marta", "x"))     // exact match, WRONG block → dropped
+      .toDF("id", "key", "block")
+    val got = FuzzyMatch.fuzzyPairs(left, right, maxEdits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 10L, 1)),
+      "only within-block pairs under the edit budget survive")
+    // no cartesian product in the plan — blocking is an equi-join
+    val plan = FuzzyMatch.fuzzyPairs(left, right, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
+
+class ExactCorrelationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.ops.Profiler
+
+  test("perfect, inverse, and degenerate correlations") {
+    val df = Seq(
+      ("pos", 1.0, 10.0), ("pos", 2.0, 20.0), ("pos", 3.0, 30.0),
+      ("neg", 1.0, 30.0), ("neg", 2.0, 20.0), ("neg", 3.0, 10.0),
+      ("flat", 1.0, 5.0), ("flat", 2.0, 5.0))
+      .toDF("g", "x", "y")
+    val got = Profiler.exactCorrelation(df, "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    assert(got("pos")._1 == 3L && math.abs(got("pos")._2.get - 1.0) < 1e-12)
+    assert(math.abs(got("neg")._2.get - (-1.0)) < 1e-12)
+    assert(got("flat")._2.isEmpty, "zero variance must yield NULL, not NaN")
+  }
+}
+
+class PageRankSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.ops.PageRank
+
+  test("hand-computed integer ranks on a hub graph") {
+    // a→b, a→c, b→a, c→a: outdeg a=2, b=c=1
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L))
+      .toDF("src", "dst")
+    def ranks(iters: Int) = PageRank.integerPageRank(edges, iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks(0) == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+    // iter 1: b,c get 150000 + (1e6*85) div 200 = 575000;
+    //         a gets 150000 + 2 * ((1e6*85) div 100) = 1850000
+    assert(ranks(1) == Map(1L -> 1850000L, 2L -> 575000L, 3L -> 575000L))
+    // iter 2: b,c: 150000 + (1850000*85) div 200 = 936250;
+    //         a: 150000 + 2 * ((575000*85) div 100) = 1127500
+    assert(ranks(2) == Map(1L -> 1127500L, 2L -> 936250L, 3L -> 936250L))
+  }
+
+  test("2-cycle is the fixed point; dangling mass exits") {
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    assert(PageRank.integerPageRank(cyc, 4)
+      .collect().map(_.getLong(1)).toSet == Set(1000000L))
+    // a→b only: b never feeds back; a bottoms out at the base 150000
+    val dang = Seq((1L, 2L)).toDF("src", "dst")
+    val r = PageRank.integerPageRank(dang, 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) == 150000L)
+    assert(r(2L) == 150000L + (150000L * 85) / 100)
+  }
+}
