@@ -123,6 +123,7 @@ object SparkEntry {
     "q90_fuzzy_match"       -> PipelineQueries.fuzzyCustomers _,
     "q91_exact_corr"        -> PipelineQueries.priceQuantityCorr _,
     "q92_copurchase_rank"   -> PipelineQueries.copurchaseRank _,
+    "q93_orders_diff"       -> PipelineQueries.ordersDiff _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1328,5 +1329,45 @@ object SparkEntry {
         |  LEFT JOIN r2 r ON r.node = e.src GROUP BY 1)
         |SELECT node, CAST(rank AS BIGINT) AS rank
         |FROM r3 ORDER BY node""".stripMargin,
+    // q93: same perturbation, same null-safe classification;
+    // concat_ws skips NULLs in both engines
+    "q93_orders_diff" ->
+      """WITH a AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 2000000, o_custkey, 'N', o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 89 = 0),
+        |j AS (SELECT b.o_orderkey AS bk, a.o_orderkey AS ak,
+        |    COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+        |    CASE WHEN b.o_orderkey IS NULL THEN 'added'
+        |         WHEN a.o_orderkey IS NULL THEN 'removed'
+        |         ELSE 'changed' END AS status,
+        |    concat_ws(',',
+        |      CASE WHEN b.o_custkey IS DISTINCT FROM a.o_custkey
+        |        THEN 'o_custkey' END,
+        |      CASE WHEN b.o_orderdate IS DISTINCT FROM a.o_orderdate
+        |        THEN 'o_orderdate' END,
+        |      CASE WHEN b.o_orderpriority IS DISTINCT FROM a.o_orderpriority
+        |        THEN 'o_orderpriority' END,
+        |      CASE WHEN b.o_orderstatus IS DISTINCT FROM a.o_orderstatus
+        |        THEN 'o_orderstatus' END,
+        |      CASE WHEN b.o_totalprice IS DISTINCT FROM a.o_totalprice
+        |        THEN 'o_totalprice' END) AS cc,
+        |    (b.o_custkey IS DISTINCT FROM a.o_custkey OR
+        |     b.o_orderstatus IS DISTINCT FROM a.o_orderstatus OR
+        |     b.o_totalprice IS DISTINCT FROM a.o_totalprice OR
+        |     b.o_orderdate IS DISTINCT FROM a.o_orderdate OR
+        |     b.o_orderpriority IS DISTINCT FROM a.o_orderpriority)
+        |      AS any_change
+        |  FROM orders b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey)
+        |SELECT o_orderkey, status,
+        |  CASE WHEN status = 'changed' THEN cc ELSE '' END AS changed_cols
+        |FROM j WHERE bk IS NULL OR ak IS NULL OR any_change
+        |ORDER BY o_orderkey, status""".stripMargin,
   )
 }

@@ -610,6 +610,28 @@ object PipelineQueries {
     graft.ops.PageRank.integerPageRank(edges, iters = 3).orderBy("node")
   }
 
+  /** q93: row-level migration reconciliation — a deterministically
+    * perturbed copy of orders (every 97th key dropped, every 89th
+    * re-keyed into a new id space, every 13th repriced) diffed
+    * against the original with TableDiff: one report row per
+    * added/removed/changed key naming the changed columns. The
+    * oracle rebuilds the same perturbation and classifies with the
+    * same null-safe comparisons.
+    */
+  def ordersDiff(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val k = col("o_orderkey")
+    val after = orders.filter(k % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(k % 13 === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+      .unionByName(orders.filter(k % 89 === 0)
+        .withColumn("o_orderkey", k + 2000000L)
+        .withColumn("o_orderstatus", lit("N")))
+    graft.migrate.TableDiff.diff(orders, after, Seq("o_orderkey"))
+      .orderBy("o_orderkey", "status")
+  }
+
   def heavyParts(spark: SparkSession, dir: String): DataFrame =
     // capacity 2^18 keeps the recall bound N/capacity under the fixed
     // minCount up to the sf1 soak (6M rows → bound 22.9 < 45); ~4 MB

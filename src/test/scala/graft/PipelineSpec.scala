@@ -946,3 +946,32 @@ class PageRankSpec extends AnyFunSuite {
     assert(r(2L) == 150000L + (150000L * 85) / 100)
   }
 }
+
+class TableDiffSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("diff classifies added/removed/changed with null-safe compares") {
+    val before = Seq((1L, "a", Some(10)), (2L, "b", None),
+      (3L, "c", Some(30))).toDF("id", "name", "v")
+    val after = Seq((2L, "b", Some(20)), (3L, "c", Some(30)),
+      (4L, "d", Some(40))).toDF("id", "name", "v")
+    val got = graft.migrate.TableDiff.diff(before, after, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "removed", ""),
+      (2L, "changed", "v"), // NULL -> 20 must register as a change
+      (4L, "added", "")),
+      s"unchanged row 3 must be absent: ${got.toSeq}")
+  }
+
+  test("diff refuses mismatched schemas") {
+    val b = Seq((1L, "a")).toDF("id", "x")
+    val a = Seq((1L, "a")).toDF("id", "y")
+    val e = intercept[IllegalArgumentException] {
+      graft.migrate.TableDiff.diff(b, a, Seq("id"))
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+  }
+}
