@@ -27,7 +27,8 @@ object SparkEntry {
     "q32_cdc_stream", "q33_stream_hourly", "q39_stream_sessions",
     "q43_stream_dedup", "q51_stream_enrich", "q59_stream_stream_join",
     "q61_json_roundtrip", "q68_jdbc_cdc_live", "q69_jdbc_sink_roundtrip",
-    "q71_catalog_migrate", "q73_orc_roundtrip", "q74_converted_migrate")
+    "q71_catalog_migrate", "q73_orc_roundtrip", "q74_converted_migrate",
+    "q94_custom_state_sessions")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -124,6 +125,7 @@ object SparkEntry {
     "q91_exact_corr"        -> PipelineQueries.priceQuantityCorr _,
     "q92_copurchase_rank"   -> PipelineQueries.copurchaseRank _,
     "q93_orders_diff"       -> PipelineQueries.ordersDiff _,
+    "q94_custom_state_sessions" -> IngestQueries.streamCustomStateSessions _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1369,5 +1371,22 @@ object SparkEntry {
         |  CASE WHEN status = 'changed' THEN cc ELSE '' END AS changed_cols
         |FROM j WHERE bk IS NULL OR ak IS NULL OR any_change
         |ORDER BY o_orderkey, status""".stripMargin,
+    // q94: the custom flatMapGroupsWithState sessionizer must land on
+    // the SAME batch gap-session oracle as q39's session_window path
+    "q94_custom_state_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS e,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS pe
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |        SUM(CASE WHEN pe IS NULL OR e - pe > 1800000000 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY user_id ORDER BY ts
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM x)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 }

@@ -471,4 +471,63 @@ object IngestQueries {
         countDistinct(col("purchase_id")).as("n_purchases"))
       .orderBy(col("user_id"))
   }
+
+  /** q94: gap sessionization through ARBITRARY keyed state
+    * (`flatMapGroupsWithState`, StatefulSessions) — the custom-state
+    * face of SURVEY §2.10, deliberately computing the same sessions
+    * as the session_window path (q39) and the batch oracle, so user
+    * code in the state transition is held to the same hash gate.
+    *
+    * The feed arrives as FIVE time-ordered chunks drained one per
+    * micro-batch (maxFilesPerTrigger=1): three event-range files —
+    * sessions spanning a cut prove cross-batch state carry-over —
+    * and two late sentinel files whose only job is to push the
+    * watermark past every real session's gap edge, so the final
+    * flush happens through event-time TIMEOUTS, not stream end.
+    */
+  def streamCustomStateSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"))
+    val root = tmpDir("graft_stream_custom")
+    val b = events.agg(min(col("ts")), max(col("ts"))).head()
+    val (mn, mx) = (b.getTimestamp(0), b.getTimestamp(1))
+    val span = mx.getTime - mn.getTime
+    val cut1 = new java.sql.Timestamp(mn.getTime + span / 3)
+    val cut2 = new java.sql.Timestamp(mn.getTime + 2 * span / 3)
+    val chunks = Seq(
+      events.filter(col("ts") <= lit(cut1)),
+      events.filter(col("ts") > lit(cut1) && col("ts") <= lit(cut2)),
+      events.filter(col("ts") > lit(cut2))) ++
+      Seq(2L, 4L).map { h =>
+        events.limit(1).select(lit(null).cast("long").as("user_id"),
+          lit(new java.sql.Timestamp(mx.getTime + h * 3600 * 1000)).as("ts"))
+      }
+    chunks.zipWithIndex.foreach { case (df, i) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$root/c$i")
+      Thread.sleep(15) // distinct mtimes pin the file source's order
+    }
+    val stream = spark.readStream.schema(
+        StructType(events.schema.fields))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$root/*")
+    val sessions = graft.streaming.StatefulSessions.sessionize(
+      stream.withWatermark("ts", "0 seconds")
+        .as[(Option[Long], java.sql.Timestamp)],
+      gapMicros = 1800000000L)
+    val name = s"graft_custom_sessions_${streamCounter.incrementAndGet()}"
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("user_id"),
+        date_format(timestamp_micros(col("start_micros")),
+          "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
 }

@@ -452,3 +452,50 @@ class StreamingAggSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 }
+
+class StatefulSessionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("custom state: cross-batch merge, in-batch split, timeout flush") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val in = MemoryStream[(Option[Long], java.sql.Timestamp)]
+    val sessions = graft.streaming.StatefulSessions.sessionize(
+      in.toDS().withWatermark("_2", "0 seconds"), gapMicros = 30L * 60 * 1000000)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("fmgws_spec")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: user 1 opens a session (2 events), user 2 opens one
+      in.addData((Some(1L), ts(0)), (Some(1L), ts(10)), (Some(2L), ts(5)))
+      q.processAllAvailable()
+      assert(spark.table("fmgws_spec").count() == 0, "nothing closed yet")
+      // batch 2: user 1 extends within gap (cross-batch merge), then a
+      // 40-min in-batch jump splits — first session closes with n=3.
+      // The watermark jumps to ts(61), so the automatic no-data batch
+      // also fires user 2's timeout (last ts(5) + 30min < ts(61)).
+      in.addData((Some(1L), ts(20)), (Some(1L), ts(61)))
+      q.processAllAvailable()
+      val afterSplit = spark.table("fmgws_spec")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(afterSplit == Set((1L, 3L), (2L, 1L)),
+        s"split must close the merged 3-event session, watermark the idle user: $afterSplit")
+      // batch 3: a NULL-user sentinel far in the future advances the
+      // watermark; batch 4 fires the timeouts for both open sessions
+      in.addData((None, ts(500)))
+      q.processAllAvailable()
+      in.addData((None, ts(600)))
+      q.processAllAvailable()
+      val all = spark.table("fmgws_spec")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(all == Set(
+        (1L, 1700000000000L * 1000, 3L),          // closed by the split
+        (1L, (1700000000000L + 61 * 60000L) * 1000, 1L), // timeout flush
+        (2L, (1700000000000L + 5 * 60000L) * 1000, 1L)), // timeout flush
+        s"timeout must flush the open tails: $all")
+    } finally q.stop()
+  }
+}
