@@ -126,6 +126,7 @@ object SparkEntry {
     "q92_copurchase_rank"   -> PipelineQueries.copurchaseRank _,
     "q93_orders_diff"       -> PipelineQueries.ordersDiff _,
     "q94_custom_state_sessions" -> IngestQueries.streamCustomStateSessions _,
+    "q95_audio_decode"      -> PipelineQueries.audioDecode _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1388,5 +1389,33 @@ object SparkEntry {
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    // q95: every decoded audio feature recomputed from the sawtooth
+    // synthesis formulas (integer-exact — sin would not be)
+    "q95_audio_decode" ->
+      """WITH s AS (SELECT doc_id,
+        |    8000 + (doc_id % 3) * 4000 AS sample_rate,
+        |    800 + (doc_id % 5) * 80 AS n,
+        |    3 + (doc_id % 7) AS step
+        |  FROM documents),
+        |w AS (SELECT doc_id, sample_rate, n, step,
+        |    unnest(range(0, n)) AS i FROM s),
+        |v AS (SELECT doc_id, sample_rate, n,
+        |    ((i * step) % 2001) - 1000 AS v, least((i * 4) // n, 3) AS q
+        |  FROM w),
+        |a AS (SELECT doc_id, sample_rate, n,
+        |    SUM(v * v) AS sum_sq,
+        |    SUM(CASE WHEN q = 0 THEN abs(v) ELSE 0 END) AS e0,
+        |    SUM(CASE WHEN q = 1 THEN abs(v) ELSE 0 END) AS e1,
+        |    SUM(CASE WHEN q = 2 THEN abs(v) ELSE 0 END) AS e2,
+        |    SUM(CASE WHEN q = 3 THEN abs(v) ELSE 0 END) AS e3
+        |  FROM v GROUP BY 1, 2, 3)
+        |SELECT doc_id, TRUE AS decoded,
+        |  CAST(sample_rate AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(sum_sq AS BIGINT) AS sum_sq,
+        |  CAST(e0 AS BIGINT) AS env_0, CAST(e1 AS BIGINT) AS env_1,
+        |  CAST(e2 AS BIGINT) AS env_2, CAST(e3 AS BIGINT) AS env_3
+        |FROM a ORDER BY doc_id""".stripMargin,
   )
 }

@@ -153,6 +153,28 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** q95: REAL audio decode through the RIFF/WAVE PCM16 parser — one
+    * synthesized WAV per document (integer sawtooth, see
+    * Audio.fixtureWav), decoded by the actual container parser in a
+    * batched mapPartitions stage; the oracle recomputes sample rate,
+    * count, energy, and the 4-bucket envelope from the synthesis
+    * formulas, so a header-offset/endianness/alignment bug cannot
+    * hash-match. Closes the audio leg of multimodal the way q70
+    * closed images.
+    */
+  def audioDecode(spark: SparkSession, dir: String): DataFrame = {
+    val mkWav = udf((id: Long) => graft.multimodal.Audio.fixtureWav(id))
+    val objects = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), mkWav(col("doc_id")).as("payload"))
+    graft.multimodal.Audio.decodeAudio(objects)
+      .select(col("doc_id"), col("decoded"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("channels").cast("long").as("channels"),
+        col("n_samples"), col("sum_sq"),
+        col("env_0"), col("env_1"), col("env_2"), col("env_3"))
+      .orderBy("doc_id")
+  }
+
   /** q29: per-label centroid cohesion stats. */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame =
     VectorSearch.labelCentroidStats(Tables.load(spark, dir, "embeddings"))

@@ -108,3 +108,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(rows(0), again(0)))
   }
 }
+
+class AudioSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import graft.multimodal.Audio
+
+  test("fixture WAV decodes to the synthesis formulas") {
+    val id = 7L
+    val f = Audio.decodeOne(id, Audio.fixtureWav(id))
+    assert(f.decoded)
+    assert(f.sample_rate.contains((8000 + (id % 3) * 4000).toInt))
+    assert(f.channels.contains(1))
+    val n = (800 + (id % 5) * 80).toInt
+    assert(f.n_samples.contains(n.toLong))
+    val step = (3 + id % 7).toInt
+    val samples = (0 until n).map(i => ((i.toLong * step) % 2001L) - 1000L)
+    assert(f.sum_sq.contains(samples.map(s => s * s).sum))
+    val env = Array.fill(4)(0L)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      env(math.min(i * 4 / n, 3)) += math.abs(s)
+    }
+    assert(Seq(f.env_0, f.env_1, f.env_2, f.env_3).flatten == env.toSeq)
+  }
+
+  test("corrupt payloads come back undecoded, never as exceptions") {
+    assert(!Audio.decodeOne(1L, null).decoded)
+    assert(!Audio.decodeOne(1L, Array[Byte](1, 2, 3)).decoded)
+    // right magic, truncated data chunk
+    val wav = Audio.fixtureWav(3L)
+    assert(!Audio.decodeOne(3L, wav.take(50)).decoded)
+    // non-PCM codec id rejected
+    val bad = wav.clone(); bad(20) = 7 // fmt codec field
+    assert(!Audio.decodeOne(3L, bad).decoded)
+    // flipped magic rejected
+    val notRiff = wav.clone(); notRiff(0) = 'X'.toByte
+    assert(!Audio.decodeOne(3L, notRiff).decoded)
+  }
+}
