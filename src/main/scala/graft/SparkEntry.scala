@@ -1269,14 +1269,20 @@ object SparkEntry {
     // same classic Levenshtein — distances included in the hash
     "q90_fuzzy_match" ->
       """WITH clean AS (SELECT c_custkey AS id, c_name AS key,
-        |    c_nationkey AS block FROM customer),
+        |    CAST(c_nationkey AS VARCHAR) || '|' || right(c_name, 2) AS block
+        |  FROM customer),
         |dirty AS (SELECT c_custkey + 1000000 AS id,
         |    CASE WHEN c_custkey % 3 = 0
         |           THEN substr(c_name, 1, 9) || substr(c_name, 11)
         |         WHEN c_custkey % 3 = 1
         |           THEN substr(c_name, 1, 11) || 'x' || substr(c_name, 13)
         |         ELSE c_name END AS key,
-        |    c_nationkey AS block FROM customer)
+        |    CAST(c_nationkey AS VARCHAR) || '|' ||
+        |      right(CASE WHEN c_custkey % 3 = 0
+        |           THEN substr(c_name, 1, 9) || substr(c_name, 11)
+        |         WHEN c_custkey % 3 = 1
+        |           THEN substr(c_name, 1, 11) || 'x' || substr(c_name, 13)
+        |         ELSE c_name END, 2) AS block FROM customer)
         |SELECT l.id AS left_id, r.id AS right_id,
         |  levenshtein(l.key, r.key) AS dist
         |FROM clean l JOIN dirty r ON l.block = r.block

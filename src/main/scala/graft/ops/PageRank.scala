@@ -16,11 +16,14 @@ import org.apache.spark.sql.functions._
   * truncation leaks < 1 millionth of mass per edge per iteration —
   * irrelevant to ranking, essential to determinism.
   *
-  * Scale shape per iteration: one join of edges⋈ranks on `src` (both
-  * sides hash-partition on src — the exchange on the static edge
-  * side is reused across iterations from its localCheckpoint) and
-  * one `dst`-keyed sum whose output is node-sized. Plan depth is
-  * bounded by a localCheckpoint per round, the [[graft.dedup.Dedup]]
+  * Scale shape per iteration: ranks (node-sized) BROADCAST against
+  * the static edge frame — the edge list, the big side, is never
+  * re-shuffled across iterations — plus one `dst`-keyed sum
+  * compacted map-side to node cardinality. Right up to ~10^7 nodes
+  * (a 10M-node rank table ≈ 160 MB broadcast); for social-scale
+  * graphs beyond that, swap the hint for a src-bucketed shuffle join
+  * and pre-partition the edges once. Plan depth is bounded by a
+  * localCheckpoint per round, the [[graft.dedup.Dedup]]
   * label-propagation pattern. Dangling nodes (outdeg 0) simply
   * contribute nothing — their mass exits, as in the standard
   * formulation without dangling redistribution.
@@ -41,12 +44,15 @@ object PageRank {
       .localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1000000L))
     for (_ <- 1 to iters) {
+      // ranks is node-sized — broadcast it so the edge frame never
+      // re-shuffles per iteration; the only exchange per round is
+      // the dst-keyed sum, compacted map-side to ~node cardinality
       val contribs = withDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node"),
           expr("(rank * 85) div (100 * outdeg)").as("contrib"))
         .groupBy("node").agg(sum(col("contrib")).as("inmass"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
+      ranks = nodes.join(broadcast(contribs), Seq("node"), "left")
         .select(col("node"),
           (lit(150000L) + coalesce(col("inmass"), lit(0L))).as("rank"))
         .localCheckpoint()

@@ -314,33 +314,55 @@ object VectorSearch {
     Array.tabulate(m)(s => seeds.map(_.slice(s * dsub, (s + 1) * dsub)))
   }
 
-  /** Exact integer squared-L2 between a sub-slice of `vec` (subspace
-    * `s`) and each codeword of that subspace, as an array in code
-    * order.
+  /** All m·ksub exact squared-L2 distances between `vec` and the
+    * codewords — the per-row PQ kernel, as a plain JVM loop. An
+    * expression-tree formulation of the same arithmetic (m × ksub
+    * unrolled QuantDots, or HOF transforms over literal codebooks)
+    * costs SECONDS of Janino compilation for a fixed-size kernel —
+    * the per-row work is a few thousand integer ops, exactly the
+    * "genuine per-partition imperative logic" case for dropping out
+    * of Catalyst (the Images/Audio decode pattern).
     */
-  private def pqSubDists(vec: Column, books: Array[Array[Array[Long]]],
-      s: Int, dsub: Int): Column = {
-    val cws = typedLit(books(s).map(_.toSeq).toSeq)
-    val sub = slice(vec, s * dsub + 1, dsub)
-    transform(cws, cw => aggregate(
-      zip_with(sub, cw, (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x))
-  }
+  private def pqDistRow(vec: Seq[Long], books: Array[Array[Array[Long]]],
+      dsub: Int): Array[Array[Long]] =
+    Array.tabulate(books.length) { s =>
+      Array.tabulate(books(s).length) { ci =>
+        val cw = books(s)(ci)
+        var d = 0L
+        var j = 0
+        while (j < dsub) {
+          val diff = vec(s * dsub + j) - cw(j)
+          d += diff * diff
+          j += 1
+        }
+        d
+      }
+    }
 
   /** Encode a prepared corpus against `books`: (vec_id, codes) with
     * codes(s) the 1-based id of the nearest subspace-`s` codeword
-    * (ties to the smallest code — `array_position` finds the FIRST
-    * minimum). Pure per-row expressions over literal codebooks:
-    * encoding is one scan, zero shuffle, zero joins.
+    * (ties to the smallest code — strict `<` keeps the first
+    * minimum). One typed map over the scan: zero shuffle, zero
+    * joins, no codegen blowup (see [[pqDistRow]]).
     */
   def pqEncode(c: DataFrame, books: Array[Array[Array[Long]]]): DataFrame = {
-    val m = books.length
     val dsub = books(0)(0).length
-    val codes = array((0 until m).map { s =>
-      val dists = pqSubDists(col("q"), books, s, dsub)
-      array_position(dists, array_min(dists))
-    }: _*)
-    c.select(col("vec_id"), codes.as("codes"))
+    val spark = c.sparkSession
+    import spark.implicits._
+    c.select(col("vec_id"), col("q")).as[(Long, Seq[Long])]
+      .map { case (id, vec) =>
+        val codes = pqDistRow(vec, books, dsub).map { dists =>
+          var best = 0
+          var bestD = Long.MaxValue
+          var ci = 0
+          while (ci < dists.length) {
+            if (dists(ci) < bestD) { bestD = dists(ci); best = ci }
+            ci += 1
+          }
+          best + 1
+        }
+        (id, codes.toSeq)
+      }.toDF("vec_id", "codes")
   }
 
   /** PQ/ADC approximate top-k: encode the corpus once, give each
@@ -362,19 +384,26 @@ object VectorSearch {
     val books = pqCodebooks(c, m, ksub)
     val dsub = books(0)(0).length
     val enc = pqEncode(c, books)
-    val dt = array((0 until m).map(s =>
-      pqSubDists(col("qq"), books, s, dsub)): _*)
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val q = prepared(queries, idCol, vecCol)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"))
-      .select(col("query_id"), dt.as("dt"))
+      .select(col("vec_id"), col("q")).as[(Long, Seq[Long])]
+      .map { case (id, vec) =>
+        (id, pqDistRow(vec, books, dsub).map(_.toSeq).toSeq)
+      }.toDF("query_id", "dt")
     val w = Window.partitionBy("query_id")
       .orderBy(col("adist"), col("vec_id"))
+    // ADC sum unrolled over the statically-known m: plain
+    // element_at chains, no per-candidate array allocation — the
+    // zip_with+aggregate formulation allocates two arrays per
+    // (candidate, query) pair, which dominates the 10^7-pair scan
+    val adist = (0 until m).map { s =>
+      element_at(element_at(col("dt"), s + 1),
+        element_at(col("codes"), s + 1).cast("int"))
+    }.reduce(_ + _)
     enc.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adist", aggregate(
-        zip_with(col("codes"), col("dt"),
-          (code, row) => element_at(row, code.cast("int"))),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("adist", adist)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("vec_id"), col("adist"))

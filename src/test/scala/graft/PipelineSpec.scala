@@ -443,7 +443,7 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(books.length == 2 && books.forall(_.length == 2) &&
       books.forall(_.forall(_.length == 2)))
     val codes = VectorSearch.pqEncode(c, books).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     assert(codes.values.forall(cs => cs.length == 2 &&
       cs.forall(x => x >= 1 && x <= 2)))
     // Knuth order over ids {0,1,2,3} picks seeds {0, 2} — one per
