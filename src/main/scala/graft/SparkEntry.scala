@@ -127,6 +127,7 @@ object SparkEntry {
     "q93_orders_diff"       -> PipelineQueries.ordersDiff _,
     "q94_custom_state_sessions" -> IngestQueries.streamCustomStateSessions _,
     "q95_audio_decode"      -> PipelineQueries.audioDecode _,
+    "q96_video_decode"      -> PipelineQueries.videoDecode _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1423,5 +1424,28 @@ object SparkEntry {
         |  CAST(e0 AS BIGINT) AS env_0, CAST(e1 AS BIGINT) AS env_1,
         |  CAST(e2 AS BIGINT) AS env_2, CAST(e3 AS BIGINT) AS env_3
         |FROM a ORDER BY doc_id""".stripMargin,
+    // q96: per-frame lumas recomputed from the solid-color synthesis
+    // formulas (solid frames survive GIF palettization bit-exactly)
+    "q96_video_decode" ->
+      """WITH s AS (SELECT doc_id,
+        |    2 + (doc_id % 3) AS n_frames,
+        |    4 + (doc_id % 5) AS width,
+        |    3 + (doc_id % 4) AS height
+        |  FROM documents),
+        |l AS (SELECT doc_id, n_frames, width, height,
+        |    [(299 * ((doc_id * 11 + f * 31) % 256) +
+        |      587 * ((doc_id * 7) % 256) +
+        |      114 * ((doc_id * 13) % 256)) // 1000
+        |     for f in range(0, 4)] AS lm
+        |  FROM s)
+        |SELECT doc_id, TRUE AS decoded,
+        |  CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(width AS BIGINT) AS width,
+        |  CAST(height AS BIGINT) AS height,
+        |  CAST(lm[1] AS BIGINT) AS luma_0,
+        |  CAST(lm[2] AS BIGINT) AS luma_1,
+        |  CASE WHEN n_frames >= 3 THEN CAST(lm[3] AS BIGINT) END AS luma_2,
+        |  CASE WHEN n_frames >= 4 THEN CAST(lm[4] AS BIGINT) END AS luma_3
+        |FROM l ORDER BY doc_id""".stripMargin,
   )
 }

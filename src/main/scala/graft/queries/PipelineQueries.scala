@@ -175,6 +175,27 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q96: REAL multi-frame decode through ImageIO's GIF sequence
+    * reader — one synthesized animated GIF per document (2-4 solid
+    * frames, integer color formulas, see Video.fixtureGif); the
+    * oracle recomputes frame counts, dimensions, and every per-frame
+    * luma from the synthesis formulas. Closes the frame-sample leg
+    * of multimodal; MP4-family stays a documented stub (native
+    * codecs absent).
+    */
+  def videoDecode(spark: SparkSession, dir: String): DataFrame = {
+    val mkGif = udf((id: Long) => graft.multimodal.Video.fixtureGif(id))
+    val objects = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), mkGif(col("doc_id")).as("payload"))
+    graft.multimodal.Video.decodeVideo(objects)
+      .select(col("doc_id"), col("decoded"),
+        col("n_frames").cast("long").as("n_frames"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("luma_0"), col("luma_1"), col("luma_2"), col("luma_3"))
+      .orderBy("doc_id")
+  }
+
   /** q29: per-label centroid cohesion stats. */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame =
     VectorSearch.labelCentroidStats(Tables.load(spark, dir, "embeddings"))

@@ -145,3 +145,32 @@ class AudioSpec extends AnyFunSuite {
     assert(!Audio.decodeOne(3L, notRiff).decoded)
   }
 }
+
+class VideoSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import graft.multimodal.Video
+
+  test("fixture GIF decodes to the synthesis formulas") {
+    for (id <- Seq(0L, 5L, 7L)) {
+      val f = Video.decodeOne(id, Video.fixtureGif(id))
+      assert(f.decoded, s"id=$id")
+      val n = (2 + id % 3).toInt
+      assert(f.n_frames.contains(n))
+      assert(f.width.contains((4 + id % 5).toInt))
+      assert(f.height.contains((3 + id % 4).toInt))
+      val lumas = (0 until 4).map { fr =>
+        if (fr < n) Some((299L * ((id * 11 + fr * 31) % 256) +
+          587L * ((id * 7) % 256) + 114L * ((id * 13) % 256)) / 1000L)
+        else None
+      }
+      assert(Seq(f.luma_0, f.luma_1, f.luma_2, f.luma_3) == lumas,
+        s"id=$id: ${Seq(f.luma_0, f.luma_1, f.luma_2, f.luma_3)} vs $lumas")
+    }
+  }
+
+  test("corrupt GIF payloads come back undecoded") {
+    assert(!Video.decodeOne(1L, null).decoded)
+    assert(!Video.decodeOne(1L, Array[Byte](0x47, 0x49, 0x46)).decoded)
+    assert(!Video.decodeOne(1L, Array.fill[Byte](40)(9)).decoded)
+  }
+}
