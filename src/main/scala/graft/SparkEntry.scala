@@ -128,6 +128,8 @@ object SparkEntry {
     "q94_custom_state_sessions" -> IngestQueries.streamCustomStateSessions _,
     "q95_audio_decode"      -> PipelineQueries.audioDecode _,
     "q96_video_decode"      -> PipelineQueries.videoDecode _,
+    "q97_embedding_lsh"     -> PipelineQueries.embeddingLshPairs _,
+    "q98_leakage_split"     -> PipelineQueries.leakageSplit _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1447,5 +1449,65 @@ object SparkEntry {
         |  CASE WHEN n_frames >= 3 THEN CAST(lm[3] AS BIGINT) END AS luma_2,
         |  CASE WHEN n_frames >= 4 THEN CAST(lm[4] AS BIGINT) END AS luma_3
         |FROM l ORDER BY doc_id""".stripMargin,
+    // q97: the oracle re-derives the full LSH mechanics — hyperplane
+    // components from the same integer formula, sign signatures,
+    // exact Hamming, exact quantized cosine
+    "q97_embedding_lsh" ->
+      """WITH e AS (SELECT vec_id,
+        |             [CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) for x in embedding] AS q
+        |           FROM embeddings),
+        |h AS (SELECT b, pos, ((b*1009 + pos + 1) * 2654435761) % 2001 - 1000 AS hv
+        |      FROM range(32) t(b), range(64) p(pos)),
+        |ev AS (SELECT vec_id, pos, q[pos+1] AS v FROM e, range(64) p(pos)),
+        |dots AS (SELECT vec_id, b, SUM(v * hv) AS d
+        |         FROM ev JOIN h USING (pos) GROUP BY 1, 2),
+        |sig AS (SELECT vec_id, SUM(CASE WHEN d >= 0 THEN 1<<b ELSE 0 END) AS s
+        |        FROM dots GROUP BY 1),
+        |n AS (SELECT vec_id, q,
+        |        list_reduce([CAST(0 AS BIGINT)] + [x*x for x in q], (a,b) -> a+b) AS n2
+        |      FROM e),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |        CAST(bit_count(CAST(xor(sa.s, sb.s) AS BIGINT)) AS BIGINT) AS hamming,
+        |        CAST(list_reduce([CAST(0 AS BIGINT)] + [a.q[i]*b.q[i] for i in range(1, len(a.q)+1)],
+        |            (x,y) -> x+y) AS DOUBLE)
+        |          / sqrt(CAST(a.n2 AS DOUBLE)*CAST(b.n2 AS DOUBLE)) AS cos
+        |      FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |      JOIN sig sa ON sa.vec_id = a.vec_id
+        |      JOIN sig sb ON sb.vec_id = b.vec_id)
+        |SELECT vec_a, vec_b, hamming, floor(cos*1000000.0 + 0.5)/1000000.0 AS cos
+        |FROM p WHERE hamming <= 5 AND cos >= 0.25
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    // q98: q41's recursive closure supplies the near-dup families;
+    // the split is q42's portable Knuth uniform on the family id
+    "q98_leakage_split" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1, len(toks)-1)])) AS s
+        |       FROM t),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |p AS (SELECT da, db
+        |      FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+        |      WHERE CAST(i AS DOUBLE)/CAST(x.n + y.n - i AS DOUBLE) >= 0.5),
+        |edges AS (SELECT da AS src, db AS dst FROM p
+        |          UNION SELECT db, da FROM p),
+        |walk(node, label) AS (
+        |  SELECT src AS node, src AS label FROM edges
+        |  UNION
+        |  SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst
+        |),
+        |cl AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY 1),
+        |f AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS family
+        |      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+        |k AS (SELECT doc_id, family,
+        |        CAST(((family % 4294967296) - (family % 65536)) / 65536 AS BIGINT) AS ah,
+        |        family % 65536 AS al
+        |      FROM f)
+        |SELECT doc_id, family,
+        |  CASE WHEN CAST((((ah * 2654435761) % 65536) * 65536 + al * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 < 0.8
+        |       THEN 'train' ELSE 'eval' END AS split
+        |FROM k ORDER BY doc_id""".stripMargin,
   )
 }

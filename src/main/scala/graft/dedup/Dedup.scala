@@ -464,4 +464,35 @@ object Dedup {
       clusters.filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
+
+  /** Leakage-safe train/eval split: hash-partition documents into
+    * splits BY NEAR-DUP FAMILY, not by document — if a doc and its
+    * near-copy straddle train and eval, the eval set is contaminated
+    * and the benchmark lies (the train/test-split analog of
+    * [[contaminationScan]]). Every member of a connected near-dup
+    * component ([[dupClusters]] over `pairs`) inherits the
+    * component's min-id label as its family; documents in no pair
+    * are their own family. The split decision is the same portable
+    * Knuth uniform as stratified sampling (one hash on the family
+    * id), so the assignment is deterministic, engine-independent,
+    * and stable under re-runs and retries.
+    *
+    * Scale shape: the clustering is [[dupClusters]]'s (pair-graph-
+    * sized); the family join is one equi-shuffle on doc_id against a
+    * frame no larger than the pair participants; the split itself is
+    * a pure per-row expression — no extra shuffle, no global sort.
+    *
+    * Output (doc_id, family, split) with split ∈ {train, eval}.
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+      trainFrac: Double, idCol: String = "doc_id"): DataFrame = {
+    val clusters = dupClusters(pairs)
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("family", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(graft.ops.Sampler.uniformKnuth(col("family")) < lit(trainFrac),
+          lit("train")).otherwise(lit("eval")))
+      .select(col("doc_id"), col("family"), col("split"))
+  }
 }

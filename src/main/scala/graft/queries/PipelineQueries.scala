@@ -215,6 +215,33 @@ object PipelineQueries {
       threshold = 0.45, assign = 10)
       .orderBy("vec_a", "vec_b")
 
+  /** q97: random-hyperplane LSH near-dup pairs over embeddings —
+    * all pairs with 32-bit sign-signature Hamming <= 5 and exact
+    * cosine >= 0.25. Recall is pigeonhole-exact (chunked bucketing
+    * + 1-bit multiprobe covers Hamming <= 7), and the hyperplanes
+    * are an integer formula, so the oracle re-derives signatures,
+    * Hamming distances, AND cosines — the full LSH mechanics are in
+    * the hash, not just the final pair list.
+    */
+  def embeddingLshPairs(spark: SparkSession, dir: String): DataFrame =
+    VectorSearch.rpLshNearDupPairs(Tables.load(spark, dir, "embeddings"),
+      maxHamming = 5, minCos = 0.25)
+      .orderBy("vec_a", "vec_b")
+
+  /** q98: leakage-safe train/eval split — near-dup families (the
+    * q41 connected components over exact 3-gram Jaccard pairs) are
+    * assigned to splits atomically via the portable Knuth uniform on
+    * the family id, so no near-copy pair straddles the boundary.
+    */
+  def leakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    Dedup.leakageSafeSplit(docs,
+      Dedup.jaccardPairs(docs, k = 3, threshold = 0.5,
+        maxDF = Dedup.UncappedMaxDF),
+      trainFrac = 0.8)
+      .orderBy("doc_id")
+  }
+
   /** q41: duplicate clusters — connected components of the exact
     * 3-gram Jaccard pair graph (q24's pairs), each document labeled
     * with the min doc id of its component. The keep-one-per-set

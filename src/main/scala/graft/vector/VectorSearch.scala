@@ -409,6 +409,130 @@ object VectorSearch {
       .select(col("query_id"), col("rnk"), col("vec_id"), col("adist"))
   }
 
+  // --------------------------------------------------------------
+  // Random-hyperplane LSH (signed random projections) — the
+  // LSH-bucketed scale path beside IVF blocking: SimHash's
+  // sign-vote idea applied to embedding vectors (Charikar, STOC'02).
+  // Hyperplane components come from a fixed integer formula (no
+  // RNG), so signatures, Hamming distances, and the verified
+  // cosines are ALL exact integers/correctly-rounded scalars that
+  // any engine reproduces bit-for-bit.
+  // --------------------------------------------------------------
+
+  /** Component `pos` of hyperplane `b`: a deterministic
+    * pseudo-random integer in [-1000, 1000] from a Knuth-style
+    * multiplicative mix — portable to ANSI SQL (all intermediates
+    * positive and < 2^47, so 64-bit exact in any engine).
+    */
+  def rpPlane(b: Int, pos: Int): Long =
+    ((b.toLong * 1009L + pos + 1L) * 2654435761L) % 2001L - 1000L
+
+  private def rpPlanes(nbits: Int, dim: Int): Array[Array[Long]] =
+    Array.tabulate(nbits)(b => Array.tabulate(dim)(p => rpPlane(b, p)))
+
+  /** nbits-bit sign signature per vector: bit b = 1 iff
+    * dot(q, plane_b) >= 0. Planes are driver constants (nbits·dim
+    * longs — size independent of corpus); the signature is one
+    * typed map over the scan, zero shuffle, plain integer loops
+    * (the pqDistRow rationale: a fixed-size integer kernel beats
+    * nbits unrolled HOF aggregates). Returns (vec_id, sig).
+    */
+  def rpSignatures(c: DataFrame, nbits: Int): DataFrame = {
+    require(nbits >= 1 && nbits <= 63, s"nbits=$nbits out of [1,63]")
+    val spark = c.sparkSession
+    import spark.implicits._
+    val head = c.select(size(col("q"))).head()
+    val dim = head.getInt(0)
+    val planes = rpPlanes(nbits, dim)
+    c.select(col("vec_id"), col("q")).as[(Long, Seq[Long])]
+      .map { case (id, vec) =>
+        var s = 0L
+        var b = 0
+        while (b < nbits) {
+          val p = planes(b)
+          var d = 0L
+          var j = 0
+          while (j < dim) { d += vec(j) * p(j); j += 1 }
+          if (d >= 0L) s |= 1L << b
+          b += 1
+        }
+        (id, s)
+      }.toDF("vec_id", "sig")
+  }
+
+  /** Near-dup pairs by RP-LSH signature: all (a, b) with signature
+    * Hamming distance <= `maxHamming` AND exact cosine >= `minCos`
+    * — the embedding analog of [[graft.dedup.Dedup.simhashDedup]],
+    * with the same EXACT recall contract: the signature splits into
+    * `chunks` bit-slices, one side is exploded into all 1-bit
+    * variants of each slice (multiprobe), and by pigeonhole any
+    * pair within Hamming 2·chunks−1 shares a slice with at most one
+    * flipped bit — so `maxHamming <= 2*chunks-1` is a guarantee,
+    * not a recall estimate. Candidates form over a bucketed
+    * (slice_idx, slice_value) equi-join — never an all-pairs
+    * product; survivors are verified with the exact integer Hamming
+    * and the exact quantized cosine.
+    *
+    * Dials at scale: `nbits` is selectivity (random pairs pass the
+    * Hamming gate with probability ~C(nbits,<=maxHamming)/2^nbits —
+    * 32 bits / Hamming 5 ≈ 6e-5); `chunks` trades probe-side fanout
+    * ((nbits/chunks+1)× rows) for bucket width (2^(nbits/chunks)
+    * distinct values per slice).
+    *
+    * Output (vec_a, vec_b, hamming, cos), vec_a < vec_b.
+    */
+  def rpLshNearDupPairs(embeddings: DataFrame, maxHamming: Int,
+      minCos: Double, nbits: Int = 32, chunks: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nbits % chunks == 0, s"chunks=$chunks must divide nbits=$nbits")
+    require(maxHamming <= 2 * chunks - 1,
+      s"maxHamming=$maxHamming above the pigeonhole guarantee " +
+        s"2*chunks-1=${2 * chunks - 1}; raise chunks")
+    val w = nbits / chunks
+    val mask = (1L << w) - 1
+    val c = prepared(embeddings, idCol, vecCol).localCheckpoint()
+    val sigs = rpSignatures(c, nbits).localCheckpoint()
+
+    val chunkRows = sigs.select(col("vec_id"), col("sig"),
+      explode(array((0 until chunks).map { ci =>
+        struct(lit(ci).as("ci"),
+          shiftrightunsigned(col("sig"), ci * w).bitwiseAND(lit(mask)).as("cv"))
+      }: _*)).as("ck"))
+      .select(col("vec_id"), col("sig"), col("ck.ci").as("ci"),
+        col("ck.cv").as("cv"))
+    val probeRows = sigs.select(col("vec_id"), col("sig"),
+      explode(array((for {
+        ci <- 0 until chunks
+        v <- 0 to w
+      } yield {
+        val base = shiftrightunsigned(col("sig"), ci * w).bitwiseAND(lit(mask))
+        val probed = if (v == 0) base else base.bitwiseXOR(lit(1L << (v - 1)))
+        struct(lit(ci).as("ci"), probed.as("cv"))
+      }): _*)).as("ck"))
+      .select(col("vec_id"), col("sig"), col("ck.ci").as("ci"),
+        col("ck.cv").as("cv"))
+
+    val cand = probeRows.alias("x")
+      .join(chunkRows.alias("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .filter(bit_count(col("x.sig").bitwiseXOR(col("y.sig"))) <= maxHamming)
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long")
+          .as("hamming"))
+      .distinct()
+
+    cand
+      .join(c.select(col("vec_id").as("vec_a"), col("q").as("qa"),
+        col("n2").as("na")), "vec_a")
+      .join(c.select(col("vec_id").as("vec_b"), col("q").as("qb"),
+        col("n2").as("nb")), "vec_b")
+      .withColumn("cos", cosine(dot(col("qa"), col("qb")), col("na"), col("nb")))
+      .filter(col("cos") >= minCos)
+      .select(col("vec_a"), col("vec_b"), col("hamming"),
+        graft.text.TextAnalysis.round6(col("cos")).as("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a, b) with
     * cosine >= `threshold`, candidates generated by IVF-cell
     * blocking with multi-assignment — each vector joins its

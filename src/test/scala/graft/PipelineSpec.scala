@@ -541,6 +541,81 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "near-dup must stay bucketed")
   }
 
+  test("rpLshNearDupPairs equals the brute-force Hamming+cosine recompute") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val got = VectorSearch.rpLshNearDupPairs(emb, maxHamming = 5,
+      minCos = 0.0, nbits = 32, chunks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // independent recompute: plain Scala over the collected vectors
+    val vecs = emb.select($"vec_id",
+      VectorSearch.quantize($"embedding").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def sig(v: Array[Long]): Long =
+      (0 until 32).foldLeft(0L) { (s, b) =>
+        val d = v.indices.map(j => v(j) * VectorSearch.rpPlane(b, j)).sum
+        if (d >= 0) s | (1L << b) else s
+      }
+    val sigs = vecs.map { case (id, v) => id -> sig(v) }
+    val expected = (for {
+      a <- vecs.keys; b <- vecs.keys if a < b
+      ham = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+      if ham <= 5
+      dot = vecs(a).indices.map(j => vecs(a)(j) * vecs(b)(j)).sum
+      if dot.toDouble / math.sqrt(
+        vecs(a).map(x => x * x).sum.toDouble *
+          vecs(b).map(x => x * x).sum.toDouble) >= 0.0
+    } yield (a, b, ham.toLong)).toSet
+    assert(got == expected, "pigeonhole recall must be exact")
+    assert(expected.nonEmpty)
+    val plan = VectorSearch.rpLshNearDupPairs(emb, 5, 0.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "LSH must stay bucketed")
+    // the guarantee precondition is enforced, not assumed
+    intercept[IllegalArgumentException] {
+      VectorSearch.rpLshNearDupPairs(emb, maxHamming = 8, minCos = 0.0,
+        nbits = 32, chunks = 4)
+    }
+  }
+
+  test("rpLshNearDupPairs finds planted identical vectors at hamming 0") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 30L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat))) :+
+      (100L, Seq.fill(16)(0.5f)) :+ (101L, Seq.fill(16)(0.5f))
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = VectorSearch.rpLshNearDupPairs(emb, maxHamming = 0,
+      minCos = 0.99, nbits = 32, chunks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.exists(p => p._1 == 100L && p._2 == 101L && p._3 == 0L &&
+      p._4 == 1.0))
+  }
+
+  test("leakageSafeSplit keeps near-dup families in one split") {
+    val docs = (0L until 10L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Dedup.leakageSafeSplit(docs, pairs, trainFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    // family = component min id; singletons are their own family
+    assert(Seq(1L, 2L, 3L).map(got(_)._1).distinct == Seq(1L))
+    assert(Seq(5L, 6L).map(got(_)._1).distinct == Seq(5L))
+    assert(got(0L)._1 == 0L && got(4L)._1 == 4L)
+    // members of one family never straddle the boundary
+    assert(Seq(1L, 2L, 3L).map(got(_)._2).distinct.size == 1)
+    assert(Seq(5L, 6L).map(got(_)._2).distinct.size == 1)
+    // split matches the portable Knuth uniform on the family id
+    def u(id: Long): Double =
+      ((id * 2654435761L) % (1L << 32)).toDouble / (1L << 32).toDouble
+    got.foreach { case (doc, (fam, split)) =>
+      assert(split == (if (u(fam) < 0.5) "train" else "eval"),
+        s"doc $doc family $fam")
+    }
+    // frac 1.0 puts everything in train (uniform is in [0,1))
+    val all = Dedup.leakageSafeSplit(docs, pairs, trainFrac = 1.0)
+    assert(all.filter($"split" === "train").count() == 10)
+  }
+
   test("int8 quantization: per-vector symmetric scale to [-127, 127]") {
     val emb = Seq((0L, Seq(0.5f, -1.0f, 0.25f)), (1L, Seq(0.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
