@@ -130,6 +130,8 @@ object SparkEntry {
     "q96_video_decode"      -> PipelineQueries.videoDecode _,
     "q97_embedding_lsh"     -> PipelineQueries.embeddingLshPairs _,
     "q98_leakage_split"     -> PipelineQueries.leakageSplit _,
+    "q99_shard_shuffle"     -> PipelineQueries.shardShuffled _,
+    "q100_incremental_dedup" -> PipelineQueries.incrementalDedup _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1509,5 +1511,35 @@ object SparkEntry {
         |  CASE WHEN CAST((((ah * 2654435761) % 65536) * 65536 + al * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 < 0.8
         |       THEN 'train' ELSE 'eval' END AS split
         |FROM k ORDER BY doc_id""".stripMargin,
+    // q99: the oracle's global row_number IS the single-partition
+    // trap the engine-side two-phase form avoids — same answer
+    "q99_shard_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |    CAST(((doc_id % 4294967296) - (doc_id % 65536)) / 65536 AS BIGINT) AS ah,
+        |    doc_id % 65536 AS al
+        |  FROM documents),
+        |u AS (SELECT doc_id,
+        |    CAST((((ah * 2654435761) % 65536) * 65536 + al * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 AS u
+        |  FROM h),
+        |r AS (SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY u, doc_id) - 1 AS rk
+        |  FROM u)
+        |SELECT doc_id, rk // 64 AS shard, rk % 64 AS pos
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q100_incremental_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1, len(toks)-1)])) AS s
+        |       FROM t),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS ba, b.doc_id AS ca, COUNT(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s
+        |          WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 != 7
+        |          GROUP BY 1, 2)
+        |SELECT ba AS batch_doc, ca AS corpus_doc,
+        |  CAST(i AS DOUBLE)/CAST(x.n + y.n - i AS DOUBLE) AS j
+        |FROM inter JOIN sz x ON ba = x.doc_id JOIN sz y ON ca = y.doc_id
+        |WHERE CAST(i AS DOUBLE)/CAST(x.n + y.n - i AS DOUBLE) >= 0.5
+        |ORDER BY batch_doc, corpus_doc""".stripMargin,
   )
 }

@@ -135,6 +135,58 @@ object Dedup {
       .select("doc_a", "doc_b", "j")
   }
 
+  /** Incremental near-dup check: which documents of a NEW ingest
+    * `batch` duplicate something already in `corpus` — the
+    * steady-state form of dedup once a corpus exists (re-running the
+    * all-pairs self-join over corpus+batch to ingest 0.1% new data
+    * would redo 99.9% of the work). Exact `k`-shingle Jaccard, like
+    * [[jaccardPairs]], but asymmetric: only batch×corpus pairs form.
+    *
+    * Scale shape: the batch's shingle index is ingest-batch-sized
+    * and BROADCASTS; the corpus index is scanned once in place and
+    * never shuffles — only the candidate hits (corpus rows sharing a
+    * shingle with the batch) flow into the per-pair count, the
+    * [[contaminationScan]] shape upgraded to pair-level Jaccard.
+    * The hot-shingle cap (computed on the corpus, applied to both
+    * sides so the ratio stays consistent — [[jaccardPairs]]'s
+    * convention) bounds the per-shingle fanout; `UncappedMaxDF`
+    * pins exactness where an oracle requires it.
+    *
+    * Output (batch_doc, corpus_doc, j), one row per qualifying pair;
+    * a batch doc absent from the output is genuinely novel.
+    */
+  def incrementalJaccardPairs(corpus: DataFrame, batch: DataFrame,
+      k: Int = 3, threshold: Double = 0.5, maxDF: Long = AdaptiveMaxDF,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cap =
+      if (maxDF == AdaptiveMaxDF) math.max(1000L, corpus.count() / 100)
+      else { require(maxDF > 0, s"maxDF must be positive, got $maxDF"); maxDF }
+    val cRows = shingleRows(corpus, k, idCol, textCol)
+    val bRows = shingleRows(batch, k, idCol, textCol)
+    val (c, b) =
+      if (cap == Long.MaxValue) (cRows, bRows)
+      else {
+        val hot = cRows.groupBy("shingle").count()
+          .filter(col("count") > cap).select("shingle")
+        def capped(r: DataFrame) =
+          r.join(broadcast(hot), Seq("shingle"), "left_anti")
+            .withColumn("n_sh",
+              count(lit(1)).over(org.apache.spark.sql.expressions.Window
+                .partitionBy("doc_id")))
+        (capped(cRows), capped(bRows))
+      }
+    c.select(col("doc_id").as("corpus_doc"), col("n_sh").as("nc"),
+        col("shingle"))
+      .join(broadcast(b.select(col("doc_id").as("batch_doc"),
+        col("n_sh").as("nb"), col("shingle"))), Seq("shingle"))
+      .groupBy("batch_doc", "corpus_doc", "nb", "nc")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("j", col("inter").cast("double") /
+        (col("nb") + col("nc") - col("inter")).cast("double"))
+      .filter(col("j") >= threshold)
+      .select("batch_doc", "corpus_doc", "j")
+  }
+
   // ---------------------------------------------------------------
   // MinHash + banded LSH
   // ---------------------------------------------------------------

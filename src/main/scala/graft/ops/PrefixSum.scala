@@ -103,4 +103,34 @@ object PrefixSum {
       .withColumn("bin_id", floor(start / lit(contextLen)))
       .withColumn("bin_offset", start % lit(contextLen))
   }
+
+  /** Deterministic global shuffle into fixed-size shards — the
+    * "shuffle your training data" step: rows take a pseudo-random
+    * total order (pass e.g. `(uniformKnuth(id), id)` as `order`) and
+    * each gets its shard id and in-shard position. Downstream
+    * training readers stream shard files sequentially and still see
+    * a corpus-wide permutation.
+    *
+    * `sort by random then number the rows` is the textbook
+    * formulation, and the naive global `row_number()` is the same
+    * single-partition window trap [[withRunningTotal]] exists to
+    * avoid — this is that operator with `value = 1`: one range
+    * shuffle on the order key, per-partition numbering, driver-sized
+    * offsets. Deterministic order keys (hash, not rand()) make the
+    * layout reproducible under retries and recomputation — a shard
+    * written twice is written identically.
+    *
+    * Output: input columns + (`outShard`, `outPos`), positions
+    * 0-based within shards of exactly `shardSize` rows (last shard
+    * ragged).
+    */
+  def shardShuffle(df: DataFrame, order: Seq[Column], shardSize: Long,
+      outShard: String = "shard", outPos: String = "pos"): DataFrame = {
+    require(shardSize > 0, s"shardSize must be positive: $shardSize")
+    val rk = col("__rank") - 1
+    withRunningTotal(df, order, lit(1L), "__rank")
+      .withColumn(outShard, floor(rk / lit(shardSize)).cast("long"))
+      .withColumn(outPos, pmod(rk, lit(shardSize)))
+      .drop("__rank")
+  }
 }

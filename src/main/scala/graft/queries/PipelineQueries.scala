@@ -242,6 +242,33 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q99: deterministic training-data shard shuffle — documents take
+    * a pseudo-random total order (portable Knuth uniform, doc_id
+    * tiebreak) and land in 64-row shards with in-shard positions,
+    * via the two-phase prefix machinery (never a single-partition
+    * global row_number).
+    */
+  def shardShuffled(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.PrefixSum.shardShuffle(Tables.load(spark, dir, "documents"),
+      Seq(graft.ops.Sampler.uniformKnuth(col("doc_id")), col("doc_id")),
+      shardSize = 64)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("doc_id")
+
+  /** q100: incremental ingest dedup — docs with doc_id % 10 = 7 play
+    * the new batch, the rest the existing corpus; exact 3-gram
+    * Jaccard >= 0.5 pairs across the boundary only. Uncapped pinned
+    * for the oracle (production default caps hot shingles).
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    Dedup.incrementalJaccardPairs(
+      docs.filter(pmod(col("doc_id"), lit(10)) =!= 7),
+      docs.filter(pmod(col("doc_id"), lit(10)) === 7),
+      k = 3, threshold = 0.5, maxDF = Dedup.UncappedMaxDF)
+      .orderBy("batch_doc", "corpus_doc")
+  }
+
   /** q41: duplicate clusters — connected components of the exact
     * 3-gram Jaccard pair graph (q24's pairs), each document labeled
     * with the min doc id of its component. The keep-one-per-set

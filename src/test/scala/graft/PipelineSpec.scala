@@ -292,6 +292,35 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("incrementalJaccardPairs pairs batch docs against the corpus only") {
+    val corpus = Seq((0L, base), (1L, nearDup), (2L, other))
+      .toDF("doc_id", "text")
+    val batch = Seq((100L, base), (101L, "fresh unseen material here and nowhere else truly"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalJaccardPairs(corpus, batch, k = 3,
+      threshold = 0.5, maxDF = Dedup.UncappedMaxDF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 100 duplicates corpus 0 exactly and near-duplicates corpus 1;
+    // 101 is novel; NO corpus-corpus pair (0,1) appears
+    val keys = got.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((100L, 0L)) && keys.contains((100L, 1L)))
+    assert(got.find(p => (p._1, p._2) == (100L, 0L)).get._3 == 1.0)
+    assert(!keys.exists(_._1 == 101L), "novel batch doc must not pair")
+    assert(keys.forall(_._1 >= 100L), "corpus-corpus pairs must not form")
+    // the corpus-side hot-shingle cap disarms a planted boilerplate
+    // shingle shared by the whole corpus (adaptive default)
+    val hotCorpus = (0L until 3000L).map(i => (i, "hot boiler plate"))
+      .toDF("doc_id", "text")
+    val hotBatch = Seq((9000L, "hot boiler plate")).toDF("doc_id", "text")
+    assert(Dedup.incrementalJaccardPairs(hotCorpus, hotBatch, k = 3,
+      threshold = 0.1).count() == 0L)
+    // batch index broadcasts: the corpus never shuffles for the join
+    val plan = Dedup.incrementalJaccardPairs(corpus, batch, k = 3,
+      threshold = 0.5, maxDF = Dedup.UncappedMaxDF)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"batch side must broadcast")
+  }
+
   test("keepCanonical drops all but the min-id member per cluster") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (10L, "b"), (11L, "b"),
       (99L, "solo")).toDF("doc_id", "text")
@@ -855,6 +884,27 @@ class PrefixSumSpec extends AnyFunSuite {
     // global-order window (which plans a SinglePartition exchange)
     assert(!plan.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
       "global cumsum must not collapse to one partition")
+  }
+
+  test("shardShuffle is the id-order permutation sharded exactly") {
+    // order by id directly: shard/pos must follow 0-based rank
+    val df = (0L until 10L).map(i => (i, s"d$i")).toDF("id", "t")
+      .repartition(4)
+    val got = PrefixSum.shardShuffle(df, Seq(col("id")), shardSize = 4)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("pos")))
+    assert(got.toSeq == (0L until 10L).map(i => (i, i / 4, i % 4)))
+    // payload columns survive
+    assert(PrefixSum.shardShuffle(df, Seq(col("id")), 4)
+      .columns.toSeq == Seq("id", "t", "shard", "pos"))
+    intercept[IllegalArgumentException] {
+      PrefixSum.shardShuffle(df, Seq(col("id")), 0)
+    }
+    val plan = PrefixSum.shardShuffle(df, Seq(col("id")), 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      "shard shuffle must not collapse to one partition")
   }
 }
 
