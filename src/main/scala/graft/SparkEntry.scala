@@ -132,6 +132,7 @@ object SparkEntry {
     "q98_leakage_split"     -> PipelineQueries.leakageSplit _,
     "q99_shard_shuffle"     -> PipelineQueries.shardShuffled _,
     "q100_incremental_dedup" -> PipelineQueries.incrementalDedup _,
+    "q101_zorder_layout"    -> PipelineQueries.zOrderLayout _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1541,5 +1542,28 @@ object SparkEntry {
         |FROM inter JOIN sz x ON ba = x.doc_id JOIN sz y ON ca = y.doc_id
         |WHERE CAST(i AS DOUBLE)/CAST(x.n + y.n - i AS DOUBLE) >= 0.5
         |ORDER BY batch_doc, corpus_doc""".stripMargin,
+    // q101: exact ranks -> equi-depth quantile cells -> Morton
+    // interleave -> curve-order buckets, all integer/exact-double
+    "q101_zorder_layout" ->
+      """WITH r AS (SELECT o_orderkey, o_custkey,
+        |      date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS o_days
+        |    FROM orders),
+        |c AS (SELECT COUNT(*) AS n FROM r),
+        |ra AS (SELECT *, ROW_NUMBER() OVER (ORDER BY o_custkey, o_orderkey) - 1 AS rka FROM r),
+        |rb AS (SELECT *, ROW_NUMBER() OVER (ORDER BY o_days, o_orderkey) - 1 AS rkb FROM ra),
+        |q AS (SELECT o_orderkey, o_custkey, o_days,
+        |    CAST(floor(CAST(rka * 4096 AS DOUBLE) / n) AS BIGINT) AS qa,
+        |    CAST(floor(CAST(rkb * 4096 AS DOUBLE) / n) AS BIGINT) AS qb
+        |  FROM rb, c),
+        |z AS (SELECT o_orderkey, o_custkey, o_days,
+        |    list_sum([((qa // (CAST(1 AS BIGINT) << i)) % 2) * (CAST(1 AS BIGINT) << (2*i))
+        |            + ((qb // (CAST(1 AS BIGINT) << i)) % 2) * (CAST(1 AS BIGINT) << (2*i+1))
+        |            for i in range(0, 12)]) AS zv
+        |  FROM q),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY zv, o_orderkey) - 1 AS rkz FROM z)
+        |SELECT rkz // 1024 AS bucket, COUNT(*) AS n_rows,
+        |  MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+        |  MIN(o_days) AS min_day, MAX(o_days) AS max_day
+        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

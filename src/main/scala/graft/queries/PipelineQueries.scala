@@ -269,6 +269,27 @@ object PipelineQueries {
       .orderBy("batch_doc", "corpus_doc")
   }
 
+  /** q101: Z-order layout quality — orders clustered along the
+    * Morton curve over (customer, order day) into 1024-row buckets;
+    * the output is each bucket's min/max envelope on BOTH dimensions
+    * (the file-statistics table a scan planner prunes with). A
+    * single-column sort would give tight envelopes on one dimension
+    * and full-range on the other; the curve tightens both.
+    */
+  def zOrderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .withColumn("o_days",
+        datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1995-01-01"))).cast("long"))
+    graft.ops.ZOrder.zOrderBuckets(orders, col("o_custkey"), col("o_days"),
+        col("o_orderkey"), bits = 12, bucketSize = 1024L)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"),
+        min("o_days").as("min_day"), max("o_days").as("max_day"))
+      .orderBy("bucket")
+  }
+
   /** q41: duplicate clusters — connected components of the exact
     * 3-gram Jaccard pair graph (q24's pairs), each document labeled
     * with the min doc id of its component. The keep-one-per-set

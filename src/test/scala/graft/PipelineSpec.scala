@@ -886,6 +886,44 @@ class PrefixSumSpec extends AnyFunSuite {
       "global cumsum must not collapse to one partition")
   }
 
+  test("zValue interleaves bits; out-of-domain input raises") {
+    import graft.ops.ZOrder
+    // a=0b11, b=0b01 → a bits at 0,2 (1+4) + b bit at 1 (2) = 7
+    val got = Seq((3L, 1L), (0L, 0L), (3L, 3L)).toDF("a", "b")
+      .select(ZOrder.zValue(col("a"), col("b"), 2).as("z"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(7L, 0L, 15L))
+    intercept[Exception] {
+      Seq((4L, 0L)).toDF("a", "b")
+        .select(ZOrder.zValue(col("a"), col("b"), 2)).collect()
+    }
+    intercept[IllegalArgumentException] {
+      ZOrder.zValue(col("a"), col("b"), 0)
+    }
+  }
+
+  test("zOrderBuckets clusters a grid into quadrants — both dims prune") {
+    import graft.ops.ZOrder
+    // 4×4 grid, one row per cell; quantile cells reduce to the raw
+    // coordinates, so 4-row buckets must be exactly the 2×2 quadrants
+    val grid = (for { x <- 0L until 4L; y <- 0L until 4L }
+      yield (x * 4 + y, x, y)).toDF("id", "x", "y").repartition(5)
+    val env = ZOrder.zOrderBuckets(grid, col("x"), col("y"), col("id"),
+        bits = 2, bucketSize = 4L)
+      .groupBy("bucket")
+      .agg(min("x").as("x0"), max("x").as("x1"),
+        min("y").as("y0"), max("y").as("y1"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[Long]("bucket"),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)),
+        r.getAs[Long]("n")))
+    assert(env.length == 4 && env.forall(_._3 == 4L))
+    // every bucket envelope is 2 wide in BOTH dimensions (a 1-column
+    // sort would span the full 0..3 range on the other dimension)
+    assert(env.map(_._2).toSet == Set(
+      (0L, 1L, 0L, 1L), (2L, 3L, 0L, 1L), (0L, 1L, 2L, 3L), (2L, 3L, 2L, 3L)))
+  }
+
   test("shardShuffle is the id-order permutation sharded exactly") {
     // order by id directly: shard/pos must follow 0-based rank
     val df = (0L until 10L).map(i => (i, s"d$i")).toDF("id", "t")
