@@ -441,8 +441,9 @@ object VectorSearch {
     require(nbits >= 1 && nbits <= 63, s"nbits=$nbits out of [1,63]")
     val spark = c.sparkSession
     import spark.implicits._
-    val head = c.select(size(col("q"))).head()
-    val dim = head.getInt(0)
+    val first = c.select(size(col("q"))).limit(1).collect()
+    require(first.nonEmpty, "rpSignatures: empty corpus")
+    val dim = first(0).getInt(0)
     val planes = rpPlanes(nbits, dim)
     c.select(col("vec_id"), col("q")).as[(Long, Seq[Long])]
       .map { case (id, vec) =>
