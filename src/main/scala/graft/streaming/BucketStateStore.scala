@@ -107,15 +107,8 @@ object BucketStateStore {
     * data.
     */
   private def latestManifestVersion(spark: SparkSession,
-      stateDir: String): Option[Long] = {
-    val mdir = new Path(stateDir, ManifestDir)
-    val fs = fsFor(spark, mdir)
-    if (!fs.exists(mdir)) None
-    else fs.listStatus(mdir).iterator.map(_.getPath.getName)
-      .filter(_.startsWith("v"))
-      .flatMap(_.drop(1).toLongOption)
-      .maxOption
-  }
+      stateDir: String): Option[Long] =
+    availableVersions(spark, stateDir).lastOption
 
   def currentVersion(spark: SparkSession, stateDir: String): Option[Long] =
     readTextFile(spark, new Path(stateDir, VersionFile))
@@ -176,17 +169,45 @@ object BucketStateStore {
   def currentState(spark: SparkSession, stateDir: String,
       template: DataFrame): DataFrame =
     currentVersion(spark, stateDir) match {
-      case Some(v) =>
-        val m = readManifest(spark, stateDir, v)
-        if (m.buckets.isEmpty) template.limit(0)
-        else {
-          val paths = m.buckets.toSeq.sorted.map { case (b, bv) =>
-            bucketDir(stateDir, b, bv)
-          }
-          spark.read.schema(template.schema).parquet(paths: _*)
-        }
-      case None => template.limit(0)
+      case Some(v) => stateAt(spark, stateDir, template, v)
+      case None    => template.limit(0)
     }
+
+  /** Time-travel read: the state snapshot AS OF committed version
+    * `version` — what every copy-on-write table format exposes
+    * (Delta `VERSION AS OF`), and the same free lunch here: old
+    * bucket files are never mutated, so a historical read is just
+    * the OLD manifest's bucket paths. Use it to debug a bad merge,
+    * audit when a key changed, or reprocess downstream from a known
+    * point. Readable history is bounded by [[vacuum]]'s `keep`
+    * retention — a vacuumed version raises (manifest gone), it does
+    * not silently read partial state.
+    */
+  def stateAt(spark: SparkSession, stateDir: String, template: DataFrame,
+      version: Long): DataFrame = {
+    val m = readManifest(spark, stateDir, version)
+    if (m.buckets.isEmpty) template.limit(0)
+    else {
+      val paths = m.buckets.toSeq.sorted.map { case (b, bv) =>
+        bucketDir(stateDir, b, bv)
+      }
+      spark.read.schema(template.schema).parquet(paths: _*)
+    }
+  }
+
+  /** Committed versions still readable by [[stateAt]] (ascending):
+    * the manifests that exist — vacuum trims this list from the
+    * front, merges extend it at the back.
+    */
+  def availableVersions(spark: SparkSession, stateDir: String): Seq[Long] = {
+    val mdir = new Path(stateDir, ManifestDir)
+    val fs = fsFor(spark, mdir)
+    if (!fs.exists(mdir)) Seq.empty
+    else fs.listStatus(mdir).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("v"))
+      .flatMap(_.drop(1).toLongOption)
+      .toSeq.sorted
+  }
 
   /** Merge one batch into the store and publish the next version,
     * rewriting ONLY the key-buckets the batch touches. `template`

@@ -264,6 +264,39 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(after2.toSeq == Seq(("h1", 4L), ("h2", 2L)))
   }
 
+  test("stateAt time-travels to every retained version; vacuum trims history") {
+    import graft.streaming.BucketStateStore
+    val root = Files.createTempDirectory("graft_tt").toString
+    import spark.implicits._
+    val template = Seq.empty[(String, Long)].toDF("k", "n")
+    def fold(rows: (String, Long)*): Unit =
+      BucketStateStore.merge(rows.toDF("k", "n"), s"$root/state",
+        Seq("k"), template, numBuckets = 4) { (state, batch) =>
+        state.unionByName(batch).groupBy("k")
+          .agg(org.apache.spark.sql.functions.sum("n").as("n"))
+      }
+    fold(("a", 1L))             // v0: a=1
+    fold(("a", 2L), ("b", 5L))  // v1: a=3, b=5
+    fold(("b", 1L))             // v2: a=3, b=6
+    def read(v: Long) =
+      BucketStateStore.stateAt(spark, s"$root/state", template, v)
+        .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(BucketStateStore.availableVersions(spark, s"$root/state")
+      == Seq(0L, 1L, 2L))
+    assert(read(0) == Seq(("a", 1L)))
+    assert(read(1) == Seq(("a", 3L), ("b", 5L)))
+    assert(read(2) == Seq(("a", 3L), ("b", 6L)))
+    // current == latest time-travel
+    assert(BucketStateStore.currentState(spark, s"$root/state", template)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      == read(2))
+    BucketStateStore.vacuum(spark, s"$root/state", keep = 2)
+    assert(BucketStateStore.availableVersions(spark, s"$root/state")
+      == Seq(1L, 2L))
+    assert(read(1) == Seq(("a", 3L), ("b", 5L)), "retained history readable")
+    intercept[java.io.IOException] { read(0) } // vacuumed: loud, not partial
+  }
+
   test("timeBatches keeps null-timestamp rows (null bucket) instead of dropping them") {
     import spark.implicits._
     val f = Seq(
