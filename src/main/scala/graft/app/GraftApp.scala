@@ -52,7 +52,11 @@ object GraftApp {
       logLevel: Option[String] = None,      // --log-level
       pidFile: Option[String] = None,       // --pid-file
       daemon: Boolean = false,              // --daemon
-      install: Boolean = false)             // --install
+      install: Boolean = false,             // --install
+      stateDir: Option[String] = None,      // --state-dir (inspection)
+      stateVersions: Boolean = false,       // --state-versions
+      stateExport: Option[String] = None,   // --state-export=<outDir>
+      stateVersion: Option[Long] = None)    // --state-version=<N>
 
   final case class Result(
       ddl: Seq[String] = Nil,
@@ -61,7 +65,10 @@ object GraftApp {
       migrations: Seq[Migrator.TableMigration] = Nil,
       csvDirs: Seq[String] = Nil,
       pumpedStateDir: Option[String] = None,
-      installedFiles: Seq[String] = Nil)
+      installedFiles: Seq[String] = Nil,
+      stateVersionList: Seq[Long] = Nil,
+      stateExportDir: Option[String] = None,
+      stateExportRows: Option[Long] = None)
 
   /** Resolve the table work-list: UNION of explicit tables and
     * prefix matches (the reference's additive semantics,
@@ -168,6 +175,24 @@ object GraftApp {
       p.toFile.deleteOnExit() // the atexit delete_pidfile analog
     }
     if (c.install) return Result(installedFiles = installService(c.dstDir))
+    // state inspection (driver-only ops surface over the pump's CoW
+    // store): list the time-travelable versions and/or export one as
+    // plain parquet — the debugging/audit companion of --pump-data
+    if (c.stateVersions || c.stateExport.isDefined) {
+      val sd = c.stateDir.getOrElse(throw new IllegalArgumentException(
+        "--state-versions/--state-export require --state-dir"))
+      val versions = graft.streaming.BucketStateStore.availableVersions(spark, sd)
+      val exported = c.stateExport.map { out =>
+        val v = c.stateVersion.getOrElse(versions.lastOption.getOrElse(
+          throw new IllegalArgumentException(s"no committed state at $sd")))
+        val df = graft.streaming.BucketStateStore.stateAtInferred(spark, sd, v)
+        df.write.mode("overwrite").parquet(out)
+        out -> spark.read.parquet(out).count()
+      }
+      return Result(stateVersionList = versions,
+        stateExportDir = exported.map(_._1),
+        stateExportRows = exported.map(_._2))
+    }
     // catalog metadata is driver-sized; parse the fixture once, not
     // once per table (and reuse it for work-list resolution)
     val catalog = c.catalogCsv.map(CatalogReader.fromCsv(spark, _))
@@ -317,10 +342,12 @@ object GraftApp {
     "src-tables-where-clauses", "column-default-value", "catalog-csv",
     "nice-pause", "debezium-feed", "pk", "pk-for", "config",
     "src-jdbc-url", "src-jdbc-table", "src-jdbc-key", "src-jdbc-driver",
-    "log-file", "log-level", "pid-file")
+    "log-file", "log-level", "pid-file",
+    "state-dir", "state-export", "state-version")
   private val KnownFlags = Set("create-table-sql",
     "create-table-sql-template", "dst-create-table", "migrate-table",
-    "csvpool", "pump-data", "src-wait", "daemon", "install")
+    "csvpool", "pump-data", "src-wait", "daemon", "install",
+    "state-versions")
 
   /** `--column-default-value=t.col=v` values: numeric if they parse,
     * else the literal string (na.fill applies them type-matched).
@@ -404,7 +431,9 @@ object GraftApp {
       // (the reference's install path exits before any reader starts,
       // main.py:57-73)
       srcDir = kv.getOrElse("src-dir",
-        if (flags("install")) ""
+        // install and state inspection touch no source data
+        if (flags("install") || flags("state-versions") ||
+          kv.contains("state-export")) ""
         else throw new IllegalArgumentException("--src-dir required")),
       dstDir = kv.getOrElse("dst-dir", "/tmp/graft-out"),
       db = kv.getOrElse("dst-schema", "default"),
@@ -461,7 +490,14 @@ object GraftApp {
       pidFile = kv.get("pid-file")
         .orElse(if (flags("daemon")) Some("/tmp/graft.pid") else None),
       daemon = flags("daemon"),
-      install = flags("install"))
+      install = flags("install"),
+      stateDir = kv.get("state-dir"),
+      stateVersions = flags("state-versions"),
+      stateExport = kv.get("state-export"),
+      stateVersion = kv.get("state-version").map { v =>
+        v.toLongOption.getOrElse(throw new IllegalArgumentException(
+          s"--state-version=$v: expected an integer version"))
+      })
   }
 
   def main(args: Array[String]): Unit = {
@@ -480,6 +516,10 @@ object GraftApp {
     result.csvDirs.foreach(d => println(s"csv export at $d"))
     result.pumpedStateDir.foreach(d => println(s"pumped state at $d"))
     result.installedFiles.foreach(f => println(s"installed $f"))
+    if (result.stateVersionList.nonEmpty)
+      println(s"state versions: ${result.stateVersionList.mkString(", ")}")
+    for (d <- result.stateExportDir; n <- result.stateExportRows)
+      println(s"state exported to $d ($n rows)")
     spark.stop()
   }
 }

@@ -195,6 +195,22 @@ object BucketStateStore {
     }
   }
 
+  /** [[stateAt]] without a caller-supplied template: the schema is
+    * inferred from the stored bucket files themselves — the
+    * inspection/export path, where the reader has no schema handy.
+    * Empty state has no stored files to infer from and raises.
+    */
+  def stateAtInferred(spark: SparkSession, stateDir: String,
+      version: Long): DataFrame = {
+    val m = readManifest(spark, stateDir, version)
+    require(m.buckets.nonEmpty,
+      s"state v$version at $stateDir is empty — no stored schema to infer")
+    val paths = m.buckets.toSeq.sorted.map { case (b, bv) =>
+      bucketDir(stateDir, b, bv)
+    }
+    spark.read.parquet(paths: _*)
+  }
+
   /** Committed versions still readable by [[stateAt]] (ascending):
     * the manifests that exist — vacuum trims this list from the
     * front, merges extend it at the back.

@@ -501,4 +501,37 @@ class GraftAppSpec extends AnyFunSuite {
     assert(state.select("user_id", "event_id").except(
       expected.select("user_id", "event_id")).count() == 0)
   }
+
+  test("state inspection modes list versions and export a chosen one") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_inspect").toString
+    val template = Seq.empty[(String, Long)].toDF("k", "n")
+    def fold(rows: (String, Long)*): Unit =
+      graft.streaming.BucketStateStore.merge(rows.toDF("k", "n"),
+        s"$root/state", Seq("k"), template, numBuckets = 2) { (s, b) =>
+        s.unionByName(b).groupBy("k")
+          .agg(org.apache.spark.sql.functions.sum("n").as("n"))
+      }
+    fold(("a", 1L)); fold(("a", 2L), ("b", 5L))
+    // --state-versions: driver-only, no src-dir needed
+    val c1 = GraftApp.parse(Seq("--state-versions", s"--state-dir=$root/state"))
+    assert(GraftApp.run(spark, c1).stateVersionList == Seq(0L, 1L))
+    // --state-export of a historical version round-trips that snapshot
+    val out = s"$root/export"
+    val c2 = GraftApp.parse(Seq(s"--state-export=$out",
+      s"--state-dir=$root/state", "--state-version=0"))
+    val r2 = GraftApp.run(spark, c2)
+    assert(r2.stateExportDir.contains(out) && r2.stateExportRows.contains(1L))
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a", 1L)))
+    // default (no --state-version) exports the latest
+    val r3 = GraftApp.run(spark, GraftApp.parse(
+      Seq(s"--state-export=$root/export2", s"--state-dir=$root/state")))
+    assert(r3.stateExportRows.contains(2L))
+    // inspection without --state-dir fails loudly
+    intercept[IllegalArgumentException] {
+      GraftApp.run(spark, GraftApp.parse(Seq("--state-versions")))
+    }
+  }
 }
