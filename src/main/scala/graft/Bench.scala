@@ -1,8 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
+import java.lang.management.ManagementFactory
+import java.nio.file.{Files, Path, Paths}
+import java.util.concurrent.TimeUnit
+import scala.jdk.CollectionConverters._
 
-/** Benchmark main. Per query: one untimed warmup run (session/JIT/
+/** Benchmark main — fork-isolated: the default entrypoint is a
+  * coordinator that groups the query list into small batches and runs
+  * each batch in a FRESH child JVM, then merges the per-shard results
+  * into the single one-line JSON record.
+  *
+  * Why fork: a single-JVM 86-query sweep accumulates heap, codegen
+  * cache, and block-manager debt, and the clearCache+System.gc
+  * mitigations cannot fully cure it — measured in round 4, the
+  * in-sweep record overstated per-query cost 3-10x vs isolated runs
+  * of the SAME build at the SAME local[32] (q92 54.1s in-sweep vs
+  * 5.6s isolated). A record that lies 10x makes regression detection
+  * impossible; process isolation is the only reliable fix. Child JVMs
+  * are launched sequentially so each timed run owns the machine.
+  *
+  * Per query inside a shard: one untimed warmup run (session/JIT/
   * parquet-footer warmup), then one timed run materialized through
   * the noop sink (full evaluation of every row/column — `.count()`
   * would let Catalyst drop top-level sorts and projects and
@@ -10,19 +27,45 @@ import java.nio.file.{Files, Paths}
   *
   * A query that throws is a loud failure: recorded in the JSON under
   * "errors", timed as -1, and the process exits nonzero — a
-  * regression can't silently look like a fast success.
+  * regression can't silently look like a fast success. A child JVM
+  * that dies or hangs past the timeout marks its whole group failed
+  * and the sweep continues.
   *
   * The one-line JSON goes to stdout AND to a file (sbt wraps forked
   * stdout in log decoration which can defeat line-oriented parsing;
   * the file is the reliable channel).
+  *
+  * Env knobs:
+  *   SPARK_GRAFT_BENCH_ONLY=q01_x,q02_y  subset sweep (both modes)
+  *   SPARK_GRAFT_BENCH_GROUP=N           queries per child JVM (default 4)
+  *   SPARK_GRAFT_BENCH_INPROC=1          run everything in THIS JVM
+  *                                       (shard mode; coordinator sets it)
+  *   SPARK_GRAFT_BENCH_TIMEOUT=secs      per-child timeout (default 1800)
   */
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outPath = args.headOption
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
       .getOrElse("/root/repo/BENCH_LOCAL.json")
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(SparkEntry.benchExclude)
+      .filter(n => only.forall(_.contains(n)))
+    if (sys.env.contains("SPARK_GRAFT_BENCH_INPROC")) runShard(names, outPath)
+    else coordinate(names, outPath)
+  }
+
+  // ---------------------------------------------------------------- shard
+
+  /** Run `names` in this JVM and write the standard record to `outPath`.
+    * This is the measured path; the coordinator invokes it in a child
+    * JVM per group, so the debt a query can inherit is bounded by its
+    * few groupmates, not the whole sweep.
+    */
+  private def runShard(names: Seq[String], outPath: String): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,15 +73,6 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    // SPARK_GRAFT_BENCH_ONLY=q24_ngram_jaccard,q41_dup_clusters —
-    // iterate on a subset without the full sweep (record format is
-    // unchanged; the driver never sets this)
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(SparkEntry.benchExclude)
-      .filter(n => only.forall(_.contains(n)))
 
     def runOnce(name: String): Option[String] =
       try {
@@ -50,8 +84,8 @@ object Bench {
     // Drop persisted blocks between runs: several queries
     // localCheckpoint intermediates (dedup indexes, prepared vector
     // frames), and without an explicit unpersist those blocks pile up
-    // in the block manager across the whole bench — the timed queries
-    // then pay GC/eviction for the warmup pass's leftovers.
+    // in the block manager — the timed queries then pay GC/eviction
+    // for the warmup pass's leftovers.
     def clearState(): Unit = {
       spark.sqlContext.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
@@ -61,10 +95,8 @@ object Bench {
     names.foreach(runOnce)
     clearState()
     // clearState drops persisted blocks but not the heap/codegen-cache
-    // debt of the warmup pass — without an explicit GC plus one
-    // sacrificial untimed query, the FIRST timed queries absorb the
-    // whole sweep's garbage (measured: q01 7.1s in-sweep vs 1.6s
-    // isolated) and the record lies about them.
+    // debt of the warmup pass — an explicit GC plus one sacrificial
+    // untimed query keeps the first timed query from absorbing it.
     System.gc()
     names.headOption.foreach(runOnce)
     clearState()
@@ -79,10 +111,80 @@ object Bench {
       clearState() // outside the timed window
       name -> (if (err.isEmpty) secs else -1.0)
     }
+    writeRecord(outPath, results, errors.toSeq, sfDir)
+    spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
+  }
 
-    def esc(s: String): String =
-      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-                  case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+  // ---------------------------------------------------------- coordinator
+
+  /** Partition `names` into groups, run each group in a fresh child
+    * JVM (cloned from this JVM's executable, classpath, and VM flags —
+    * sbt `run / fork := true` means those carry the add-opens and heap
+    * settings), and merge the shard records.
+    */
+  private def coordinate(names: Seq[String], outPath: String): Unit = {
+    val groupSize = sys.env.get("SPARK_GRAFT_BENCH_GROUP").map(_.toInt).getOrElse(4)
+    val timeoutSecs = sys.env.get("SPARK_GRAFT_BENCH_TIMEOUT").map(_.toLong).getOrElse(1800L)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val java = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val classpath = sys.props("java.class.path")
+    val vmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val shardDir = Files.createTempDirectory("graft-bench-")
+
+    val groups = names.grouped(math.max(1, groupSize)).toSeq
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val errors = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    groups.zipWithIndex.foreach { case (group, i) =>
+      val shardOut = shardDir.resolve(s"shard$i.json")
+      val cmd = (Seq(java) ++ vmArgs ++ Seq("-cp", classpath, "graft.Bench", shardOut.toString)).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment.put("SPARK_GRAFT_BENCH_INPROC", "1")
+      pb.environment.put("SPARK_GRAFT_BENCH_ONLY", group.mkString(","))
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
+      val t0 = System.nanoTime()
+      val failure: Option[String] =
+        try {
+          val p = pb.start()
+          if (!p.waitFor(timeoutSecs, TimeUnit.SECONDS)) {
+            p.destroyForcibly(); p.waitFor()
+            Some(s"shard timeout after ${timeoutSecs}s")
+          } else if (!Files.exists(shardOut)) {
+            // nonzero exit with a record still present = per-query
+            // errors already recorded in the shard file; only a
+            // missing record means the JVM died before reporting.
+            Some(s"child JVM exited rc=${p.exitValue} with no record")
+          } else None
+        } catch { case e: Exception => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+      System.err.println(f"[bench] group ${i + 1}/${groups.size} (${group.mkString(",")}) " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1fs${failure.fold("")(" FAILED: " + _)}")
+      failure match {
+        case Some(msg) =>
+          group.foreach { n => results += n -> -1.0; errors += n -> msg }
+        case None =>
+          val (qs, errs) = parseRecord(Files.readString(shardOut))
+          // keep the coordinator's group order for queries the shard
+          // somehow omitted (defensive; should not happen)
+          group.foreach { n =>
+            results += n -> qs.getOrElse(n, -1.0)
+            errs.get(n).orElse(if (qs.contains(n)) None else Some("missing from shard record"))
+              .foreach(errors += n -> _)
+          }
+      }
+    }
+    writeRecord(outPath, results.toSeq, errors.toSeq, sfDir)
+    if (errors.nonEmpty) sys.exit(1)
+  }
+
+  // ------------------------------------------------------------- record IO
+
+  private def esc(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+                case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+
+  private[graft] def writeRecord(outPath: String, results: Seq[(String, Double)],
+                          errors: Seq[(String, String)], sfDir: String): Unit = {
     val qs = results.map { case (k, v) => s""""${esc(k)}":$v""" }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
@@ -93,7 +195,30 @@ object Bench {
       s""""errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get(outPath), line + "\n")
-    spark.stop()
-    if (errors.nonEmpty) sys.exit(1)
+  }
+
+  /** Parse a shard record this object wrote. Not a general JSON parser
+    * — it only needs to invert `writeRecord`, whose string values are
+    * `esc`-escaped (so a raw `"` never appears inside a value).
+    */
+  private[graft] def parseRecord(line: String): (Map[String, Double], Map[String, String]) = {
+    // delimit by the known following key, not the first '}' — error
+    // message text may legally contain braces
+    def section(tag: String, endMark: String): String = {
+      val start = line.indexOf(s""""$tag":{""")
+      if (start < 0) return ""
+      val open = line.indexOf('{', start)
+      val close = line.indexOf(endMark, open)
+      if (close < 0) "" else line.substring(open + 1, close)
+    }
+    val qRe = """"([^"]+)":(-?[0-9.Ee+-]+)""".r
+    val qs = qRe.findAllMatchIn(section("queries", "},\"errors\":"))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val eRe = """"((?:[^"\\]|\\.)+)":"((?:[^"\\]|\\.)*)"""".r
+    def unesc(s: String): String = s
+      .replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\")
+    val errs = eRe.findAllMatchIn(section("errors", "},\"sf\":"))
+      .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
+    (qs, errs)
   }
 }
