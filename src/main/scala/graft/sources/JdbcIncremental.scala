@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -97,7 +97,8 @@ private[graft] case class JdbcKeyOffset(maxKey: Long) extends Offset {
 
 private class JdbcIncrementalStream(schema: StructType,
     options: CaseInsensitiveStringMap)
-  extends MicroBatchStream with SupportsAdmissionControl {
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
   import JdbcIncremental._
 
   private val url = options.get("url")
@@ -128,6 +129,24 @@ private class JdbcIncrementalStream(schema: StructType,
     }
   }
 
+  /** AvailableNow fence: MAX(key) captured once at prepare time
+    * (Long.MinValue for an empty table). While set, every
+    * `latestOffset` targets this frozen key instead of re-probing, so
+    * a `Trigger.AvailableNow` run drains exactly the rows that existed
+    * at start — in `maxKeyRangePerBatch`-paced micro-batches — then
+    * terminates, even if writers keep appending mid-drain. This is the
+    * reference's `--src-wait=false` read-everything-then-exit loop
+    * (mysqlreader.py:421-429 in /root/reference) as a first-class
+    * trigger, replacing MicroBatchExecution's single-batch fallback
+    * (which ignores pacing and cannot guarantee the drain).
+    */
+  @volatile private var availableNowFence: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowFence = Some(
+      probe(s"SELECT MAX($keyCol) FROM $table")(_ => ())
+        .getOrElse(Long.MinValue))
+
   private def probe(sql: String)(set: java.sql.PreparedStatement => Unit): Option[Long] =
     withConnection(url, driver) { conn =>
       val st = conn.prepareStatement(sql)
@@ -153,7 +172,10 @@ private class JdbcIncrementalStream(schema: StructType,
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val known = start.asInstanceOf[JdbcKeyOffset].maxKey
-    val max = probe(s"SELECT MAX($keyCol) FROM $table")(_ => ())
+    val max = availableNowFence match {
+      case Some(fence) => Some(fence) // frozen at prepare; no live probe
+      case None => probe(s"SELECT MAX($keyCol) FROM $table")(_ => ())
+    }
     val target = max.filter(_ > known).getOrElse(known)
     val capped = maxKeyRange match {
       case Some(cap) if target > known =>

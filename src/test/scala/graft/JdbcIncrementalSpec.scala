@@ -164,6 +164,49 @@ class JdbcIncrementalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("AvailableNow drains the prepare-time snapshot in paced batches then exits") {
+    val url = freshDerby()
+    exec(url, "CREATE TABLE CHANGES (ID BIGINT NOT NULL, NAME VARCHAR(32), " +
+      "SCORE DOUBLE, TS TIMESTAMP)")
+    insertRange(url, 0, 100)
+    val ckpt = Files.createTempDirectory("ck").toString
+    val batches = new java.util.concurrent.atomic.AtomicInteger
+    val total = new java.util.concurrent.atomic.AtomicLong
+    val insertedMidDrain = new java.util.concurrent.atomic.AtomicBoolean
+
+    def drain(): Long = {
+      batches.set(0); total.set(0)
+      val q = spark.readStream.format("graft-jdbc")
+        .option("url", url)
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .option("dbtable", "APP.CHANGES")
+        .option("keyColumn", "ID")
+        .option("maxKeyRangePerBatch", "30")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = b.count()
+          if (n > 0) batches.incrementAndGet()
+          total.addAndGet(n)
+          // a writer keeps appending mid-drain: these rows are past the
+          // prepare-time fence and must NOT extend this run
+          if (insertedMidDrain.compareAndSet(false, true))
+            insertRange(url, 100, 120)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "AvailableNow drain must terminate")
+      total.get
+    }
+
+    assert(drain() == 100, "first run drains exactly the rows present at prepare")
+    assert(batches.get >= 4,
+      s"100 keys / 30 per batch needs >= 4 paced batches (single-batch " +
+        s"fallback would ignore the cap), got ${batches.get}")
+    assert(drain() == 20, "next run picks up exactly the mid-drain inserts")
+  }
+
   test("offset json round-trips") {
     val s = graft.sources.JdbcKeyOffset(42L)
     assert(s.json() == """{"maxKey":42}""")
