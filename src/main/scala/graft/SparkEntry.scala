@@ -940,9 +940,11 @@ object SparkEntry {
       """SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
         |  o_orderstatus, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
-    // q70: every feature the real PNG decode must produce, recomputed
-    // from the synthesis formulas (Images.fixturePng): red gradient
-    // along x, solid green/blue, BT.601 fixed-point luma samples
+    // q70: every feature the real decode (PNG even ids, BMP odd ids —
+    // same pixel formulas either container) must produce, recomputed
+    // from the synthesis formulas (Images.fixturePng/fixtureBmp): red
+    // gradient along x, solid green/blue, BT.601 fixed-point luma
+    // samples
     "q70_image_decode" ->
       """WITH t AS (SELECT doc_id,
         |    4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
 
 /** REAL image decode for multimodal columns — the JDK's built-in
   * `javax.imageio` codecs (PNG/BMP/GIF/JPEG, zero native deps), so
@@ -48,7 +49,16 @@ object Images {
       ImageFeatures(id, decoded = false, None, None, None, None, None, None)
     if (payload == null) return undecoded
     try {
-      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      // memory-cache stream, NOT ImageIO.read(InputStream): the
+      // convenience overload wraps in a disk-backed
+      // FileCacheImageInputStream by default — a temp file created and
+      // deleted per row is a quiet I/O tax a 100 TB media scan can't
+      // carry (payloads are already fully in memory; Video.scala uses
+      // the same pattern)
+      // NB: unlike the rest of ImageIO, read(ImageInputStream) closes
+      // the stream itself — closing again here would throw
+      val img = ImageIO.read(
+        new MemoryCacheImageInputStream(new ByteArrayInputStream(payload)))
       if (img == null) undecoded // no registered codec claims the bytes
       else {
         val w = img.getWidth
@@ -108,7 +118,18 @@ object Images {
     * proving the codec path end to end (a wrong inflate, defilter,
     * or channel order lands on different sums).
     */
-  def fixturePng(id: Long): Array[Byte] = {
+  def fixturePng(id: Long): Array[Byte] = encode(render(id), "png")
+
+  /** The same deterministic pixel content as [[fixturePng]], encoded
+    * as BMP — the second pure-JDK container. Mixing both formats in
+    * one column exercises `decodeOne`'s codec dispatch (ImageIO's
+    * reader probe) with real traffic, not only corrupt payloads; the
+    * decoded features are the identical id formulas either way, so
+    * one oracle covers both codecs.
+    */
+  def fixtureBmp(id: Long): Array[Byte] = encode(render(id), "bmp")
+
+  private def render(id: Long): BufferedImage = {
     val w = (4 + id % 5).toInt
     val h = (3 + id % 4).toInt
     val g = ((id * 7) % 256).toInt
@@ -124,8 +145,20 @@ object Images {
       }
       y += 1
     }
-    val out = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", out)
-    out.toByteArray
+    img
+  }
+
+  /** Encode via an explicit memory-cache stream (same rationale as the
+    * read path: the OutputStream convenience overload is disk-backed).
+    */
+  private[multimodal] def encode(img: BufferedImage, format: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new MemoryCacheImageOutputStream(bos)
+    try {
+      if (!ImageIO.write(img, format, out))
+        throw new IllegalStateException(s"no $format writer registered")
+      out.flush()
+    } finally out.close()
+    bos.toByteArray
   }
 }

@@ -499,18 +499,24 @@ object PipelineQueries {
   }
 
   /** q70: REAL image decode through `javax.imageio` — one synthesized
-    * PNG per document (dimensions and colors are integer formulas
-    * over doc_id, see Images.fixturePng), decoded by the actual PNG
-    * codec (zlib inflate + defilter) in a batched mapPartitions
+    * image per document, PNG for even ids / BMP for odd (dimensions
+    * and colors are integer formulas over doc_id, see
+    * Images.fixturePng/fixtureBmp), decoded by the actual codecs
+    * (PNG = zlib inflate + defilter) in a batched mapPartitions
     * stage. The oracle recomputes every decoded feature (dims, exact
     * per-channel pixel sums, downsampled-luma fingerprint) from the
     * same formulas — so a codec-path bug (wrong channel order, bad
     * defilter, off-by-one sampling) cannot hash-match.
     */
   def imageDecode(spark: SparkSession, dir: String): DataFrame = {
-    val mkPng = udf((id: Long) => graft.multimodal.Images.fixturePng(id))
+    // even ids PNG, odd ids BMP: both pure-JDK codecs carry the same
+    // id-formula pixels, so ImageIO's format dispatch is exercised by
+    // live traffic while one oracle covers both containers
+    val mkImg = udf((id: Long) =>
+      if (id % 2 == 0) graft.multimodal.Images.fixturePng(id)
+      else graft.multimodal.Images.fixtureBmp(id))
     val objects = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), mkPng(col("doc_id")).as("payload"))
+      .select(col("doc_id"), mkImg(col("doc_id")).as("payload"))
     graft.multimodal.Images.decodeImages(objects)
       .select(col("doc_id"), col("decoded"),
         col("width").cast("long").as("width"),

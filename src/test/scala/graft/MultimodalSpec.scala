@@ -89,6 +89,47 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("BMP fixture decodes to the same features as the PNG fixture") {
+    import graft.multimodal.Images
+    for (id <- Seq(3L, 7L, 42L, 255L, 1000L)) {
+      val png = Images.decodeOne(id, Images.fixturePng(id))
+      val bmp = Images.decodeOne(id, Images.fixtureBmp(id))
+      assert(bmp.decoded, s"id=$id BMP must decode")
+      assert(bmp == png, s"id=$id: containers must carry identical pixels")
+    }
+    // the two containers really are different byte streams hitting
+    // different codecs, not one encoder labeled twice
+    assert(!java.util.Arrays.equals(Images.fixturePng(7L), Images.fixtureBmp(7L)))
+    assert(new String(Images.fixtureBmp(7L).take(2), "US-ASCII") == "BM")
+  }
+
+  test("decode and encode never touch the ImageIO disk cache") {
+    import graft.multimodal.Images
+    import javax.imageio.ImageIO
+    // point the ImageIO cache at a read-only dir: a disk-backed
+    // FileCache*Stream (the ImageIO.read(InputStream) default) would
+    // throw creating its temp file, surfacing as decoded=false / an
+    // encode exception — memory-cache streams never consult it
+    val ro = java.nio.file.Files.createTempDirectory("imgcache_ro")
+    assert(ro.toFile.setWritable(false, false), "chmod must succeed")
+    val prevCache = ImageIO.getCacheDirectory
+    val prevUse = ImageIO.getUseCache
+    ImageIO.setUseCache(true)
+    ImageIO.setCacheDirectory(ro.toFile)
+    try {
+      val f = Images.decodeOne(7L, Images.fixturePng(7L)) // encode + decode
+      assert(f.decoded, "decode must not require a writable temp dir")
+      val b = Images.decodeOne(7L, Images.fixtureBmp(7L))
+      assert(b.decoded)
+      assert(!java.nio.file.Files.list(ro).iterator().hasNext,
+        "no cache files may appear")
+    } finally {
+      ImageIO.setCacheDirectory(prevCache)
+      ImageIO.setUseCache(prevUse)
+      ro.toFile.setWritable(true, false)
+    }
+  }
+
   test("resize stub bounds size, strides deterministically, passes small through") {
     import org.apache.spark.sql.functions._
     val big = ("ab" * 100).getBytes("UTF-8") // 200 bytes
