@@ -16,47 +16,74 @@ import org.apache.spark.sql.functions._
   * truncation leaks < 1 millionth of mass per edge per iteration —
   * irrelevant to ranking, essential to determinism.
   *
-  * Scale shape per iteration: ranks (node-sized) BROADCAST against
-  * the static edge frame — the edge list, the big side, is never
-  * re-shuffled across iterations — plus one `dst`-keyed sum
-  * compacted map-side to node cardinality. Right up to ~10^7 nodes
-  * (a 10M-node rank table ≈ 160 MB broadcast); for social-scale
-  * graphs beyond that, swap the hint for a src-bucketed shuffle join
-  * and pre-partition the edges once. Plan depth is bounded by a
-  * localCheckpoint per round, the [[graft.dedup.Dedup]]
-  * label-propagation pattern. Dangling nodes (outdeg 0) simply
-  * contribute nothing — their mass exits, as in the standard
-  * formulation without dangling redistribution.
+  * Scale shape per iteration, two regimes picked by node count:
+  *
+  *  - **Broadcast** (≤ `maxBroadcastNodes`, default 10^7 ≈ 160 MB of
+  *    ranks): the node-sized rank frame is BROADCAST against the
+  *    static edge frame — the edge list, the big side, is never
+  *    re-shuffled across iterations — plus one `dst`-keyed sum
+  *    compacted map-side to node cardinality.
+  *  - **Sharded** (beyond that — social-scale graphs where the rank
+  *    table itself no longer fits an executor): the edge frame is
+  *    hash-partitioned by `src` ONCE and checkpointed with that
+  *    partitioning pinned, so each round's rank join shuffles only
+  *    the node-sized rank frame into place while the edge side stays
+  *    put — per round, two node-sized exchanges (ranks→src, dst-sum)
+  *    and zero edge-sized ones.
+  *
+  * Plan depth is bounded by a localCheckpoint per round, the
+  * [[graft.dedup.Dedup]] label-propagation pattern. Dangling nodes
+  * (outdeg 0) simply contribute nothing — their mass exits, as in
+  * the standard formulation without dangling redistribution.
   */
 object PageRank {
 
   /** Ranks after `iters` damped iterations over the directed edge
     * list (columns `src`, `dst`; duplicates collapse). Returns
     * (node, rank) for every node appearing on either edge side.
+    *
+    * @param maxBroadcastNodes node-count threshold above which the
+    *   per-round rank join switches from broadcast to the src-sharded
+    *   shuffle join (0 forces sharded, Long.MaxValue forces broadcast
+    *   — both produce identical bit-exact output)
     */
-  def integerPageRank(edges: DataFrame, iters: Int): DataFrame = {
+  def integerPageRank(edges: DataFrame, iters: Int,
+      maxBroadcastNodes: Long = 10000000L): DataFrame = {
     require(iters >= 0, s"iters must be non-negative: $iters")
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
-    val withDeg = e
-      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-      .localCheckpoint()
+    // nodes is checkpointed and node-sized: this count is one cheap
+    // job against materialized blocks, amortized over all iterations
+    val useBroadcast = nodes.count() <= maxBroadcastNodes
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val withDeg =
+      if (useBroadcast) e.join(deg, "src").localCheckpoint()
+      else
+        // pin hashpartitioning(src) in the checkpoint: every round's
+        // rank join reuses it, so the edge frame never moves again
+        e.join(deg, "src").repartition(col("src")).localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1000000L))
-    for (_ <- 1 to iters) {
-      // ranks is node-sized — broadcast it so the edge frame never
-      // re-shuffles per iteration; the only exchange per round is
-      // the dst-keyed sum, compacted map-side to ~node cardinality
-      val contribs = withDeg
-        .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
-        .select(col("dst").as("node"),
-          expr("(rank * 85) div (100 * outdeg)").as("contrib"))
-        .groupBy("node").agg(sum(col("contrib")).as("inmass"))
-      ranks = nodes.join(broadcast(contribs), Seq("node"), "left")
-        .select(col("node"),
-          (lit(150000L) + coalesce(col("inmass"), lit(0L))).as("rank"))
-        .localCheckpoint()
-    }
+    for (_ <- 1 to iters)
+      ranks = oneRound(withDeg, nodes, ranks, useBroadcast).localCheckpoint()
     ranks
+  }
+
+  /** One damped update (un-checkpointed, so tests can pin its plan):
+    * join current ranks onto the (possibly src-pre-partitioned) edge
+    * frame, sum contributions by destination, rebase on the node set.
+    */
+  private[graft] def oneRound(withDeg: DataFrame, nodes: DataFrame,
+      ranks: DataFrame, useBroadcast: Boolean): DataFrame = {
+    val roundRanks = ranks.withColumnRenamed("node", "src")
+    val contribs = withDeg
+      .join(if (useBroadcast) broadcast(roundRanks) else roundRanks, "src")
+      .select(col("dst").as("node"),
+        expr("(rank * 85) div (100 * outdeg)").as("contrib"))
+      .groupBy("node").agg(sum(col("contrib")).as("inmass"))
+    nodes.join(
+        if (useBroadcast) broadcast(contribs) else contribs, Seq("node"), "left")
+      .select(col("node"),
+        (lit(150000L) + coalesce(col("inmass"), lit(0L))).as("rank"))
   }
 }

@@ -1108,6 +1108,50 @@ class PageRankSpec extends AnyFunSuite {
     assert(r(1L) == 150000L)
     assert(r(2L) == 150000L + (150000L * 85) / 100)
   }
+
+  test("sharded regime (rank table past the broadcast bound) matches broadcast bit-exactly") {
+    // a ragged graph with hubs, chains, and dangling nodes so the two
+    // code paths have real structure to disagree on
+    val edges = (0L until 400L).flatMap { i =>
+      Seq(i -> (i + 1) % 400, i -> (i * 7 + 3) % 400) ++
+        (if (i % 5 == 0) Seq(i -> 0L) else Nil)
+    }.toDF("src", "dst")
+    val viaBroadcast = PageRank
+      .integerPageRank(edges, 3, maxBroadcastNodes = Long.MaxValue)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val viaShuffle = PageRank
+      .integerPageRank(edges, 3, maxBroadcastNodes = 0L)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(viaShuffle == viaBroadcast,
+      "integer arithmetic must make the two join regimes bit-identical")
+  }
+
+  test("plan shapes: broadcast regime hints the rank join; sharded pins edges on src") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val e = edges.select($"src", $"dst").distinct().localCheckpoint()
+    val nodes = e.select($"src".as("node"))
+      .union(e.select($"dst".as("node"))).distinct().localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ranks0 = nodes.withColumn("rank", lit(1000000L))
+    // one un-checkpointed round per regime: broadcast carries the hint
+    // into the optimized plan; sharded must NOT force one (a forced
+    // broadcast of a >10^7-node rank table is exactly the failure the
+    // switch exists to avoid — AQE may still pick broadcast at
+    // runtime when a shuffle side turns out tiny, which is fine)
+    val flat = e.join(deg, "src").localCheckpoint()
+    val pinned = e.join(deg, "src").repartition($"src").localCheckpoint()
+    val bPlan = PageRank.oneRound(flat, nodes, ranks0, useBroadcast = true)
+      .queryExecution.optimizedPlan.toString
+    val sPlan = PageRank.oneRound(pinned, nodes, ranks0, useBroadcast = false)
+      .queryExecution.optimizedPlan.toString
+    assert(bPlan.contains("broadcast"))
+    assert(!sPlan.contains("broadcast"))
+    // sharded edge frame: hashpartitioning(src) is pinned in the
+    // checkpointed scan so per-round rank joins reuse it
+    val part = pinned.queryExecution.executedPlan.outputPartitioning.toString
+    assert(part.contains("hashpartitioning(src"),
+      s"checkpoint must preserve the src partitioning, got: $part")
+  }
 }
 
 class TableDiffSpec extends AnyFunSuite {
