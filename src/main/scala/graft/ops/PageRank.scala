@@ -59,14 +59,29 @@ object PageRank {
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val withDeg =
       if (useBroadcast) e.join(deg, "src").localCheckpoint()
-      else
-        // pin hashpartitioning(src) in the checkpoint: every round's
-        // rank join reuses it, so the edge frame never moves again
-        e.join(deg, "src").repartition(col("src")).localCheckpoint()
+      else pinBySrc(e.join(deg, "src"))
     var ranks = nodes.withColumn("rank", lit(1000000L))
     for (_ <- 1 to iters)
       ranks = oneRound(withDeg, nodes, ranks, useBroadcast).localCheckpoint()
     ranks
+  }
+
+  /** Checkpoint `df` with `hashpartitioning(src)` pinned, so every
+    * round's rank join reuses it and the edge frame — the big side —
+    * never re-shuffles. Under AQE, `Dataset.localCheckpoint` captures
+    * the adaptive plan's pre-execution partitioning, which is
+    * `UnknownPartitioning(0)`; AQE is therefore disabled around this
+    * one eager action (a single edge-sized shuffle, paid once and
+    * amortized over all iterations). Caching (`persist`) does not
+    * work either: in Spark 4 the cached-plan output partitioning is
+    * itself adaptive and reports unknown.
+    */
+  private[graft] def pinBySrc(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try df.repartition(col("src")).localCheckpoint()
+    finally conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
   /** One damped update (un-checkpointed, so tests can pin its plan):

@@ -1139,7 +1139,7 @@ class PageRankSpec extends AnyFunSuite {
     // switch exists to avoid — AQE may still pick broadcast at
     // runtime when a shuffle side turns out tiny, which is fine)
     val flat = e.join(deg, "src").localCheckpoint()
-    val pinned = e.join(deg, "src").repartition($"src").localCheckpoint()
+    val pinned = PageRank.pinBySrc(e.join(deg, "src"))
     val bPlan = PageRank.oneRound(flat, nodes, ranks0, useBroadcast = true)
       .queryExecution.optimizedPlan.toString
     val sPlan = PageRank.oneRound(pinned, nodes, ranks0, useBroadcast = false)
@@ -1151,6 +1151,53 @@ class PageRankSpec extends AnyFunSuite {
     val part = pinned.queryExecution.executedPlan.outputPartitioning.toString
     assert(part.contains("hashpartitioning(src"),
       s"checkpoint must preserve the src partitioning, got: $part")
+  }
+
+  test("sharded regime: zero edge-sized exchanges across two consecutive rounds") {
+    // The sharded variant's entire purpose: past the broadcast bound,
+    // per round only node-sized frames move — the pinned edge frame
+    // stays put. Broadcast is disabled so AQE cannot paper over a
+    // lost pin by broadcasting the (here tiny) rank side.
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    saved.foreach { case (k, _) => conf.set(k, "-1") }
+    try {
+      val edges = (0L until 2000L).flatMap { i =>
+        Seq(i -> (i + 1) % 2000, i -> (i * 7 + 3) % 2000)
+      }.toDF("src", "dst")
+      val e = edges.select($"src", $"dst").distinct().localCheckpoint()
+      val nodes = e.select($"src".as("node"))
+        .union(e.select($"dst".as("node"))).distinct().localCheckpoint()
+      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val pinned = PageRank.pinBySrc(e.join(deg, "src"))
+      val ranks0 = nodes.withColumn("rank", lit(1000000L))
+      val r1 = PageRank.oneRound(pinned, nodes, ranks0, useBroadcast = false)
+      val r2 = PageRank.oneRound(pinned, nodes, r1, useBroadcast = false)
+      assert(r2.count() == 2000L)
+      // walk the finalized adaptive plan, descending into query stages
+      def exchanges(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike] = {
+        val here = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            exchanges(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            exchanges(q.plan)
+          case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+            Seq(x) ++ exchanges(x.child)
+          case _ => Nil
+        }
+        here ++ p.children.flatMap(exchanges)
+      }
+      val xs = exchanges(r2.queryExecution.executedPlan)
+      assert(xs.nonEmpty, "expected node-sized rank shuffles in the plan")
+      val edgeSized = xs.filter(_.child.output.exists(_.name == "outdeg"))
+      assert(edgeSized.isEmpty,
+        s"edge frame re-shuffled: ${edgeSized.map(_.child.output.map(_.name).mkString(","))}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 }
 
