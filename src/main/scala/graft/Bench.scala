@@ -20,10 +20,13 @@ import scala.jdk.CollectionConverters._
   * are launched sequentially so each timed run owns the machine.
   *
   * Per query inside a shard: one untimed warmup run (session/JIT/
-  * parquet-footer warmup), then one timed run materialized through
-  * the noop sink (full evaluation of every row/column — `.count()`
-  * would let Catalyst drop top-level sorts and projects and
-  * understate real work).
+  * parquet-footer warmup), then `SPARK_GRAFT_BENCH_REPS` timed runs
+  * (default 3, median reported — single-shot timing on a shared
+  * machine is variance-exposed: identical builds measured 3.3-12.4 s
+  * on the same query across runs) materialized through the noop sink
+  * (full evaluation of every row/column — `.count()` would let
+  * Catalyst drop top-level sorts and projects and understate real
+  * work).
   *
   * A query that throws is a loud failure: recorded in the JSON under
   * "errors", timed as -1, and the process exits nonzero — a
@@ -37,7 +40,12 @@ import scala.jdk.CollectionConverters._
   *
   * Env knobs:
   *   SPARK_GRAFT_BENCH_ONLY=q01_x,q02_y  subset sweep (both modes)
-  *   SPARK_GRAFT_BENCH_GROUP=N           queries per child JVM (default 4)
+  *   SPARK_GRAFT_BENCH_GROUP=N           queries per child JVM (default 1:
+  *                                       fully isolated official record —
+  *                                       grouped children overstated the
+  *                                       heavy tail 2-5x via groupmate debt)
+  *   SPARK_GRAFT_BENCH_REPS=N            timed runs per query, median kept
+  *                                       (default 3)
   *   SPARK_GRAFT_BENCH_INPROC=1          run everything in THIS JVM
   *                                       (shard mode; coordinator sets it)
   *   SPARK_GRAFT_BENCH_TIMEOUT=secs      per-child timeout (default 1800)
@@ -102,14 +110,24 @@ object Bench {
     clearState()
     System.gc()
 
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val err = runOnce(name)
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var err = Option.empty[String]
+      var rep = 0
+      while (rep < reps && err.isEmpty) {
+        val t0 = System.nanoTime()
+        err = runOnce(name)
+        val secs = (System.nanoTime() - t0) / 1e9
+        clearState() // outside the timed window
+        System.gc()  // each rep starts from the same heap baseline
+        if (err.isEmpty) times += secs
+        rep += 1
+      }
       err.foreach(errors += name -> _)
-      val secs = (System.nanoTime() - t0) / 1e9
-      clearState() // outside the timed window
-      name -> (if (err.isEmpty) secs else -1.0)
+      name -> (if (err.isDefined || times.isEmpty) -1.0
+               else times.sorted.apply(times.size / 2))
     }
     writeRecord(outPath, results, errors.toSeq, sfDir)
     spark.stop()
@@ -124,12 +142,13 @@ object Bench {
     * settings), and merge the shard records.
     */
   private def coordinate(names: Seq[String], outPath: String): Unit = {
-    val groupSize = sys.env.get("SPARK_GRAFT_BENCH_GROUP").map(_.toInt).getOrElse(4)
+    val groupSize = sys.env.get("SPARK_GRAFT_BENCH_GROUP").map(_.toInt).getOrElse(1)
     val timeoutSecs = sys.env.get("SPARK_GRAFT_BENCH_TIMEOUT").map(_.toLong).getOrElse(1800L)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val java = Paths.get(sys.props("java.home"), "bin", "java").toString
     val classpath = sys.props("java.class.path")
-    val vmArgs = ManagementFactory.getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val vmArgs = childVmArgs(
+      ManagementFactory.getRuntimeMXBean.getInputArguments.asScala.toSeq)
     val shardDir = Files.createTempDirectory("graft-bench-")
 
     val groups = names.grouped(math.max(1, groupSize)).toSeq
@@ -177,6 +196,23 @@ object Bench {
     if (errors.nonEmpty) sys.exit(1)
   }
 
+  /** The child JVM flags worth inheriting: heap/stack sizing, module
+    * opens (Spark needs them on 17+), and spark/graft system props.
+    * Cloning the parent's FULL getInputArguments would also replicate
+    * launcher-specific flags (sbt agents, IDE bootclasspath, debug
+    * ports) into every child — a debug port alone would make every
+    * child after the first fail to bind.
+    */
+  private[graft] def childVmArgs(all: Seq[String]): Seq[String] =
+    all.filter { a =>
+      a.startsWith("-Xm") || a.startsWith("-Xss") ||
+      a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+      a.startsWith("--add-modules") || a.startsWith("--enable-native-access") ||
+      a.startsWith("-XX:") ||
+      a.startsWith("-Dspark.") || a.startsWith("-Dgraft.") ||
+      a.startsWith("-Dderby.") || a.startsWith("-Djava.io.tmpdir")
+    }
+
   // ------------------------------------------------------------- record IO
 
   private def esc(s: String): String =
@@ -215,10 +251,31 @@ object Bench {
     val qs = qRe.findAllMatchIn(section("queries", "},\"errors\":"))
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
     val eRe = """"((?:[^"\\]|\\.)+)":"((?:[^"\\]|\\.)*)"""".r
-    def unesc(s: String): String = s
-      .replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\")
     val errs = eRe.findAllMatchIn(section("errors", "},\"sf\":"))
       .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
     (qs, errs)
+  }
+
+  /** Exact inverse of [[esc]], one left-to-right pass. Chained
+    * `String.replace` calls are NOT an inverse: replacing `\\` after
+    * `\n` turns a literal backslash-n in the original text into
+    * backslash+newline, and the `\\uXXXX` control escapes would never
+    * be decoded at all.
+    */
+  private[graft] def unesc(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) s.charAt(i + 1) match {
+        case 'n' => sb += '\n'; i += 2
+        case '"' => sb += '"'; i += 2
+        case '\\' => sb += '\\'; i += 2
+        case 'u' if i + 5 < s.length =>
+          sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+        case _ => sb += c; i += 1
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
   }
 }

@@ -44,4 +44,33 @@ near line 2"""
     assert(qs("q44_repetition") === -1.0)
     assert(errs("q44_repetition") === "shard timeout after 1800s")
   }
+
+  test("hostile escape shapes roundtrip: literal backslash-n, control chars, trailing backslash") {
+    // chained String.replace unescaping corrupted exactly these:
+    // a literal \n in the TEXT (backslash + 'n', not a newline) and
+    // \u-escaped control characters
+    val hostile = Seq(
+      "literal\\nbackslash-n stays two chars",
+      "tab\there and bell\u0007there",
+      "quote\"brace}backslash\\mix",
+      "ends with backslash\\")
+    hostile.zipWithIndex.foreach { case (msg, i) =>
+      val (_, errs) = roundtrip(Seq(s"q$i" -> -1.0), Seq(s"q$i" -> msg))
+      assert(errs(s"q$i") === msg, s"case $i corrupted: ${errs(s"q$i")}")
+    }
+  }
+
+  test("childVmArgs keeps heap/opens/spark props, drops launcher baggage") {
+    val kept = Bench.childVmArgs(Seq(
+      "-Xmx8g", "-Xss4m", "-XX:+UseG1GC",
+      "--add-opens=java.base/java.nio=ALL-UNNAMED",
+      "-Dspark.local.dir=/tmp/x", "-Dgraft.foo=1",
+      "-agentlib:jdwp=transport=dt_socket,address=5005",
+      "-Dsbt.script=/usr/bin/sbt", "-Dfile.encoding=UTF-8",
+      "-javaagent:/opt/ide/debugger.jar"))
+    assert(kept === Seq(
+      "-Xmx8g", "-Xss4m", "-XX:+UseG1GC",
+      "--add-opens=java.base/java.nio=ALL-UNNAMED",
+      "-Dspark.local.dir=/tmp/x", "-Dgraft.foo=1"))
+  }
 }
