@@ -56,7 +56,14 @@ object GraftApp {
       stateDir: Option[String] = None,      // --state-dir (inspection)
       stateVersions: Boolean = false,       // --state-versions
       stateExport: Option[String] = None,   // --state-export=<outDir>
-      stateVersion: Option[Long] = None)    // --state-version=<N>
+      stateVersion: Option[Long] = None,    // --state-version=<N>
+      createTableJson: Boolean = false,     // --create-table-json-template
+      dstTable: Option[String] = None,      // --dst-table
+      dstTablePrefix: Option[String] = None,// --dst-table-prefix
+      converterClasses: Map[String, String] = Map.empty, // --converter-class=t:fqcn
+      dry: Boolean = false,                 // --dry
+      maxRowsPerBatch: Option[Long] = None, // --max-rows-per-batch
+      srcJdbcStartKey: Option[Long] = None) // --src-jdbc-start-key
 
   final case class Result(
       ddl: Seq[String] = Nil,
@@ -68,7 +75,9 @@ object GraftApp {
       installedFiles: Seq[String] = Nil,
       stateVersionList: Seq[Long] = Nil,
       stateExportDir: Option[String] = None,
-      stateExportRows: Option[Long] = None)
+      stateExportRows: Option[Long] = None,
+      jsonTemplates: Seq[String] = Nil,     // --create-table-json-template
+      dryPlanned: Seq[String] = Nil)        // --dry: what WOULD have run
 
   /** Resolve the table work-list: UNION of explicit tables and
     * prefix matches (the reference's additive semantics,
@@ -197,7 +206,19 @@ object GraftApp {
     // once per table (and reuse it for work-list resolution)
     val catalog = c.catalogCsv.map(CatalogReader.fromCsv(spark, _))
     val tables = resolveAgainst(c, catalog)
-    val spec = Migrator.Spec(c.columnSkip, c.whereClauses, c.defaults)
+    // --dst-table names ONE destination (clioptions.py:454-459); a
+    // multi-table work list would silently overwrite it table by table
+    require(c.dstTable.isEmpty || tables.sizeIs <= 1,
+      s"--dst-table names a single destination but ${tables.size} source " +
+        s"tables resolved (${tables.mkString(", ")}) — use --dst-table-prefix")
+    def dstNameFor(t: String): String =
+      c.dstTable.getOrElse(c.dstTablePrefix.getOrElse("") + t)
+    // --converter-class plugins resolve reflectively at startup
+    val registry = new graft.ops.Transforms.TransformRegistry
+    c.converterClasses.foreach { case (t, cls) =>
+      registry.register(t, graft.ops.Transforms.converterInstance(cls))
+    }
+    val spec = Migrator.Spec(c.columnSkip, c.whereClauses, c.defaults, registry)
 
     def schemaFor(t: String) = catalog match {
       case Some(cat) => CatalogReader.schemaOf(cat, t,
@@ -219,6 +240,28 @@ object GraftApp {
       if (!c.createTableTemplate) Nil
       else tables.map(t => DdlBuilder.createTableTemplate(c.db, t, schemaFor(t)))
 
+    // --create-table-json-template (main.py:109-112): the schema as
+    // JSON "for IPC" — one line per table
+    val jsonTemplates: Seq[String] =
+      if (!c.createTableJson) Nil
+      else tables.map(t => DdlBuilder.schemaJson(schemaFor(t)))
+
+    // --dry (clioptions.py:100-107): resolve, emit driver-side DDL/
+    // templates, but execute nothing — report what WOULD have run
+    if (c.dry) {
+      val planned = Seq(
+        c.dstCreateTable ->
+          s"dst-create-table: ${tables.map(t => s"${c.db}.$t").mkString(", ")}",
+        c.migrateTable ->
+          s"migrate-table: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}.parquet").mkString(", ")}",
+        c.csvExport ->
+          s"csvpool: ${tables.map(t => s"${c.dstDir}/csv/$t").mkString(", ")}",
+        (c.pumpData || c.srcJdbcUrl.isDefined || c.debeziumFeed.isDefined) ->
+          s"pump-data -> ${c.dstDir}/_state").collect { case (true, s) => s }
+      return Result(ddl = ddl, templates = templates,
+        jsonTemplates = jsonTemplates, dryPlanned = planned)
+    }
+
     // --dst-create-table (D5 first half, tablemigrator.py:121-152):
     // EXECUTE the Spark-dialect DDL against the session catalog so
     // the destination tables exist before any migration runs
@@ -234,7 +277,8 @@ object GraftApp {
 
     val migrations =
       if (!c.migrateTable) Nil
-      else Migrator.migrateAll(spark, c.srcDir, c.dstDir, tables, c.db, spec)
+      else Migrator.migrateAll(spark, c.srcDir, c.dstDir, tables, c.db, spec,
+        dstName = dstNameFor)
 
     // --csvpool analog: spill each (transformed) table as CSV — the
     // reference's CSV writer chain (config.py:351-367) as a batch
@@ -264,14 +308,26 @@ object GraftApp {
           throw new IllegalArgumentException(
             "--src-jdbc-url requires --src-jdbc-key"))
         val stateDir = s"${c.dstDir}/_state"
-        val reader = spark.readStream.format("graft-jdbc")
+        val reader0 = spark.readStream.format("graft-jdbc")
           .option("url", c.srcJdbcUrl.get)
           .option("dbtable", table)
           .option("keyColumn", key)
           .option("numPartitions",
             spark.conf.get("spark.sql.shuffle.partitions"))
-        val stream = c.srcJdbcDriver
-          .fold(reader)(d => reader.option("driver", d)).load()
+        // --max-rows-per-batch: micro-batch pacing, the mempool-size
+        // analog (clioptions.py:104-107); --src-jdbc-start-key: the
+        // binlog-file/position analog (config.py:40-58) — bootstrap
+        // from key K (rows ≤ K are skipped) on a FRESH stream only; a
+        // committed checkpoint always wins on resume, exactly like
+        // the reference's "binlog position from config is ignored
+        // once the reader has its own saved position"
+        // (mysqlreader.py:68-90).
+        val reader = Seq(
+          c.maxRowsPerBatch.map("maxKeyRangePerBatch" -> _.toString),
+          c.srcJdbcStartKey.map("startOffset" -> _.toString),
+          c.srcJdbcDriver.map("driver" -> _)
+        ).flatten.foldLeft(reader0) { case (r, (k, v)) => r.option(k, v) }
+        val stream = reader.load()
         val tput = graft.streaming.Throughput.attach(spark)
         try {
           val trigger = if (stayUp(c))
@@ -334,7 +390,8 @@ object GraftApp {
         Some(stateDir)
       }
 
-    Result(ddl, templates, createdTables, migrations, csvDirs, pumped)
+    Result(ddl, templates, createdTables, migrations, csvDirs, pumped,
+      jsonTemplates = jsonTemplates)
   }
 
   private val KnownOptions = Set("src-dir", "dst-dir", "dst-schema",
@@ -342,11 +399,14 @@ object GraftApp {
     "src-tables-where-clauses", "column-default-value", "catalog-csv",
     "nice-pause", "debezium-feed", "pk", "pk-for", "config",
     "src-jdbc-url", "src-jdbc-table", "src-jdbc-key", "src-jdbc-driver",
+    "src-jdbc-start-key", "max-rows-per-batch",
+    "dst-table", "dst-table-prefix", "converter-class",
     "log-file", "log-level", "pid-file",
     "state-dir", "state-export", "state-version")
   private val KnownFlags = Set("create-table-sql",
-    "create-table-sql-template", "dst-create-table", "migrate-table",
-    "csvpool", "pump-data", "src-wait", "daemon", "install",
+    "create-table-sql-template", "create-table-json-template",
+    "dst-create-table", "migrate-table",
+    "csvpool", "pump-data", "src-wait", "daemon", "install", "dry",
     "state-versions")
 
   /** `--column-default-value=t.col=v` values: numeric if they parse,
@@ -494,11 +554,29 @@ object GraftApp {
       stateDir = kv.get("state-dir"),
       stateVersions = flags("state-versions"),
       stateExport = kv.get("state-export"),
-      stateVersion = kv.get("state-version").map { v =>
-        v.toLongOption.getOrElse(throw new IllegalArgumentException(
-          s"--state-version=$v: expected an integer version"))
-      })
+      stateVersion = kv.get("state-version").map(longOpt("state-version")),
+      createTableJson = flags("create-table-json-template"),
+      dstTable = kv.get("dst-table"),
+      dstTablePrefix = kv.get("dst-table-prefix"),
+      // --converter-class=table:fq.ClassName[;table2:...] — the class
+      // must be on the classpath and implement DataFrame => DataFrame
+      converterClasses = kv.get("converter-class")
+        .map(_.split(";").toSeq.map { e =>
+          e.split(":", 2) match {
+            case Array(t, cls) if t.nonEmpty && cls.nonEmpty => t -> cls
+            case _ => throw new IllegalArgumentException(
+              s"--converter-class: expected table:fq.ClassName, got '$e'")
+          }
+        }.toMap)
+        .getOrElse(Map.empty),
+      dry = flags("dry"),
+      maxRowsPerBatch = kv.get("max-rows-per-batch").map(longOpt("max-rows-per-batch")),
+      srcJdbcStartKey = kv.get("src-jdbc-start-key").map(longOpt("src-jdbc-start-key")))
   }
+
+  private def longOpt(name: String)(v: String): Long =
+    v.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"--$name=$v: expected an integer"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -509,6 +587,8 @@ object GraftApp {
       .getOrCreate()
     val result = run(spark, parse(args.toIndexedSeq))
     result.ddl.foreach(println)
+    result.jsonTemplates.foreach(println)
+    result.dryPlanned.foreach(p => println(s"[dry] would run $p"))
     result.migrations.foreach { m =>
       println(s"migrated ${m.table}: src=${m.srcRows} dst=${m.dstRows} " +
         (if (m.reconciled) "OK" else "MISMATCH"))

@@ -68,13 +68,18 @@ object Migrator {
     */
   def migrateTable(spark: SparkSession, srcDir: String, dstDir: String,
       table: String, db: String = "default",
-      spec: Spec = Spec()): TableMigration = {
+      spec: Spec = Spec(),
+      dstTable: Option[String] = None): TableMigration = {
+    // --dst-table / --dst-table-prefix (clioptions.py:454-465 in
+    // /root/reference): the destination may be named independently of
+    // the source table; DDL and the sink path follow the dst name
+    val dstName = dstTable.getOrElse(table)
     val srcObs = Observation(s"graft_migrate_$table")
     val out = transformed(spark, srcDir, table, spec)
       .observe(srcObs, count(lit(1)).as("rows"))
-    val sparkDdl = DdlBuilder.createTableSpark(db, table, out.schema)
-    val chDdl = DdlBuilder.createTableClickHouse(db, table, out.schema)
-    val dst = s"$dstDir/$table.parquet"
+    val sparkDdl = DdlBuilder.createTableSpark(db, dstName, out.schema)
+    val chDdl = DdlBuilder.createTableClickHouse(db, dstName, out.schema)
+    val dst = s"$dstDir/$dstName.parquet"
     out.write.mode("overwrite").parquet(dst)
     TableMigration(table,
       srcRows = srcObs.get("rows").asInstanceOf[Long],
@@ -149,9 +154,10 @@ object Migrator {
     */
   def migrateAll(spark: SparkSession, srcDir: String, dstDir: String,
       tables: Seq[String], db: String = "default",
-      spec: Spec = Spec()): Seq[TableMigration] =
+      spec: Spec = Spec(),
+      dstName: String => String = identity): Seq[TableMigration] =
     tables.map { t =>
-      val m = migrateTable(spark, srcDir, dstDir, t, db, spec)
+      val m = migrateTable(spark, srcDir, dstDir, t, db, spec, Some(dstName(t)))
       if (!m.reconciled)
         throw new IllegalStateException(
           s"migration count mismatch for $t: src=${m.srcRows} dst=${m.dstRows}")

@@ -166,4 +166,30 @@ object Transforms {
     def apply(table: String, df: DataFrame): DataFrame =
       transforms.get(table).fold(df)(_.apply(df))
   }
+
+  /** Reflective converter lookup — the CLI half of the plugin surface
+    * (`--ch-converter-file`/`--ch-converter-class`, util.py:40-48 and
+    * clioptions.py:492-503 in /root/reference). The reference imports
+    * a Python class from an arbitrary file; the JVM analog is a
+    * no-arg class on the CLASSPATH implementing
+    * `DataFrame => DataFrame` (ship it in a jar next to the app —
+    * there is no runtime Scala compiler on a cluster). Registration
+    * failures are loud at startup, not at first use mid-migration.
+    */
+  def converterInstance(className: String): DataFrame => DataFrame = {
+    val inst =
+      try Class.forName(className).getDeclaredConstructor().newInstance()
+      catch {
+        case e: ClassNotFoundException => throw new IllegalArgumentException(
+          s"--converter-class $className not on the classpath", e)
+        case e: NoSuchMethodException => throw new IllegalArgumentException(
+          s"--converter-class $className needs a public no-arg constructor", e)
+      }
+    inst match {
+      case f: Function1[_, _] => f.asInstanceOf[DataFrame => DataFrame]
+      case other => throw new IllegalArgumentException(
+        s"--converter-class $className must implement DataFrame => DataFrame, " +
+          s"got ${other.getClass.getName}")
+    }
+  }
 }

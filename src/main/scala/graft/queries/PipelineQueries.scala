@@ -224,8 +224,9 @@ object PipelineQueries {
     * the hash, not just the final pair list.
     */
   def embeddingLshPairs(spark: SparkSession, dir: String): DataFrame =
+    // nbits pinned: the SQL oracle re-derives exactly 32 hyperplanes
     VectorSearch.rpLshNearDupPairs(Tables.load(spark, dir, "embeddings"),
-      maxHamming = 5, minCos = 0.25)
+      maxHamming = 5, minCos = 0.25, nbits = 32)
       .orderBy("vec_a", "vec_b")
 
   /** q98: leakage-safe train/eval split — near-dup families (the
@@ -729,18 +730,25 @@ object PipelineQueries {
     * space. The oracle unrolls the same three integer iterations —
     * every rank matches to the unit.
     */
-  def copurchaseRank(spark: SparkSession, dir: String): DataFrame = {
+  def copurchaseRank(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.PageRank.integerPageRank(copurchaseEdges(spark, dir), iters = 3)
+      .orderBy("node")
+
+  /** The q92 bipartite customer↔part graph (also the SoakPageRank
+    * scale-soak input): an edge per distinct co-purchase, both
+    * directions; part ids offset into their own node-id space.
+    */
+  def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
     val o = Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
     val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_partkey").as("p")).distinct()
-    val edges = pairs
-      .select(col("c").as("src"), (col("p") + 10000000L).as("dst"))
-      .union(pairs.select((col("p") + 10000000L).as("src"),
-        col("c").as("dst")))
-    graft.ops.PageRank.integerPageRank(edges, iters = 3).orderBy("node")
+      .select(col("o_custkey").as("c"),
+        (col("l_partkey") + 10000000L).as("p")).distinct()
+    pairs
+      .select(col("c").as("src"), col("p").as("dst"))
+      .union(pairs.select(col("p").as("src"), col("c").as("dst")))
   }
 
   /** q93: row-level migration reconciliation — a deterministically

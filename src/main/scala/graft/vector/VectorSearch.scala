@@ -430,6 +430,30 @@ object VectorSearch {
   private def rpPlanes(nbits: Int, dim: Int): Array[Array[Long]] =
     Array.tabulate(nbits)(b => Array.tabulate(dim)(p => rpPlane(b, p)))
 
+  /** Sentinel: size the RP-LSH signature from the corpus (∝ log₂ n),
+    * the [[graft.dedup.Dedup.AdaptiveMaxDF]] pattern for vectors.
+    */
+  val AdaptiveNbits: Int = -1
+
+  /** Resolve `nbits`: an explicit value passes through (the oracle
+    * queries pin 32 because the SQL side re-derives 32 hyperplanes);
+    * [[AdaptiveNbits]] grows the per-chunk slice width `w` with
+    * log₂(n), holding expected bucket occupancy n/2^w inside
+    * (RpTargetOccupancy/2, RpTargetOccupancy] — fixed 32 bits would
+    * let buckets (and the candidate join's fanout, which is
+    * quadratic in occupancy) grow linearly with the corpus.
+    * Recall is unaffected: the pigeonhole guarantee is structural
+    * in `chunks`, not in the bit count.
+    */
+  private[graft] val RpTargetOccupancy = 64L
+  private[graft] def resolveRpNbits(nbits: Int, chunks: Int, n: Long): Int =
+    if (nbits != AdaptiveNbits) nbits
+    else {
+      var w = 2 // floor: 2 bits/slice, so tiny corpora still bucket
+      while ((n >> w) > RpTargetOccupancy && chunks * (w + 1) <= 60) w += 1
+      chunks * w
+    }
+
   /** nbits-bit sign signature per vector: bit b = 1 iff
     * dot(q, plane_b) >= 0. Planes are driver constants (nbits·dim
     * longs — size independent of corpus); the signature is one
@@ -483,16 +507,18 @@ object VectorSearch {
     * Output (vec_a, vec_b, hamming, cos), vec_a < vec_b.
     */
   def rpLshNearDupPairs(embeddings: DataFrame, maxHamming: Int,
-      minCos: Double, nbits: Int = 32, chunks: Int = 4,
+      minCos: Double, nbits: Int = AdaptiveNbits, chunks: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(nbits % chunks == 0, s"chunks=$chunks must divide nbits=$nbits")
     require(maxHamming <= 2 * chunks - 1,
       s"maxHamming=$maxHamming above the pigeonhole guarantee " +
         s"2*chunks-1=${2 * chunks - 1}; raise chunks")
-    val w = nbits / chunks
-    val mask = (1L << w) - 1
     val c = prepared(embeddings, idCol, vecCol).localCheckpoint()
-    val sigs = rpSignatures(c, nbits).localCheckpoint()
+    // the count is one cheap job over checkpointed node-sized blocks
+    val bits = resolveRpNbits(nbits, chunks, c.count())
+    require(bits % chunks == 0, s"chunks=$chunks must divide nbits=$bits")
+    val w = bits / chunks
+    val mask = (1L << w) - 1
+    val sigs = rpSignatures(c, bits).localCheckpoint()
 
     val chunkRows = sigs.select(col("vec_id"), col("sig"),
       explode(array((0 until chunks).map { ci =>

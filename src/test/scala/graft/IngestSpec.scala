@@ -534,4 +534,123 @@ class GraftAppSpec extends AnyFunSuite {
       GraftApp.run(spark, GraftApp.parse(Seq("--state-versions")))
     }
   }
+
+  test("json-template mode emits the schema as JSON per table") {
+    val r = GraftApp.run(spark, GraftApp.Config(
+      srcDir = dir, dstDir = "/tmp/unused", tables = Seq("region"),
+      createTableJson = true))
+    assert(r.jsonTemplates.size == 1)
+    val parsed = org.apache.spark.sql.types.DataType
+      .fromJson(r.jsonTemplates.head)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(parsed.fieldNames.contains("r_name"))
+    assert(GraftApp.parse(Seq(s"--src-dir=$dir",
+      "--create-table-json-template")).createTableJson)
+  }
+
+  test("dry mode resolves the work list and plans, but executes nothing") {
+    val dst = Files.createTempDirectory("graft_dry").toString + "/out"
+    val r = GraftApp.run(spark, GraftApp.parse(Seq(
+      s"--src-dir=$dir", s"--dst-dir=$dst", "--src-tables=region",
+      "--create-table-sql", "--migrate-table", "--csvpool", "--dry")))
+    // driver-side DDL still produced; every executing mode skipped
+    assert(r.ddl.nonEmpty)
+    assert(r.migrations.isEmpty && r.csvDirs.isEmpty && r.createdTables.isEmpty)
+    assert(r.dryPlanned.exists(_.startsWith("migrate-table")))
+    assert(r.dryPlanned.exists(_.startsWith("csvpool")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dst)),
+      "dry run must not write the destination")
+  }
+
+  test("dst-table renames a single destination; dst-table-prefix maps the list") {
+    val dst = Files.createTempDirectory("graft_dstname").toString
+    val r = GraftApp.run(spark, GraftApp.parse(Seq(
+      s"--src-dir=$dir", s"--dst-dir=$dst", "--src-tables=region",
+      "--migrate-table", "--dst-table=region_renamed")))
+    assert(r.migrations.head.reconciled)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dst/region_renamed.parquet")))
+    assert(r.migrations.head.sparkDdl.contains("region_renamed"))
+    val dst2 = Files.createTempDirectory("graft_dstpfx").toString
+    val r2 = GraftApp.run(spark, GraftApp.parse(Seq(
+      s"--src-dir=$dir", s"--dst-dir=$dst2", "--src-tables=region,nation",
+      "--migrate-table", "--dst-table-prefix=ch_")))
+    assert(r2.migrations.forall(_.reconciled))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dst2/ch_region.parquet")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dst2/ch_nation.parquet")))
+    // --dst-table over a multi-table work list is an error, not a
+    // silent table-by-table overwrite of one destination
+    intercept[IllegalArgumentException] {
+      GraftApp.run(spark, GraftApp.Config(srcDir = dir, dstDir = dst2,
+        tables = Seq("region", "nation"), migrateTable = true,
+        dstTable = Some("one")))
+    }
+  }
+
+  test("converter-class registers a classpath transform through the CLI") {
+    val dst = Files.createTempDirectory("graft_conv").toString
+    val r = GraftApp.run(spark, GraftApp.parse(Seq(
+      s"--src-dir=$dir", s"--dst-dir=$dst", "--src-tables=region",
+      "--migrate-table", "--converter-class=region:graft.LowerRegionConverter")))
+    assert(r.migrations.head.reconciled)
+    // TPC-H region names ship uppercase, so all-lowercase output
+    // proves the registered transform actually ran
+    val names = spark.read.parquet(s"$dst/region.parquet")
+      .select("r_name").collect().map(_.getString(0))
+    assert(names.nonEmpty && names.forall(n => n == n.toLowerCase && n.nonEmpty))
+    // a missing class fails at startup, not mid-migration
+    intercept[IllegalArgumentException] {
+      GraftApp.run(spark, GraftApp.parse(Seq(
+        s"--src-dir=$dir", s"--dst-dir=$dst", "--src-tables=region",
+        "--migrate-table", "--converter-class=region:no.such.Cls")))
+    }
+    // a class that is not a DataFrame => DataFrame is rejected
+    intercept[IllegalArgumentException] {
+      graft.ops.Transforms.converterInstance("java.lang.Object")
+    }
+    // malformed table:class spec
+    intercept[IllegalArgumentException] {
+      GraftApp.parse(Seq(s"--src-dir=$dir", "--converter-class=regiononly"))
+    }
+  }
+
+  test("start-key and batch-pacing flags reach the live JDBC pump") {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_clistart").toString
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE ITEMS (ID BIGINT NOT NULL, NAME VARCHAR(32))")
+      val ps = conn.prepareStatement("INSERT INTO ITEMS VALUES (?, ?)")
+      for (i <- 0 until 25) { ps.setLong(1, i.toLong); ps.setString(2, s"n$i"); ps.addBatch() }
+      ps.executeBatch()
+    } finally conn.close()
+    val dst = Files.createTempDirectory("graft_clistart_out").toString
+    val c = GraftApp.parse(Seq(s"--src-dir=$dir", s"--dst-dir=$dst",
+      s"--src-jdbc-url=$url", "--src-jdbc-table=APP.ITEMS",
+      "--src-jdbc-key=ID",
+      "--src-jdbc-driver=org.apache.derby.jdbc.EmbeddedDriver",
+      "--src-jdbc-start-key=9", "--max-rows-per-batch=5"))
+    assert(c.srcJdbcStartKey.contains(9L) && c.maxRowsPerBatch.contains(5L))
+    GraftApp.run(spark, c)
+    val template = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "APP.ITEMS")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver").load()
+    val state = graft.streaming.StreamingCdc.currentState(
+      spark, s"$dst/_state", template)
+    // bootstrap at key 9 skips IDs <= 9: exactly 10..24 arrive
+    assert(state.count() == 15)
+    assert(state.agg(org.apache.spark.sql.functions.min("ID"))
+      .head().getLong(0) == 10L)
+  }
+}
+
+/** `--converter-class` fixture: a no-arg classpath class implementing
+  * `DataFrame => DataFrame`, the JVM analog of the reference's
+  * dynamically imported converter (util.py:40-48).
+  */
+class LowerRegionConverter
+    extends (org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) {
+  override def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumn("r_name", lower(col("r_name")))
 }

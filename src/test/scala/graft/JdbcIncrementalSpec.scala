@@ -211,4 +211,39 @@ class JdbcIncrementalSpec extends AnyFunSuite {
     val s = graft.sources.JdbcKeyOffset(42L)
     assert(s.json() == """{"maxKey":42}""")
   }
+
+  test("startOffset bootstraps a fresh stream past key K; the checkpoint wins on resume") {
+    val url = freshDerby()
+    exec(url, "CREATE TABLE CHANGES (ID BIGINT NOT NULL, NAME VARCHAR(32), " +
+      "SCORE DOUBLE, TS TIMESTAMP)")
+    insertRange(url, 0, 50)
+    val ckpt = Files.createTempDirectory("ck").toString
+    val out = Files.createTempDirectory("out").toString
+
+    def run(startKey: Long): Unit =
+      spark.readStream.format("graft-jdbc")
+        .option("url", url)
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .option("dbtable", "APP.CHANGES")
+        .option("keyColumn", "ID")
+        .option("numPartitions", "4")
+        .option("startOffset", startKey.toString)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+
+    run(19L) // fresh stream: keys <= 19 are skipped
+    val first = spark.read.parquet(out)
+    assert(first.count() == 30)
+    assert(first.agg(min("ID")).head().getLong(0) == 20L)
+    insertRange(url, 50, 60)
+    // a LATER startOffset on restart must be ignored — the committed
+    // checkpoint offset (49) wins, so 50..59 arrive in full
+    run(55L)
+    val got = spark.read.parquet(out)
+    assert(got.count() == 40, "checkpoint must win over a restated start key")
+    assert(got.select("ID").distinct().count() == 40)
+    assert(got.agg(max("ID")).head().getLong(0) == 59L)
+  }
 }

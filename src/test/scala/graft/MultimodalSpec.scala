@@ -106,27 +106,29 @@ class MultimodalSpec extends AnyFunSuite {
   test("decode and encode never touch the ImageIO disk cache") {
     import graft.multimodal.Images
     import javax.imageio.ImageIO
-    // point the ImageIO cache at a read-only dir: a disk-backed
-    // FileCache*Stream (the ImageIO.read(InputStream) default) would
-    // throw creating its temp file, surfacing as decoded=false / an
-    // encode exception — memory-cache streams never consult it
-    val ro = java.nio.file.Files.createTempDirectory("imgcache_ro")
-    assert(ro.toFile.setWritable(false, false), "chmod must succeed")
+    // point the ImageIO cache at a dir that is DELETED after
+    // registration: a disk-backed FileCache*Stream (the
+    // ImageIO.read(InputStream) default) fails creating its temp file
+    // in a nonexistent directory — for EVERY user, unlike a chmod
+    // trap, which root walks straight through (and these suites run
+    // as root in CI) — surfacing as decoded=false. Memory-cache
+    // streams never consult the cache dir.
+    val trap = java.nio.file.Files.createTempDirectory("imgcache_trap")
     val prevCache = ImageIO.getCacheDirectory
     val prevUse = ImageIO.getUseCache
     ImageIO.setUseCache(true)
-    ImageIO.setCacheDirectory(ro.toFile)
+    ImageIO.setCacheDirectory(trap.toFile) // validated at set time...
+    java.nio.file.Files.delete(trap)       // ...then pulled out from under
     try {
       val f = Images.decodeOne(7L, Images.fixturePng(7L)) // encode + decode
-      assert(f.decoded, "decode must not require a writable temp dir")
+      assert(f.decoded, "decode must not touch the ImageIO cache dir")
       val b = Images.decodeOne(7L, Images.fixtureBmp(7L))
       assert(b.decoded)
-      assert(!java.nio.file.Files.list(ro).iterator().hasNext,
-        "no cache files may appear")
+      assert(!java.nio.file.Files.exists(trap),
+        "no cache dir may be recreated")
     } finally {
       ImageIO.setCacheDirectory(prevCache)
       ImageIO.setUseCache(prevUse)
-      ro.toFile.setWritable(true, false)
     }
   }
 

@@ -606,6 +606,24 @@ class VectorSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("adaptive nbits holds bucket occupancy ~constant across 10x corpus growth") {
+    import VectorSearch.{AdaptiveNbits, RpTargetOccupancy, resolveRpNbits}
+    val occ = Seq(10000L, 100000L, 1000000L).map { n =>
+      val bits = resolveRpNbits(AdaptiveNbits, 4, n)
+      assert(bits % 4 == 0 && bits <= 63, s"n=$n resolved nbits=$bits")
+      n.toDouble / (1L << (bits / 4))
+    }
+    // fixed 32 bits would grow occupancy 100x over this range; the
+    // adaptive width pins it inside a 2x band
+    occ.foreach(o => assert(o <= RpTargetOccupancy &&
+      o > RpTargetOccupancy / 2.0, s"occupancy $o drifted: $occ"))
+    // signature space is 63 bits: past ~2M vectors the width caps
+    // (60 bits at chunks=4) instead of violating rpSignatures' bound
+    assert(resolveRpNbits(AdaptiveNbits, 4, 1000000000L) == 60)
+    // an explicit request (the pinned oracle shape) passes through
+    assert(resolveRpNbits(32, 4, 1000000000L) == 32)
+  }
+
   test("rpLshNearDupPairs finds planted identical vectors at hamming 0") {
     val rnd = new scala.util.Random(11)
     val rows = (0L until 30L).map(i =>
