@@ -20,13 +20,16 @@ import scala.jdk.CollectionConverters._
   * are launched sequentially so each timed run owns the machine.
   *
   * Per query inside a shard: one untimed warmup run (session/JIT/
-  * parquet-footer warmup), then `SPARK_GRAFT_BENCH_REPS` timed runs
-  * (default 3, median reported — single-shot timing on a shared
-  * machine is variance-exposed: identical builds measured 3.3-12.4 s
-  * on the same query across runs) materialized through the noop sink
-  * (full evaluation of every row/column — `.count()` would let
-  * Catalyst drop top-level sorts and projects and understate real
-  * work).
+  * parquet-footer warmup), then at least `SPARK_GRAFT_BENCH_REPS`
+  * timed runs (default 3, median reported — single-shot timing on a
+  * shared machine is variance-exposed: identical builds measured
+  * 3.3-12.4 s on the same query across runs), extending up to
+  * `SPARK_GRAFT_BENCH_MAX_REPS` (default 7) while the three runs
+  * bracketing the median still spread more than 15% — extra cost
+  * lands only on queries whose timing is actually noisy.
+  * Materialization is the noop sink (full evaluation of every
+  * row/column — `.count()` would let Catalyst drop top-level sorts
+  * and projects and understate real work).
   *
   * A query that throws is a loud failure: recorded in the JSON under
   * "errors", timed as -1, and the process exits nonzero — a
@@ -44,8 +47,10 @@ import scala.jdk.CollectionConverters._
   *                                       fully isolated official record —
   *                                       grouped children overstated the
   *                                       heavy tail 2-5x via groupmate debt)
-  *   SPARK_GRAFT_BENCH_REPS=N            timed runs per query, median kept
-  *                                       (default 3)
+  *   SPARK_GRAFT_BENCH_REPS=N            minimum timed runs per query,
+  *                                       median kept (default 3)
+  *   SPARK_GRAFT_BENCH_MAX_REPS=N        rep cap while the median
+  *                                       neighborhood is unstable (default 7)
   *   SPARK_GRAFT_BENCH_INPROC=1          run everything in THIS JVM
   *                                       (shard mode; coordinator sets it)
   *   SPARK_GRAFT_BENCH_TIMEOUT=secs      per-child timeout (default 1800)
@@ -111,12 +116,15 @@ object Bench {
     System.gc()
 
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
+    val maxReps = sys.env.get("SPARK_GRAFT_BENCH_MAX_REPS").map(_.toInt)
+      .getOrElse(7).max(reps)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = names.map { name =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var err = Option.empty[String]
       var rep = 0
-      while (rep < reps && err.isEmpty) {
+      while (err.isEmpty && rep < maxReps &&
+          (rep < reps || !medianStable(times.toSeq))) {
         val t0 = System.nanoTime()
         err = runOnce(name)
         val secs = (System.nanoTime() - t0) / 1e9
@@ -127,7 +135,7 @@ object Bench {
       }
       err.foreach(errors += name -> _)
       name -> (if (err.isDefined || times.isEmpty) -1.0
-               else times.sorted.apply(times.size / 2))
+               else median(times.toSeq))
     }
     writeRecord(outPath, results, errors.toSeq, sfDir)
     spark.stop()
@@ -195,6 +203,22 @@ object Bench {
     writeRecord(outPath, results.toSeq, errors.toSeq, sfDir)
     if (errors.nonEmpty) sys.exit(1)
   }
+
+  private[graft] def median(ts: Seq[Double]): Double =
+    ts.sorted.apply(ts.size / 2)
+
+  /** The reported median is trustworthy when its NEIGHBORHOOD is
+    * tight: the three sorted values bracketing it spread <= 15% of
+    * the median. Global max-min would never converge (it only grows
+    * with more reps); this criterion lets one or two outlier reps
+    * coexist with a stable center.
+    */
+  private[graft] def medianStable(ts: Seq[Double]): Boolean =
+    ts.size >= 3 && {
+      val s = ts.sorted
+      val mid3 = s.slice((s.size - 3) / 2, (s.size - 3) / 2 + 3)
+      mid3.last - mid3.head <= 0.15 * s(s.size / 2)
+    }
 
   /** The child JVM flags worth inheriting: heap/stack sizing, module
     * opens (Spark needs them on 17+), and spark/graft system props.

@@ -63,7 +63,13 @@ object GraftApp {
       converterClasses: Map[String, String] = Map.empty, // --converter-class=t:fqcn
       dry: Boolean = false,                 // --dry
       maxRowsPerBatch: Option[Long] = None, // --max-rows-per-batch
-      srcJdbcStartKey: Option[Long] = None) // --src-jdbc-start-key
+      srcJdbcStartKey: Option[Long] = None, // --src-jdbc-start-key
+      positionFile: Option[String] = None,  // --binlog-position-file
+      srcResume: Boolean = false,           // --src-resume
+      withCreateDatabase: Boolean = false,  // --with-create-database
+      csvPrefix: Option[String] = None,     // --csvpool-file-path-prefix
+      dstJdbcUrl: Option[String] = None,    // --dst-jdbc-url (live sink)
+      dstJdbcDriver: Option[String] = None) // --dst-jdbc-driver
 
   final case class Result(
       ddl: Seq[String] = Nil,
@@ -124,6 +130,33 @@ object GraftApp {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     }
+
+  /** `--binlog-position-file` + `--src-resume` (clioptions.py:212-220,
+    * 375-379; config.py:40-58; mysqlreader.py:356-360 in
+    * /root/reference): the pump WRITES `keyColumn:maxKey` after every
+    * applied batch, and a fresh pump started with `--src-resume`
+    * READS it as the bootstrap key. An unreadable/absent file means
+    * start from scratch — same forgiving stance as the reference —
+    * and a committed streaming checkpoint always wins over both.
+    */
+  private[graft] def readPositionFile(c: Config): Option[Long] =
+    if (!c.srcResume) None
+    else c.positionFile.flatMap { p =>
+      try {
+        val s = java.nio.file.Files.readString(java.nio.file.Paths.get(p)).trim
+        s.split(":", 2) match {
+          case Array(_, v) => v.trim.toLongOption
+          case _ => s.toLongOption
+        }
+      } catch { case _: java.io.IOException => None }
+    }
+
+  private[app] def writePositionFile(path: String, keyCol: String,
+      maxKey: Long): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(p, s"$keyCol:$maxKey")
+  }
 
   /** `--daemon` keeps the pump resident on the nice-pause cadence —
     * the JVM/Spark analog of the reference's double-fork service loop
@@ -228,10 +261,16 @@ object GraftApp {
 
     val ddl: Seq[String] =
       if (!c.createTableSql) Nil
-      else DdlBuilder.createDatabase(c.db) +: tables.flatMap { t =>
-        val schema = schemaFor(t)
-        Seq(DdlBuilder.createTableSpark(c.db, t, schema),
-          DdlBuilder.createTableClickHouse(c.db, t, schema))
+      else {
+        val tableDdl = tables.flatMap { t =>
+          val schema = schemaFor(t)
+          Seq(DdlBuilder.createTableSpark(c.db, t, schema),
+            DdlBuilder.createTableClickHouse(c.db, t, schema))
+        }
+        // --with-create-database (clioptions.py:270-275): CREATE
+        // DATABASE is opt-in, matching the reference default
+        if (c.withCreateDatabase) DdlBuilder.createDatabase(c.db) +: tableDdl
+        else tableDdl
       }
 
     // --create-table-sql-template (D1): placeholder DDL for manual
@@ -252,8 +291,11 @@ object GraftApp {
       val planned = Seq(
         c.dstCreateTable ->
           s"dst-create-table: ${tables.map(t => s"${c.db}.$t").mkString(", ")}",
-        c.migrateTable ->
-          s"migrate-table: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}.parquet").mkString(", ")}",
+        c.migrateTable -> {
+          val dest = (t: String) => c.dstJdbcUrl
+            .fold(s"${c.dstDir}/${dstNameFor(t)}.parquet")(u => s"$u/${dstNameFor(t)}")
+          s"migrate-table: ${tables.map(t => s"$t -> ${dest(t)}").mkString(", ")}"
+        },
         c.csvExport ->
           s"csvpool: ${tables.map(t => s"${c.dstDir}/csv/$t").mkString(", ")}",
         (c.pumpData || c.srcJdbcUrl.isDefined || c.debeziumFeed.isDefined) ->
@@ -277,6 +319,19 @@ object GraftApp {
 
     val migrations =
       if (!c.migrateTable) Nil
+      else if (c.dstJdbcUrl.isDefined)
+        // --dst-jdbc-url: migrate INTO a live JDBC destination — the
+        // reference's shipped direction (MySQL → ClickHouse INSERT
+        // pump, writer/chwriter.py:47-112); table-by-table with the
+        // same fail-fast reconciliation as the parquet path
+        tables.map { t =>
+          val m = Migrator.migrateTableToJdbc(spark, c.srcDir, t,
+            c.dstJdbcUrl.get, dbtable = dstNameFor(t), spec = spec,
+            db = c.db, driver = c.dstJdbcDriver)
+          if (!m.reconciled) throw new IllegalStateException(
+            s"migration count mismatch for $t: src=${m.srcRows} dst=${m.dstRows}")
+          m
+        }
       else Migrator.migrateAll(spark, c.srcDir, c.dstDir, tables, c.db, spec,
         dstName = dstNameFor)
 
@@ -286,7 +341,9 @@ object GraftApp {
     val csvDirs =
       if (!c.csvExport) Nil
       else tables.map { t =>
-        val out = s"${c.dstDir}/csv/$t"
+        // --csvpool-file-path-prefix (clioptions.py:109, default
+        // /tmp/csvpool_): per-table output is <prefix><table>
+        val out = c.csvPrefix.fold(s"${c.dstDir}/csv/$t")(p => s"$p$t")
         graft.sources.CsvSource.write(
           Migrator.transformed(spark, c.srcDir, t, spec), out,
           stringify = true)
@@ -322,9 +379,12 @@ object GraftApp {
         // the reference's "binlog position from config is ignored
         // once the reader has its own saved position"
         // (mysqlreader.py:68-90).
+        // bootstrap precedence: explicit --src-jdbc-start-key, else a
+        // --src-resume'd position file; the checkpoint beats both
+        val startKey = c.srcJdbcStartKey.orElse(readPositionFile(c))
         val reader = Seq(
           c.maxRowsPerBatch.map("maxKeyRangePerBatch" -> _.toString),
-          c.srcJdbcStartKey.map("startOffset" -> _.toString),
+          startKey.map("startOffset" -> _.toString),
           c.srcJdbcDriver.map("driver" -> _)
         ).flatten.foldLeft(reader0) { case (r, (k, v)) => r.option(k, v) }
         val stream = reader.load()
@@ -338,11 +398,23 @@ object GraftApp {
             .trigger(trigger)
             .foreachBatch {
               (b: org.apache.spark.sql.DataFrame, _: Long) =>
-                if (!b.isEmpty)
-                  StreamingCdc.mergeIntoState(
-                    b.withColumn(graft.cdc.CdcApplier.OpCol,
-                      org.apache.spark.sql.functions.lit("insert")),
-                    stateDir, pk = Seq(key), orderCols = Seq(key))
+                if (!b.isEmpty) {
+                  // cache: the merge and the position-file max would
+                  // otherwise each re-run the batch's JDBC range scan
+                  val batch = if (c.positionFile.isDefined) b.persist() else b
+                  try {
+                    StreamingCdc.mergeIntoState(
+                      batch.withColumn(graft.cdc.CdcApplier.OpCol,
+                        org.apache.spark.sql.functions.lit("insert")),
+                      stateDir, pk = Seq(key), orderCols = Seq(key))
+                    c.positionFile.foreach { path =>
+                      val mx = batch.agg(org.apache.spark.sql.functions
+                        .max(org.apache.spark.sql.functions.col(key))).head()
+                      if (!mx.isNullAt(0))
+                        writePositionFile(path, key, mx.getLong(0))
+                    }
+                  } finally if (c.positionFile.isDefined) batch.unpersist()
+                }
             }
             .start()
             .awaitTermination()
@@ -399,15 +471,16 @@ object GraftApp {
     "src-tables-where-clauses", "column-default-value", "catalog-csv",
     "nice-pause", "debezium-feed", "pk", "pk-for", "config",
     "src-jdbc-url", "src-jdbc-table", "src-jdbc-key", "src-jdbc-driver",
-    "src-jdbc-start-key", "max-rows-per-batch",
+    "src-jdbc-start-key", "max-rows-per-batch", "binlog-position-file",
     "dst-table", "dst-table-prefix", "converter-class",
+    "dst-jdbc-url", "dst-jdbc-driver", "csvpool-file-path-prefix",
     "log-file", "log-level", "pid-file",
     "state-dir", "state-export", "state-version")
   private val KnownFlags = Set("create-table-sql",
     "create-table-sql-template", "create-table-json-template",
     "dst-create-table", "migrate-table",
-    "csvpool", "pump-data", "src-wait", "daemon", "install", "dry",
-    "state-versions")
+    "csvpool", "pump-data", "src-wait", "src-resume", "daemon",
+    "install", "dry", "state-versions", "with-create-database")
 
   /** `--column-default-value=t.col=v` values: numeric if they parse,
     * else the literal string (na.fill applies them type-matched).
@@ -571,7 +644,13 @@ object GraftApp {
         .getOrElse(Map.empty),
       dry = flags("dry"),
       maxRowsPerBatch = kv.get("max-rows-per-batch").map(longOpt("max-rows-per-batch")),
-      srcJdbcStartKey = kv.get("src-jdbc-start-key").map(longOpt("src-jdbc-start-key")))
+      srcJdbcStartKey = kv.get("src-jdbc-start-key").map(longOpt("src-jdbc-start-key")),
+      positionFile = kv.get("binlog-position-file"),
+      srcResume = flags("src-resume"),
+      withCreateDatabase = flags("with-create-database"),
+      csvPrefix = kv.get("csvpool-file-path-prefix"),
+      dstJdbcUrl = kv.get("dst-jdbc-url"),
+      dstJdbcDriver = kv.get("dst-jdbc-driver"))
   }
 
   private def longOpt(name: String)(v: String): Long =

@@ -421,12 +421,49 @@ class GraftAppSpec extends AnyFunSuite {
   }
 
   test("create-table-sql mode emits DDL per table") {
+    // CREATE DATABASE is opt-in (--with-create-database), matching
+    // the reference default (clioptions.py:270-275)
     val r = GraftApp.run(spark, GraftApp.Config(
       srcDir = dir, dstDir = Files.createTempDirectory("graft_app1").toString,
       tables = Seq("region", "nation"), createTableSql = true))
-    // CREATE DATABASE + 2 dialects x 2 tables
-    assert(r.ddl.length == 5)
-    assert(r.ddl.head.startsWith("CREATE DATABASE"))
+    // 2 dialects x 2 tables, no database statement
+    assert(r.ddl.length == 4)
+    assert(r.ddl.forall(_.startsWith("CREATE TABLE")))
+    val withDb = GraftApp.run(spark, GraftApp.Config(
+      srcDir = dir, dstDir = Files.createTempDirectory("graft_app1b").toString,
+      tables = Seq("region", "nation"), createTableSql = true,
+      withCreateDatabase = true))
+    assert(withDb.ddl.length == 5)
+    assert(withDb.ddl.head.startsWith("CREATE DATABASE"))
+    assert(GraftApp.parse(Seq(s"--src-dir=$dir", "--create-table-sql",
+      "--with-create-database")).withCreateDatabase)
+  }
+
+  test("dst-jdbc-url migrates into a live JDBC destination with reconciliation") {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_dstjdbc").toString
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    java.sql.DriverManager.getConnection(url).close() // materialize the db
+    val r = GraftApp.run(spark, GraftApp.parse(Seq(
+      s"--src-dir=$dir", "--src-tables=region", "--migrate-table",
+      s"--dst-jdbc-url=$url",
+      "--dst-jdbc-driver=org.apache.derby.jdbc.EmbeddedDriver",
+      "--dst-table=REGION_DST")))
+    assert(r.migrations.map(_.table) == Seq("region"))
+    assert(r.migrations.head.reconciled && r.migrations.head.dstRows == 5)
+    val back = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "REGION_DST")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver").load()
+    assert(back.count() == 5)
+  }
+
+  test("csvpool-file-path-prefix overrides the CSV spill location") {
+    val base = Files.createTempDirectory("graft_csvpfx").toString
+    val r = GraftApp.run(spark, GraftApp.Config(
+      srcDir = dir, dstDir = s"$base/unused", tables = Seq("region"),
+      csvExport = true, csvPrefix = Some(s"$base/csvpool_")))
+    assert(r.csvDirs == Seq(s"$base/csvpool_region"))
+    assert(graft.sources.CsvSource.read(spark, s"$base/csvpool_region")
+      .count() == 5)
   }
 
   test("template mode emits placeholder DDL; dst-create-table executes it") {
@@ -612,6 +649,58 @@ class GraftAppSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       GraftApp.parse(Seq(s"--src-dir=$dir", "--converter-class=regiononly"))
     }
+  }
+
+  test("binlog-position-file records progress; src-resume bootstraps a fresh pump from it") {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_clipos").toString
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    def insert(from: Int, until: Int): Unit = {
+      val c2 = java.sql.DriverManager.getConnection(url)
+      try {
+        val ps = c2.prepareStatement("INSERT INTO ITEMS VALUES (?, ?)")
+        for (i <- from until until) { ps.setLong(1, i.toLong); ps.setString(2, s"n$i"); ps.addBatch() }
+        ps.executeBatch()
+      } finally c2.close()
+    }
+    try conn.createStatement()
+      .execute("CREATE TABLE ITEMS (ID BIGINT NOT NULL, NAME VARCHAR(32))")
+    finally conn.close()
+    insert(0, 20)
+    val pos = java.nio.file.Files.createTempDirectory("graft_pos").toString + "/pos"
+    def pumpArgs(dst: String) = Seq(s"--src-dir=$dir", s"--dst-dir=$dst",
+      s"--src-jdbc-url=$url", "--src-jdbc-table=APP.ITEMS",
+      "--src-jdbc-key=ID",
+      "--src-jdbc-driver=org.apache.derby.jdbc.EmbeddedDriver",
+      s"--binlog-position-file=$pos")
+    val dst1 = Files.createTempDirectory("graft_clipos1").toString
+    GraftApp.run(spark, GraftApp.parse(pumpArgs(dst1)))
+    // mysqlreader.py:356-360 analog: progress lands as keyCol:maxKey
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(pos)) == "ID:19")
+    insert(20, 30)
+    // a FRESH pump (new dstDir, no checkpoint) with --src-resume
+    // bootstraps from the file: only 20..29 arrive
+    val dst2 = Files.createTempDirectory("graft_clipos2").toString
+    GraftApp.run(spark, GraftApp.parse(pumpArgs(dst2) :+ "--src-resume"))
+    val template = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "APP.ITEMS")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver").load()
+    val resumed = graft.streaming.StreamingCdc.currentState(
+      spark, s"$dst2/_state", template)
+    assert(resumed.count() == 10)
+    assert(resumed.agg(org.apache.spark.sql.functions.min("ID"))
+      .head().getLong(0) == 20L)
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(pos)) == "ID:29")
+    // without --src-resume the file is write-only: a fresh pump
+    // re-reads everything (the reference's src_resume gate)
+    val dst3 = Files.createTempDirectory("graft_clipos3").toString
+    GraftApp.run(spark, GraftApp.parse(pumpArgs(dst3)))
+    assert(graft.streaming.StreamingCdc.currentState(
+      spark, s"$dst3/_state", template).count() == 30)
+    // unreadable position file + --src-resume starts from scratch
+    assert(GraftApp.readPositionFile(GraftApp.Config(srcDir = dir,
+      dstDir = "/tmp/x", positionFile = Some("/no/such/file"),
+      srcResume = true)).isEmpty)
   }
 
   test("start-key and batch-pacing flags reach the live JDBC pump") {
