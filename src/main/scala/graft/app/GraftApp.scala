@@ -410,8 +410,10 @@ object GraftApp {
                     c.positionFile.foreach { path =>
                       val mx = batch.agg(org.apache.spark.sql.functions
                         .max(org.apache.spark.sql.functions.col(key))).head()
+                      // any integral key type (INT/BIGINT/...) records
                       if (!mx.isNullAt(0))
-                        writePositionFile(path, key, mx.getLong(0))
+                        writePositionFile(path, key,
+                          mx.get(0).asInstanceOf[Number].longValue)
                     }
                   } finally if (c.positionFile.isDefined) batch.unpersist()
                 }
