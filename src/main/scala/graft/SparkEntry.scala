@@ -133,6 +133,9 @@ object SparkEntry {
     "q99_shard_shuffle"     -> PipelineQueries.shardShuffled _,
     "q100_incremental_dedup" -> PipelineQueries.incrementalDedup _,
     "q101_zorder_layout"    -> PipelineQueries.zOrderLayout _,
+    "q102_perplexity"       -> PipelineQueries.perplexity _,
+    "q103_bpe_merges"       -> PipelineQueries.bpeMerges _,
+    "q104_bpe_encode"       -> PipelineQueries.bpeEncode _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1567,5 +1570,85 @@ object SparkEntry {
         |  MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
         |  MIN(o_days) AS min_day, MAX(o_days) AS max_day
         |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q102: add-one-smoothed unigram surprisal in integer micro-nats
+    // (floor(-ln p * 1e6 + 0.5)) — the sum is exact-integer, so the
+    // per-doc mean is order-independent and the engines' ln ulp
+    // differences are absorbed before aggregation
+    "q102_perplexity" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(text,' ')) AS token FROM documents),
+        |counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        |vocab AS (SELECT token, cnt FROM (
+        |    SELECT token, cnt,
+        |      ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS id
+        |    FROM counts) WHERE id <= 64),
+        |tot AS (SELECT COUNT(*) AS n_total FROM tok),
+        |scored AS (SELECT t.doc_id,
+        |    CAST(floor(-ln(CAST(COALESCE(v.cnt, 0) + 1 AS DOUBLE) /
+        |        CAST(n_total + 64 + 1 AS DOUBLE)) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS smicro,
+        |    CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM tok t LEFT JOIN vocab v USING (token) CROSS JOIN tot),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |    CAST(SUM(smicro) AS BIGINT) AS smicro,
+        |    CAST(SUM(oov) AS BIGINT) AS n_oov
+        |  FROM scored GROUP BY 1)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, n_oov,
+        |  CAST(smicro AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000000.0
+        |    AS avg_surprisal,
+        |  floor(exp(CAST(smicro AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |      / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS ppl
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    // q103/q104: the oracle replays the identical BPE rounds as
+    // generated CTE chains — same chr(1)-wrapped repr, same (cnt
+    // desc, lhs, rhs) pair choice, same greedy literal replace
+    "q103_bpe_merges" -> bpeOracle(rounds = 8),
+    "q104_bpe_encode" -> bpeEncodeOracle(rounds = 8),
   )
+
+  /** The shared CTE chain mirroring Bpe.trainWithReprs: round k
+    * derives pair counts p{k} from repr d{k}, picks merge m{k},
+    * rewrites reprs into d{k+1}. An exhausted round's m{k} is empty
+    * and the CROSS JOIN empties every later d — the merge-table
+    * UNION truncates exactly like the engine's early stop.
+    * `finalRepr` additionally emits d{rounds} (every merge applied)
+    * for the encode oracle.
+    */
+  private def bpeCtes(rounds: Int, finalRepr: Boolean): Seq[String] = {
+    val head = Seq(
+      "WITH tok AS (SELECT unnest(string_split(text,' ')) AS word FROM documents)",
+      "w AS (SELECT word, COUNT(*) AS freq FROM tok GROUP BY 1)",
+      "d0 AS (SELECT word, freq, chr(1) || array_to_string(string_split(word,''), chr(1)||chr(1)) || chr(1) AS s FROM w)")
+    head ++ (0 until rounds).flatMap { k =>
+      val next =
+        if (k < rounds - 1 || finalRepr)
+          Seq(s"d${k + 1} AS (SELECT word, freq, replace(s, chr(1)||m.lhs||chr(1)||chr(1)||m.rhs||chr(1), chr(1)||m.lhs||m.rhs||chr(1)) AS s FROM d$k CROSS JOIN m$k m)")
+        else Nil
+      Seq(
+        s"""p$k AS (SELECT lhs, rhs, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT freq, unnest(toks[1:len(toks)-1]) AS lhs, unnest(toks[2:len(toks)]) AS rhs
+           |    FROM (SELECT freq, list_transform(string_split(s, chr(1)||chr(1)), x -> trim(x, chr(1))) AS toks FROM d$k)
+           |  ) GROUP BY 1, 2)""".stripMargin,
+        s"m$k AS (SELECT lhs, rhs, cnt FROM p$k ORDER BY cnt DESC, lhs, rhs LIMIT 1)") ++ next
+    }
+  }
+
+  private def bpeOracle(rounds: Int): String = {
+    val union = (0 until rounds)
+      .map(k => s"SELECT ${k + 1} AS step, lhs, rhs, lhs||rhs AS merged, cnt FROM m$k")
+      .mkString("\nUNION ALL ")
+    bpeCtes(rounds, finalRepr = false).mkString(",\n") +
+      s"\nSELECT * FROM (\n$union\n) ORDER BY step"
+  }
+
+  private def bpeEncodeOracle(rounds: Int): String =
+    (bpeCtes(rounds, finalRepr = true) ++ Seq(
+      s"cnts AS (SELECT word, len(string_split(s, chr(1)||chr(1))) AS n_sub FROM d$rounds)",
+      "dtok AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents)",
+      "enc AS (SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(n_sub) AS BIGINT) AS n_subwords FROM dtok JOIN cnts USING (word) GROUP BY 1)"))
+      .mkString(",\n") +
+      """
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, n_subwords,
+        |  CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE) AS ratio
+        |FROM enc ORDER BY doc_id""".stripMargin
 }

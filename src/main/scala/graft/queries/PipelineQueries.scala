@@ -291,6 +291,40 @@ object PipelineQueries {
       .orderBy("bucket")
   }
 
+  /** q102: unigram-LM perplexity scoring — every document scored
+    * against the corpus-trained 64-token unigram model with add-one
+    * OOV smoothing (LanguageModel.unigramPerplexity: the
+    * perplexity-based quality filter of a training pipeline, order-0
+    * form). Per-token surprisal is rounded once to integer
+    * micro-nats so the per-doc mean is an exact-integer sum —
+    * order-independent and cross-engine bit-stable.
+    */
+  def perplexity(spark: SparkSession, dir: String): DataFrame =
+    graft.text.LanguageModel.unigramPerplexity(
+        Tables.load(spark, dir, "documents"), v = 64)
+      .orderBy("doc_id")
+
+  /** q103: BPE tokenizer training — 8 merge rounds of Sennrich's
+    * byte-pair encoding over the corpus (Bpe.trainMerges: ONE
+    * corpus-sized aggregate builds the word-frequency table, every
+    * round after that is vocab-sized). The output merge table IS
+    * the tokenizer.
+    */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.trainMerges(
+        Tables.load(spark, dir, "documents"), rounds = 8)
+      .orderBy("step")
+
+  /** q104: tokenize with the trained BPE tokenizer — per-document
+    * word/subword counts and the subwords-per-word compression
+    * signal, encoded by joining each document's words against the
+    * broadcast (vocabulary-sized) merged-repr table.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bpe.subwordCounts(
+        Tables.load(spark, dir, "documents"), rounds = 8)
+      .orderBy("doc_id")
+
   /** q41: duplicate clusters — connected components of the exact
     * 3-gram Jaccard pair graph (q24's pairs), each document labeled
     * with the min doc id of its component. The keep-one-per-set

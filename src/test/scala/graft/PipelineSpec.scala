@@ -129,6 +129,81 @@ class TextAnalysisSpec extends AnyFunSuite {
       (3L, "", 0L, 0L)))     // empty doc survives with an empty code
   }
 
+  test("unigram perplexity: smoothed probs, integer micro-nats, partition-invariant") {
+    // corpus: a=2 b=2 c=1, N=5; v=2 → vocab {a,b}, c is OOV
+    // p(a)=p(b)=(2+1)/(5+2+1)=3/8, p(OOV)=1/8
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    def micro(p: Double): Long = math.floor(-math.log(p) * 1e6 + 0.5).toLong
+    val sAB = micro(3.0 / 8.0) // 980829
+    val sC = micro(1.0 / 8.0)  // 2079442
+    assert(sAB == 980829L && sC == 2079442L)
+    def expect(sum: Long, n: Long): (Double, Double) = {
+      val avg = sum.toDouble / n.toDouble / 1e6
+      (avg, math.floor(math.exp(avg) * 1e6 + 0.5) / 1e6)
+    }
+    val (avg1, ppl1) = expect(3 * sAB, 3)
+    val (avg2, ppl2) = expect(sAB + sC, 2)
+    val got = graft.text.LanguageModel.unigramPerplexity(docs, v = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((3L, 0L, avg1, ppl1)))
+    assert(got(2L) == ((2L, 1L, avg2, ppl2)))
+    // ppl of an all-in-vocab doc ≈ 1/p — the sanity anchor
+    assert(math.abs(ppl1 - 8.0 / 3.0) < 1e-5)
+
+    // exact-integer aggregation: any partitioning yields the SAME
+    // doubles (a float-mean formulation would not survive this)
+    val re = graft.text.LanguageModel
+      .unigramPerplexity(docs.repartition(7), v = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(re == got)
+
+    // the model joins broadcast — the corpus must never sort-merge
+    val plan = graft.text.LanguageModel.unigramPerplexity(docs, v = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("bpe merges: weighted pair counts, greedy re-pairing, early stop, ties") {
+    // words: aab×3, ab×2 → round 1 pairs (a,a):3 (a,b):5 → merge (a,b)
+    // round 2: aab=[a,ab], ab=[ab] → (a,ab):3 → merge (a,ab)
+    // round 3: no pairs left → early stop at 2 of 5 rounds
+    val docs = Seq((1L, "aab aab ab"), (2L, "aab ab")).toDF("doc_id", "text")
+    val got = graft.text.Bpe.trainMerges(docs, rounds = 5)
+      .orderBy("step")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1, "a", "b", "ab", 5L),
+      (2, "a", "ab", "aab", 3L)))
+
+    // count ties break (lhs asc, rhs asc): (x,y) beats (y,x)
+    val tie = Seq((1L, "xy yx")).toDF("doc_id", "text")
+    val first = graft.text.Bpe.trainMerges(tie, rounds = 1).collect()(0)
+    assert((first.getString(1), first.getString(2)) == (("x", "y")))
+
+    // encode with the trained merges: after (a,b)+(a,ab), word aab
+    // is ONE subword and ab is one; doc1 = aab aab ab → 3 words /
+    // 3 subwords; with rounds=1 (only (a,b)→ab) aab=[a,ab] → 5
+    val enc2 = graft.text.Bpe.subwordCounts(docs, rounds = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(enc2(1L) == ((3L, 3L, 1.0)))
+    assert(enc2(2L) == ((2L, 2L, 1.0)))
+    val enc1 = graft.text.Bpe.subwordCounts(docs, rounds = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(enc1(1L) == ((3L, 5L, 5.0 / 3.0)))
+
+    // the encode join must broadcast the repr table, never sort-merge
+    val plan = graft.text.Bpe.subwordCounts(docs, rounds = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("token-distribution drift: exact integer L1 numerators") {
     // A: "x x y" (n=3), B: "y z" (n=2); corpus x=2 y=2 z=1, N=5
     // L1_A num: |2*5-2*3| + |1*5-2*3| + |0*5-1*3| = 4+1+3 = 8
