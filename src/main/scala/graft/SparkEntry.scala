@@ -136,6 +136,8 @@ object SparkEntry {
     "q102_perplexity"       -> PipelineQueries.perplexity _,
     "q103_bpe_merges"       -> PipelineQueries.bpeMerges _,
     "q104_bpe_encode"       -> PipelineQueries.bpeEncode _,
+    "q105_kmeans"           -> PipelineQueries.kmeansClusters _,
+    "q106_triangles"        -> PipelineQueries.supplierTriangles _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1604,6 +1606,40 @@ object SparkEntry {
     // desc, lhs, rhs) pair choice, same greedy literal replace
     "q103_bpe_merges" -> bpeOracle(rounds = 8),
     "q104_bpe_encode" -> bpeEncodeOracle(rounds = 8),
+    // q105: the oracle replays the identical Lloyd rounds as a
+    // generated CTE chain (the BPE pattern) — same Knuth-sampled
+    // seeds, same shifted-grid integer distances, same floor-mean
+    // update (non-negative operands make // and div agree), ties to
+    // the smallest cluster id on both sides
+    "q105_kmeans" -> kmeansOracle(k = 8, iters = 2, d = 64),
+    // q106: same graph construction and degree-ordered closure in
+    // SQL — tuple (d, node) orientation order matches the engine's
+    // struct comparison exactly
+    "q106_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS p FROM lineitem),
+        |cooc AS (SELECT a.p AS x, b.p AS y, COUNT(*) AS support
+        |       FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |       GROUP BY 1, 2),
+        |du AS (SELECT x AS node, y AS nbr, support FROM cooc
+        |       UNION ALL SELECT y, x, support FROM cooc),
+        |knn AS (SELECT node, nbr FROM (
+        |    SELECT node, nbr,
+        |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY support DESC, nbr) AS rk
+        |    FROM du) WHERE rk <= 4),
+        |e AS (SELECT DISTINCT LEAST(node, nbr) AS x, GREATEST(node, nbr) AS y FROM knn),
+        |deg AS (SELECT node, COUNT(*) AS d FROM (
+        |    SELECT x AS node FROM e UNION ALL SELECT y FROM e) GROUP BY 1),
+        |o AS (SELECT CASE WHEN (dx.d, x) < (dy.d, y) THEN x ELSE y END AS src,
+        |             CASE WHEN (dx.d, x) < (dy.d, y) THEN y ELSE x END AS dst
+        |      FROM e JOIN deg dx ON dx.node = e.x JOIN deg dy ON dy.node = e.y),
+        |w AS (SELECT a.src AS u, a.dst AS v1, b.dst AS v2
+        |      FROM o a JOIN o b ON a.src = b.src AND a.dst < b.dst),
+        |t AS (SELECT u, v1, v2 FROM w JOIN e ON e.x = w.v1 AND e.y = w.v2),
+        |corners AS (SELECT u AS node FROM t UNION ALL SELECT v1 FROM t UNION ALL SELECT v2 FROM t),
+        |tc AS (SELECT node, COUNT(*) AS triangles FROM corners GROUP BY 1)
+        |SELECT deg.node, deg.d AS degree,
+        |  CAST(COALESCE(tc.triangles, 0) AS BIGINT) AS triangles
+        |FROM deg LEFT JOIN tc USING (node) ORDER BY deg.node""".stripMargin,
   )
 
   /** The shared CTE chain mirroring Bpe.trainWithReprs: round k
@@ -1639,6 +1675,55 @@ object SparkEntry {
       .mkString("\nUNION ALL ")
     bpeCtes(rounds, finalRepr = false).mkString(",\n") +
       s"\nSELECT * FROM (\n$union\n) ORDER BY step"
+  }
+
+  /** The Lloyd-k-means CTE chain mirroring KMeans.lloydAssign: c0 is
+    * the Knuth-sampled seed model; round j assigns every vector to
+    * its nearest c{j-1} centroid (exact shifted-grid integer L2,
+    * ties to the smallest cluster) and floor-means the members into
+    * c{j}; empty clusters COALESCE back to their previous centroid.
+    * The final select is one more assignment pass against c{iters} —
+    * exactly the engine's post-update scoring.
+    */
+  private def kmeansOracle(k: Int, iters: Int, d: Int): String = {
+    val head = Seq(
+      """WITH e AS (SELECT vec_id,
+        |    [CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) + 1000000 for x in embedding] AS w
+        |  FROM embeddings)""".stripMargin,
+      """u AS (SELECT vec_id, w,
+        |    CAST((((CAST(((vec_id % 4294967296) - (vec_id % 65536)) / 65536 AS BIGINT)
+        |      * 2654435761) % 65536) * 65536 + (vec_id % 65536) * 2654435761)
+        |      % 4294967296 AS BIGINT) AS uk
+        |  FROM e)""".stripMargin,
+      "seeds AS (SELECT w, ROW_NUMBER() OVER (ORDER BY uk, vec_id) AS cluster FROM u)",
+      s"c0 AS (SELECT cluster, w AS cw FROM seeds WHERE cluster <= $k)")
+    val rounds = (1 to iters + 1).flatMap { j =>
+      val assign = Seq(
+        s"""d$j AS (SELECT e.vec_id, e.w, c.cluster,
+           |    list_reduce([CAST(0 AS BIGINT)] + [(e.w[i]-c.cw[i])*(e.w[i]-c.cw[i]) for i in range(1, ${d + 1})], (a,x) -> a+x) AS dist2
+           |  FROM e CROSS JOIN c${j - 1} c)""".stripMargin,
+        s"""a$j AS (SELECT vec_id, w, cluster, dist2 FROM (
+           |    SELECT vec_id, w, cluster, dist2,
+           |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
+           |    FROM d$j) WHERE rn = 1)""".stripMargin)
+      val update =
+        if (j <= iters) Seq(
+          s"""s$j AS (SELECT cluster, t.i AS pos, SUM(w[t.i]) AS s, COUNT(*) AS n
+             |  FROM a$j, range(1, ${d + 1}) t(i) GROUP BY 1, 2)""".stripMargin,
+          // CAST: SUM(BIGINT) is HUGEINT in DuckDB; without it the
+          // centroid lists (and so dist2) silently widen to HUGEINT,
+          // which pandas renders as float64 and the hash rejects
+          s"""c$j AS (SELECT c.cluster, COALESCE(nc.cw, c.cw) AS cw
+             |  FROM c${j - 1} c LEFT JOIN (
+             |    SELECT cluster, list(CAST(s // n AS BIGINT) ORDER BY pos) AS cw FROM s$j GROUP BY 1) nc
+             |    USING (cluster))""".stripMargin)
+        else Nil
+      assign ++ update
+    }
+    (head ++ rounds).mkString(",\n") +
+      s"""
+         |SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, dist2
+         |FROM a${iters + 1} ORDER BY vec_id""".stripMargin
   }
 
   private def bpeEncodeOracle(rounds: Int): String =

@@ -325,6 +325,32 @@ object PipelineQueries {
         Tables.load(spark, dir, "documents"), rounds = 8)
       .orderBy("doc_id")
 
+  /** q105: semantic k-means clustering — every embedding assigned to
+    * one of 8 Lloyd-iterated clusters (KMeans.lloydAssign: 2 exact
+    * integer iterations from Knuth-sampled seeds on the shifted
+    * 1e6-quantized grid), with the squared distance to its final
+    * centroid. The cluster-aware sampling / topic-balancing step of
+    * a training pipeline; assignment is a zero-shuffle projection
+    * against driver-constant centroids.
+    */
+  def kmeansClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.vector.KMeans.lloydAssign(
+        Tables.load(spark, dir, "embeddings"), k = 8, iters = 2)
+      .orderBy("vec_id")
+
+  /** q106: supplier-cohesion triangles — per-node degree and
+    * triangle count on the top-4 strongest-co-occurrence supplier
+    * graph (suppliers sharing orders; Triangles.cooccurrenceKnnGraph
+    * bounds edges at 4·n by construction, then degree-ordered wedge
+    * enumeration closes triangles). The community-structure signal
+    * over a co-occurrence corpus.
+    */
+  def supplierTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.ops.Triangles.cooccurrenceKnnGraph(
+      Tables.load(spark, dir, "lineitem"), "l_orderkey", "l_suppkey", k = 4)
+    graft.ops.Triangles.triangleCounts(edges).orderBy("node")
+  }
+
   /** q41: duplicate clusters — connected components of the exact
     * 3-gram Jaccard pair graph (q24's pairs), each document labeled
     * with the min doc id of its component. The keep-one-per-set

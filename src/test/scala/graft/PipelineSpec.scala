@@ -808,6 +808,136 @@ class VectorSearchSpec extends AnyFunSuite {
   }
 }
 
+class KMeansSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Independent plain-Scala replay of the full Lloyd loop on the
+    * shifted quantized grid — seeds, assignment ties, floor means,
+    * empty-cluster retention. Input is the already-shifted vectors.
+    */
+  private def reference(vs: Map[Long, Array[Long]], k: Int,
+      iters: Int): Map[Long, (Int, Long)] = {
+    def uk(i: Long): Long = {
+      val a = i % (1L << 32)
+      val ah = a >> 16
+      val al = a & 0xFFFFL
+      (((ah * 2654435761L) % 65536L) * 65536L + al * 2654435761L) % (1L << 32)
+    }
+    var cents: Seq[(Int, Array[Long])] =
+      vs.keys.toSeq.sortBy(i => (uk(i), i)).take(k)
+        .zipWithIndex.map { case (id, ix) => (ix + 1, vs(id).clone()) }
+    def assign(): Map[Long, (Int, Long)] = vs.map { case (id, w) =>
+      val (d2, cid) = cents.map { case (c, cw) =>
+        (w.zip(cw).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+      }.min
+      id -> ((cid, d2))
+    }
+    for (_ <- 1 to iters) {
+      val byC = assign().toSeq.groupBy(_._2._1)
+      cents = cents.map { case (cid, old) =>
+        byC.get(cid) match {
+          case Some(members) =>
+            val ws = members.map { case (id, _) => vs(id) }
+            (cid, Array.tabulate(old.length)(p =>
+              ws.map(_(p)).sum / ws.size))
+          case None => (cid, old)
+        }
+      }
+    }
+    assign().map { case (id, (cid, d2)) => id -> ((cid, d2)) }
+  }
+
+  test("kmeans: Spark loop equals an independent reference, any partitioning") {
+    val rnd = new scala.util.Random(42)
+    val corpus = (0L until 40L).map(id =>
+      (id, Seq.fill(4)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val df = corpus.toDF("vec_id", "embedding")
+    val vs = corpus.map { case (id, emb) =>
+      id -> emb.map(x => math.round(x.toDouble * 1e6) + 1000000L).toArray
+    }.toMap
+    val want = reference(vs, k = 3, iters = 2)
+
+    val got = graft.vector.KMeans.lloydAssign(df, k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got == want)
+    assert(got.values.map(_._1).toSet.size > 1, "degenerate clustering")
+
+    // exact-integer arithmetic: any partitioning → identical output
+    val re = graft.vector.KMeans
+      .lloydAssign(df.repartition(7), k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(re == got)
+  }
+
+  test("kmeans: ties to smallest cluster, empty cluster keeps centroid, zero-shuffle assignment") {
+    // three identical vectors: both seeds coincide, every distance
+    // ties → all rows land in cluster 1; cluster 2 goes empty and
+    // must retain its centroid through both updates without error
+    val dup = Seq((1L, Seq(0.5f, 0.5f)), (2L, Seq(0.5f, 0.5f)),
+      (3L, Seq(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val out = graft.vector.KMeans.lloydAssign(dup, k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSet == Set((1L, 1, 0L), (2L, 1, 0L), (3L, 1, 0L)))
+
+    // the assignment is a projection against literal centroids:
+    // no join, no exchange anywhere in its plan
+    val plan = graft.vector.KMeans.lloydAssign(dup, k = 2, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
+
+class TrianglesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("triangles: hand graph — closure counted per corner, wedges without closure don't") {
+    // groups: {1,2,3} all-pairs once, {1,2} again (support 2), {3,4}
+    // edges (k=4 keeps everything): (1,2)s2 (1,3)s1 (2,3)s1 (3,4)s1
+    // → one triangle 1-2-3; 3-4 dangles (wedge 4-3-x never closes)
+    val m = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L),
+      (30L, 3L), (30L, 4L)).toDF("grp", "item")
+    val e = graft.ops.Triangles.cooccurrenceKnnGraph(m, "grp", "item", k = 4)
+    assert(e.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)))
+    val got = graft.ops.Triangles.triangleCounts(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L), (2L, 2L, 1L), (3L, 3L, 1L), (4L, 1L, 0L)))
+  }
+
+  test("triangles: top-k prunes weak edges by (support desc, nbr asc)") {
+    // same memberships, k=1: node 1 keeps (1,2) [support 2]; node 2
+    // keeps (2,1); node 3 ties everywhere (all support 1) → smallest
+    // nbr 1; node 4 keeps 3 → edges {(1,2),(1,3),(3,4)}, no triangle
+    val m = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L),
+      (30L, 3L), (30L, 4L)).toDF("grp", "item")
+    val e = graft.ops.Triangles.cooccurrenceKnnGraph(m, "grp", "item", k = 1)
+    assert(e.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L), (1L, 3L), (3L, 4L)))
+    val got = graft.ops.Triangles.triangleCounts(e)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    // the top-k rank must plan as WindowGroupLimit (partial top-k),
+    // not a full per-node sort of the support lists
+    val plan = graft.ops.Triangles
+      .cooccurrenceKnnGraph(m, "grp", "item", k = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("triangles: K4 counts three per corner") {
+    // one group of 4 → complete graph K4: every node sits in C(3,2)=3
+    // triangles, degree 3
+    val m = Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L)).toDF("grp", "item")
+    val e = graft.ops.Triangles.cooccurrenceKnnGraph(m, "grp", "item", k = 4)
+    val got = graft.ops.Triangles.triangleCounts(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 3L, 3L), (2L, 3L, 3L), (3L, 3L, 3L), (4L, 3L, 3L)))
+  }
+}
+
 class ProfilerPercentileSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
