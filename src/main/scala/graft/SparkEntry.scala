@@ -137,6 +137,10 @@ object SparkEntry {
     "q103_bpe_merges"       -> PipelineQueries.bpeMerges _,
     "q104_bpe_encode"       -> PipelineQueries.bpeEncode _,
     "q105_kmeans"           -> PipelineQueries.kmeansClusters _,
+    "q107_semantic_dedup"   -> PipelineQueries.semanticDedup _,
+    "q108_locf_daily"       -> TemporalQueries.locfDaily _,
+    "q111_dup_spans"        -> PipelineQueries.dupSpanCoverage _,
+    "q112_temperature_mix"  -> PipelineQueries.temperatureMixSample _,
     "q106_triangles"        -> PipelineQueries.supplierTriangles _,
   )
 
@@ -1612,6 +1616,63 @@ object SparkEntry {
     // update (non-negative operands make // and div agree), ties to
     // the smallest cluster id on both sides
     "q105_kmeans" -> kmeansOracle(k = 8, iters = 2, d = 64),
+    // q107: the q105 CTE chain plus a within-cluster pair tail —
+    // unshifted quantized vectors recovered by translation, exact
+    // integer dot/norms, the q35 double cosine, kept = no lower-id
+    // neighbor at or above the threshold
+    "q107_semantic_dedup" ->
+      semanticDedupOracle(k = 8, iters = 2, d = 64, tau = "0.40"),
+    // q108: the observed day-value is the day's LAST event by
+    // (ts, event_id); carried values are verbatim copies so the
+    // double column hashes bit-identically
+    "q108_locf_daily" ->
+      """WITH daily AS (
+        |  SELECT user_id, day, v FROM (
+        |    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value AS v,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+        |                         ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |grid AS (SELECT user_id,
+        |    CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1)),
+        |j AS (SELECT g.user_id, g.day, d.v FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INTEGER) AS filled
+        |FROM j ORDER BY user_id, day""".stripMargin,
+    // q111: same 8-gram spans — 1-based inclusive slices match
+    // Spark's slice(ts, i, n); the span union is COUNT(DISTINCT
+    // pos + o) over the 0..n-1 offset table
+    "q111_dup_spans" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |pos AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 8 + 2)) AS i FROM tok WHERE len(ts) >= 8),
+        |ng AS (SELECT doc_id, i AS pos, list_aggregate(ts[i:i+7], 'string_agg', ' ') AS g FROM pos),
+        |dupg AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM ng GROUP BY 1) WHERE nd > 1),
+        |dup AS (SELECT doc_id, pos FROM ng JOIN dupg USING (g)),
+        |cov AS (SELECT doc_id, COUNT(DISTINCT pos) AS dup_starts, COUNT(DISTINCT pos + o) AS covered
+        |        FROM dup, range(0, 8) r(o) GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.ts) AS INTEGER) AS n_tokens,
+        |  CAST(COALESCE(c.dup_starts, 0) AS BIGINT) AS dup_starts,
+        |  CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered,
+        |  CAST(COALESCE(c.covered, 0) AS DOUBLE) / CAST(len(t.ts) AS DOUBLE) AS ratio
+        |FROM tok t LEFT JOIN cov c USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q112: √count temperature quotas in integer arithmetic
+    // (floor(sqrt) is correctly rounded on exact counts; div is the
+    // non-negative floor division both engines share), membership by
+    // the shared Knuth-uniform ranking
+    "q112_temperature_mix" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),
+        |ci AS (SELECT lang, c, CAST(floor(sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS isq FROM c),
+        |t AS (SELECT CAST(SUM(isq) AS BIGINT) AS t, CAST(SUM(c) // 4 AS BIGINT) AS target FROM ci),
+        |q AS (SELECT lang, CAST(t.target * ci.isq // t.t AS BIGINT) AS quota FROM ci, t),
+        |u AS (SELECT doc_id, lang,
+        |    CAST((((CAST(((doc_id % 4294967296) - (doc_id % 65536)) / 65536 AS BIGINT)
+        |      * 2654435761) % 65536) * 65536 + (doc_id % 65536) * 2654435761)
+        |      % 4294967296 AS BIGINT) AS uk
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY uk, doc_id) AS rk FROM u)
+        |SELECT r.doc_id, r.lang FROM r JOIN q USING (lang) WHERE rk <= quota ORDER BY doc_id""".stripMargin,
     // q106: same graph construction and degree-ordered closure in
     // SQL — tuple (d, node) orientation order matches the engine's
     // struct comparison exactly
@@ -1685,9 +1746,43 @@ object SparkEntry {
     * The final select is one more assignment pass against c{iters} —
     * exactly the engine's post-update scoring.
     */
-  private def kmeansOracle(k: Int, iters: Int, d: Int): String = {
+  private def kmeansOracle(k: Int, iters: Int, d: Int): String =
+    kmeansCtes(k, iters, d).mkString("WITH ", ",\n", "") +
+      s"""
+         |SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, dist2
+         |FROM a${iters + 1} ORDER BY vec_id""".stripMargin
+
+  /** The q105 chain + SemDeDup pair tail (KMeans.semanticDedup):
+    * within-cluster pairs a<b scored by the exact unshifted-grid
+    * integer cosine, a duplicate count per higher id, kept flag.
+    */
+  private def semanticDedupOracle(
+      k: Int, iters: Int, d: Int, tau: String): String =
+    (kmeansCtes(k, iters, d) ++ Seq(
+      s"""m AS (SELECT a.vec_id, a.cluster,
+         |    [x - 1000000 for x in a.w] AS q,
+         |    list_reduce([CAST(0 AS BIGINT)] + [(a.w[i]-1000000)*(a.w[i]-1000000) for i in range(1, ${d + 1})], (x,y) -> x+y) AS n2
+         |  FROM a${iters + 1} a)""".stripMargin,
+      s"""p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+         |    list_reduce([CAST(0 AS BIGINT)] + [a.q[i]*b.q[i] for i in range(1, ${d + 1})], (x,y) -> x+y) AS dd,
+         |    a.n2 AS na, b.n2 AS nb
+         |  FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)""".stripMargin,
+      s"""f AS (SELECT va, vb FROM p
+         |  WHERE CAST(dd AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= $tau)""".stripMargin,
+      "dup AS (SELECT vb AS vec_id, COUNT(*) AS n_dups FROM f GROUP BY 1)"))
+      .mkString("WITH ", ",\n", "") +
+      """
+        |SELECT m.vec_id, CAST(m.cluster AS INTEGER) AS cluster,
+        |  CAST(COALESCE(dup.n_dups, 0) AS BIGINT) AS n_dups,
+        |  CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+        |FROM m LEFT JOIN dup USING (vec_id) ORDER BY vec_id""".stripMargin
+
+  /** The Lloyd CTE chain shared by the q105 and q107 oracles —
+    * c0 seeds through the final assignment a{iters+1}.
+    */
+  private def kmeansCtes(k: Int, iters: Int, d: Int): Seq[String] = {
     val head = Seq(
-      """WITH e AS (SELECT vec_id,
+      """e AS (SELECT vec_id,
         |    [CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) + 1000000 for x in embedding] AS w
         |  FROM embeddings)""".stripMargin,
       """u AS (SELECT vec_id, w,
@@ -1720,10 +1815,7 @@ object SparkEntry {
         else Nil
       assign ++ update
     }
-    (head ++ rounds).mkString(",\n") +
-      s"""
-         |SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, dist2
-         |FROM a${iters + 1} ORDER BY vec_id""".stripMargin
+    head ++ rounds
   }
 
   private def bpeEncodeOracle(rounds: Int): String =

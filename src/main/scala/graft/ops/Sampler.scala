@@ -122,4 +122,52 @@ object Sampler {
     */
   def weightedPriorityKey(id: Column, weight: Column): Column =
     uniformKnuth(id) / weight.cast("double")
+
+  /** Temperature-weighted source mixing (α = 0.5): draw a total
+    * budget of `1/num` of the corpus, allocated across strata
+    * proportionally to √count — the classic temperature re-weighting
+    * that upsamples small sources relative to their natural share
+    * (multilingual/LLM mixture sampling à la GPT-3 / mT5 appendix
+    * recipes). α = 0.5 specifically because its power function is
+    * `sqrt`, the one IEEE-correctly-rounded root — so with the
+    * quota arithmetic kept integer (`floor(sqrt(c))`, then
+    * `target·isq div Σisq`), the allocation is bit-reproducible in
+    * any engine, unlike a general `pow(c, α)` (see [[aresKey]]).
+    * Membership inside a stratum is the [[stratifiedFixedSample]]
+    * rule: smallest (uniformKnuth(id), id) first, up to the quota.
+    *
+    * Scale shape: the stratum-count frame is DRIVER-sized (one row
+    * per source — the kmeans-centroid shape), so the quotas come
+    * back as literals: the rank filter keeps a LITERAL bound
+    * (`rn ≤ max quota`), which is what lets Spark plan the window as
+    * WindowGroupLimit — each map task forwards only its local
+    * top-maxQuota per stratum instead of sorting the stratum (a
+    * column-valued bound would disable the rewrite). The corpus pays
+    * ONE shuffle on the stratum key; the exact per-stratum cut is a
+    * when-chain over the same literals. A stratum smaller than its
+    * quota just yields all its rows (the allocation of a tiny
+    * stratum can exceed its size — √-weighting upsamples small
+    * sources, it cannot mint rows).
+    */
+  def temperatureMix(df: DataFrame, stratum: String, idCol: String,
+      num: Int = 4): DataFrame = {
+    require(num > 0, s"num must be positive: $num")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(stratum)).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.get(0) -> r.getLong(1))
+    require(counts.nonEmpty, "temperatureMix on an empty corpus")
+    val isq = counts.map { case (s, c) => s -> math.sqrt(c.toDouble).toLong }
+    val t = isq.map(_._2).sum
+    val target = counts.map(_._2).sum / num
+    val quotas = isq.map { case (s, q) => s -> target * q / t }
+    val maxQ = quotas.map(_._2).max
+    val quotaFor = quotas.foldRight(lit(0L): Column) { case ((s, q), els) =>
+      when(col(stratum) === lit(s), lit(q)).otherwise(els)
+    }
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(col(stratum))
+          .orderBy(uniformKnuth(col(idCol)), col(idCol))))
+      .filter(col("__rn") <= lit(maxQ) && col("__rn") <= quotaFor)
+      .select(col(idCol), col(stratum))
+  }
 }

@@ -129,6 +129,41 @@ object Transforms {
     spine.join(df, Seq(tsCol), "left").na.fill(fill)
   }
 
+  /** Per-key daily LOCF resample — each key's value series re-gridded
+    * onto the full daily calendar between its first and last
+    * observation, missing days carried forward from the last observed
+    * day (last-observation-carried-forward — the interpolating
+    * counterpart of [[gapFill]]'s constant fill, and per-KEY where
+    * gapFill's spine is global). The observed value of a day is its
+    * LAST row by (tsCol, tieCol); carried values are copied verbatim
+    * (no arithmetic), so every output value is bit-identical to an
+    * input value. Returns (keyCol, day: date, value, filled: int).
+    *
+    * Scale shape: one shuffle keyed on `keyCol` (the daily
+    * aggregate); the span aggregate, calendar explode (bounded by the
+    * observed span), grid join and LOCF window all stay on that key —
+    * no global sort, no SinglePartition window, per-key state
+    * O(span).
+    */
+  def locfDaily(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df
+      .groupBy(col(keyCol), date_trunc("DAY", col(tsCol)).cast("date").as("day"))
+      .agg(max_by(col(valCol), struct(col(tsCol), col(tieCol))).as("__v"))
+    val grid = daily.groupBy(col(keyCol))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col(keyCol),
+        explode(transform(
+          sequence(col("lo"), col("hi"), expr("INTERVAL 1 DAY")),
+          d => d.cast("date"))).as("day"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+    grid.join(daily, Seq(keyCol, "day"), "left")
+      .select(col(keyCol), col("day"),
+        last(col("__v"), ignoreNulls = true).over(w).as("value"),
+        when(col("__v").isNull, lit(1)).otherwise(lit(0)).as("filled"))
+  }
+
   /** Cohort retention: group users by FIRST-activity day (their
     * cohort) and count distinct active users at each day offset from
     * it — the product-analytics staple. Returns

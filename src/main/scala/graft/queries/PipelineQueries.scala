@@ -338,6 +338,43 @@ object PipelineQueries {
         Tables.load(spark, dir, "embeddings"), k = 8, iters = 2)
       .orderBy("vec_id")
 
+  /** q107: SemDeDup semantic near-duplicate pruning — the q105
+    * Lloyd clusters (k=8, 2 integer rounds) followed by exact
+    * within-cluster quantized cosine at 0.40; each vector reports
+    * its cluster, how many lower-id cluster-mates it duplicates,
+    * and whether it is kept (the representative-selection step of a
+    * semantic-dedup pipeline). All-pairs cosine becomes one
+    * cluster-keyed equi-join.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.vector.KMeans.semanticDedup(
+        Tables.load(spark, dir, "embeddings"), k = 8, iters = 2,
+        minCos = 0.40)
+      .orderBy("vec_id")
+
+  /** q111: cross-document duplicated-span coverage — per document,
+    * how many token positions sit under an 8-gram that also occurs
+    * in ANOTHER document (overlap-unioned), the substring-dedup
+    * signal distinct from q44's intra-doc repetition. One gram-keyed
+    * hash aggregate; only the duplicated tail joins back.
+    */
+  def dupSpanCoverage(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.crossDocDupSpans(
+        Tables.load(spark, dir, "documents"), n = 8)
+      .orderBy("doc_id")
+
+  /** q112: temperature-weighted language mix — a quarter-corpus
+    * training mix allocated across languages ∝ √count (α = 0.5
+    * temperature sampling; all-integer quota arithmetic so the
+    * allocation is engine-exact), members chosen per language by
+    * the portable Knuth-uniform ranking.
+    */
+  def temperatureMixSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampler.temperatureMix(
+        Tables.load(spark, dir, "documents"), stratum = "lang",
+        idCol = "doc_id", num = 4)
+      .orderBy("doc_id")
+
   /** q106: supplier-cohesion triangles — per-node degree and
     * triangle count on the top-4 strongest-co-occurrence supplier
     * graph (suppliers sharing orders; Triangles.cooccurrenceKnnGraph

@@ -128,6 +128,33 @@ object TemporalQueries {
       .orderBy("hour")
   }
 
+  /** q108: per-user daily LOCF resample — each user's value series
+    * re-gridded onto the full daily calendar between their first and
+    * last observation, missing days carried forward from the last
+    * observed day (last-observation-carried-forward — the
+    * interpolating counterpart of q79's zero-fill). The observed
+    * value of a day is its LAST event by (ts, event_id); carried
+    * values are copied verbatim (no arithmetic), so every output
+    * double is bit-identical to an input double.
+    *
+    * Scale shape: one shuffle keyed on user_id (the daily
+    * aggregate); the span aggregate, calendar explode (bounded by
+    * the observed span), grid join and LOCF window all stay on that
+    * key — no global sort, no SinglePartition window, per-user state
+    * O(span).
+    */
+  def locfDaily(spark: SparkSession, dir: String): DataFrame = {
+    Transforms.locfDaily(Tables.load(spark, dir, "events"),
+        keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+        valCol = "value")
+      // string-rendered like q89's cohort_day: a DATE column
+      // hash-mismatches across engines' date representations
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("value"), col("filled"))
+      .orderBy("user_id", "day")
+  }
+
   /** q85: trailing z-score anomaly detection — flag events whose
     * value sits more than 2σ from the mean of the SAME user's
     * previous 20 events (a leading frame would leak the future; the

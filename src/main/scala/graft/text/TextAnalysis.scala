@@ -211,6 +211,62 @@ object TextAnalysis {
         size(col("__chunk")).as("chunk_len"))
   }
 
+  /** Cross-document duplicated-span coverage — the substring-level
+    * dedup signal of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better", the ExactSubstr criterion) at
+    * token-n-gram granularity: an n-gram is DUPLICATED when it
+    * occurs in more than one distinct document, and a document's
+    * duplicated-span coverage is the number of its token positions
+    * lying under at least one duplicated n-gram (overlapping spans
+    * union, not sum). Intra-document repetition is deliberately
+    * excluded — that is q44's repetition signal; this one flags
+    * boilerplate shared ACROSS documents, the spans substring-dedup
+    * would cut. One row per document:
+    * (idCol, n_tokens, dup_starts, covered, ratio).
+    *
+    * Scale shape (100 TB): positions explode the scan by ~n_tokens
+    * but stay partition-local; the n-gram frequency table is ONE
+    * hash aggregate keyed on the gram (partial aggregation bounds
+    * the shuffle at distinct-grams per partition); only grams with
+    * `nd > 1` — the small duplicated tail — survive into the
+    * equi-join back against the position stream; the span union is
+    * a bounded ×n Generate then a doc-keyed distinct count. No
+    * driver materialization, no broadcast of corpus-sized state.
+    */
+  def crossDocDupSpans(df: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    val tok = df.select(col(idCol), tokens(col(textCol)).as("__ts"))
+    // docs shorter than n have no starts — filtered BEFORE the
+    // sequence so it never runs backwards (sequence(1, 0) descends)
+    val ng = tok
+      .filter(size(col("__ts")) >= n)
+      .select(col(idCol),
+        explode(transform(
+          sequence(lit(1), size(col("__ts")) - n + 1),
+          i => struct(i.as("pos"),
+            array_join(slice(col("__ts"), i, lit(n)), " ").as("g")))).as("e"))
+      .select(col(idCol), col("e.pos").as("pos"), col("e.g").as("g"))
+    val dupGrams = ng.groupBy(col("g"))
+      .agg(count_distinct(col(idCol)).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("g"))
+    val dup = ng.join(dupGrams, Seq("g"))
+    val perDoc = dup
+      .select(col(idCol), col("pos"),
+        explode(sequence(col("pos"), col("pos") + n - 1)).as("cp"))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("pos")).as("dup_starts"),
+        count_distinct(col("cp")).as("covered"))
+    tok.select(col(idCol), size(col("__ts")).as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_starts"), lit(0L)).as("dup_starts"),
+        coalesce(col("covered"), lit(0L)).as("covered"),
+        (coalesce(col("covered"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("ratio"))
+  }
+
   /** TF-IDF term scoring with the top `k` terms kept per document —
     * the classic salient-term extractor (keyword tagging, near-dup
     * feature vectors, quality heuristics).

@@ -45,7 +45,16 @@ object KMeans {
     * `iters = 0` scores against the seeds themselves.
     */
   def lloydAssign(emb: DataFrame, k: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    lloydFit(emb, k, iters, idCol, vecCol)
+      .select("vec_id", "cluster", "dist2")
+
+  /** [[lloydAssign]] plus the shifted quantized vector `w` each row
+    * was clustered on — the input [[semanticDedup]] needs to score
+    * within-cluster pairs without a second scan of the corpus.
+    */
+  private def lloydFit(emb: DataFrame, k: Int, iters: Int,
+      idCol: String, vecCol: String): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(iters >= 0, s"iters must be non-negative: $iters")
     // shifted quantized corpus + its squared norm, one pass, reused
@@ -108,6 +117,55 @@ object KMeans {
         }
       }
     }
-    assigned(cents).select("vec_id", "cluster", "dist2")
+    assigned(cents)
+  }
+
+  /** SemDeDup-style semantic near-duplicate pruning (Abbas et al.
+    * 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): cluster the corpus with [[lloydAssign]]
+    * and mark, INSIDE each cluster, every vector whose exact
+    * quantized cosine to a lower-id cluster-mate reaches `minCos` —
+    * the lower id is the kept representative, the higher id the
+    * semantic duplicate. Output one row per vector:
+    * (vec_id, cluster, n_dups = lower-id in-cluster neighbors at or
+    * above the threshold, kept = 1 iff n_dups = 0).
+    *
+    * Exactness: assignments come from the bit-reproducible integer
+    * Lloyd rounds; pair similarity is the exact integer dot / norms
+    * of the UNSHIFTED 1e6-quantized grid (recovered from `w` by the
+    * translation, no second quantization pass) with one final double
+    * divide + sqrt — the q35 near-dup arithmetic, so the cosine is
+    * IEEE-identical in any engine.
+    *
+    * Scale shape (100 TB): this is WHY SemDeDup clusters first — the
+    * all-pairs O(n²) cosine becomes Σ|cluster|² work laid out as ONE
+    * equi-join on cluster id (at production scale k grows ∝ n to
+    * hold the per-cluster bound, exactly as [[VectorSearch.ivfCells]]
+    * scales its cell count). No broadcast of the corpus, no driver
+    * materialization; the duplicate counts are a second hash
+    * aggregate on the pair stream.
+    */
+  def semanticDedup(emb: DataFrame, k: Int, iters: Int, minCos: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = lloydFit(emb, k, iters, idCol, vecCol)
+      .select(col("vec_id"), col("cluster"),
+        transform(col("w"), x => x - lit(Shift)).as("q"))
+      .withColumn("n2", VectorSearch.norm2(col("q")))
+      .localCheckpoint() // reused by both sides of the pair join
+    val a = m.select(col("cluster"), col("vec_id").as("va"),
+      col("q").as("qa"), col("n2").as("na"))
+    val b = m.select(col("cluster"), col("vec_id").as("vb"),
+      col("q").as("qb"), col("n2").as("nb"))
+    val dups = a.join(b, Seq("cluster"))
+      .filter(col("va") < col("vb"))
+      .withColumn("cos", VectorSearch.cosine(
+        VectorSearch.dot(col("qa"), col("qb")), col("na"), col("nb")))
+      .filter(col("cos") >= minCos)
+      .groupBy(col("vb").as("vec_id"))
+      .agg(count(lit(1)).as("n_dups"))
+    m.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        when(col("n_dups").isNull, lit(1)).otherwise(lit(0)).as("kept"))
   }
 }

@@ -18,6 +18,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getInt(0) == 4 && r.getInt(1) == 3)
   }
 
+  test("crossDocDupSpans unions overlapping spans, ignores intra-doc repeats and short docs") {
+    // "a b c" is shared by d1/d2/d5; "b c d" by d1/d5 — in d1 and d5
+    // the two starts OVERLAP, so covered is the union {1..4} = 4,
+    // not 6. d3's only gram is unshared; d4 is below n. d6 repeats
+    // "m n o" twice INSIDE itself only — intra-doc repetition is
+    // q44's signal, not this one's.
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "x a b c y z"), (3L, "p q r"),
+      (4L, "s t"), (5L, "a b c d q t"), (6L, "m n o m n o")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.crossDocDupSpans(docs, n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1L, 6, 2L, 4L, 4.0 / 6), (2L, 6, 1L, 3L, 0.5),
+      (3L, 3, 0L, 0L, 0.0), (4L, 2, 0L, 0L, 0.0),
+      (5L, 6, 2L, 4L, 4.0 / 6), (6L, 6, 0L, 0L, 0.0)))
+
+    // partitioning-invariant (pure hash aggregates + equi-joins)
+    val re = TextAnalysis.crossDocDupSpans(docs.repartition(5), n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(re.toSeq == got.toSeq)
+
+    // the dup-gram join is an equi-join: no cartesian anywhere
+    val plan = TextAnalysis.crossDocDupSpans(docs, n = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("chunkDocuments slides overlapping windows, short docs yield one chunk") {
     val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6"), (2L, "a b"))
       .toDF("doc_id", "text")
@@ -462,6 +495,37 @@ class SamplerSpec extends AnyFunSuite {
       s"rank<=k must push partial top-k below the shuffle: $plan")
   }
 
+  test("temperatureMix: √count quotas, Knuth membership, WindowGroupLimit plan") {
+    import spark.implicits._
+    // strata A(9 docs) and B(4), num=2: isq 3/2, T=5, target=6 →
+    // quotas 6·3/5=3 and 6·2/5=2 — B holds 31% of the corpus but
+    // draws 40% of the mix (the small-source upsampling α=0.5 buys)
+    val rows = ((1L to 9L).map(i => (i, "A")) ++
+      (11L to 14L).map(i => (i, "B"))).toDF("doc_id", "src")
+    val got = Sampler.temperatureMix(rows, "src", "doc_id", num = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def u(id: Long) = (id * 2654435761L) % (1L << 32)
+    val expA = (1L to 9L).sortBy(i => (u(i), i)).take(3).toSet
+    val expB = (11L to 14L).sortBy(i => (u(i), i)).take(2).toSet
+    assert(got.filter(_._2 == "A").map(_._1).toSet == expA)
+    assert(got.filter(_._2 == "B").map(_._1).toSet == expB)
+
+    // a stratum smaller than its √-inflated quota yields all its
+    // rows and nothing more
+    val skew = ((100L until 200L).map(i => (i, "L")) :+ (5L, "S"))
+      .toDF("doc_id", "src")
+    val sk = Sampler.temperatureMix(skew, "src", "doc_id", num = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // isq 10/1, T=11, target=101 → quotas 91 and 9; S has only 1 row
+    assert(sk.count(_._2 == "L") == 91 && sk.count(_._2 == "S") == 1)
+
+    // the literal rank bound keeps the partial top-k rewrite alive
+    val plan = Sampler.temperatureMix(rows, "src", "doc_id", num = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rn<=maxQuota must plan as WindowGroupLimit: $plan")
+  }
+
   test("weighted priority: u/w formula, heavier rows win, TakeOrdered plan") {
     import spark.implicits._
     val rows = (0L until 400L).map(id => (id, if (id % 100 == 7) 10000L else 1L))
@@ -886,6 +950,63 @@ class KMeansSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), plan)
     assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("semanticDedup: pair logic matches an independent cosine, equi-join plan") {
+    val rnd = new scala.util.Random(7)
+    // 30 base vectors plus 6 planted near-copies (tiny jitter) —
+    // the copies must be flagged against their originals whenever
+    // clustering co-locates them
+    val base = (0L until 30L).map(id =>
+      (id, Seq.fill(6)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val copies = (0 until 6).map { i =>
+      val (src, emb) = base(i * 4)
+      (100L + src, emb.map(x => (x + 0.001f * (i + 1))))
+    }
+    val df = (base ++ copies).toDF("vec_id", "embedding")
+    val minCos = 0.98
+
+    val got = graft.vector.KMeans
+      .semanticDedup(df, k = 3, iters = 2, minCos = minCos)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getInt(3))))
+      .toMap
+    assert(got.size == 36)
+
+    // independent reference for the pair/keep step: same clusters
+    // (lloydAssign is pinned by the tests above), cosine recomputed
+    // from scratch on the quantized grid in plain Scala
+    val cluster = graft.vector.KMeans.lloydAssign(df, k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val qv = (base ++ copies).map { case (id, emb) =>
+      id -> emb.map(x => math.round(x.toDouble * 1e6)).toArray
+    }.toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d.toDouble / math.sqrt(a.map(x => x * x).sum.toDouble *
+        b.map(x => x * x).sum.toDouble)
+    }
+    val ids = qv.keys.toSeq.sorted
+    val wantDups = ids.map { b =>
+      b -> ids.count(a => a < b && cluster(a) == cluster(b) &&
+        cos(qv(a), qv(b)) >= minCos).toLong
+    }.toMap
+    for (id <- ids) {
+      val (cl, nd, kept) = got(id)
+      assert(cl == cluster(id), s"cluster of $id")
+      assert(nd == wantDups(id), s"n_dups of $id: got $nd want ${wantDups(id)}")
+      assert(kept == (if (nd == 0L) 1 else 0), s"kept of $id")
+    }
+    assert(got.values.count(_._3 == 0) >= 4,
+      "planted near-copies must be dropped")
+
+    // all-pairs only WITHIN a cluster: the pair stage is an
+    // equi-join on the cluster id, never a cartesian
+    val plan = graft.vector.KMeans
+      .semanticDedup(df, k = 3, iters = 2, minCos = minCos)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 }
 

@@ -132,6 +132,40 @@ class GapFillSpec extends AnyFunSuite {
     assert(Transforms.gapFill(counts.where(lit(false)), "h", "1 HOUR",
       Map("n" -> 0L)).count() == 0)
   }
+
+  test("locfDaily carries the day's LAST value forward per key, spans stay per-key") {
+    // user 1: Jan 1 has two events (14:00 wins by ts), Jan 2-3 gap,
+    // Jan 4 observed; user 2: a single day (no fill rows at all) —
+    // its span must not borrow user 1's calendar
+    val ev = Seq(
+      (101L, ts("2024-01-01 10:00:00"), 1L, 10.0),
+      (102L, ts("2024-01-01 14:00:00"), 1L, 11.5),
+      (103L, ts("2024-01-04 09:00:00"), 1L, 12.0),
+      (104L, ts("2024-01-02 08:00:00"), 2L, 99.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val got = Transforms.locfDaily(ev, "user_id", "ts", "event_id", "value")
+      .orderBy("user_id", "day").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2),
+        r.getInt(3)))
+    assert(got.toSeq == Seq(
+      (1L, "2024-01-01", 11.5, 0), (1L, "2024-01-02", 11.5, 1),
+      (1L, "2024-01-03", 11.5, 1), (1L, "2024-01-04", 12.0, 0),
+      (2L, "2024-01-02", 99.0, 0)))
+
+    // equal-ts tie goes to the larger tiebreak id
+    val tie = Seq(
+      (7L, ts("2024-01-01 10:00:00"), 1L, 1.0),
+      (8L, ts("2024-01-01 10:00:00"), 1L, 2.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val tgot = Transforms.locfDaily(tie, "user_id", "ts", "event_id", "value")
+      .collect().map(r => r.getDouble(2))
+    assert(tgot.toSeq == Seq(2.0))
+
+    // no SinglePartition window: the LOCF window is keyed
+    val plan = Transforms.locfDaily(ev, "user_id", "ts", "event_id", "value")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
 }
 
 class AnomalySpec extends AnyFunSuite {
