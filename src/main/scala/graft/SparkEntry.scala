@@ -139,6 +139,8 @@ object SparkEntry {
     "q105_kmeans"           -> PipelineQueries.kmeansClusters _,
     "q107_semantic_dedup"   -> PipelineQueries.semanticDedup _,
     "q108_locf_daily"       -> TemporalQueries.locfDaily _,
+    "q109_bm25_topk"        -> PipelineQueries.bm25Retrieval _,
+    "q110_url_dedup"        -> PipelineQueries.urlDedup _,
     "q111_dup_spans"        -> PipelineQueries.dupSpanCoverage _,
     "q112_temperature_mix"  -> PipelineQueries.temperatureMixSample _,
     "q106_triangles"        -> PipelineQueries.supplierTriangles _,
@@ -1641,6 +1643,82 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
         |  CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INTEGER) AS filled
         |FROM j ORDER BY user_id, day""".stripMargin,
+    // q109: the identical BM25 chain — idf rounded ONCE to integer
+    // micro-nats (exact-integer ratio into ln, so both engines see
+    // the same double; the rounding absorbs last-ulp ln drift), each
+    // (doc, term) contribution rounded ONCE to a long, exact-integer
+    // score sum, rank by (score desc, doc_id)
+    "q109_bm25_topk" ->
+      """WITH q(query_id, token) AS (VALUES
+        |    (1,'spark'),(1,'table'),(1,'scan'),
+        |    (2,'fast'),(2,'merge'),(2,'batch'),
+        |    (3,'customer'),(3,'order'),(3,'value'),
+        |    (4,'vector'),(4,'stream')),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+        |       WHERE token IN (SELECT DISTINCT token FROM q) GROUP BY 1, 2),
+        |tot AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+        |               (SELECT COUNT(*) FROM tok) AS t_total),
+        |idf AS (SELECT token, CAST(floor(ln(1.0 +
+        |      (CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS idf_micro
+        |    FROM (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1), tot),
+        |c AS (SELECT q.query_id, tf.doc_id,
+        |    CAST(floor(CAST(idf_micro AS DOUBLE) *
+        |      (CAST(tf AS DOUBLE) * 2.2 / (CAST(tf AS DOUBLE) + 1.2 *
+        |        (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) /
+        |          (CAST(t_total AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        |      + 0.5) AS BIGINT) AS c_micro
+        |  FROM tf JOIN idf USING (token) JOIN dl USING (doc_id)
+        |    JOIN q USING (token), tot),
+        |s AS (SELECT query_id, doc_id, CAST(SUM(c_micro) AS BIGINT) AS score_micro
+        |      FROM c GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score_micro,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score_micro DESC, doc_id) AS rnk FROM s)
+        |SELECT CAST(query_id AS INTEGER) AS query_id, CAST(rnk AS INTEGER) AS rnk,
+        |  doc_id, score_micro
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    // q110: the raw-URL synthesis and the six canonicalization
+    // passes replayed verbatim (RE2-safe patterns, \1 refs, the 'g'
+    // flag standing in for Spark's replace-all default)
+    "q110_url_dedup" ->
+      """WITH raw AS (SELECT
+        |    (CASE WHEN o_orderkey % 11 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+        |    (CASE WHEN o_orderkey % 5 = 0 THEN 'www.' ELSE '' END) ||
+        |    (CASE WHEN o_orderkey % 11 = 0
+        |       THEN 'SHOP' || CAST(o_custkey % 10 AS VARCHAR) || '.EXAMPLE.COM'
+        |       ELSE 'shop' || CAST(o_custkey % 10 AS VARCHAR) || '.example.com' END) ||
+        |    (CASE WHEN o_orderkey % 7 = 0 THEN ':443' ELSE '' END) ||
+        |    '/cat/' || CAST(o_orderkey % 5 AS VARCHAR) ||
+        |    '/p' || CAST(o_orderkey % 40 AS VARCHAR) ||
+        |    (CASE WHEN o_orderkey % 3 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN o_orderkey % 9 = 0 THEN '?utm_campaign=c&' ELSE '?' END) ||
+        |    'item=' || CAST(o_orderkey % 8 AS VARCHAR) ||
+        |    (CASE WHEN o_orderkey % 2 = 0 THEN '&utm_source=news' ELSE '' END) ||
+        |    (CASE WHEN o_custkey % 4 = 0 THEN '&ref=r1' ELSE '' END) ||
+        |    (CASE WHEN o_orderkey % 13 = 0 THEN '#frag' ELSE '' END) AS raw,
+        |    o_orderkey AS key
+        |  FROM orders),
+        |s1 AS (SELECT key, raw, regexp_replace(raw, '#.*', '', 'g') AS u FROM raw),
+        |s2 AS (SELECT key, raw,
+        |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
+        |    substr(u, length(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) + 1) AS u
+        |  FROM s1),
+        |s3 AS (SELECT key, raw, regexp_replace(regexp_replace(u,
+        |    '^(https://[^/?#:]*):443([/?#].*)?$', '\1\2'),
+        |    '^(http://[^/?#:]*):80([/?#].*)?$', '\1\2') AS u FROM s2),
+        |s4 AS (SELECT key, raw, regexp_replace(u, '^(https?://)www\.', '\1') AS u FROM s3),
+        |s5 AS (SELECT key, raw, regexp_replace(regexp_replace(regexp_replace(u,
+        |    '&(utm_[^&#]*|ref=[^&#]*|fbclid=[^&#]*|gclid=[^&#]*)', '', 'g'),
+        |    '\?(utm_[^&#]*|ref=[^&#]*|fbclid=[^&#]*|gclid=[^&#]*)&', '?', 'g'),
+        |    '\?(utm_[^&#]*|ref=[^&#]*|fbclid=[^&#]*|gclid=[^&#]*)$', '', 'g') AS u
+        |  FROM s4),
+        |s6 AS (SELECT key, raw, regexp_replace(u, '/+(\?.*)?$', '\1', 'g') AS url FROM s5)
+        |SELECT url, COUNT(*) AS n_raw, COUNT(DISTINCT raw) AS n_variants,
+        |  MIN(key) AS first_key
+        |FROM s6 GROUP BY url ORDER BY url""".stripMargin,
     // q111: same 8-gram spans — 1-based inclusive slices match
     // Spark's slice(ts, i, n); the span union is COUNT(DISTINCT
     // pos + o) over the 0..n-1 offset table

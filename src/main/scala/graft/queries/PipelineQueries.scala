@@ -375,6 +375,63 @@ object PipelineQueries {
         idCol = "doc_id", num = 4)
       .orderBy("doc_id")
 
+  /** q109: BM25 keyword retrieval — four fixed term queries against
+    * the documents corpus, top-10 per query by the Lucene-form BM25
+    * (k1 = 1.2, b = 0.75), idf and per-term contributions in exact
+    * integer micro units (Bm25.topK's determinism discipline).
+    * Inverted-index shape: postings pruned to the query terms at the
+    * scan, one doc-keyed shuffle, literal-bound top-k.
+    */
+  def bm25Retrieval(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Bm25.topK(Tables.load(spark, dir, "documents"),
+        queries = Bm25Queries, k = 10)
+      .orderBy("query_id", "rnk")
+
+  /** The fixed q109 query workload (terms from the corpus vocab). */
+  val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("spark", "table", "scan"),
+    2 -> Seq("fast", "merge", "batch"),
+    3 -> Seq("customer", "order", "value"),
+    4 -> Seq("vector", "stream"))
+
+  /** q110: URL canonicalization dedup — a noisy synthetic crawl of
+    * order-page URLs (case aliases, default ports, `www.`, tracking
+    * params, fragments, trailing slashes — all derived from orders
+    * columns so the oracle can rebuild the identical raw strings)
+    * folded onto canonical form; per canonical URL the raw hit
+    * count, the distinct-alias count, and the kept representative
+    * (lowest order key) — the URL-level first pass of a web-corpus
+    * dedup pipeline. Per-row regex canonicalization (zero shuffle)
+    * plus ONE canonical-keyed aggregate.
+    */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val k = col("o_orderkey")
+    val c = col("o_custkey")
+    val raw = concat(
+      when(k % 11 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+      when(k % 5 === 0, lit("www.")).otherwise(lit("")),
+      when(k % 11 === 0,
+        concat(lit("SHOP"), (c % 10).cast("string"), lit(".EXAMPLE.COM")))
+        .otherwise(
+          concat(lit("shop"), (c % 10).cast("string"), lit(".example.com"))),
+      when(k % 7 === 0, lit(":443")).otherwise(lit("")),
+      lit("/cat/"), (k % 5).cast("string"),
+      lit("/p"), (k % 40).cast("string"),
+      when(k % 3 === 0, lit("/")).otherwise(lit("")),
+      when(k % 9 === 0, lit("?utm_campaign=c&")).otherwise(lit("?")),
+      lit("item="), (k % 8).cast("string"),
+      when(k % 2 === 0, lit("&utm_source=news")).otherwise(lit("")),
+      when(c % 4 === 0, lit("&ref=r1")).otherwise(lit("")),
+      when(k % 13 === 0, lit("#frag")).otherwise(lit("")))
+    o.select(WebAnalysis.canonicalizeUrl(raw).as("url"), raw.as("raw"), k.as("key"))
+      .groupBy(col("url"))
+      .agg(count(lit(1)).as("n_raw"),
+        countDistinct(col("raw")).as("n_variants"),
+        min(col("key")).as("first_key"))
+      .orderBy("url")
+  }
+
   /** q106: supplier-cohesion triangles — per-node degree and
     * triangle count on the top-4 strongest-co-occurrence supplier
     * graph (suppliers sharing orders; Triangles.cooccurrenceKnnGraph
