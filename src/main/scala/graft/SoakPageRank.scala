@@ -37,6 +37,9 @@ object SoakPageRank {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // testdata timestamps are naive timestamp[us]; read them as
+      // session-zone TIMESTAMP (the pre-regeneration type), not NTZ
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

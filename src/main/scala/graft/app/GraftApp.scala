@@ -665,6 +665,10 @@ object GraftApp {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
+      // naive parquet timestamp[us] reads as session-zone TIMESTAMP
+      // (pre-Spark-4 behavior), not NTZ — the CDC envelope and
+      // watermark paths require TIMESTAMP
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     val result = run(spark, parse(args.toIndexedSeq))
     result.ddl.foreach(println)
