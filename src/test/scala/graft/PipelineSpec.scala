@@ -294,6 +294,113 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
   }
+
+  test("canonicalizeUrl folds each alias class, leaves real variants alone") {
+    def canon(raw: String): String =
+      one(raw).select(text.WebAnalysis.canonicalizeUrl($"t")).head().getString(0)
+    // every alias class at once: scheme/authority case (path case is
+    // CONTENT and must survive), default port, www, tracking params in
+    // leading/middle/only position, fragment, trailing slash
+    assert(canon("HTTPS://WWW.Shop1.Example.COM:443/Cat/3/p5/?utm_source=x&item=2&utm_campaign=c#frag")
+      == "https://shop1.example.com/Cat/3/p5?item=2")
+    assert(canon("http://example.com:80/a") == "http://example.com/a")
+    assert(canon("https://example.com/path/?utm_campaign=only")
+      == "https://example.com/path")
+    assert(canon("https://example.com/") == "https://example.com")
+    assert(canon("https://example.com/a?ref=r1&x=1&fbclid=z")
+      == "https://example.com/a?x=1")
+    // NON-aliases must not fold: explicit non-default port, https on
+    // :80 (not its default), ref-ish text in the path, mid-host www
+    assert(canon("http://example.com:8080/a") == "http://example.com:8080/a")
+    assert(canon("https://example.com:80/a") == "https://example.com:80/a")
+    assert(canon("https://example.com/ref=r1/x") == "https://example.com/ref=r1/x")
+    assert(canon("https://wwwx.example.com/a") == "https://wwwx.example.com/a")
+  }
+
+  test("crossDocDupSpans: overlap-unioned coverage, only cross-doc grams count") {
+    // n=3 grams; docs 1/2 share "x y z" and "y z w" (two overlapping
+    // starts), doc 3's gram is unique, doc 4 is shorter than n
+    val docs = Seq(
+      (1L, "x y z w q"), (2L, "a x y z w"), (3L, "p q r"), (4L, "u v"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.crossDocDupSpans(docs, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // doc 1: starts {1,2} cover positions {1,2,3}∪{2,3,4} = 4 of 5
+    assert(got(1L) == ((5, 2L, 4L, 0.8)))
+    // doc 2: starts {2,3} cover {2,3,4}∪{3,4,5} = 4 of 5
+    assert(got(2L) == ((5, 2L, 4L, 0.8)))
+    // a gram occurring twice in ONE doc only is not a cross-doc dup
+    assert(got(3L) == ((3, 0L, 0L, 0.0)))
+    assert(got(4L) == ((2, 0L, 0L, 0.0)))
+  }
+}
+
+class Bm25Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // Driver-side sequential recompute of Bm25.topK's model — the same
+  // rounding discipline (idf and per-(doc,term) contribution each
+  // rounded once to integer micro units) but none of the distributed
+  // machinery, so it cross-checks the join/aggregate plumbing.
+  private def refScores(corpus: Seq[(Long, String)],
+      query: Seq[String]): Map[Long, Long] = {
+    val toks = corpus.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    val n = corpus.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    val terms = query.distinct
+    def idfMicro(t: String): Long = {
+      val df = toks.values.count(_.contains(t)).toDouble
+      math.floor(math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * 1e6 + 0.5).toLong
+    }
+    toks.flatMap { case (id, ts) =>
+      val dl = ts.size.toDouble
+      val norm = 1.0 - 0.75 + 0.75 * dl / avgdl
+      val s = terms.map { t =>
+        val tf = ts.count(_ == t).toDouble
+        if (tf == 0) 0L
+        else math.floor(idfMicro(t) * (tf * 2.2 / (tf + 1.2 * norm)) + 0.5).toLong
+      }.sum
+      if (s > 0) Some(id -> s) else None
+    }
+  }
+
+  test("scores match a sequential recompute; rank ties break on doc id") {
+    val corpus = Seq((1L, "a b a"), (2L, "a c"), (3L, "b b b c"))
+    val queries = Seq(1 -> Seq("a", "b"), 2 -> Seq("c"))
+    val got = graft.text.Bm25.topK(corpus.toDF("doc_id", "text"), queries, k = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val byQ = got.groupBy(_._1)
+    for ((qid, ts) <- queries) {
+      val exp = refScores(corpus, ts).toSeq
+        .sortBy { case (id, s) => (-s, id) }
+        .zipWithIndex.map { case ((id, s), i) => (qid, i + 1, id, s) }
+      assert(byQ(qid).sortBy(_._2).toSeq == exp, s"query $qid")
+    }
+    // duplicate terms in one query must not double-count
+    val dup = graft.text.Bm25.topK(corpus.toDF("doc_id", "text"),
+      Seq(9 -> Seq("c", "c")), k = 3)
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(dup == refScores(corpus, Seq("c")))
+  }
+
+  test("k bounds each query's rows; plan is top-k + broadcast, not a global sort") {
+    val corpus = (1L to 40L).map(i =>
+      i -> (if (i % 2 == 0) "a b" else "a")).toSeq
+    val df = graft.text.Bm25.topK(corpus.toDF("doc_id", "text"),
+      Seq(1 -> Seq("a"), 2 -> Seq("b")), k = 5)
+    val rows = df.collect()
+    assert(rows.count(_.getInt(0) == 1) == 5)
+    assert(rows.count(_.getInt(0) == 2) == 5)
+    val plan = df.queryExecution.executedPlan.toString
+    // literal rank bound → partial top-k below the exchange; the
+    // df/idf and query tables must come in as broadcasts
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
 
 class DedupSpec extends AnyFunSuite {
