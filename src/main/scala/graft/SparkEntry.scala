@@ -144,6 +144,9 @@ object SparkEntry {
     "q111_dup_spans"        -> PipelineQueries.dupSpanCoverage _,
     "q112_temperature_mix"  -> PipelineQueries.temperatureMixSample _,
     "q106_triangles"        -> PipelineQueries.supplierTriangles _,
+    "q113_substr_dedup"     -> PipelineQueries.substrDedup _,
+    "q114_gopher_rules"     -> PipelineQueries.gopherRules _,
+    "q115_ppl_buckets"      -> PipelineQueries.perplexityBuckets _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1779,6 +1782,88 @@ object SparkEntry {
         |SELECT deg.node, deg.d AS degree,
         |  CAST(COALESCE(tc.triangles, 0) AS BIGINT) AS triangles
         |FROM deg LEFT JOIN tc USING (node) ORDER BY deg.node""".stripMargin,
+    // q113: q111's gram machinery + owner = MIN(doc_id); positions
+    // under a gram owned by a smaller id are cut, survivors
+    // string_agg back in position order ('' when nothing survives)
+    "q113_substr_dedup" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |pos AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 8 + 2)) AS i FROM tok WHERE len(ts) >= 8),
+        |ng AS (SELECT doc_id, i AS pos, list_aggregate(ts[i:i+7], 'string_agg', ' ') AS g FROM pos),
+        |own AS (SELECT g, MIN(doc_id) AS owner FROM ng GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1),
+        |cut AS (SELECT DISTINCT ng.doc_id, ng.pos + o AS cp
+        |        FROM ng JOIN own USING (g), range(0, 8) r(o) WHERE ng.doc_id > own.owner),
+        |rm AS (SELECT doc_id, COUNT(*) AS n_removed FROM cut GROUP BY 1),
+        |allpos AS (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM tok),
+        |kept AS (SELECT a.doc_id, string_agg(a.ts[a.i], ' ' ORDER BY a.i) AS text_dedup
+        |         FROM allpos a LEFT JOIN cut c ON c.doc_id = a.doc_id AND c.cp = a.i
+        |         WHERE c.cp IS NULL GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.ts) AS INTEGER) AS n_tokens,
+        |  CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(k.text_dedup, '') AS text_dedup
+        |FROM tok t LEFT JOIN rm r USING (doc_id) LEFT JOIN kept k USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+    // q114: every ratio goes through the shared floor-round6 BEFORE
+    // the threshold comparison, so a boundary-landing ratio cannot
+    // split the engines; pass is the q107-style INTEGER 0/1
+    "q114_gopher_rules" ->
+      """WITH f AS (SELECT doc_id, text AS t, string_split(text, ' ') AS ts,
+        |    string_split(text, chr(10)) AS ls FROM documents),
+        |sig AS (SELECT doc_id,
+        |    CAST(len(ts) AS INTEGER) AS n_words,
+        |    floor(CAST(list_aggregate(list_transform(ts, x -> len(x)), 'sum') AS DOUBLE)
+        |      / CAST(len(ts) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS mean_word_len,
+        |    floor(CAST(len(regexp_extract_all(t, '#|\.\.\.')) AS DOUBLE)
+        |      / CAST(len(ts) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS symbol_ratio,
+        |    floor(CAST(len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE)
+        |      / CAST(len(ls) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS bullet_ratio,
+        |    floor(CAST(len(list_filter(ls, l -> regexp_matches(l, '\.\.\.\s*$'))) AS DOUBLE)
+        |      / CAST(len(ls) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS ellipsis_ratio,
+        |    floor(CAST(len(list_filter(ts, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+        |      / CAST(len(ts) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS alpha_word_ratio,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      s -> list_contains(ts, s))) AS INTEGER) AS stop_hits
+        |  FROM f)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+        |  ellipsis_ratio, alpha_word_ratio, stop_hits,
+        |  CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+        |    AND ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+        |    AND stop_hits >= 2 THEN 1 ELSE 0 END AS INTEGER) AS pass
+        |FROM sig ORDER BY doc_id""".stripMargin,
+    // q115: the q102 chain + language join + NTILE(3) ordered by the
+    // deterministic (avg_surprisal, doc_id) key
+    "q115_ppl_buckets" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(text,' ')) AS token FROM documents),
+        |counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        |vocab AS (SELECT token, cnt FROM (
+        |    SELECT token, cnt,
+        |      ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS id
+        |    FROM counts) WHERE id <= 64),
+        |tot AS (SELECT COUNT(*) AS n_total FROM tok),
+        |scored AS (SELECT t.doc_id,
+        |    CAST(floor(-ln(CAST(COALESCE(v.cnt, 0) + 1 AS DOUBLE) /
+        |        CAST(n_total + 64 + 1 AS DOUBLE)) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS smicro
+        |  FROM tok t LEFT JOIN vocab v USING (token) CROSS JOIN tot),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |    CAST(SUM(smicro) AS BIGINT) AS smicro
+        |  FROM scored GROUP BY 1),
+        |ppl AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CAST(smicro AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000000.0
+        |      AS avg_surprisal,
+        |    floor(exp(CAST(smicro AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |        / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS ppl
+        |  FROM agg),
+        |b AS (SELECT d.doc_id, d.lang, p.n_tokens, p.avg_surprisal, p.ppl,
+        |    CAST(NTILE(3) OVER (PARTITION BY d.lang
+        |      ORDER BY p.avg_surprisal, d.doc_id) AS INTEGER) AS bucket
+        |  FROM documents d JOIN ppl p USING (doc_id))
+        |SELECT doc_id, lang, n_tokens, avg_surprisal, ppl, bucket,
+        |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 3 THEN 'tail'
+        |    ELSE 'middle' END AS bucket_name
+        |FROM b ORDER BY doc_id""".stripMargin,
   )
 
   /** The shared CTE chain mirroring Bpe.trainWithReprs: round k

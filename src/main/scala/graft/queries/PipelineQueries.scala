@@ -304,6 +304,42 @@ object PipelineQueries {
         Tables.load(spark, dir, "documents"), v = 64)
       .orderBy("doc_id")
 
+  /** q113: cross-document substring-dedup REWRITE — the q111
+    * measurement turned into the actual cut (TextAnalysis
+    * .substrDedupCut): every token position under an 8-gram shared
+    * with a lower-id document is removed and the survivors
+    * reassembled in order; the minimum-id document keeps its copy.
+    * The Lee et al. 2022 ExactSubstr dedup at n-gram granularity,
+    * first-occurrence-by-id so a retry rewrites identically.
+    */
+  def substrDedup(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.substrDedupCut(
+        Tables.load(spark, dir, "documents"), n = 8)
+      .orderBy("doc_id")
+
+  /** q114: Gopher quality-rule battery — the Rae et al. 2021
+    * document filters (word count, mean word length, symbol ratio,
+    * bullet/ellipsis line ratios, alphabetic-word ratio, stopword
+    * presence) as per-row codegen'd signals plus the 0/1 verdict.
+    * Ratios round through the shared fixed-point form BEFORE
+    * thresholding on both engines.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherQuality(
+        Tables.load(spark, dir, "documents"))
+      .orderBy("doc_id")
+
+  /** q115: CCNet perplexity buckets — q102's unigram scores split
+    * per language into head/middle/tail NTILE(3) bands
+    * (LanguageModel.perplexityBuckets), the Wenzek et al. 2020
+    * quality-tier assignment that decides which slice of a crawl
+    * enters the training mix.
+    */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame =
+    graft.text.LanguageModel.perplexityBuckets(
+        Tables.load(spark, dir, "documents"), v = 64, buckets = 3)
+      .orderBy("doc_id")
+
   /** q103: BPE tokenizer training — 8 merge rounds of Sennrich's
     * byte-pair encoding over the corpus (Bpe.trainMerges: ONE
     * corpus-sized aggregate builds the word-frequency table, every

@@ -71,4 +71,42 @@ object LanguageModel {
       (floor(exp(avgSurprisal) * lit(1e6) + lit(0.5)).cast("double") /
         lit(1e6)).as("ppl"))
   }
+
+  /** CCNet-style perplexity bucketing: every document scored by
+    * [[unigramPerplexity]] and split per group (language, in CCNet)
+    * into `buckets` equal-size quantile bands by NTILE — bucket 1 is
+    * "head" (lowest perplexity, most in-distribution), the last is
+    * "tail" (Wenzek et al. 2020 keep head+middle and drop or
+    * downweight tail). Returns (idCol, groupCol, n_tokens,
+    * avg_surprisal, ppl, bucket, bucket_name).
+    *
+    * Determinism: NTILE runs on (avg_surprisal, id) — avg_surprisal
+    * is one correctly-rounded division of the exact integer
+    * micro-nat sum on both engines, and the id tiebreak pins
+    * documents with identical token multisets to one order.
+    *
+    * Scale shape: the scoring cost is [[unigramPerplexity]]'s; the
+    * bucketing adds ONE group-keyed shuffle of the doc-sized score
+    * frame. Group cardinality (languages) is small, so the window
+    * sort is the per-group doc count — for skewed corpora the NTILE
+    * boundary could be replaced by approx quantile cutpoints, but
+    * exact NTILE keeps the oracle contract bit-exact.
+    */
+  def perplexityBuckets(df: DataFrame, v: Int, buckets: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      groupCol: String = "lang"): DataFrame = {
+    require(buckets > 1, s"buckets must be > 1: $buckets")
+    val scored = unigramPerplexity(df, v, idCol, textCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("avg_surprisal"), col(idCol))
+    df.select(col(idCol), col(groupCol))
+      .join(scored, Seq(idCol))
+      .withColumn("bucket", ntile(buckets).over(w))
+      .withColumn("bucket_name",
+        when(col("bucket") === 1, lit("head"))
+          .when(col("bucket") === buckets, lit("tail"))
+          .otherwise(lit("middle")))
+      .select(col(idCol), col(groupCol), col("n_tokens"),
+        col("avg_surprisal"), col("ppl"), col("bucket"), col("bucket_name"))
+  }
 }

@@ -267,6 +267,124 @@ object TextAnalysis {
           col("n_tokens").cast("double")).as("ratio"))
   }
 
+  /** Cross-document duplicated-span CUT — the rewrite step on top of
+    * [[crossDocDupSpans]]'s measurement: every token position lying
+    * under an n-gram that also occurs in a LOWER-id document is
+    * removed, and the surviving tokens are reassembled in order (the
+    * ExactSubstr deduplication of Lee et al. 2022 at token-n-gram
+    * granularity, with "keep the first occurrence" resolved by
+    * document id — deterministic, so a retried partition rewrites
+    * identically). The minimum-id document owning a gram keeps ALL
+    * its occurrences; intra-document repetition is q44's signal, not
+    * this op's. One row per document:
+    * (idCol, n_tokens, n_removed, text_dedup).
+    *
+    * Scale shape (100 TB): same position stream and gram aggregate
+    * as [[crossDocDupSpans]] (partial aggregation bounds the gram
+    * shuffle); only grams shared across documents survive into the
+    * join, and only documents that actually lose spans carry a
+    * removal set — built by ONE doc-keyed collect_set bounded by the
+    * document's own length. Reassembly is per-row array work
+    * (transform + filter + array_join) inside the final projection;
+    * no global sort, no driver state.
+    */
+  def substrDedupCut(df: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    val tok = df.select(col(idCol), tokens(col(textCol)).as("__ts"))
+    val ng = tok
+      .filter(size(col("__ts")) >= n)
+      .select(col(idCol),
+        explode(transform(
+          sequence(lit(1), size(col("__ts")) - n + 1),
+          i => struct(i.as("pos"),
+            array_join(slice(col("__ts"), i, lit(n)), " ").as("g")))).as("e"))
+      .select(col(idCol), col("e.pos").as("pos"), col("e.g").as("g"))
+    // a gram's owner is the smallest id among the documents carrying
+    // it; grams confined to one document never leave the aggregate
+    val owners = ng.groupBy(col("g"))
+      .agg(min(col(idCol)).as("__owner"),
+        count_distinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > 1)
+      .select(col("g"), col("__owner"))
+    // distinct removed positions per doc; collect_set dedups, so the
+    // overlapping spans union without a separate distinct shuffle
+    val rm = ng.join(owners, Seq("g"))
+      .filter(col(idCol) > col("__owner"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + n - 1)).as("cp"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("cp")).as("__rm"))
+    val rmArr = coalesce(col("__rm"), array().cast("array<int>"))
+    val withPos = transform(col("__ts"),
+      (t, i) => struct((i + 1).as("p"), t.as("t")))
+    val kept = filter(withPos, s => !array_contains(rmArr, s("p")))
+    tok.join(rm, Seq(idCol), "left")
+      .select(col(idCol), size(col("__ts")).as("n_tokens"),
+        size(rmArr).cast("bigint").as("n_removed"),
+        array_join(transform(kept, s => s("t")), " ").as("text_dedup"))
+  }
+
+  // --------------------------------------------------------------
+  // Gopher quality-rule battery (Rae et al. 2021, appendix A1.1) —
+  // the canonical public document-level filter set a pretraining
+  // pipeline applies before any model-based scoring. Every signal is
+  // a per-row codegen'd expression: zero shuffle, one scan at any
+  // corpus size. Ratios go through round6 BEFORE thresholding on
+  // BOTH sides, so a ratio landing exactly on a threshold cannot
+  // split the engines on a last-ulp disagreement.
+  // --------------------------------------------------------------
+
+  /** The Gopher "must contain 2 of" stop list. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Per-document Gopher rule signals and the conjunction verdict:
+    * (idCol, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+    * ellipsis_ratio, alpha_word_ratio, stop_hits, pass) with pass as
+    * an INTEGER 0/1 (the q107 `kept` convention). Rules: word count
+    * in [minWords, maxWords]; mean word length in [3, 10]; '#'/'...'
+    * symbol-to-word ratio ≤ 0.1; ≤ 90% of lines bullet-started;
+    * ≤ 30% of lines ellipsis-ended; ≥ 80% of words containing an
+    * alphabetic character; ≥ 2 distinct [[GopherStopwords]] present.
+    */
+  def gopherQuality(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nWords = size(toks)
+    val meanLen = round6(
+      aggregate(toks, lit(0L), (a, x) => a + length(x)).cast("double") /
+        nWords.cast("double"))
+    val symRatio = round6(
+      size(regexp_extract_all(t, lit("#|\\.\\.\\."), lit(0))).cast("double") /
+        nWords.cast("double"))
+    val lines = split(t, "\n")
+    val nLines = size(lines)
+    val bulletRatio = round6(
+      size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("double") /
+        nLines.cast("double"))
+    val ellipsisRatio = round6(
+      size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$"))).cast("double") /
+        nLines.cast("double"))
+    val alphaRatio = round6(
+      size(filter(toks, x => x.rlike("[a-zA-Z]"))).cast("double") /
+        nWords.cast("double"))
+    val stopHits = size(filter(array(GopherStopwords.map(lit): _*),
+      s => array_contains(toks, s)))
+    df.select(col(idCol), nWords.as("n_words"),
+        meanLen.as("mean_word_len"), symRatio.as("symbol_ratio"),
+        bulletRatio.as("bullet_ratio"), ellipsisRatio.as("ellipsis_ratio"),
+        alphaRatio.as("alpha_word_ratio"), stopHits.as("stop_hits"))
+      .withColumn("pass",
+        (col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_ratio") <= 0.1 && col("bullet_ratio") <= 0.9 &&
+          col("ellipsis_ratio") <= 0.3 && col("alpha_word_ratio") >= 0.8 &&
+          col("stop_hits") >= 2).cast("int"))
+  }
+
   /** TF-IDF term scoring with the top `k` terms kept per document —
     * the classic salient-term extractor (keyword tagging, near-dup
     * feature vectors, quality heuristics).

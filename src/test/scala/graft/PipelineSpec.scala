@@ -51,6 +51,107 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("substrDedupCut keeps the min-id owner, cuts covered spans elsewhere") {
+    // same corpus as the coverage test: "a b c" lives in d1/d2/d5
+    // (owner d1), "b c d" in d1/d5 (owner d1). d1 keeps everything;
+    // d2 loses positions 2-4, d5 loses 1-4 (overlap unioned); d6's
+    // intra-doc repeat is untouched (single-document gram).
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "x a b c y z"), (3L, "p q r"),
+      (4L, "s t"), (5L, "a b c d q t"), (6L, "m n o m n o")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.substrDedupCut(docs, n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 6, 0L, "a b c d e f"), (2L, 6, 3L, "x y z"),
+      (3L, 3, 0L, "p q r"), (4L, 2, 0L, "s t"),
+      (5L, 6, 4L, "q t"), (6L, 6, 0L, "m n o m n o")))
+
+    // deterministic under partitioning (owner = MIN over all docs)
+    val re = TextAnalysis.substrDedupCut(docs.repartition(5), n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(re.toSeq == got.toSeq)
+
+    val plan = TextAnalysis.substrDedupCut(docs, n = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("substrDedupCut: a fully-covered document empties to ''") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.substrDedupCut(docs, n = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq((1L, 4, 0L, "a b c d"), (2L, 4, 4L, "")))
+  }
+
+  test("gopherQuality rule battery: each signal and the verdict") {
+    val docs = Seq(
+      // passes every rule (with the test-sized word bound)
+      (1L, "the cat sat with food today"),
+      // mean word length 1 < 3 AND no stopwords
+      (2L, "a b c d e f"),
+      // symbol soup: '#'/'...' ratio over 0.1, alpha ratio under 0.8
+      (3L, "the cat ... sat with # and # dog ..."),
+      // bullet-started lines over 90%
+      (4L, "- the cat sat\n- with food today"),
+      // ellipsis-ended lines over 30%
+      (5L, "the cat sat...\nwith food...\nall day long")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherQuality(docs, minWords = 5, maxWords = 100)
+      .orderBy("doc_id").collect()
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+
+    val d1 = byId(1L)
+    assert(d1.getInt(1) == 6)                       // n_words
+    assert(d1.getDouble(2) == 3.666667)             // mean_word_len round6
+    assert(d1.getInt(7) == 2)                       // stop_hits: the, with
+    assert(d1.getInt(8) == 1)                       // pass
+
+    val d2 = byId(2L)
+    assert(d2.getDouble(2) == 1.0 && d2.getInt(7) == 0 && d2.getInt(8) == 0)
+
+    val d3 = byId(3L)
+    assert(d3.getDouble(3) == 0.4)                  // 4 symbols / 10 words
+    assert(d3.getDouble(6) == 0.6 && d3.getInt(8) == 0)
+
+    val d4 = byId(4L)
+    assert(d4.getDouble(4) == 1.0 && d4.getInt(8) == 0)   // bullet_ratio
+
+    val d5 = byId(5L)
+    assert(d5.getDouble(5) == 0.666667 && d5.getInt(8) == 0) // ellipsis
+  }
+
+  test("perplexityBuckets: per-language NTILE bands, id tie-break") {
+    import graft.text.LanguageModel
+    // six docs per language; surprisal rises with rare-token count,
+    // docs 5/6 are identical so only the doc_id tiebreak orders them
+    def corpus(lang: String, off: Long) = Seq(
+      (off + 1, s"c c c c c c", lang), (off + 2, s"c c c c c r1", lang),
+      (off + 3, s"c c c c r1 r2", lang), (off + 4, s"c c c r1 r2 r3", lang),
+      (off + 5, s"c r1 r2 r3 r4 r5", lang), (off + 6, s"c r1 r2 r3 r4 r5", lang))
+    val docs = (corpus("en", 0L) ++ corpus("de", 10L))
+      .toDF("doc_id", "text", "lang")
+    val got = LanguageModel.perplexityBuckets(docs, v = 32, buckets = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3),
+        r.getInt(5), r.getString(6)))
+    assert(got.length == 12)
+    for (g <- Seq("en", "de")) {
+      val in = got.filter(_._2 == g).sortBy(t => (t._3, t._1))
+      assert(in.map(_._4).toSeq == Seq(1, 1, 2, 2, 3, 3),
+        s"bucket bands for $g: ${in.mkString(",")}")
+      assert(in.map(_._5).toSeq ==
+        Seq("head", "head", "middle", "middle", "tail", "tail"))
+      // identical docs: the smaller id lands in the earlier band
+      val ties = in.filter(t => t._1 % 10 == 5 || t._1 % 10 == 6)
+      assert(ties.head._1 % 10 == 5 && ties.head._4 <= ties.last._4)
+    }
+  }
+
   test("chunkDocuments slides overlapping windows, short docs yield one chunk") {
     val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6"), (2L, "a b"))
       .toDF("doc_id", "text")
