@@ -147,6 +147,7 @@ object SparkEntry {
     "q113_substr_dedup"     -> PipelineQueries.substrDedup _,
     "q114_gopher_rules"     -> PipelineQueries.gopherRules _,
     "q115_ppl_buckets"      -> PipelineQueries.perplexityBuckets _,
+    "q116_backoff_ppl"      -> PipelineQueries.backoffPerplexity _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1864,6 +1865,42 @@ object SparkEntry {
         |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 3 THEN 'tail'
         |    ELSE 'middle' END AS bucket_name
         |FROM b ORDER BY doc_id""".stripMargin,
+    // q116: probabilities combined in the engine's exact expression
+    // order — bigram cb/c1 one division; backoff 0.4 * (cu/n), the
+    // division FIRST (the parenthesization is part of the contract:
+    // (0.4*cu)/n rounds differently)
+    "q116_backoff_ppl" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |pos AS (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM tok),
+        |pairs AS (SELECT doc_id,
+        |    CASE WHEN i = 1 THEN NULL ELSE ts[i-1] END AS w1, ts[i] AS w2 FROM pos),
+        |uni AS (SELECT w2 AS w, COUNT(*) AS cu FROM pairs GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS n FROM uni),
+        |bigc AS (SELECT w1, w2, COUNT(*) AS cb FROM pairs WHERE w1 IS NOT NULL GROUP BY 1, 2),
+        |big AS (SELECT w1, w2, cb FROM (
+        |    SELECT w1, w2, cb, ROW_NUMBER() OVER (ORDER BY cb DESC, w1, w2) AS rk
+        |    FROM bigc) WHERE rk <= 256),
+        |sc AS (SELECT p.doc_id,
+        |    CAST(floor(-ln(CASE
+        |      WHEN p.w1 IS NULL THEN CAST(u.cu AS DOUBLE) / CAST(t.n AS DOUBLE)
+        |      WHEN b.cb IS NOT NULL THEN CAST(b.cb AS DOUBLE) / CAST(u1.cu AS DOUBLE)
+        |      ELSE 0.4 * (CAST(u.cu AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |    END) * 1000000.0 + 0.5) AS BIGINT) AS smicro,
+        |    CASE WHEN p.w1 IS NOT NULL AND b.cb IS NULL THEN 1 ELSE 0 END AS backoff
+        |  FROM pairs p JOIN uni u ON u.w = p.w2
+        |    LEFT JOIN uni u1 ON u1.w = p.w1
+        |    LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+        |    CROSS JOIN tot t),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |    CAST(SUM(smicro) AS BIGINT) AS smicro,
+        |    CAST(SUM(backoff) AS BIGINT) AS n_backoff
+        |  FROM sc GROUP BY 1)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, n_backoff,
+        |  CAST(smicro AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000000.0
+        |    AS avg_surprisal,
+        |  floor(exp(CAST(smicro AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |      / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS ppl
+        |FROM agg ORDER BY doc_id""".stripMargin,
   )
 
   /** The shared CTE chain mirroring Bpe.trainWithReprs: round k

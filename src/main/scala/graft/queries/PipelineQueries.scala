@@ -340,6 +340,18 @@ object PipelineQueries {
         Tables.load(spark, dir, "documents"), v = 64, buckets = 3)
       .orderBy("doc_id")
 
+  /** q116: stupid-backoff bigram perplexity — every document scored
+    * against the corpus-trained top-256 bigram model with 0.4
+    * unigram backoff (LanguageModel.stupidBackoffPerplexity, the
+    * Brants et al. 2007 scheme and the order-1 face of the KenLM
+    * filter family). Micro-nat integer surprisal keeps the mean
+    * order-independent and cross-engine bit-stable.
+    */
+  def backoffPerplexity(spark: SparkSession, dir: String): DataFrame =
+    graft.text.LanguageModel.stupidBackoffPerplexity(
+        Tables.load(spark, dir, "documents"), vb = 256)
+      .orderBy("doc_id")
+
   /** q103: BPE tokenizer training — 8 merge rounds of Sennrich's
     * byte-pair encoding over the corpus (Bpe.trainMerges: ONE
     * corpus-sized aggregate builds the word-frequency table, every

@@ -72,6 +72,84 @@ object LanguageModel {
         lit(1e6)).as("ppl"))
   }
 
+  /** Stupid-backoff bigram scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") — the order-1 step
+    * past [[unigramPerplexity]] and the shape of the KenLM-family
+    * filters: token i scores by the bigram relative frequency
+    * c(w_{i-1} w_i)/c(w_{i-1}) when the bigram is in the pruned
+    * model, else by the backed-off unigram 0.4·(c(w_i)/N); the first
+    * token of a document scores by its unigram alone. The bigram
+    * model keeps the `vb` most frequent bigrams (count-desc,
+    * (w1,w2)-asc ties — the Vocab ranking discipline), which is what
+    * keeps it broadcastable at any corpus size (production n-gram
+    * LMs are pruned for exactly this reason).
+    *
+    * Determinism: every probability is ratios of exact integers
+    * combined in a FIXED expression order — bigram c_b/c_1 is one
+    * correctly-rounded division; backoff is 0.4 · (c_u/N), the
+    * division first, then one multiply — and each token's surprisal
+    * rounds ONCE to integer micro-nats before the order-independent
+    * integer sum (the q102 discipline).
+    *
+    * Scale shape: two corpus-keyed count aggregates (unigrams,
+    * bigrams); the bigram ranking runs over the BIGRAM-VOCABULARY-
+    * sized count frame; scoring is one pair-stream explode (built
+    * per row from the token array — no window, no self-join) against
+    * three broadcast model tables, then one doc-keyed aggregate.
+    * Returns (idCol, n_tokens, n_backoff, avg_surprisal, ppl).
+    */
+  def stupidBackoffPerplexity(df: DataFrame, vb: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(vb > 0, s"bigram vocab size must be positive: $vb")
+    val toks = TextAnalysis.tokens(col(textCol))
+    // one row per token position: (prev-or-null, token); empty
+    // documents are dropped BEFORE the sequence (sequence(1, 0)
+    // descends rather than yielding an empty array) — matching
+    // unigramPerplexity, where an empty doc explodes to no rows
+    val pairs = df.select(col(idCol), toks.as("__ts"))
+      .filter(size(col("__ts")) >= 1)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__ts"))),
+        i => struct(
+          when(i === 1, lit(null).cast("string"))
+            .otherwise(element_at(col("__ts"), i - 1)).as("w1"),
+          element_at(col("__ts"), i).as("w2")))).as("e"))
+      .select(col(idCol), col("e.w1").as("w1"), col("e.w2").as("w2"))
+    val uni = pairs.groupBy(col("w2").as("w"))
+      .agg(count(lit(1)).as("cu"))
+    val nTotal = uni.agg(coalesce(sum(col("cu")), lit(0L))).head().getLong(0)
+    // pruned bigram model, denominator c(w1) carried in (vocab-sized join)
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cb").desc, col("w1"), col("w2"))
+    val big = pairs.filter(col("w1").isNotNull)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .withColumn("__rk", row_number().over(rankW))
+      .filter(col("__rk") <= vb)
+      .join(uni.select(col("w").as("w1"), col("cu").as("c1")), Seq("w1"))
+      .select(col("w1"), col("w2"), col("cb"), col("c1"))
+
+    val pUni = col("cu").cast("double") / lit(nTotal).cast("double")
+    val p = when(col("w1").isNull, pUni)
+      .when(col("cb").isNotNull, col("cb").cast("double") / col("c1").cast("double"))
+      .otherwise(lit(0.4) * pUni)
+    val scored = pairs
+      .join(broadcast(uni), pairs("w2") === uni("w"))
+      .join(broadcast(big), Seq("w1", "w2"), "left")
+      .select(col(idCol),
+        floor(log(p) * lit(-1e6) + lit(0.5)).as("smicro"),
+        when(col("w1").isNotNull && col("cb").isNull, lit(1L))
+          .otherwise(lit(0L)).as("backoff"))
+
+    val avgSurprisal = sum(col("smicro")).cast("double") /
+      count(lit(1)).cast("double") / lit(1e6)
+    scored.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(col("backoff")).as("n_backoff"),
+      avgSurprisal.as("avg_surprisal"),
+      (floor(exp(avgSurprisal) * lit(1e6) + lit(0.5)).cast("double") /
+        lit(1e6)).as("ppl"))
+  }
+
   /** CCNet-style perplexity bucketing: every document scored by
     * [[unigramPerplexity]] and split per group (language, in CCNet)
     * into `buckets` equal-size quantile bands by NTILE — bucket 1 is

@@ -152,6 +152,49 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("stupidBackoffPerplexity: bigram hits, 0.4 backoff, pruning") {
+    import graft.text.LanguageModel
+    // corpus: a appears 3x, b 2x, c 1x, N=6; bigrams (a,b) 2x,
+    // (a,c) 1x; vb=1 prunes the model to {(a,b)} so d3's second
+    // token backs off
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    def micro(p: Double) = math.floor(-math.log(p) * 1e6 + 0.5).toLong
+    def pplOf(smicros: Seq[Long]) = {
+      val avg = smicros.sum.toDouble / smicros.length.toDouble / 1e6
+      (avg, math.floor(math.exp(avg) * 1e6 + 0.5) / 1e6)
+    }
+    val d12 = Seq(micro(3.0 / 6.0), micro(2.0 / 3.0))
+    val d3 = Seq(micro(3.0 / 6.0), micro(0.4 * (1.0 / 6.0)))
+
+    val got = LanguageModel.stupidBackoffPerplexity(docs, vb = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 0L, pplOf(d12)._1, pplOf(d12)._2),
+      (2L, 2L, 0L, pplOf(d12)._1, pplOf(d12)._2),
+      (3L, 2L, 1L, pplOf(d3)._1, pplOf(d3)._2)))
+
+    // partition-invariant (integer smicro sums, model is a global agg)
+    val re = LanguageModel.stupidBackoffPerplexity(docs.repartition(4), vb = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(re.toSeq == got.toSeq)
+
+    // model tables join broadcast; no shuffle join on the pair stream
+    val plan = LanguageModel.stupidBackoffPerplexity(docs, vb = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+
+    // unpruned model (vb covers both bigrams): no backoff anywhere
+    val full = LanguageModel.stupidBackoffPerplexity(docs, vb = 16)
+      .agg(sum("n_backoff")).head().getLong(0)
+    assert(full == 0L)
+  }
+
   test("chunkDocuments slides overlapping windows, short docs yield one chunk") {
     val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6"), (2L, "a b"))
       .toDF("doc_id", "text")
