@@ -1649,6 +1649,31 @@ class FuzzyMatchSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("fuzzy pairs: length band + thresholded distance change nothing") {
+    // the recall-free prunes (length band in the join, thresholded
+    // levenshtein) must yield the EXACT match set of the naive
+    // unbanded formulation — including boundary pairs sitting right
+    // at the edit budget and at the length-difference limit
+    val keys = Seq("ab", "abc", "abcd", "abcde", "abcdef", "xbcde",
+      "abde", "ba", "", "a")
+    val left = keys.zipWithIndex.map { case (k, i) => (i.toLong, k, "b") }
+      .toDF("id", "key", "block")
+    val right = keys.zipWithIndex.map { case (k, i) =>
+      (100L + i, k.reverse, "b")
+    }.toDF("id", "key", "block")
+    for (e <- 0 to 3) {
+      val got = FuzzyMatch.fuzzyPairs(left, right, e)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val naive = left.select(col("id").as("lid"), col("key").as("lk"))
+        .crossJoin(right.select(col("id").as("rid"), col("key").as("rk")))
+        .withColumn("d", levenshtein(col("lk"), col("rk")))
+        .filter(col("d") <= e)
+        .select(col("lid"), col("rid"), col("d"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == naive, s"banded != naive at maxEdits=$e")
+    }
+  }
 }
 
 class ExactCorrelationSpec extends AnyFunSuite {
