@@ -148,6 +148,8 @@ object SparkEntry {
     "q114_gopher_rules"     -> PipelineQueries.gopherRules _,
     "q115_ppl_buckets"      -> PipelineQueries.perplexityBuckets _,
     "q116_backoff_ppl"      -> PipelineQueries.backoffPerplexity _,
+    "q117_dsir_weights"     -> PipelineQueries.dsirWeights _,
+    "q118_nb_langid"        -> PipelineQueries.nbLanguage _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1901,6 +1903,74 @@ object SparkEntry {
         |  floor(exp(CAST(smicro AS DOUBLE) / CAST(n_tokens AS DOUBLE)
         |      / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS ppl
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // q117: same vocab ranking and micro-nat rounding as q102; the
+    // two lns subtract BEFORE the single rounding on both engines
+    "q117_dsir_weights" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(text,' ')) AS token FROM documents),
+        |ttok AS (SELECT doc_id, unnest(string_split(text,' ')) AS token
+        |  FROM documents WHERE lang = 'en'),
+        |counts AS (SELECT token, COUNT(*) AS cr FROM tok GROUP BY 1),
+        |vocab AS (SELECT token, cr FROM (
+        |    SELECT token, cr,
+        |      ROW_NUMBER() OVER (ORDER BY cr DESC, token) AS id
+        |    FROM counts) WHERE id <= 64),
+        |tc AS (SELECT token, COUNT(*) AS ct FROM ttok GROUP BY 1),
+        |model AS (SELECT v.token, v.cr, COALESCE(t.ct, 0) AS ct
+        |  FROM vocab v LEFT JOIN tc t USING (token)),
+        |tot AS (SELECT (SELECT COUNT(*) FROM tok) AS n_raw,
+        |               (SELECT COUNT(*) FROM ttok) AS n_target),
+        |scored AS (SELECT t.doc_id,
+        |    CAST(floor((
+        |      ln(CAST(COALESCE(m.ct, 0) + 1 AS DOUBLE) /
+        |         CAST(n_target + 64 + 1 AS DOUBLE)) -
+        |      ln(CAST(COALESCE(m.cr, 0) + 1 AS DOUBLE) /
+        |         CAST(n_raw + 64 + 1 AS DOUBLE))) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS wmicro
+        |  FROM tok t LEFT JOIN model m USING (token) CROSS JOIN tot)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(wmicro) AS BIGINT) AS w_micro,
+        |  CAST(SUM(wmicro) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    / 1000000.0 AS avg_logratio,
+        |  CAST(CASE WHEN SUM(wmicro) > 0 THEN 1 ELSE 0 END AS INTEGER)
+        |    AS target_like
+        |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // q118: per-class add-one models over the shared q102 vocab;
+    // argmax by the same (score desc, class asc) ROW_NUMBER order
+    "q118_nb_langid" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |    unnest(string_split(text,' ')) AS token FROM documents),
+        |counts0 AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        |vocab AS (SELECT token FROM (
+        |    SELECT token,
+        |      ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS id
+        |    FROM counts0) WHERE id <= 64),
+        |cw AS (SELECT lang AS cls, token, COUNT(*) AS cw
+        |  FROM tok JOIN vocab USING (token) GROUP BY 1, 2),
+        |ct AS (SELECT lang AS cls, COUNT(*) AS nc FROM tok GROUP BY 1),
+        |pr AS (SELECT lang AS cls,
+        |    CAST(floor(ln(CAST(COUNT(*) AS DOUBLE) /
+        |        CAST((SELECT COUNT(*) FROM documents) AS DOUBLE))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS prior_micro
+        |  FROM documents GROUP BY 1),
+        |sc AS (SELECT t.doc_id, t.lang, c.cls,
+        |    CAST(floor(ln(CAST(COALESCE(w.cw, 0) + 1 AS DOUBLE) /
+        |        CAST(c.nc + 64 + 1 AS DOUBLE)) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS tmicro
+        |  FROM tok t CROSS JOIN ct c
+        |  LEFT JOIN cw w ON w.cls = c.cls AND w.token = t.token),
+        |agg AS (SELECT doc_id, lang, cls, SUM(tmicro) AS tok_micro
+        |  FROM sc GROUP BY 1, 2, 3),
+        |fin AS (SELECT a.doc_id, a.lang, a.cls,
+        |    a.tok_micro + p.prior_micro AS score_micro,
+        |    ROW_NUMBER() OVER (PARTITION BY a.doc_id
+        |      ORDER BY (a.tok_micro + p.prior_micro) DESC, a.cls) AS rn
+        |  FROM agg a JOIN pr p ON p.cls = a.cls)
+        |SELECT doc_id, lang, cls AS predicted,
+        |  CAST(score_micro AS BIGINT) AS score_micro,
+        |  CAST(CASE WHEN cls = lang THEN 1 ELSE 0 END AS INTEGER)
+        |    AS correct
+        |FROM fin WHERE rn = 1 ORDER BY doc_id""".stripMargin,
   )
 
   /** The shared CTE chain mirroring Bpe.trainWithReprs: round k

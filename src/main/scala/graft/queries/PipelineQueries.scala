@@ -352,6 +352,32 @@ object PipelineQueries {
         Tables.load(spark, dir, "documents"), vb = 256)
       .orderBy("doc_id")
 
+  /** q117: DSIR importance weights — every document scored by the
+    * log-likelihood ratio of a target-domain unigram model (trained
+    * on the `lang = 'en'` slice) over the raw-corpus model
+    * (Dsir.importanceWeights, the Xie et al. 2023 selection signal).
+    * Micro-nat integer weights keep the per-doc sum exact and
+    * cross-engine bit-stable; `target_like` is the zero-shuffle
+    * selection flag.
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Dsir.importanceWeights(
+        Tables.load(spark, dir, "documents"), col("lang") === "en", v = 64)
+      .orderBy("doc_id")
+
+  /** q118: multinomial Naive Bayes language classification — the
+    * fastText-style linear bag-of-words tagger (Classifier
+    * .naiveBayes): per-language add-one unigram models over the
+    * shared top-64 vocabulary plus document-count priors, argmax by
+    * the deterministic (score desc, class asc) order. The model is
+    * (v · #classes) broadcast rows; the corpus shuffles only for
+    * counts and the per-doc aggregate.
+    */
+  def nbLanguage(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Classifier.naiveBayes(
+        Tables.load(spark, dir, "documents"), classCol = "lang", v = 64)
+      .orderBy("doc_id")
+
   /** q103: BPE tokenizer training — 8 merge rounds of Sennrich's
     * byte-pair encoding over the corpus (Bpe.trainMerges: ONE
     * corpus-sized aggregate builds the word-frequency table, every

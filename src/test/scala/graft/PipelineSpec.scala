@@ -1849,3 +1849,96 @@ class TableDiffSpec extends AnyFunSuite {
     assert(e.getMessage.contains("schema mismatch"))
   }
 }
+
+class CorpusModelSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // the shared micro-nat forms: one rounding per token on both sides
+  private def wm(ct: Long, cr: Long, nt: Long, nr: Long, v: Int): Long =
+    math.floor((math.log((ct + 1).toDouble / (nt + v + 1).toDouble) -
+      math.log((cr + 1).toDouble / (nr + v + 1).toDouble)) * 1e6 + 0.5).toLong
+
+  test("dsir importanceWeights: hand-computed log-ratios, OOV bucket, plan") {
+    import graft.text.Dsir
+    // full corpus: a:3 b:3 c:3 (N_r=9); target (en): a:3 b:1 c:1 (N_t=5)
+    val docs = Seq(
+      (1L, "a a b", "en"), (2L, "a c", "en"), (3L, "b b c c", "de")
+    ).toDF("doc_id", "text", "lang")
+    val (wa, wb, wc) =
+      (wm(3, 3, 5, 9, 16), wm(1, 3, 5, 9, 16), wm(1, 3, 5, 9, 16))
+    val got = Dsir.importanceWeights(docs, col("lang") === "en", v = 16)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(4)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 2 * wa + wb, if (2 * wa + wb > 0) 1 else 0),
+      (2L, 2L, wa + wc, if (wa + wc > 0) 1 else 0),
+      (3L, 4L, 2 * wb + 2 * wc, 0)))
+    assert(wa > 0 && wb < 0, s"a must favor target, b the raw corpus: $wa $wb")
+
+    // v=1 prunes the vocab to {a} (count ties break token-asc): b and
+    // c score through the OOV bucket — numerators 1 on both models
+    val oov = Dsir.importanceWeights(docs, col("lang") === "en", v = 1)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    val (oa, ox) = (wm(3, 3, 5, 9, 1), wm(0, 0, 5, 9, 1))
+    assert(oov.toSeq == Seq(
+      (1L, 2 * oa + ox), (2L, oa + ox), (3L, 4 * ox)))
+
+    // partition-invariant; model joins broadcast, corpus never
+    // shuffle-joins another corpus-sized frame
+    val re = Dsir.importanceWeights(
+        docs.repartition(5), col("lang") === "en", v = 16)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(4)))
+    assert(re.toSeq == got.toSeq)
+    val plan = Dsir.importanceWeights(docs, col("lang") === "en", v = 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("naiveBayes: hand scores, deterministic tie to class-asc, OOV regime") {
+    import graft.text.Classifier
+    // en: a:3 b:1 (N=4); de: a:1 b:3 (N=4); priors 2/4 each. Doc 2
+    // and doc 4 share the text "a b", whose class scores are EQUAL
+    // sums of the same micro-nat multiset — the argmax must break
+    // the tie to the ascending class name on both engines.
+    val docs4 = Seq(
+      (1L, "a a", "en"), (2L, "a b", "en"),
+      (3L, "b b", "de"), (4L, "a b", "de")
+    ).toDF("doc_id", "text", "lang")
+    val got = Classifier.naiveBayes(docs4, "lang", v = 16)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(4)))
+    assert(got.toSeq == Seq(
+      (1L, "en", "en", 1), (2L, "en", "de", 0),
+      (3L, "de", "de", 1), (4L, "de", "de", 1)))
+
+    // score_micro of doc 1 under en: 2·ln(4/21) tokens + ln(2/4) prior
+    def t(c: Long, n: Long, v: Int): Long =
+      math.floor(math.log((c + 1).toDouble / (n + v + 1).toDouble) * 1e6 + 0.5).toLong
+    val s1 = Classifier.naiveBayes(docs4, "lang", v = 16)
+      .filter(col("doc_id") === 1).head().getLong(3)
+    assert(s1 == 2 * t(3, 4, 16) +
+      math.floor(math.log(0.5) * 1e6 + 0.5).toLong)
+
+    // five-doc corpus under v=1 ({a} in vocab, b/z OOV): doc 5's "z z"
+    // flips to de purely through the per-class OOV mass and doc 4
+    // breaks en-ward on the en-favoring prior — hand-traced labels
+    val docs5 = docs4.union(Seq((5L, "z z", "en")).toDF("doc_id", "text", "lang"))
+    val oov = Classifier.naiveBayes(docs5, "lang", v = 1)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(oov.toSeq == Seq(
+      (1L, "en"), (2L, "en"), (3L, "de"), (4L, "en"), (5L, "de")))
+
+    // partition-invariant; model joins broadcast
+    val re = Classifier.naiveBayes(docs4.repartition(5), "lang", v = 16)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(4)))
+    assert(re.toSeq == got.toSeq)
+    val plan = Classifier.naiveBayes(docs4, "lang", v = 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+}
