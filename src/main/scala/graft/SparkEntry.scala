@@ -150,6 +150,8 @@ object SparkEntry {
     "q116_backoff_ppl"      -> PipelineQueries.backoffPerplexity _,
     "q117_dsir_weights"     -> PipelineQueries.dsirWeights _,
     "q118_nb_langid"        -> PipelineQueries.nbLanguage _,
+    "q119_hits"             -> PipelineQueries.copurchaseHits _,
+    "q120_neighbor_jaccard" -> PipelineQueries.copurchaseNeighborSim _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1971,6 +1973,67 @@ object SparkEntry {
         |  CAST(CASE WHEN cls = lang THEN 1 ELSE 0 END AS INTEGER)
         |    AS correct
         |FROM fin WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // q119: the q92 graph; divisor-first integer L-inf normalization
+    // ( raw // (max // 1e6) ) — both engines floor on non-negatives
+    "q119_hits" ->
+      """WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS src, p + 10000000 AS dst FROM pairs
+        |      UNION ALL SELECT p + 10000000, c FROM pairs),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM nodes),
+        |a1r AS (SELECT n.node, COALESCE(SUM(h.hub), 0) AS raw
+        |  FROM nodes n LEFT JOIN e ON e.dst = n.node
+        |  LEFT JOIN h0 h ON h.node = e.src GROUP BY 1),
+        |a1 AS (SELECT node,
+        |    raw // ((SELECT MAX(raw) FROM a1r) // 1000000) AS auth
+        |  FROM a1r),
+        |h1r AS (SELECT n.node, COALESCE(SUM(a.auth), 0) AS raw
+        |  FROM nodes n LEFT JOIN e ON e.src = n.node
+        |  LEFT JOIN a1 a ON a.node = e.dst GROUP BY 1),
+        |h1 AS (SELECT node,
+        |    raw // ((SELECT MAX(raw) FROM h1r) // 1000000) AS hub
+        |  FROM h1r),
+        |a2r AS (SELECT n.node, COALESCE(SUM(h.hub), 0) AS raw
+        |  FROM nodes n LEFT JOIN e ON e.dst = n.node
+        |  LEFT JOIN h1 h ON h.node = e.src GROUP BY 1),
+        |a2 AS (SELECT node,
+        |    raw // ((SELECT MAX(raw) FROM a2r) // 1000000) AS auth
+        |  FROM a2r),
+        |h2r AS (SELECT n.node, COALESCE(SUM(a.auth), 0) AS raw
+        |  FROM nodes n LEFT JOIN e ON e.src = n.node
+        |  LEFT JOIN a2 a ON a.node = e.dst GROUP BY 1),
+        |h2 AS (SELECT node,
+        |    raw // ((SELECT MAX(raw) FROM h2r) // 1000000) AS hub
+        |  FROM h2r)
+        |SELECT node, CAST(hub AS BIGINT) AS hub,
+        |  CAST(auth AS BIGINT) AS auth
+        |FROM h2 JOIN a2 USING (node) ORDER BY node""".stripMargin,
+    // q120: hot neighbors (in-degree > 32) leave the graph FIRST;
+    // intersections and degrees are exact over the filtered graph
+    "q120_neighbor_jaccard" ->
+      """WITH cpairs AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS src, p + 10000000 AS dst FROM cpairs
+        |      UNION ALL SELECT p + 10000000, c FROM cpairs),
+        |cold AS (SELECT dst FROM (
+        |    SELECT dst, COUNT(*) AS df FROM e GROUP BY 1)
+        |  WHERE df <= 32),
+        |ef AS (SELECT e.src, e.dst FROM e JOIN cold USING (dst)),
+        |deg AS (SELECT src, COUNT(*) AS d FROM ef GROUP BY 1),
+        |cand AS (SELECT x.src AS a, y.src AS b, COUNT(*) AS inter
+        |  FROM ef x JOIN ef y ON x.dst = y.dst AND x.src < y.src
+        |  GROUP BY 1, 2),
+        |j AS (SELECT a, b, inter, da, db,
+        |    floor(CAST(inter AS DOUBLE) /
+        |      CAST(da + db - inter AS DOUBLE) * 1000000.0 + 0.5)
+        |      / 1000000.0 AS jaccard
+        |  FROM cand
+        |  JOIN (SELECT src AS a, d AS da FROM deg) USING (a)
+        |  JOIN (SELECT src AS b, d AS db FROM deg) USING (b))
+        |SELECT a, b, CAST(inter AS BIGINT) AS inter,
+        |  CAST(da AS BIGINT) AS da, CAST(db AS BIGINT) AS db, jaccard
+        |FROM j WHERE jaccard >= 0.25 ORDER BY a, b""".stripMargin,
   )
 
   /** The shared CTE chain mirroring Bpe.trainWithReprs: round k

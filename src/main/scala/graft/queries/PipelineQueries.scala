@@ -352,6 +352,28 @@ object PipelineQueries {
         Tables.load(spark, dir, "documents"), vb = 256)
       .orderBy("doc_id")
 
+  /** q119: integer HITS over the q92 co-purchase graph — hub and
+    * authority scores after two full iterations (Hits.integerHits),
+    * PageRank's classic complement for link-graph curation. Each
+    * half-step broadcasts the node-sized score frame against the
+    * static edge list and L∞-normalizes with divisor-first integer
+    * division, so every score is bit-reproducible in any engine.
+    */
+  def copurchaseHits(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Hits.integerHits(copurchaseEdges(spark, dir), iters = 2)
+      .orderBy("node")
+
+  /** q120: neighbor-set Jaccard similarity over the q92 co-purchase
+    * graph (GraphSim.neighborJaccard) — the co-citation signal,
+    * generated as a bucketed equi-self-join on the shared neighbor
+    * with hot neighbors (in-degree > 32) dropped first, the
+    * inverted-index discipline of q24's shingle pairs.
+    */
+  def copurchaseNeighborSim(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.GraphSim.neighborJaccard(
+        copurchaseEdges(spark, dir), maxDF = 32L, tau = 0.25)
+      .orderBy("a", "b")
+
   /** q117: DSIR importance weights — every document scored by the
     * log-likelihood ratio of a target-domain unigram model (trained
     * on the `lang = 'en'` slice) over the raw-corpus model

@@ -1942,3 +1942,100 @@ class CorpusModelSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 }
+
+class HitsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // 1→3, 2→3, 2→4, 3→4: node 2 is the strong hub (it reaches both
+  // authorities), 3 and 4 the authorities; hand-traced half-steps
+  // with divisor-first integer L∞ normalization
+  private def g = Seq((1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    .toDF("src", "dst")
+
+  test("integerHits matches the hand-traced iterations") {
+    import graft.ops.Hits
+    val one = Hits.integerHits(g, iters = 1).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(one.toSeq == Seq(
+      (1L, 500000L, 0L), (2L, 1000000L, 0L),
+      (3L, 500000L, 1000000L), (4L, 0L, 1000000L)))
+
+    // round 2: a2 raws tie at 1.5e6 (divisor 1 floors to the raw),
+    // h2 max 3e6 → hubs re-scale through divisor 3
+    val two = Hits.integerHits(g, iters = 2).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(two.toSeq == Seq(
+      (1L, 500000L, 0L), (2L, 1000000L, 0L),
+      (3L, 500000L, 1500000L), (4L, 0L, 1500000L)))
+
+    // duplicate edges collapse; partitioning can't move a score
+    val dup = Hits.integerHits(g.union(g).repartition(5), iters = 2)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(dup.toSeq == two.toSeq)
+  }
+
+  test("half-step plan: node-sized scores broadcast, edges stay put") {
+    import graft.ops.Hits
+    val e = g.select($"src", $"dst").distinct()
+    val nodes = e.select($"src".as("node"))
+      .union(e.select($"dst".as("node"))).distinct()
+    val hub = nodes.withColumn("score", lit(1000000L))
+      .select($"node".as("src"), $"score")
+    val plan = Hits.rawSum(e, nodes, hub, joinOn = "src", keyedBy = "dst")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+}
+
+class GraphSimSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // out-neighbor sets: A{x,y,z} B{x,y} C{y,q} D{h}; y has in-degree 3
+  private def g = Seq(
+    ("A", "x"), ("A", "y"), ("A", "z"),
+    ("B", "x"), ("B", "y"), ("C", "y"), ("C", "q"), ("D", "h")
+  ).toDF("src", "dst")
+
+  private def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+
+  test("neighborJaccard: exact over the maxDF-filtered graph") {
+    import graft.ops.GraphSim
+    // maxDF=3 keeps the whole graph: all three sharing pairs appear
+    val full = GraphSim.neighborJaccard(g, maxDF = 3L).orderBy("a", "b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(full.toSeq == Seq(
+      ("A", "B", 2L, 3L, 2L, r6(2.0 / 3.0)),
+      ("A", "C", 1L, 3L, 2L, 0.25),
+      ("B", "C", 1L, 2L, 2L, r6(1.0 / 3.0))))
+
+    // maxDF=2 drops hot y FIRST: degrees shrink too, so (A,B)'s
+    // jaccard is 1/(2+1-1) over the filtered graph, not a biased
+    // estimate of the raw one; (A,C)/(B,C) lose their only shared
+    // neighbor and vanish
+    val cap = GraphSim.neighborJaccard(g, maxDF = 2L).orderBy("a", "b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(cap.toSeq == Seq(("A", "B", 1L, 2L, 1L, 0.5)))
+
+    // tau thresholds on the ALREADY-rounded value
+    val tau = GraphSim.neighborJaccard(g, maxDF = 3L, tau = 0.3)
+      .orderBy("a", "b").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(tau.toSeq == Seq(("A", "B"), ("B", "C")))
+
+    // partition-invariant; pair generation is an equi-join bucket,
+    // never a cartesian
+    val re = GraphSim.neighborJaccard(g.repartition(5), maxDF = 3L)
+      .orderBy("a", "b").collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(re.toSeq == full.toSeq)
+    val plan = GraphSim.neighborJaccard(g, maxDF = 3L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
