@@ -152,6 +152,8 @@ object SparkEntry {
     "q118_nb_langid"        -> PipelineQueries.nbLanguage _,
     "q119_hits"             -> PipelineQueries.copurchaseHits _,
     "q120_neighbor_jaccard" -> PipelineQueries.copurchaseNeighborSim _,
+    "q121_winsorized"       -> PipelineQueries.winsorizedPrices _,
+    "q122_ewma"             -> PipelineQueries.userValueEwma _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2034,6 +2036,48 @@ object SparkEntry {
         |SELECT a, b, CAST(inter AS BIGINT) AS inter,
         |  CAST(da AS BIGINT) AS da, CAST(db AS BIGINT) AS db, jaccard
         |FROM j WHERE jaccard >= 0.25 ORDER BY a, b""".stripMargin,
+    // q121: discrete (type-1) bounds by integer rank arithmetic over
+    // the distinct-cent frame; means divide the exact cent sum once
+    "q121_winsorized" ->
+      """WITH v AS (SELECT l_returnflag AS grp,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM lineitem),
+        |cnt AS (SELECT grp, c, COUNT(*) AS cnt FROM v GROUP BY 1, 2),
+        |cum AS (SELECT grp, c,
+        |    SUM(cnt) OVER (PARTITION BY grp ORDER BY c) AS cum FROM cnt),
+        |n AS (SELECT grp, COUNT(*) AS n FROM v GROUP BY 1),
+        |b AS (SELECT cum.grp, n.n,
+        |    MIN(CASE WHEN cum >= (n * 5 + 99) // 100 THEN c END) AS lo_c,
+        |    MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN c END) AS hi_c
+        |  FROM cum JOIN n ON cum.grp = n.grp GROUP BY 1, 2),
+        |cl AS (SELECT v.grp, v.c,
+        |    LEAST(GREATEST(v.c, lo_c), hi_c) AS wc, lo_c, hi_c
+        |  FROM v JOIN b ON v.grp = b.grp)
+        |SELECT grp AS l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(lo_c) AS DOUBLE) / 100.0 AS lo,
+        |  CAST(MIN(hi_c) AS DOUBLE) / 100.0 AS hi,
+        |  CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0
+        |    AS mean_raw,
+        |  CAST(SUM(wc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0
+        |    AS mean_winsorized,
+        |  CAST(SUM(CASE WHEN c < lo_c THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_lo,
+        |  CAST(SUM(CASE WHEN c > hi_c THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_hi
+        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q122: the same (s + x) // 2 integer fold in event-time order;
+    // list_reduce seeds with the first element like the engine's
+    // aggregate(tail, head, ..)
+    "q122_ewma" ->
+      """WITH c AS (SELECT user_id, ts, event_id,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c FROM events),
+        |a AS (SELECT user_id, COUNT(*) AS n_events,
+        |    list(c ORDER BY ts, event_id) AS cs FROM c GROUP BY 1)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(cs[-1] AS DOUBLE) / 100.0 AS last_value,
+        |  CAST(list_reduce(cs, (a, b) -> (a + b) // 2) AS DOUBLE) / 100.0
+        |    AS ewma
+        |FROM a ORDER BY user_id""".stripMargin,
   )
 
   /** The shared CTE chain mirroring Bpe.trainWithReprs: round k

@@ -253,4 +253,68 @@ object Profiler {
           (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
         .as("corr"))
   }
+
+  /** Winsorized per-group statistics — the robust-mean preprocessing
+    * of metric pipelines: values below the `pctLo`-th / above the
+    * `pctHi`-th percentile are CLIPPED to those bounds before the
+    * mean, so a handful of fat-finger outliers can't drag a group
+    * aggregate (Tukey's winsorization; the signal-clipping cousin of
+    * [[exactCorrelation]]'s robustness concerns).
+    *
+    * Percentiles are DISCRETE (type-1): the bound is the smallest
+    * value whose cumulative count reaches ceil(pct·n/100) — pure
+    * integer rank arithmetic over 2-decimal fixed-point values, no
+    * interpolation, so the bound is an actual data value and every
+    * engine agrees bit-exactly. Means divide the exact integer cent
+    * sum once, in a fixed expression order.
+    *
+    * Scale shape (100 TB): one (group, value)-keyed count aggregate;
+    * the cumulative window runs over the per-group DISTINCT-VALUE
+    * frame (value cardinality, not row count — for 2-decimal
+    * measures that's bounded by the value range, millions of rows at
+    * most); bounds are group-cardinality-sized and broadcast back;
+    * one final group aggregate. Compare `percentile`: exact but
+    * buffers every ROW of the group in one reducer.
+    *
+    * Returns (groupCol, n, lo, hi, mean_raw, mean_winsorized,
+    * n_clipped_lo, n_clipped_hi).
+    */
+  def winsorizedStats(df: DataFrame, valueCol: String, groupCol: String,
+      pctLo: Int = 5, pctHi: Int = 95): DataFrame = {
+    require(0 <= pctLo && pctLo < pctHi && pctHi <= 100,
+      s"need 0 <= pctLo < pctHi <= 100: $pctLo, $pctHi")
+    val cents = floor(col(valueCol) * lit(100) + lit(0.5)).cast("long")
+    val vals = df.select(col(groupCol), cents.as("c"))
+    val counts = vals.groupBy(col(groupCol), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = counts.withColumn("cum", sum(col("cnt")).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol)).orderBy(col("c"))))
+    val n = vals.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val bounds = cum.join(n, Seq(groupCol))
+      .groupBy(col(groupCol), col("n"))
+      .agg(
+        min(when(col("cum") >= expr(s"(n * $pctLo + 99) div 100"), col("c")))
+          .as("lo_c"),
+        min(when(col("cum") >= expr(s"(n * $pctHi + 99) div 100"), col("c")))
+          .as("hi_c"))
+    vals
+      .join(broadcast(bounds), Seq(groupCol))
+      .select(col(groupCol), col("c"),
+        least(greatest(col("c"), col("lo_c")), col("hi_c")).as("wc"),
+        col("lo_c"), col("hi_c"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        (min(col("lo_c")).cast("double") / lit(100.0)).as("lo"),
+        (min(col("hi_c")).cast("double") / lit(100.0)).as("hi"),
+        (sum(col("c")).cast("double") / count(lit(1)).cast("double") /
+          lit(100.0)).as("mean_raw"),
+        (sum(col("wc")).cast("double") / count(lit(1)).cast("double") /
+          lit(100.0)).as("mean_winsorized"),
+        sum(when(col("c") < col("lo_c"), 1L).otherwise(0L))
+          .as("n_clipped_lo"),
+        sum(when(col("c") > col("hi_c"), 1L).otherwise(0L))
+          .as("n_clipped_hi"))
+  }
 }

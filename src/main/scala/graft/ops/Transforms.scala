@@ -186,6 +186,40 @@ object Transforms {
       .agg(countDistinct(col(userCol)).as("n_active"))
   }
 
+  /** Integer EWMA smoothing (α = 1/2) — the exponentially-weighted
+    * moving average per key over the event-time order, the standard
+    * de-noising step before thresholding a metric stream. All
+    * arithmetic is 64-bit integer on 2-decimal fixed-point values:
+    * s₁ = v₁, sᵢ = (sᵢ₋₁ + vᵢ) div 2 — the α=½ recurrence with floor
+    * division, bit-reproducible in any engine (a float EWMA's value
+    * depends on summation order and ulp behavior; the integer floor
+    * at each step is a deliberate part of the contract).
+    *
+    * An EWMA with per-step flooring is a NON-associative linear
+    * recurrence, so it cannot be a shuffle-free window scan: the
+    * per-key event array is collected once (bounded by per-key
+    * activity — the same contract as sessionize) and folded in
+    * (tsCol, idCol) order. One shuffle on the key, no joins.
+    * Returns (keyCol, n_events, last_value, ewma).
+    */
+  def ewmaHalf(df: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id",
+      valCol: String = "value"): DataFrame = {
+    val cents = floor(col(valCol) * lit(100) + lit(0.5)).cast("long")
+    df.select(col(keyCol),
+        struct(col(tsCol), col(idCol), cents.as("c")).as("e"))
+      .groupBy(col(keyCol))
+      .agg(
+        transform(sort_array(collect_list(col("e"))), e => e("c")).as("cs"),
+        count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("n_events"),
+        (element_at(col("cs"), -1).cast("double") / lit(100.0))
+          .as("last_value"),
+        (expr("aggregate(slice(cs, 2, size(cs) - 1), cs[0], " +
+          "(acc, x) -> (acc + x) div 2)").cast("double") / lit(100.0))
+          .as("ewma"))
+  }
+
   /** Per-table pluggable row transform registry — the Spark analog of
     * the `--ch-converter-file`/`--ch-converter-class` plugin surface
     * (clioptions.py:492-503, converter/converter.py:9-35). Instead of

@@ -352,6 +352,28 @@ object PipelineQueries {
         Tables.load(spark, dir, "documents"), vb = 256)
       .orderBy("doc_id")
 
+  /** q121: winsorized price statistics per return flag — values
+    * clipped at the discrete p5/p95 bounds before the mean
+    * (Profiler.winsorizedStats): integer rank arithmetic over the
+    * per-group distinct-value frame picks actual data values as
+    * bounds, and the clipped mean divides an exact cent sum once.
+    */
+  def winsorizedPrices(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiler.winsorizedStats(
+        Tables.load(spark, dir, "lineitem"),
+        valueCol = "l_extendedprice", groupCol = "l_returnflag")
+      .orderBy("l_returnflag")
+
+  /** q122: integer EWMA (α = ½) of each user's event-value stream in
+    * event-time order (Transforms.ewmaHalf) — per-step floor on
+    * 2-decimal fixed-point keeps the non-associative recurrence
+    * bit-reproducible; one key shuffle, the per-key fold is the
+    * sessionize boundedness contract.
+    */
+  def userValueEwma(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Transforms.ewmaHalf(Tables.load(spark, dir, "events"))
+      .orderBy("user_id")
+
   /** q119: integer HITS over the q92 co-purchase graph — hub and
     * authority scores after two full iterations (Hits.integerHits),
     * PageRank's classic complement for link-graph curation. Each

@@ -2039,3 +2039,80 @@ class GraphSimSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 }
+
+class WinsorizeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("winsorizedStats: discrete rank bounds, clipping, groups") {
+    import graft.ops.Profiler
+    // A: cents 1..20 → k5 = ceil(1.0) = 1 → lo = 1; k95 = 19 → hi = 19,
+    // so only the 20 clips (to 19). B: duplicates at 5 and a tail 9 →
+    // k95 = 4 lands on the 9 itself, nothing clips.
+    val df = ((1 to 20).map(i => ("A", i / 100.0)) ++
+      Seq(("B", 0.05), ("B", 0.05), ("B", 0.05), ("B", 0.09))).toDF("g", "v")
+    val got = Profiler.winsorizedStats(df, "v", "g").orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6), r.getLong(7)))
+    assert(got.toSeq == Seq(
+      ("A", 20L, 0.01, 0.19, 210.0 / 20 / 100, 209.0 / 20 / 100, 0L, 1L),
+      ("B", 4L, 0.05, 0.09, 24.0 / 4 / 100, 24.0 / 4 / 100, 0L, 0L)))
+
+    // pctLo = 0: rank 0 is reached by every cumulative count, so the
+    // low bound is the group minimum and nothing clips low
+    val lo0 = Profiler.winsorizedStats(df, "v", "g", pctLo = 0, pctHi = 50)
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(2)))
+    assert(lo0.toSeq == Seq(("A", 0.01), ("B", 0.05)))
+
+    // partition-invariant; the bounds come back via a broadcast join
+    val re = Profiler.winsorizedStats(df.repartition(5), "v", "g")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6), r.getLong(7)))
+    assert(re.toSeq == got.toSeq)
+    val plan = Profiler.winsorizedStats(df, "v", "g")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("winsorizedStats rejects inverted percentile bounds") {
+    val df = Seq(("A", 1.0)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Profiler.winsorizedStats(df, "v", "g", pctLo = 90, pctHi = 10)
+    }
+    assert(e.getMessage.contains("pctLo"))
+  }
+}
+
+class EwmaSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("ewmaHalf folds the integer recurrence in event-time order") {
+    import graft.ops.Transforms
+    // user 1: cents 5, 3, 9 → 5, (5+3)/2 = 4, (4+9)/2 = 6 → 0.06;
+    // user 2: single event is its own EWMA; user 3: equal ts breaks
+    // the fold order on event_id (9 before 1 by id → 5,7,4 ≠ 5,3,6)
+    val df = Seq(
+      (1L, 10L, 1L, 0.05), (1L, 20L, 2L, 0.03), (1L, 30L, 3L, 0.09),
+      (2L, 10L, 4L, 0.42),
+      (3L, 10L, 5L, 0.05), (3L, 20L, 7L, 0.01), (3L, 20L, 6L, 0.09)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = Transforms.ewmaHalf(df).orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 0.09, 0.06),
+      (2L, 1L, 0.42, 0.42),
+      // 5 → (5+9)/2 = 7 (id 6 first) → (7+1)/2 = 4
+      (3L, 3L, 0.01, 0.04)))
+
+    // partition-invariant; one key shuffle, no joins anywhere
+    val re = Transforms.ewmaHalf(df.repartition(5)).orderBy("user_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(re.toSeq == got.toSeq)
+    val plan = Transforms.ewmaHalf(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
+}
