@@ -154,6 +154,7 @@ object SparkEntry {
     "q120_neighbor_jaccard" -> PipelineQueries.copurchaseNeighborSim _,
     "q121_winsorized"       -> PipelineQueries.winsorizedPrices _,
     "q122_ewma"             -> PipelineQueries.userValueEwma _,
+    "q123_contamination_attr" -> PipelineQueries.contaminationVerdicts _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2078,6 +2079,45 @@ object SparkEntry {
         |  CAST(list_reduce(cs, (a, b) -> (a + b) // 2) AS DOUBLE) / 100.0
         |    AS ewma
         |FROM a ORDER BY user_id""".stripMargin,
+    // q123: the q48 probe split at 2-gram granularity; containment
+    // rounds through the fixed-point form BEFORE the 0.35 threshold,
+    // attribution argmax by (overlap desc, probe asc)
+    "q123_contamination_attr" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |    unnest(list_distinct([array_to_string(toks[i:i+1],' ')
+        |      for i in range(1, len(toks))])) AS s FROM t),
+        |base AS (SELECT doc_id,
+        |    len(list_distinct([array_to_string(toks[i:i+1],' ')
+        |      for i in range(1, len(toks))])) AS n_sh
+        |  FROM t WHERE doc_id % 100 <> 0),
+        |probe AS (SELECT DISTINCT doc_id AS probe_id, s FROM sh
+        |  WHERE doc_id % 100 = 0),
+        |hits AS (SELECT sh.doc_id, probe.probe_id, sh.s
+        |  FROM sh JOIN probe ON sh.s = probe.s WHERE sh.doc_id % 100 <> 0),
+        |perdoc AS (SELECT doc_id, COUNT(DISTINCT s) AS n_hits
+        |  FROM hits GROUP BY 1),
+        |perpair AS (SELECT doc_id, probe_id, COUNT(*) AS overlap
+        |  FROM hits GROUP BY 1, 2),
+        |top AS (SELECT doc_id, probe_id AS top_probe,
+        |    overlap AS top_overlap FROM (
+        |    SELECT doc_id, probe_id, overlap, ROW_NUMBER() OVER (
+        |      PARTITION BY doc_id ORDER BY overlap DESC, probe_id) AS rn
+        |    FROM perpair) WHERE rn = 1),
+        |c AS (SELECT b.doc_id, b.n_sh, COALESCE(p.n_hits, 0) AS n_hits,
+        |    CASE WHEN b.n_sh > 0 THEN
+        |      floor(CAST(COALESCE(p.n_hits, 0) AS DOUBLE) /
+        |        CAST(b.n_sh AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |    ELSE 0.0 END AS containment,
+        |    t.top_probe, t.top_overlap
+        |  FROM base b LEFT JOIN perdoc p USING (doc_id)
+        |  LEFT JOIN top t USING (doc_id))
+        |SELECT doc_id, CAST(n_sh AS INTEGER) AS n_shingles,
+        |  CAST(n_hits AS BIGINT) AS n_hits, containment,
+        |  CAST(CASE WHEN containment >= 0.35 THEN 1 ELSE 0 END
+        |    AS INTEGER) AS contaminated,
+        |  top_probe, CAST(top_overlap AS BIGINT) AS top_overlap
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
 
   /** The shared CTE chain mirroring Bpe.trainWithReprs: round k

@@ -457,6 +457,58 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits")) // shingleRows emits distinct shingles
   }
 
+  /** Contamination as a per-document DECISION with attribution — the
+    * GPT-3/PaLM decontamination rule ([[contaminationScan]] gives the
+    * raw hit count; this gives the verdict): a document is
+    * contaminated when the fraction of its distinct k-shingles found
+    * in ANY probe reaches `tau`, and the report names the probe with
+    * the largest overlap (ties to the smaller probe id) so the
+    * pipeline can say WHICH benchmark leaked, not just that one did.
+    *
+    * The containment ratio rounds through the shared fixed-point
+    * 1e-6 form BEFORE thresholding, so a boundary-landing ratio
+    * cannot split engines. Clean documents report zero hits and a
+    * NULL probe; documents shorter than k report n_shingles = 0 and
+    * containment 0.
+    *
+    * Scale shape: [[contaminationScan]]'s — probe shingles broadcast
+    * (now carrying the probe id, still benchmark-sized), the corpus
+    * scans once, only hits shuffle; the attribution argmax window
+    * runs per doc over at most #matched-probes rows.
+    */
+  def contaminationAttribution(docs: DataFrame, probes: DataFrame,
+      k: Int = 3, tau: Double = 0.2, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val probeSh = shingleRows(probes, k, idCol, textCol)
+      .select(col("doc_id").as("probe_id"), col("shingle"))
+    val hits = shingleRows(docs, k, idCol, textCol)
+      .join(broadcast(probeSh), Seq("shingle"))
+    val perDoc = hits.groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle")).as("n_hits"))
+    val top = hits.groupBy(col("doc_id"), col("probe_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("overlap").desc, col("probe_id"))))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("probe_id").as("top_probe"),
+        col("overlap").as("top_overlap"))
+    val containment = when(col("n_shingles") > 0,
+      graft.text.TextAnalysis.round6(col("n_hits").cast("double") /
+        col("n_shingles").cast("double"))).otherwise(lit(0.0))
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(array_distinct(graft.text.TextAnalysis
+          .shingles(col(textCol), k))).as("n_shingles"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(top, Seq("doc_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+        containment.as("containment"),
+        when(containment >= tau, 1).otherwise(0).as("contaminated"),
+        col("top_probe"), col("top_overlap"))
+  }
+
   /** Contamination scan for probe sets too large to broadcast as an
     * exact hash set (full eval-suite unions reach 1e8+ shingles ≈
     * multi-GB): a Bloom prefilter + exact verify join. Results are

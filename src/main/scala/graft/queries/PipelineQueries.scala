@@ -352,6 +352,21 @@ object PipelineQueries {
         Tables.load(spark, dir, "documents"), vb = 256)
       .orderBy("doc_id")
 
+  /** q123: contamination verdict with benchmark attribution — the
+    * GPT-3/PaLM decision rule on the q48 probe split
+    * (Dedup.contaminationAttribution): per-doc 2-gram containment
+    * against the probe set, rounded-then-thresholded at 0.35, plus
+    * the max-overlap probe id so the report names WHICH benchmark
+    * leaked.
+    */
+  def contaminationVerdicts(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val probes = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(100)) =!= 0)
+    Dedup.contaminationAttribution(corpus, probes, k = 2, tau = 0.35)
+      .orderBy("doc_id")
+  }
+
   /** q121: winsorized price statistics per return flag — values
     * clipped at the discrete p5/p95 bounds before the mean
     * (Profiler.winsorizedStats): integer rank arithmetic over the

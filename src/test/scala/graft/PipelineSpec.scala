@@ -1581,6 +1581,42 @@ class ContaminationSpec extends AnyFunSuite {
     assert(Dedup.contaminationScanBloom(
       corpus, probes.where(lit(false)), k = 3).count() == 0)
   }
+
+  test("contaminationAttribution: verdicts, attribution ties, clean docs") {
+    val probes = Seq((100L, "a b c d"), (200L, "c d e")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b c x"), (2L, "z z z"), (3L, "a"), (4L, "c d e a b")
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationAttribution(corpus, probes, k = 2, tau = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4), Option(r.get(5)).map(_.asInstanceOf[Long]),
+        Option(r.get(6)).map(_.asInstanceOf[Long])))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got.toSeq == Seq(
+      // doc 1: {a b, b c, c x}; a b + b c hit probe 100 → 2/3
+      (1L, 3, 2L, r6(2.0 / 3.0), 1, Some(100L), Some(2L)),
+      // doc 2: its only (repeated) shingle is unshared — clean
+      (2L, 1, 0L, 0.0, 0, None, None),
+      // doc 3: shorter than k → no shingles, containment 0
+      (3L, 0, 0L, 0.0, 0, None, None),
+      // doc 4: 3 of 4 shingles hit; probes 100 and 200 TIE at
+      // overlap 2 → attribution breaks to the smaller probe id
+      (4L, 4, 3L, 0.75, 1, Some(100L), Some(2L))))
+
+    // partition-invariant; the probe side joins broadcast
+    val re = Dedup.contaminationAttribution(
+        corpus.repartition(5), probes, k = 2, tau = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4), Option(r.get(5)).map(_.asInstanceOf[Long]),
+        Option(r.get(6)).map(_.asInstanceOf[Long])))
+    assert(re.toSeq == got.toSeq)
+    val plan = Dedup.contaminationAttribution(corpus, probes, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
 }
 
 class HeavyHittersSpec extends AnyFunSuite {
