@@ -155,6 +155,8 @@ object SparkEntry {
     "q121_winsorized"       -> PipelineQueries.winsorizedPrices _,
     "q122_ewma"             -> PipelineQueries.userValueEwma _,
     "q123_contamination_attr" -> PipelineQueries.contaminationVerdicts _,
+    "q124_readability"      -> PipelineQueries.readability _,
+    "q125_rank_fusion"      -> PipelineQueries.qualityRankFusion _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2118,6 +2120,78 @@ object SparkEntry {
         |    AS INTEGER) AS contaminated,
         |  top_probe, CAST(top_overlap AS BIGINT) AS top_overlap
         |FROM c ORDER BY doc_id""".stripMargin,
+    // q124: vowel-group syllables, minimum one per word; ratios
+    // round through the shared fixed-point form
+    "q124_readability" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, len(toks) AS n_words,
+        |    list_transform(toks, t ->
+        |      greatest(1, len(regexp_extract_all(t, '[aeiouy]+')))) AS syl
+        |  FROM t)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(COALESCE(list_sum(syl), 0) AS BIGINT) AS n_syllables,
+        |  CAST(len(list_filter(syl, x -> x >= 3)) AS BIGINT) AS n_complex,
+        |  CASE WHEN n_words > 0 THEN
+        |    floor(CAST(COALESCE(list_sum(syl), 0) AS DOUBLE) /
+        |      CAST(n_words AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |  ELSE 0.0 END AS mean_syllables,
+        |  CASE WHEN n_words > 0 THEN
+        |    floor(CAST(len(list_filter(syl, x -> x >= 3)) AS DOUBLE) /
+        |      CAST(n_words AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |  ELSE 0.0 END AS complex_ratio
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // q125: the q102 surprisal chain + the q20 quality chain fused
+    // by integer reciprocal ranks; both ROW_NUMBERs tie on doc_id
+    "q125_rank_fusion" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(text,' ')) AS token FROM documents),
+        |counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        |vocab AS (SELECT token, cnt FROM (
+        |    SELECT token, cnt,
+        |      ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS id
+        |    FROM counts) WHERE id <= 64),
+        |tot AS (SELECT COUNT(*) AS n_total FROM tok),
+        |scored AS (SELECT t.doc_id,
+        |    CAST(floor(-ln(CAST(COALESCE(v.cnt, 0) + 1 AS DOUBLE) /
+        |        CAST(n_total + 64 + 1 AS DOUBLE)) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS smicro
+        |  FROM tok t LEFT JOIN vocab v USING (token) CROSS JOIN tot),
+        |ppl AS (SELECT doc_id,
+        |    CAST(SUM(smicro) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |      / 1000000.0 AS avg_surprisal
+        |  FROM scored GROUP BY 1),
+        |qt AS (SELECT doc_id,
+        |    len(string_split(text,' ')) AS n_tok,
+        |    len(list_distinct(string_split(text,' '))) AS n_typ,
+        |    len(list_filter(string_split(text,' '),
+        |      x -> x='the' OR x='a')) AS n_stop,
+        |    length(text) AS n_ch,
+        |    length(text) -
+        |      length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct
+        |  FROM documents),
+        |qual AS (SELECT doc_id,
+        |    floor((0.3*least(n_tok/50.0, 1.0)
+        |        + 0.3*(CAST(n_typ AS DOUBLE)/n_tok)
+        |        + 0.2*greatest(0.0, 1.0 - abs(CAST(n_stop AS DOUBLE)/n_tok - 0.08)*4.0)
+        |        + 0.2*greatest(0.0, 1.0 - (CAST(n_punct AS DOUBLE)/n_ch)*2.0))
+        |      *1000000.0 + 0.5)/1000000.0 AS quality
+        |  FROM qt),
+        |j AS (SELECT d.doc_id, d.lang, p.avg_surprisal, q.quality
+        |  FROM documents d JOIN ppl p USING (doc_id)
+        |  JOIN qual q USING (doc_id)),
+        |r AS (SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY avg_surprisal ASC, doc_id) AS rank_avg_surprisal,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY quality DESC, doc_id) AS rank_quality
+        |  FROM j)
+        |SELECT doc_id, lang,
+        |  CAST(rank_avg_surprisal AS INTEGER) AS rank_avg_surprisal,
+        |  CAST(rank_quality AS INTEGER) AS rank_quality,
+        |  CAST(1000000 // (60 + rank_avg_surprisal) +
+        |       1000000 // (60 + rank_quality) AS BIGINT) AS rrf_micro
+        |FROM r ORDER BY doc_id""".stripMargin,
   )
 
   /** The shared CTE chain mirroring Bpe.trainWithReprs: round k

@@ -352,6 +352,37 @@ object PipelineQueries {
         Tables.load(spark, dir, "documents"), vb = 256)
       .orderBy("doc_id")
 
+  /** q124: readability signals — the Flesch/SMOG inputs under the
+    * vowel-group syllable heuristic (TextAnalysis
+    * .readabilitySignals): syllable totals, mean syllables per word,
+    * complex-word ratio. Pure per-row array expressions, zero
+    * shuffle.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.readabilitySignals(Tables.load(spark, dir, "documents"))
+      .orderBy("doc_id")
+
+  /** q125: reciprocal-rank fusion of the unigram-perplexity and
+    * heuristic-quality signals per language (RankFusion.fuse) — the
+    * calibration-free way to combine incommensurable quality scores
+    * into one selection order; contributions are exact integers
+    * (1000000 div (60 + rank)) and ties rank by doc_id, so the fused
+    * order is bit-stable in any engine.
+    */
+  def qualityRankFusion(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val ppl = graft.text.LanguageModel.unigramPerplexity(docs, v = 64)
+      .select(col("doc_id"), col("avg_surprisal"))
+    val scored = docs.select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text"), Stopwords).as("quality"))
+      .join(ppl, Seq("doc_id"))
+    graft.ops.RankFusion.fuse(scored, "doc_id", "lang",
+        Seq(("avg_surprisal", true), ("quality", false)))
+      .select(col("doc_id"), col("lang"), col("rank_avg_surprisal"),
+        col("rank_quality"), col("rrf_micro"))
+      .orderBy("doc_id")
+  }
+
   /** q123: contamination verdict with benchmark attribution — the
     * GPT-3/PaLM decision rule on the q48 probe split
     * (Dedup.contaminationAttribution): per-doc 2-gram containment

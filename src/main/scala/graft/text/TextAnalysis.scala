@@ -514,4 +514,38 @@ object TextAnalysis {
     val noSsn = regexp_replace(noPhone, SsnPattern, "<SSN>")
     regexp_replace(noSsn, Ipv4Pattern, "<IP>")
   }
+
+  /** Per-document readability signals — the Flesch/SMOG family's
+    * inputs under the classic vowel-group syllable heuristic (a
+    * maximal `[aeiouy]+` run ≈ one syllable, minimum one per word;
+    * the dictionary-free approximation every readability tool uses):
+    * word count, total syllables, mean syllables per word, and the
+    * count/ratio of complex (≥3-syllable) words that drives
+    * SMOG/Gunning-Fog. The corpus has no sentence punctuation, so
+    * the sentence-normalized composites are left to the caller —
+    * these are the per-word terms, rounded through the shared
+    * fixed-point form.
+    *
+    * Scale shape: pure per-row codegen'd array expressions — the
+    * syllable transform runs on the token array without an explode —
+    * zero shuffle, one scan at any corpus size.
+    * Returns (idCol, n_words, n_syllables, n_complex,
+    * mean_syllables, complex_ratio).
+    */
+  def readabilitySignals(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val syl = transform(tokens(col(textCol)), t =>
+      greatest(lit(1), size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0)))))
+    df.select(col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_words"),
+        aggregate(syl, lit(0L), (a, x) => a + x).as("n_syllables"),
+        size(filter(syl, s => s >= 3)).cast("long").as("n_complex"))
+      .select(col(idCol), col("n_words"), col("n_syllables"), col("n_complex"),
+        when(col("n_words") > 0, round6(col("n_syllables").cast("double") /
+          col("n_words").cast("double"))).otherwise(lit(0.0))
+          .as("mean_syllables"),
+        when(col("n_words") > 0, round6(col("n_complex").cast("double") /
+          col("n_words").cast("double"))).otherwise(lit(0.0))
+          .as("complex_ratio"))
+  }
 }

@@ -2152,3 +2152,73 @@ class EwmaSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan)
   }
 }
+
+class ReadabilitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("readabilitySignals: vowel-group syllables, complex words, zero shuffle") {
+    // "hello" = he-llo → 2; "sky" has no aeiou but y counts → 1;
+    // "beautiful" = eau-i-u → 3 (complex); "xyzzy" → y+y = 2;
+    // a consonant-only token floors at 1
+    val docs = Seq(
+      (1L, "hello sky beautiful"), (2L, "xyzzy tsk"), (3L, "")
+    ).toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.readabilitySignals(docs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got.toSeq == Seq(
+      (1L, 3L, 6L, 1L, 2.0, r6(1.0 / 3.0)),
+      (2L, 2L, 3L, 0L, 1.5, 0.0),
+      (3L, 0L, 0L, 0L, 0.0, 0.0)))
+
+    // per-row expressions only: no exchange, no join in the plan
+    val plan = graft.text.TextAnalysis.readabilitySignals(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+}
+
+class RankFusionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("fuse: integer reciprocal ranks, direction, ties to id") {
+    import graft.ops.RankFusion
+    // group g: ppl ranks (asc) 1=b, 2=a, 3=c; quality ranks (desc)
+    // 1=a, 2=b(tie with c broken by id), 3=c
+    val df = Seq(
+      ("a", "g", 2.0, 0.9), ("b", "g", 1.0, 0.5), ("c", "g", 3.0, 0.5),
+      ("d", "h", 9.0, 0.1)
+    ).toDF("id", "grp", "ppl", "quality")
+    val got = RankFusion.fuse(df, "id", "grp",
+        Seq(("ppl", true), ("quality", false)))
+      .orderBy("id").collect()
+      .map(r => (r.getString(0), r.getInt(4), r.getInt(5), r.getLong(6)))
+    def c(r: Int) = 1000000L / (60 + r)
+    assert(got.toSeq == Seq(
+      ("a", 2, 1, c(2) + c(1)),
+      ("b", 1, 2, c(1) + c(2)),
+      ("c", 3, 3, c(3) + c(3)),
+      // a singleton group ranks 1 on every signal
+      ("d", 1, 1, c(1) + c(1))))
+
+    // partition-invariant
+    val re = RankFusion.fuse(df.repartition(5), "id", "grp",
+        Seq(("ppl", true), ("quality", false)))
+      .orderBy("id").collect()
+      .map(r => (r.getString(0), r.getInt(4), r.getInt(5), r.getLong(6)))
+    assert(re.toSeq == got.toSeq)
+  }
+
+  test("fuse rejects an empty signal list") {
+    val df = Seq(("a", "g", 1.0)).toDF("id", "grp", "x")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.RankFusion.fuse(df, "id", "grp", Nil)
+    }
+    assert(e.getMessage.contains("signal"))
+  }
+}
