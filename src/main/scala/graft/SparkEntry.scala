@@ -157,6 +157,9 @@ object SparkEntry {
     "q123_contamination_attr" -> PipelineQueries.contaminationVerdicts _,
     "q124_readability"      -> PipelineQueries.readability _,
     "q125_rank_fusion"      -> PipelineQueries.qualityRankFusion _,
+    "q126_components_star"  -> PipelineQueries.dupClustersStar _,
+    "q127_pmi_bigrams"      -> PipelineQueries.pmiCollocations _,
+    "q128_containment"      -> PipelineQueries.containedDocs _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2192,6 +2195,64 @@ object SparkEntry {
         |  CAST(1000000 // (60 + rank_avg_surprisal) +
         |       1000000 // (60 + rank_quality) AS BIGINT) AS rrf_micro
         |FROM r ORDER BY doc_id""".stripMargin,
+    // q126: same pair graph and same recursive-closure oracle as q41
+    // — the engine side swaps min-label propagation for the
+    // large-star/small-star contraction; the fixpoint is identical
+    "q126_components_star" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1, len(toks)-1)])) AS s
+        |       FROM t),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |p AS (SELECT da, db
+        |      FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+        |      WHERE CAST(i AS DOUBLE)/CAST(x.n + y.n - i AS DOUBLE) >= 0.5),
+        |edges AS (SELECT da AS src, db AS dst FROM p
+        |          UNION SELECT db, da FROM p),
+        |walk(node, label) AS (
+        |  SELECT src AS node, src AS label FROM edges
+        |  UNION
+        |  SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst
+        |)
+        |SELECT node AS doc_id, MIN(label) AS cluster_id
+        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q127: integer exp-PMI — HUGEINT product, floor division, so the
+    // score is the engine's DECIMAL(38,0) div bit for bit
+    "q127_pmi_bigrams" ->
+      """WITH t AS (SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks FROM documents),
+        |tok AS (SELECT unnest(toks) AS w FROM t),
+        |uni AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY 1),
+        |n AS (SELECT SUM(c) AS n_total FROM uni),
+        |bp AS (SELECT unnest([{'w1': toks[i], 'w2': toks[i+1]} for i in range(1, len(toks))]) AS p FROM t),
+        |bi AS (SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c_xy FROM bp GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT w1, w2, c_xy,
+        |  CAST((CAST(c_xy AS HUGEINT) * n_total * 1000000)
+        |    // (CAST(c1.c AS HUGEINT) * c2.c) AS BIGINT) AS score_ppm
+        |FROM bi JOIN uni c1 ON bi.w1 = c1.w JOIN uni c2 ON bi.w2 = c2.w, n
+        |ORDER BY score_ppm DESC, w1, w2 LIMIT 50""".stripMargin,
+    // q128: q24's inverted-index skeleton, asymmetric containment
+    // score in integer ppm, both orientations
+    "q128_containment" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1, len(toks)-1)])) AS s
+        |       FROM t),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |sc AS (SELECT da AS doc_sub, db AS doc_sup, i AS inter, x.n AS n_sub
+        |         FROM inter JOIN sz x ON da = x.doc_id
+        |       UNION ALL
+        |       SELECT db, da, i, y.n
+        |         FROM inter JOIN sz y ON db = y.doc_id)
+        |SELECT doc_sub, doc_sup, inter, CAST(n_sub AS BIGINT) AS n_sub,
+        |  (inter * 1000000) // n_sub AS contain_ppm
+        |FROM sc WHERE (inter * 1000000) // n_sub >= 800000
+        |ORDER BY doc_sub, doc_sup""".stripMargin,
   )
 
   /** The shared CTE chain mirroring Bpe.trainWithReprs: round k

@@ -135,6 +135,63 @@ object Dedup {
       .select("doc_a", "doc_b", "j")
   }
 
+  /** Asymmetric containment pairs: ordered (doc_sub, doc_sup) where
+    * the k-shingle set of `doc_sub` is ≥ `thresholdPpm` contained in
+    * `doc_sup`'s — C(A,B) = |A∩B| / |A|, the quote/excerpt/superset
+    * relation that resemblance Jaccard structurally misses (a 50-word
+    * excerpt inside a 5000-word page has J ≈ 0.01 but C = 1.0; the
+    * LSH-Ensemble problem setting, Zhu et al., VLDB'16). Training
+    * pipelines use it to drop documents subsumed by a longer
+    * near-superset instead of keeping both.
+    *
+    * Candidate generation and the hot-shingle cap are exactly
+    * [[jaccardPairs]]'s (shared inverted index, bucketed equi-join,
+    * no all-pairs); only the score changes — and it is computed in
+    * integer ppm (`inter * 1_000_000 div n_sub`), bit-identical in
+    * any engine. Both orientations of a candidate pair are scored;
+    * each passing orientation is one output row.
+    */
+  def containmentPairs(docs: DataFrame, k: Int = 3,
+      thresholdPpm: Long = 800000L, maxDF: Long = AdaptiveMaxDF,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cap =
+      if (maxDF == AdaptiveMaxDF) math.max(1000L, docs.count() / 100)
+      else { require(maxDF > 0, s"maxDF must be positive, got $maxDF"); maxDF }
+    val rows = shingleRows(docs, k, idCol, textCol)
+    val capped =
+      if (cap == Long.MaxValue) rows
+      else {
+        val hot = rows.groupBy("shingle").count()
+          .filter(col("count") > cap).select("shingle")
+        rows.join(broadcast(hot), Seq("shingle"), "left_anti")
+          .withColumn("n_sh",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy("doc_id")))
+      }
+    val paired = capped
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .filter(col("df") > 1)
+      .drop("df")
+    val a = paired.select(col("doc_id").as("doc_a"), col("n_sh").as("na"),
+      col("shingle"))
+    val b = paired.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"),
+      col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+    // score both orientations; each row is one direction of containment
+    inter.select(col("doc_a").as("doc_sub"), col("doc_b").as("doc_sup"),
+        col("inter"), col("na").cast("long").as("n_sub"))
+      .unionByName(inter.select(col("doc_b").as("doc_sub"),
+        col("doc_a").as("doc_sup"), col("inter"), col("nb").cast("long").as("n_sub")))
+      .withColumn("contain_ppm",
+        expr("(inter * 1000000) div n_sub"))
+      .filter(col("contain_ppm") >= thresholdPpm)
+      .select("doc_sub", "doc_sup", "inter", "n_sub", "contain_ppm")
+  }
+
   /** Incremental near-dup check: which documents of a NEW ingest
     * `batch` duplicate something already in `corpus` — the
     * steady-state form of dedup once a corpus exists (re-running the

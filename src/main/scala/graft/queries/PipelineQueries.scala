@@ -1091,6 +1091,56 @@ object PipelineQueries {
       .orderBy("o_orderkey", "status")
   }
 
+  /** q126: duplicate clusters of the q41 pair graph, computed by the
+    * alternating large-star/small-star contraction instead of
+    * min-label propagation — same fixpoint (component min labels,
+    * the oracle is q41's recursive closure verbatim), O(log n)
+    * rounds on any graph shape.
+    */
+  def dupClustersStar(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ConnectedComponents.starComponents(
+      // uncapped pinned: the oracle's recursive closure is exact
+      Dedup.jaccardPairs(Tables.load(spark, dir, "documents"),
+        k = 3, threshold = 0.5, maxDF = Dedup.UncappedMaxDF))
+      .orderBy("doc_id")
+
+  /** q127: top-50 adjacent-bigram collocations by integer exp-PMI. */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Collocations.pmiBigrams(
+      Tables.load(spark, dir, "documents"), minCount = 5L, topK = 50)
+
+  /** q128: asymmetric shingle-containment pairs (quote/excerpt
+    * detection) at C >= 0.8, exact-uncapped pinned for the oracle.
+    */
+  def containedDocs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.load(spark, dir, "documents"),
+      k = 3, thresholdPpm = 800000L, maxDF = Dedup.UncappedMaxDF)
+      .orderBy("doc_sub", "doc_sup")
+
+  /** q129: 20-core of the customer–part co-purchase graph — the
+    * dense engagement core (node, in-core degree) after iterative
+    * peeling; the oracle unrolls the same peeling a generous fixed
+    * number of rounds (fixpoint rounds are no-ops).
+    */
+  def copurchaseKCore(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("a"),
+        (col("l_partkey") + 10000000L).as("b"))
+    graft.ops.KCore.kCore(edges, k = 20).orderBy("node")
+  }
+
+  /** q131: cross-source quantile normalization of document lengths —
+    * each doc's n_chars mapped to the global length at the same
+    * within-source quantile (integer rank arithmetic end to end).
+    */
+  def lengthQuantileNorm(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.QuantileNorm.quantileNormalize(
+        Tables.load(spark, dir, "documents"),
+        col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("id")
+
   def heavyParts(spark: SparkSession, dir: String): DataFrame =
     // capacity 2^18 keeps the recall bound N/capacity under the fixed
     // minCount up to the sf1 soak (6M rows → bound 22.9 < 45); ~4 MB

@@ -1,0 +1,96 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.ops.ConnectedComponents
+import graft.text.Collocations
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ComponentsStarSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def labelsOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("star components equal label propagation on a random pair graph") {
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 120).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("doc_a", "doc_b")
+    val star = labelsOf(ConnectedComponents.starComponents(pairs))
+    val prop = labelsOf(Dedup.dupClusters(pairs))
+    assert(star == prop)
+  }
+
+  test("star components collapse a long chain in logarithmic rounds") {
+    // a 400-node path: diameter 399 — min-label propagation's worst
+    // case (its default 30-round budget cannot finish) — while the
+    // star contraction's geometric progress fits maxIter 50 easily
+    val n = 400L
+    val chain = (0L until n - 1).map(i => (i + 1000L, i + 1001L))
+      .toDF("doc_a", "doc_b")
+    val got = labelsOf(ConnectedComponents.starComponents(chain, maxIter = 50))
+    assert(got.keySet == (1000L until 1000L + n).toSet)
+    assert(got.values.toSet == Set(1000L))
+  }
+
+  test("star components are partitioning-independent and handle empties") {
+    val pairs = Seq((5L, 9L), (9L, 2L), (30L, 40L), (40L, 30L), (7L, 7L))
+      .toDF("doc_a", "doc_b")
+    val a = labelsOf(ConnectedComponents.starComponents(pairs.repartition(7)))
+    val b = labelsOf(ConnectedComponents.starComponents(pairs.repartition(1)))
+    assert(a == b)
+    assert(a == Map(5L -> 2L, 9L -> 2L, 2L -> 2L, 30L -> 30L, 40L -> 30L))
+    val empty = ConnectedComponents.starComponents(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+    assert(empty.count() == 0)
+  }
+
+  test("pmi bigrams match a plain-Scala computation") {
+    val docs = Seq(
+      "fast car fast car fast car fast car fast car",
+      "slow boat slow boat slow boat slow boat slow boat",
+      "fast boat slow car fast boat slow car fast boat",
+      "car car car car car boat boat boat boat boat").toDF("text")
+    val got = Collocations.pmiBigrams(docs, minCount = 2L, topK = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getLong(2), r.getAs[Number](3).longValue)).toList
+
+    val texts = docs.as[String].collect()
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val bi = scala.collection.mutable.Map.empty[(String, String), Long]
+    for (t <- texts) {
+      val ws = t.split("\\s+").filter(_.nonEmpty)
+      ws.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1)
+      ws.sliding(2).foreach {
+        case Array(a, b) => bi((a, b)) = bi.getOrElse((a, b), 0L) + 1
+        case _ =>
+      }
+    }
+    val nTot = uni.values.sum
+    val want = bi.toList.filter(_._2 >= 2).map { case ((a, b), c) =>
+      ((a, b), c,
+        (BigInt(c) * nTot * 1000000 / (BigInt(uni(a)) * uni(b))).toLong)
+    }.sortBy { case ((a, b), _, s) => (-s, a, b) }.take(10)
+    assert(got == want)
+  }
+
+  test("containment finds an excerpt that Jaccard misses") {
+    // doc 2 = a 6-token excerpt of the 40-token doc 1: containment of
+    // 2 in 1 is 1.0 while J ~ 0.1 — and only that orientation passes
+    val big = (1 to 36).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, big),
+      (2L, (10 to 15).map(i => s"w$i").mkString(" ")),
+      (3L, "x1 x2 x3 x4 x5 x6 x7")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, k = 3, thresholdPpm = 800000L,
+        maxDF = Dedup.UncappedMaxDF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toList
+    assert(got == List((2L, 1L, 1000000L)))
+    val j = Dedup.jaccardPairs(docs, k = 3, threshold = 0.5,
+      maxDF = Dedup.UncappedMaxDF)
+    assert(j.count() == 0, "resemblance Jaccard must miss the excerpt")
+  }
+}
