@@ -160,6 +160,9 @@ object SparkEntry {
     "q126_components_star"  -> PipelineQueries.dupClustersStar _,
     "q127_pmi_bigrams"      -> PipelineQueries.pmiCollocations _,
     "q128_containment"      -> PipelineQueries.containedDocs _,
+    "q129_kcore"            -> PipelineQueries.copurchaseKCore _,
+    "q130_scd2"             -> TemporalQueries.userTypeScd2 _,
+    "q131_quantile_norm"    -> PipelineQueries.lengthQuantileNorm _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2253,7 +2256,73 @@ object SparkEntry {
         |  (inter * 1000000) // n_sub AS contain_ppm
         |FROM sc WHERE (inter * 1000000) // n_sub >= 800000
         |ORDER BY doc_sub, doc_sup""".stripMargin,
+    // q129: the same degree-< k peeling, unrolled a fixed 12 rounds —
+    // rounds past the fixpoint are no-ops, so any convergence within
+    // 12 rounds (fixture: 3 at sf0.01) yields the engine's answer
+    "q129_kcore" -> kCoreOracle(k = 20, rounds = 12),
+    // q130: gaps-and-islands — change flags, run numbering, run
+    // collapse, lead() to close each interval
+    "q130_scd2" ->
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN LAG(event_type) OVER w IS NULL
+        |           OR LAG(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run FROM o),
+        |g AS (SELECT user_id AS key, run, MIN(event_type) AS value,
+        |    MIN(ts) AS valid_from, COUNT(*) AS n_events
+        |  FROM r GROUP BY 1, 2)
+        |SELECT key, value, valid_from,
+        |  LEAD(valid_from) OVER (PARTITION BY key ORDER BY run) AS valid_to,
+        |  n_events
+        |FROM g ORDER BY key, valid_from""".stripMargin,
+    // q131: integer rank arithmetic — ppm quantile within source,
+    // floor-division pick into the globally ranked values
+    "q131_quantile_norm" ->
+      """WITH d AS (SELECT doc_id AS id, source AS grp,
+        |    CAST(n_chars AS BIGINT) AS v FROM documents),
+        |g AS (SELECT id, grp, v,
+        |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v, id) AS r,
+        |    COUNT(*) OVER (PARTITION BY grp) AS cnt FROM d),
+        |gl AS (SELECT v AS gv, ROW_NUMBER() OVER (ORDER BY v, id) AS grank FROM d),
+        |n AS (SELECT COUNT(*) AS nn FROM d),
+        |p AS (SELECT id, grp, v,
+        |    greatest(1, least(nn,
+        |      (((r * 1000000) // (cnt + 1)) * (nn + 1)) // 1000000)) AS pick
+        |  FROM g, n)
+        |SELECT id, grp, v, gv AS norm FROM p JOIN gl ON pick = grank
+        |ORDER BY id""".stripMargin,
   )
+
+  /** Unrolled k-core peeling over the customer–part co-purchase
+    * graph: round i computes degrees d{i} on edge set e{i}, keeps
+    * nodes with deg >= k as s{i}, and filters e{i+1} to edges whose
+    * BOTH endpoints survive — exactly [[graft.ops.KCore.kCore]]'s
+    * loop, with fixpoint rounds reducing to identity.
+    */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    // MATERIALIZED is load-bearing: each round references its
+    // predecessor three times, so inlined CTEs would re-expand the
+    // base scan 3^rounds times
+    val head =
+      """WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey AS a, l_partkey + 10000000 AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""".stripMargin
+    val steps = (0 until rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
+         |  (SELECT a AS node FROM e$i UNION ALL SELECT b FROM e$i) GROUP BY 1),
+         |s$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $k),
+         |e${i + 1} AS MATERIALIZED (SELECT a, b FROM e$i
+         |  WHERE a IN (SELECT node FROM s$i)
+         |    AND b IN (SELECT node FROM s$i))""".stripMargin
+    }
+    val fin =
+      s"""dF AS (SELECT node, COUNT(*) AS deg FROM
+         |  (SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+         |  GROUP BY 1)
+         |SELECT node, deg FROM dF WHERE deg >= $k ORDER BY node""".stripMargin
+    (Seq(head) ++ steps :+ fin).mkString(",\n")
+  }
 
   /** The shared CTE chain mirroring Bpe.trainWithReprs: round k
     * derives pair counts p{k} from repr d{k}, picks merge m{k},

@@ -206,4 +206,14 @@ object TemporalQueries {
       .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
         col("day_offset"), col("n_active"))
       .orderBy("cohort_day", "day_offset")
+
+  /** q130: SCD-type-2 history of each user's event_type — validity
+    * intervals [valid_from, valid_to) per run of equal values in
+    * event-time order (ties broken by event_id), open interval for
+    * the current state.
+    */
+  def userTypeScd2(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Scd.scd2Intervals(Tables.load(spark, dir, "events"),
+        col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .orderBy("key", "valid_from")
 }
