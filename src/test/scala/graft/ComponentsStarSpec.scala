@@ -48,6 +48,65 @@ class ComponentsStarSpec extends AnyFunSuite {
     assert(empty.count() == 0)
   }
 
+  test("star components equal union-find across many random graph shapes") {
+    // brute-force reference: path-compressed union-find with min roots
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.map(n => n -> find(n)).toMap
+    }
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val n = 20 + rnd.nextInt(60)
+      val m = rnd.nextInt(3 * n)
+      val edges = (1 to m).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val got = labelsOf(ConnectedComponents.starComponents(
+          edges.toDF("doc_a", "doc_b")))
+        assert(got == unionFind(edges), s"seed=$seed n=$n m=$m")
+      }
+    }
+  }
+
+  test("k-core equals brute-force peeling across random graphs") {
+    def brutePeel(edges: Set[(Long, Long)], k: Int): Map[Long, Int] = {
+      var e = edges
+      var stable = false
+      while (!stable) {
+        val deg = e.toSeq.flatMap(p => Seq(p._1, p._2))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = e.filter(p => keep(p._1) && keep(p._2))
+        stable = next == e
+        e = next
+      }
+      e.toSeq.flatMap(p => Seq(p._1, p._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+    }
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(100 + seed)
+      val n = 15 + rnd.nextInt(30)
+      val edges = (1 to 4 * n).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.max(a, b), math.min(a, b)) }.toSet
+      val k = 2 + rnd.nextInt(4)
+      val got = graft.ops.KCore.kCore(edges.toSeq.toDF("a", "b"), k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      assert(got == brutePeel(edges, k), s"seed=$seed n=$n k=$k")
+    }
+  }
+
   test("pmi bigrams match a plain-Scala computation") {
     val docs = Seq(
       "fast car fast car fast car fast car fast car",
