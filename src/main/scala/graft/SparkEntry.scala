@@ -163,6 +163,7 @@ object SparkEntry {
     "q129_kcore"            -> PipelineQueries.copurchaseKCore _,
     "q130_scd2"             -> TemporalQueries.userTypeScd2 _,
     "q131_quantile_norm"    -> PipelineQueries.lengthQuantileNorm _,
+    "q132_mmr_select"       -> PipelineQueries.mmrDiverse _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2293,7 +2294,42 @@ object SparkEntry {
         |  FROM g, n)
         |SELECT id, grp, v, gv AS norm FROM p JOIN gl ON pick = grank
         |ORDER BY id""".stripMargin,
+    // q132: greedy MMR unrolled — round r scores every unpicked
+    // vector as 2·rel − max dot against the r−1 picks, identical
+    // integer arithmetic to the engine's loop
+    "q132_mmr_select" -> mmrOracle(8),
   )
+
+  /** Unrolled greedy-MMR rounds mirroring [[graft.vector.Mmr]]:
+    * quantize, centroid floor-mean, relevance dots, then per round a
+    * max-dot against the growing pick set and one LIMIT-1 argmax
+    * (ties to the smaller vec_id). MATERIALIZED for the same
+    * exponential-inlining reason as the k-core oracle.
+    */
+  private def mmrOracle(k: Int): String = {
+    val head =
+      """WITH e AS MATERIALIZED (SELECT vec_id, [CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) for x in embedding] AS q FROM embeddings),
+        |cp AS MATERIALIZED (SELECT t.i AS i, SUM(CAST(q[t.i] AS HUGEINT)) AS s, COUNT(*) AS n
+        |  FROM e, range(1, 65) t(i) GROUP BY 1),
+        |c AS MATERIALIZED (SELECT list(CAST(s // n AS BIGINT) ORDER BY i) AS cw FROM cp),
+        |r AS MATERIALIZED (SELECT vec_id, q,
+        |  list_reduce([CAST(0 AS BIGINT)] + [q[i]*cw[i] for i in range(1, len(q)+1)], (a,b) -> a+b) AS rel
+        |  FROM e, c),
+        |p1 AS MATERIALIZED (SELECT 1 AS rank, vec_id, q, 2*rel AS score FROM r ORDER BY score DESC, vec_id LIMIT 1),
+        |sel1 AS MATERIALIZED (SELECT vec_id, q FROM p1)""".stripMargin
+    val rounds = (2 to k).map { i =>
+      s"""m$i AS MATERIALIZED (SELECT d.vec_id,
+         |  MAX(list_reduce([CAST(0 AS BIGINT)] + [d.q[j]*s.q[j] for j in range(1, len(d.q)+1)], (a,b) -> a+b)) AS md
+         |  FROM r d, sel${i - 1} s WHERE d.vec_id NOT IN (SELECT vec_id FROM sel${i - 1}) GROUP BY 1),
+         |p$i AS MATERIALIZED (SELECT $i AS rank, d.vec_id, d.q, 2*d.rel - m.md AS score
+         |  FROM r d JOIN m$i m USING (vec_id) ORDER BY score DESC, d.vec_id LIMIT 1),
+         |sel$i AS MATERIALIZED (SELECT vec_id, q FROM sel${i - 1} UNION ALL SELECT vec_id, q FROM p$i)""".stripMargin
+    }
+    val union = (1 to k)
+      .map(i => s"SELECT rank, vec_id, score FROM p$i").mkString(" UNION ALL ")
+    (Seq(head) ++ rounds).mkString(",\n") +
+      s"\nSELECT rank, vec_id, score FROM ($union) ORDER BY rank"
+  }
 
   /** Unrolled k-core peeling over the customer–part co-purchase
     * graph: round i computes degrees d{i} on edge set e{i}, keeps

@@ -1141,6 +1141,12 @@ object PipelineQueries {
         col("doc_id"), col("source"), col("n_chars"))
       .orderBy("id")
 
+  /** q132: 8 maximally-diverse high-relevance exemplars (greedy MMR
+    * over the quantized embeddings, centroid affinity as relevance).
+    */
+  def mmrDiverse(spark: SparkSession, dir: String): DataFrame =
+    graft.vector.Mmr.mmrSelect(Tables.load(spark, dir, "embeddings"), k = 8)
+
   def heavyParts(spark: SparkSession, dir: String): DataFrame =
     // capacity 2^18 keeps the recall bound N/capacity under the fixed
     // minCount up to the sf1 soak (6M rows → bound 22.9 < 45); ~4 MB
