@@ -164,6 +164,7 @@ object SparkEntry {
     "q130_scd2"             -> TemporalQueries.userTypeScd2 _,
     "q131_quantile_norm"    -> PipelineQueries.lengthQuantileNorm _,
     "q132_mmr_select"       -> PipelineQueries.mmrDiverse _,
+    "q133_seed_rank"        -> PipelineQueries.copurchaseSeedRank _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2298,6 +2299,37 @@ object SparkEntry {
     // vector as 2·rel − max dot against the r−1 picks, identical
     // integer arithmetic to the engine's loop
     "q132_mmr_select" -> mmrOracle(8),
+    // q133: q92's unrolled rounds with the teleport term gated to
+    // the node % 1000 = 0 seed set (seeds start at 10^6, rest at 0)
+    "q133_seed_rank" ->
+      """WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS src, p + 10000000 AS dst FROM pairs
+        |      UNION ALL SELECT p + 10000000, c FROM pairs),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, CAST(CASE WHEN node % 1000 = 0
+        |    THEN 1000000 ELSE 0 END AS BIGINT) AS rank FROM nodes),
+        |r1 AS (SELECT n.node,
+        |    CASE WHEN n.node % 1000 = 0 THEN 150000 ELSE 0 END
+        |      + COALESCE(SUM((r.rank * 85) // (100 * od.outdeg)), 0) AS rank
+        |  FROM nodes n LEFT JOIN e ON e.dst = n.node
+        |  LEFT JOIN od ON od.src = e.src
+        |  LEFT JOIN r0 r ON r.node = e.src GROUP BY 1),
+        |r2 AS (SELECT n.node,
+        |    CASE WHEN n.node % 1000 = 0 THEN 150000 ELSE 0 END
+        |      + COALESCE(SUM((r.rank * 85) // (100 * od.outdeg)), 0) AS rank
+        |  FROM nodes n LEFT JOIN e ON e.dst = n.node
+        |  LEFT JOIN od ON od.src = e.src
+        |  LEFT JOIN r1 r ON r.node = e.src GROUP BY 1),
+        |r3 AS (SELECT n.node,
+        |    CASE WHEN n.node % 1000 = 0 THEN 150000 ELSE 0 END
+        |      + COALESCE(SUM((r.rank * 85) // (100 * od.outdeg)), 0) AS rank
+        |  FROM nodes n LEFT JOIN e ON e.dst = n.node
+        |  LEFT JOIN od ON od.src = e.src
+        |  LEFT JOIN r2 r ON r.node = e.src GROUP BY 1)
+        |SELECT node, CAST(rank AS BIGINT) AS rank
+        |FROM r3 ORDER BY node""".stripMargin,
   )
 
   /** Unrolled greedy-MMR rounds mirroring [[graft.vector.Mmr]]:

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic integer PageRank — graph authority scoring, a
@@ -48,7 +48,29 @@ object PageRank {
     *   — both produce identical bit-exact output)
     */
   def integerPageRank(edges: DataFrame, iters: Int,
-      maxBroadcastNodes: Long = 10000000L): DataFrame = {
+      maxBroadcastNodes: Long = 10000000L): DataFrame =
+    run(edges, iters, maxBroadcastNodes, _ => lit(true))
+
+  /** Personalized (topic-sensitive) integer PageRank, Haveliwala
+    * WWW'02: teleport mass flows ONLY to the `seed` node set, so
+    * authority is measured relative to the seeds — the "propagate
+    * quality outward from a trusted domain list" scoring used in
+    * web-corpus curation (seed-quality propagation / TrustRank
+    * shape). Seeds start at rank 10^6 and receive the 150000
+    * per-round teleport; non-seeds start (and teleport) at 0 and
+    * accumulate only flowed-in mass. Same regimes, same exact
+    * integer arithmetic, same bit-reproducibility as
+    * [[integerPageRank]].
+    *
+    * @param seed boolean predicate over the node-id column
+    */
+  def personalizedPageRank(edges: DataFrame, iters: Int,
+      seed: Column => Column,
+      maxBroadcastNodes: Long = 10000000L): DataFrame =
+    run(edges, iters, maxBroadcastNodes, seed)
+
+  private def run(edges: DataFrame, iters: Int, maxBroadcastNodes: Long,
+      seed: Column => Column): DataFrame = {
     require(iters >= 0, s"iters must be non-negative: $iters")
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
@@ -60,9 +82,13 @@ object PageRank {
     val withDeg =
       if (useBroadcast) e.join(deg, "src").localCheckpoint()
       else pinBySrc(e.join(deg, "src"))
-    var ranks = nodes.withColumn("rank", lit(1000000L))
+    val teleport = (n: Column) =>
+      when(seed(n), lit(150000L)).otherwise(lit(0L))
+    var ranks = nodes.withColumn("rank",
+      when(seed(col("node")), lit(1000000L)).otherwise(lit(0L)))
     for (_ <- 1 to iters)
-      ranks = oneRound(withDeg, nodes, ranks, useBroadcast).localCheckpoint()
+      ranks = oneRound(withDeg, nodes, ranks, useBroadcast, teleport)
+        .localCheckpoint()
     ranks
   }
 
@@ -89,7 +115,8 @@ object PageRank {
     * frame, sum contributions by destination, rebase on the node set.
     */
   private[graft] def oneRound(withDeg: DataFrame, nodes: DataFrame,
-      ranks: DataFrame, useBroadcast: Boolean): DataFrame = {
+      ranks: DataFrame, useBroadcast: Boolean,
+      teleport: Column => Column = _ => lit(150000L)): DataFrame = {
     val roundRanks = ranks.withColumnRenamed("node", "src")
     val contribs = withDeg
       .join(if (useBroadcast) broadcast(roundRanks) else roundRanks, "src")
@@ -99,6 +126,6 @@ object PageRank {
     nodes.join(
         if (useBroadcast) broadcast(contribs) else contribs, Seq("node"), "left")
       .select(col("node"),
-        (lit(150000L) + coalesce(col("inmass"), lit(0L))).as("rank"))
+        (teleport(col("node")) + coalesce(col("inmass"), lit(0L))).as("rank"))
   }
 }

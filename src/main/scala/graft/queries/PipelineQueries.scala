@@ -1147,6 +1147,15 @@ object PipelineQueries {
   def mmrDiverse(spark: SparkSession, dir: String): DataFrame =
     graft.vector.Mmr.mmrSelect(Tables.load(spark, dir, "embeddings"), k = 8)
 
+  /** q133: personalized PageRank on the co-purchase graph, teleport
+    * pinned to the node % 1000 == 0 seed set — seed-relative
+    * authority after 3 exact integer iterations.
+    */
+  def copurchaseSeedRank(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.PageRank.personalizedPageRank(copurchaseEdges(spark, dir),
+        iters = 3, seed = n => n % 1000 === 0)
+      .orderBy("node")
+
   def heavyParts(spark: SparkSession, dir: String): DataFrame =
     // capacity 2^18 keeps the recall bound N/capacity under the fixed
     // minCount up to the sf1 soak (6M rows → bound 22.9 < 45); ~4 MB
