@@ -33,8 +33,15 @@ object Mmr {
       vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val spark = emb.sparkSession
+    // deliberately NOT checkpointed/persisted: each round re-derives
+    // the quantized frame from the (column-pruned) source scan — a
+    // stateless recompute. A corpus-sized localCheckpoint would pin
+    // the whole quantized corpus in executor block storage, and an
+    // evicted checkpoint block cannot be recomputed (truncated
+    // lineage) — a job-killer on a real cluster for k extra scans of
+    // savings.
     val q = emb.select(col(idCol).cast("long").as("vec_id"),
-      VectorSearch.quantize(col(vecCol)).as("qv")).localCheckpoint()
+      VectorSearch.quantize(col(vecCol)).as("qv"))
     // positional floor-mean (truncating div, matching every engine's
     // integer division on the decimal-carried sum)
     val dim = q.select(size(col("qv"))).head().getInt(0)
