@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** Connected components by alternating large-star / small-star
   * rounds (Kiveris et al., "Connected Components in MapReduce and
-  * Beyond", SoCC'14) — the O(log n)-round complement to
+  * Beyond", SoCC'14) — the logarithmic-round complement to
   * [[graft.dedup.Dedup.dupClusters]]'s min-label propagation.
   *
   * Label propagation converges in O(diameter) rounds: ideal for
@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   * algorithm contracts every component toward its minimum node id
   * with geometric progress regardless of shape: each round rewrites
   * every edge to point closer to the component minimum, so chains,
-  * rings, and meshes all collapse in logarithmically many rounds.
+  * rings, and meshes all collapse in logarithmically many rounds in
+  * practice (the paper's proven worst-case bound is O(log² n); the
+  * 400-node-path spec converges well inside the default budget).
   * The reference has no graph operators at all (dedup is delegated
   * to ClickHouse ReplacingMergeTree, tablesqlbuilder.py:392-398 in
   * /root/reference) — this is north-star extension scope, the

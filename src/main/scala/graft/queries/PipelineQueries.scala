@@ -1094,7 +1094,7 @@ object PipelineQueries {
   /** q126: duplicate clusters of the q41 pair graph, computed by the
     * alternating large-star/small-star contraction instead of
     * min-label propagation — same fixpoint (component min labels,
-    * the oracle is q41's recursive closure verbatim), O(log n)
+    * the oracle is q41's recursive closure verbatim), logarithmic
     * rounds on any graph shape.
     */
   def dupClustersStar(spark: SparkSession, dir: String): DataFrame =
