@@ -2266,8 +2266,8 @@ object SparkEntry {
     // collapse, lead() to close each interval
     "q130_scd2" ->
       """WITH o AS (SELECT user_id, event_type, ts, event_id,
-        |    CASE WHEN LAG(event_type) OVER w IS NULL
-        |           OR LAG(event_type) OVER w <> event_type
+        |    CASE WHEN ROW_NUMBER() OVER w = 1
+        |           OR LAG(event_type) OVER w IS DISTINCT FROM event_type
         |         THEN 1 ELSE 0 END AS chg
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |r AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id

@@ -33,10 +33,15 @@ object Scd {
   def scd2Intervals(df: DataFrame, keyCol: Column, valueCol: Column,
       tsCol: Column, tieCol: Column): DataFrame = {
     val byKey = Window.partitionBy(keyCol).orderBy(tsCol, tieCol)
+    // null-safe change detection: NULL is a value of its own (a run
+    // of NULLs is one interval, and NULL→x / x→NULL are changes);
+    // the first row per key always opens a run — `lag IS NULL` can't
+    // distinguish it when the first value itself is NULL, so the row
+    // number does
     val runs = df
       .withColumn("chg",
-        when(lag(valueCol, 1).over(byKey).isNull ||
-          lag(valueCol, 1).over(byKey) =!= valueCol, 1L).otherwise(0L))
+        when(row_number().over(byKey) === 1 ||
+          !(lag(valueCol, 1).over(byKey) <=> valueCol), 1L).otherwise(0L))
       .withColumn("run", sum(col("chg")).over(
         byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(keyCol.as("key"), col("run"))

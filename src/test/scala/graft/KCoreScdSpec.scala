@@ -46,6 +46,30 @@ class KCoreScdSpec extends AnyFunSuite {
       (2L, "x", 20L, None, 1L)))
   }
 
+  test("scd2 treats NULL as a value: null runs collapse, transitions close") {
+    // a→NULL→NULL→a: three intervals, the null run carrying value null
+    val rows = Seq(
+      (1L, 10L, Some("a")), (1L, 11L, None), (1L, 12L, None),
+      (1L, 13L, Some("a")),
+      // key whose FIRST value is null — the row-number guard, not
+      // `lag IS NULL`, must open this run
+      (2L, 20L, None), (2L, 21L, Some("x"))
+    ).map { case (u, t, v) =>
+      (u, new java.sql.Timestamp(t * 1000), v.orNull, t)
+    }.toDF("user_id", "ts", "event_type", "event_id")
+    val got = Scd.scd2Intervals(rows, col("user_id"), col("event_type"),
+        col("ts"), col("event_id"))
+      .orderBy("key", "valid_from")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getTimestamp(2).getTime / 1000, r.getLong(4))).toList
+    assert(got == List(
+      (1L, Some("a"), 10L, 1L),
+      (1L, None, 11L, 2L),
+      (1L, Some("a"), 13L, 1L),
+      (2L, None, 20L, 1L),
+      (2L, Some("x"), 21L, 1L)))
+  }
+
   test("quantile normalization maps group ranks onto global values") {
     // group g1 values 1..4, group g2 values 101..104: same in-group
     // quantiles must map both onto the SAME global picks
