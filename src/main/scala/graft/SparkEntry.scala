@@ -451,7 +451,8 @@ object SparkEntry {
         |n AS (SELECT label, vec_id, q,
         |        list_reduce([CAST(0 AS BIGINT)] + [x*x for x in q], (a,b) -> a+b) AS n2
         |      FROM e),
-        |d AS (SELECT label, vec_id, n2, i AS pos, q[i] AS v FROM n, range(1, 65) t(i)),
+        |d AS (SELECT label, vec_id, n2, generate_subscripts(q, 1) AS pos,
+        |        unnest(q) AS v FROM n),
         |cent AS (SELECT label, pos, SUM(v) AS s FROM d GROUP BY 1, 2),
         |cn AS (SELECT label,
         |         SUM(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))) AS cn2
@@ -2258,10 +2259,14 @@ object SparkEntry {
         |  (inter * 1000000) // n_sub AS contain_ppm
         |FROM sc WHERE (inter * 1000000) // n_sub >= 800000
         |ORDER BY doc_sub, doc_sup""".stripMargin,
-    // q129: the same degree-< k peeling, unrolled a fixed 12 rounds —
+    // q129: the same degree-< k peeling, unrolled a fixed 25 rounds —
     // rounds past the fixpoint are no-ops, so any convergence within
-    // 12 rounds (fixture: 3 at sf0.01) yields the engine's answer
-    "q129_kcore" -> kCoreOracle(k = 20, rounds = 12),
+    // 25 rounds yields the engine's answer; 25 is far above any
+    // plausible cascade depth at these scales (the fixture converges
+    // in 3 at sf0.01 — a deeper cascade would need a near-pathological
+    // chain of exactly-k-degree nodes), so a scale bump that somehow
+    // exceeds it shows up as a loud row-count mismatch, not silence
+    "q129_kcore" -> kCoreOracle(k = 20, rounds = 25),
     // q130: gaps-and-islands — change flags, run numbering, run
     // collapse, lead() to close each interval
     "q130_scd2" ->
@@ -2275,10 +2280,10 @@ object SparkEntry {
         |g AS (SELECT user_id AS key, run, MIN(event_type) AS value,
         |    MIN(ts) AS valid_from, COUNT(*) AS n_events
         |  FROM r GROUP BY 1, 2)
-        |SELECT key, value, valid_from,
+        |SELECT key, CAST(run AS BIGINT) AS version, value, valid_from,
         |  LEAD(valid_from) OVER (PARTITION BY key ORDER BY run) AS valid_to,
         |  n_events
-        |FROM g ORDER BY key, valid_from""".stripMargin,
+        |FROM g ORDER BY key, version""".stripMargin,
     // q131: integer rank arithmetic — ppm quantile within source,
     // floor-division pick into the globally ranked values
     "q131_quantile_norm" ->
@@ -2341,8 +2346,8 @@ object SparkEntry {
   private def mmrOracle(k: Int): String = {
     val head =
       """WITH e AS MATERIALIZED (SELECT vec_id, [CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) for x in embedding] AS q FROM embeddings),
-        |cp AS MATERIALIZED (SELECT t.i AS i, SUM(CAST(q[t.i] AS HUGEINT)) AS s, COUNT(*) AS n
-        |  FROM e, range(1, 65) t(i) GROUP BY 1),
+        |cp AS MATERIALIZED (SELECT i, SUM(CAST(x AS HUGEINT)) AS s, COUNT(*) AS n
+        |  FROM (SELECT generate_subscripts(q, 1) AS i, unnest(q) AS x FROM e) GROUP BY 1),
         |c AS MATERIALIZED (SELECT list(CAST(s // n AS BIGINT) ORDER BY i) AS cw FROM cp),
         |r AS MATERIALIZED (SELECT vec_id, q,
         |  list_reduce([CAST(0 AS BIGINT)] + [q[i]*cw[i] for i in range(1, len(q)+1)], (a,b) -> a+b) AS rel

@@ -69,7 +69,19 @@ object GraftApp {
       withCreateDatabase: Boolean = false,  // --with-create-database
       csvPrefix: Option[String] = None,     // --csvpool-file-path-prefix
       dstJdbcUrl: Option[String] = None,    // --dst-jdbc-url (live sink)
-      dstJdbcDriver: Option[String] = None) // --dst-jdbc-driver
+      dstJdbcDriver: Option[String] = None, // --dst-jdbc-driver
+      scd2: Boolean = false,                // --scd2 (history view)
+      scd2Value: Option[String] = None,     // --scd2-value (tracked column)
+      scd2Key: Option[String] = None,       // --scd2-key (default: pk head)
+      scd2Ts: Option[String] = None,        // --scd2-ts (default: order head)
+      scd2Tie: Option[String] = None,       // --scd2-tie (default: order tail)
+      pplFilter: Boolean = false,           // --ppl-filter (CCNet-style)
+      pplVocab: Int = 1000,                 // --ppl-vocab
+      pplBuckets: Int = 3,                  // --ppl-buckets
+      pplDrop: Seq[String] = Seq("tail"),   // --ppl-drop=tail[,middle]
+      pplGroupCol: String = "lang",         // --ppl-group-col
+      docIdCol: String = "doc_id",          // --doc-id-col
+      textCol: String = "text")             // --text-col
 
   final case class Result(
       ddl: Seq[String] = Nil,
@@ -83,7 +95,14 @@ object GraftApp {
       stateExportDir: Option[String] = None,
       stateExportRows: Option[Long] = None,
       jsonTemplates: Seq[String] = Nil,     // --create-table-json-template
-      dryPlanned: Seq[String] = Nil)        // --dry: what WOULD have run
+      dryPlanned: Seq[String] = Nil,        // --dry: what WOULD have run
+      curations: Seq[Curation] = Nil)       // --scd2 / --ppl-filter
+
+  /** One table-level curation run: `mode` over `table`, `srcRows` in,
+    * `outRows` written to `outDir`.
+    */
+  final case class Curation(table: String, mode: String, srcRows: Long,
+      outRows: Long, outDir: String)
 
   /** Resolve the table work-list: UNION of explicit tables and
     * prefix matches (the reference's additive semantics,
@@ -299,7 +318,12 @@ object GraftApp {
         c.csvExport ->
           s"csvpool: ${tables.map(t => s"${c.dstDir}/csv/$t").mkString(", ")}",
         (c.pumpData || c.srcJdbcUrl.isDefined || c.debeziumFeed.isDefined) ->
-          s"pump-data -> ${c.dstDir}/_state").collect { case (true, s) => s }
+          s"pump-data -> ${c.dstDir}/_state",
+        c.scd2 ->
+          s"scd2: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_history.parquet").mkString(", ")}",
+        c.pplFilter ->
+          s"ppl-filter: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_ppl.parquet").mkString(", ")}"
+      ).collect { case (true, s) => s }
       return Result(ddl = ddl, templates = templates,
         jsonTemplates = jsonTemplates, dryPlanned = planned)
     }
@@ -349,6 +373,49 @@ object GraftApp {
           stringify = true)
         out
       }
+
+    // table-level curation modes (the round-6 pipeline operators on
+    // the CLI face): --scd2 derives the SCD-type-2 history view the
+    // reference's current-state replays discard; --ppl-filter is the
+    // CCNet-style perplexity-bucket filter. Both compose with the
+    // migration transform spec (column-skip / where / converters),
+    // like every other mode.
+    val curations: Seq[Curation] = {
+      import org.apache.spark.sql.functions.col
+      val scd2Runs =
+        if (!c.scd2) Nil
+        else {
+          val value = c.scd2Value.getOrElse(throw new IllegalArgumentException(
+            "--scd2 requires --scd2-value=<tracked column>"))
+          tables.map { t =>
+            val df = Migrator.transformed(spark, c.srcDir, t, spec)
+            val hist = graft.ops.Scd.scd2Intervals(df,
+              col(c.scd2Key.getOrElse(c.pk.head)), col(value),
+              col(c.scd2Ts.getOrElse(c.orderCols.head)),
+              col(c.scd2Tie.getOrElse(c.orderCols.last)))
+            val out = s"${c.dstDir}/${dstNameFor(t)}_history.parquet"
+            hist.write.mode("overwrite").parquet(out)
+            Curation(t, "scd2", df.count(), spark.read.parquet(out).count(), out)
+          }
+        }
+      val pplRuns =
+        if (!c.pplFilter) Nil
+        else tables.map { t =>
+          val df = Migrator.transformed(spark, c.srcDir, t, spec)
+          val buckets = graft.text.LanguageModel.perplexityBuckets(df,
+            v = c.pplVocab, buckets = c.pplBuckets, idCol = c.docIdCol,
+            textCol = c.textCol, groupCol = c.pplGroupCol)
+          val keep = buckets
+            .filter(!col("bucket_name").isin(c.pplDrop: _*))
+            .select(col(c.docIdCol))
+          val kept = df.join(keep, Seq(c.docIdCol), "left_semi")
+          val out = s"${c.dstDir}/${dstNameFor(t)}_ppl.parquet"
+          kept.write.mode("overwrite").parquet(out)
+          Curation(t, "ppl-filter", df.count(),
+            spark.read.parquet(out).count(), out)
+        }
+      scd2Runs ++ pplRuns
+    }
 
     val pumped =
       if (c.srcJdbcUrl.isDefined) {
@@ -465,7 +532,7 @@ object GraftApp {
       }
 
     Result(ddl, templates, createdTables, migrations, csvDirs, pumped,
-      jsonTemplates = jsonTemplates)
+      jsonTemplates = jsonTemplates, curations = curations)
   }
 
   private val KnownOptions = Set("src-dir", "dst-dir", "dst-schema",
@@ -477,12 +544,16 @@ object GraftApp {
     "dst-table", "dst-table-prefix", "converter-class",
     "dst-jdbc-url", "dst-jdbc-driver", "csvpool-file-path-prefix",
     "log-file", "log-level", "pid-file",
-    "state-dir", "state-export", "state-version")
+    "state-dir", "state-export", "state-version",
+    "scd2-value", "scd2-key", "scd2-ts", "scd2-tie",
+    "ppl-vocab", "ppl-buckets", "ppl-drop", "ppl-group-col",
+    "doc-id-col", "text-col")
   private val KnownFlags = Set("create-table-sql",
     "create-table-sql-template", "create-table-json-template",
     "dst-create-table", "migrate-table",
     "csvpool", "pump-data", "src-wait", "src-resume", "daemon",
-    "install", "dry", "state-versions", "with-create-database")
+    "install", "dry", "state-versions", "with-create-database",
+    "scd2", "ppl-filter")
 
   /** `--column-default-value=t.col=v` values: numeric if they parse,
     * else the literal string (na.fill applies them type-matched).
@@ -652,7 +723,22 @@ object GraftApp {
       withCreateDatabase = flags("with-create-database"),
       csvPrefix = kv.get("csvpool-file-path-prefix"),
       dstJdbcUrl = kv.get("dst-jdbc-url"),
-      dstJdbcDriver = kv.get("dst-jdbc-driver"))
+      dstJdbcDriver = kv.get("dst-jdbc-driver"),
+      scd2 = flags("scd2"),
+      scd2Value = kv.get("scd2-value"),
+      scd2Key = kv.get("scd2-key"),
+      scd2Ts = kv.get("scd2-ts"),
+      scd2Tie = kv.get("scd2-tie"),
+      pplFilter = flags("ppl-filter"),
+      pplVocab = kv.get("ppl-vocab").map(longOpt("ppl-vocab")(_).toInt)
+        .getOrElse(1000),
+      pplBuckets = kv.get("ppl-buckets").map(longOpt("ppl-buckets")(_).toInt)
+        .getOrElse(3),
+      pplDrop = kv.get("ppl-drop")
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq("tail")),
+      pplGroupCol = kv.getOrElse("ppl-group-col", "lang"),
+      docIdCol = kv.getOrElse("doc-id-col", "doc_id"),
+      textCol = kv.getOrElse("text-col", "text"))
   }
 
   private def longOpt(name: String)(v: String): Long =
@@ -679,6 +765,9 @@ object GraftApp {
         (if (m.reconciled) "OK" else "MISMATCH"))
     }
     result.csvDirs.foreach(d => println(s"csv export at $d"))
+    result.curations.foreach { cu =>
+      println(s"${cu.mode} ${cu.table}: src=${cu.srcRows} out=${cu.outRows} at ${cu.outDir}")
+    }
     result.pumpedStateDir.foreach(d => println(s"pumped state at $d"))
     result.installedFiles.foreach(f => println(s"installed $f"))
     if (result.stateVersionList.nonEmpty)

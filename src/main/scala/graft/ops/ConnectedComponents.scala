@@ -30,7 +30,9 @@ import org.apache.spark.sql.functions._
   * shrinks monotonically toward one star row per non-root node, so
   * late rounds are cheap. Lineage is truncated per round
   * (`localCheckpoint`), the [[graft.dedup.Dedup.dupClusters]] /
-  * [[PageRank]] loop convention.
+  * [[PageRank]] loop convention — and the convergence checksum rides
+  * that same materializing job via `observe` (the [[KCore]]
+  * convention): ONE job per round, no separate aggregate pass.
   *
   * Determinism: every step is a min over a set — order-independent —
   * and the fixpoint (each node linked to its component minimum) is
@@ -49,19 +51,18 @@ object ConnectedComponents {
   def starComponents(pairs: DataFrame, maxIter: Int = 50,
       aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
     // canonical undirected form (big, small); self-loops dropped
-    var edges = pairs
+    var (edges, sig) = checkpointWithChecksum(pairs
       .select(greatest(col(aCol), col(bCol)).as("u"),
         least(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct().localCheckpoint()
+      .distinct())
     var iter = 0
     var converged = false
-    var sig = checksum(edges)
     while (!converged && iter < maxIter) {
-      edges = smallStar(largeStar(edges)).localCheckpoint()
-      val next = checksum(edges)
-      converged = next == sig
-      sig = next
+      val (next, nextSig) = checkpointWithChecksum(smallStar(largeStar(edges)))
+      converged = nextSig == sig
+      edges = next
+      sig = nextSig
       iter += 1
     }
     require(converged, s"star contraction did not converge in $maxIter rounds")
@@ -116,19 +117,24 @@ object ConnectedComponents {
       .distinct()
   }
 
-  /** Order-independent edge-set signature: one agg job (commutative
-    * xor + overflow-free decimal sum + count over a 64-bit pair
-    * hash). Drives loop termination only; the star-shape invariant
-    * above backstops the astronomically unlikely collision.
+  /** Checkpoint the round's edge frame with its order-independent
+    * signature (commutative xor + overflow-free decimal sum + count
+    * over a 64-bit pair hash) observed DURING the materializing job —
+    * convergence costs zero extra jobs. The signature drives loop
+    * termination only; the star-shape invariant above backstops the
+    * astronomically unlikely collision.
     */
-  private def checksum(edges: DataFrame): (Long, String, Long) = {
-    val r = edges
-      .select(xxhash64(col("u"), col("v")).as("h"))
-      .agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("x"),
-        coalesce(sum(col("h").cast("decimal(38,0)")),
+  private def checkpointWithChecksum(
+      edges: DataFrame): (DataFrame, (Long, String, Long)) = {
+    val h = xxhash64(col("u"), col("v"))
+    val obs = org.apache.spark.sql.Observation()
+    val out = edges.observe(obs,
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("x"),
+        coalesce(sum(h.cast("decimal(38,0)")),
           lit(0L).cast("decimal(38,0)")).as("s"),
         count(lit(1)).as("n"))
-      .head()
-    (r.getLong(0), String.valueOf(r.getDecimal(1)), r.getLong(2))
+      .localCheckpoint()
+    (out, (obs.get("x").asInstanceOf[Long], String.valueOf(obs.get("s")),
+      obs.get("n").asInstanceOf[Long]))
   }
 }

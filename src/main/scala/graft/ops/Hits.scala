@@ -23,47 +23,73 @@ import org.apache.spark.sql.functions._
   * (all hubs start at 10^6 and the graph has at least one edge), so
   * the divisor `max_raw div 10^6` is never zero.
   *
-  * Scale shape per half-step (the [[PageRank]] broadcast regime):
-  * the node-sized score frame is BROADCAST against the static edge
-  * frame — the edge list is never re-shuffled — followed by one
-  * dst- (or src-) keyed sum compacted map-side to node cardinality,
-  * and a broadcast 1-row max. Past ~10^7 nodes the same src/dst
-  * pre-partitioning handoff as [[PageRank.pinBySrc]] applies; the
-  * broadcast form is what q119 exercises. Plan depth is bounded by
-  * a localCheckpoint per half-step.
+  * Scale shape per half-step, two regimes picked by node count (the
+  * [[PageRank]] discipline):
+  *
+  *  - **Broadcast** (≤ `maxBroadcastNodes`, default 10^7 ≈ 160 MB of
+  *    scores): the node-sized score frame is BROADCAST against the
+  *    static edge frame — the edge list is never re-shuffled —
+  *    followed by one dst- (or src-) keyed sum compacted map-side to
+  *    node cardinality, and a broadcast 1-row max.
+  *  - **Sharded** (beyond that — the score table no longer fits an
+  *    executor): the edge frame is hash-partitioned ONCE per
+  *    orientation and checkpointed with that partitioning pinned
+  *    ([[PageRank.pinBy]] — HITS joins scores on `src` in the auth
+  *    half-step and on `dst` in the hub half-step, so it pins TWO
+  *    copies, each paid once and amortized over all iterations).
+  *    Per half-step only the node-sized score frame shuffles into
+  *    place; zero edge-sized exchanges, plan-asserted in
+  *    PipelineSpec ("hits sharded regime: zero edge-sized
+  *    exchanges").
+  *
+  * Plan depth is bounded by a localCheckpoint per half-step.
   */
 object Hits {
 
   /** Hub and authority scores after `iters` full iterations over the
     * directed edge list (columns `src`, `dst`; duplicates collapse).
     * Returns (node, hub, auth) for every node on either edge side.
+    *
+    * @param maxBroadcastNodes node-count threshold above which the
+    *   per-half-step score join switches from broadcast to the
+    *   pinned-edge shuffle join (0 forces sharded, Long.MaxValue
+    *   forces broadcast — both produce identical bit-exact output)
     */
-  def integerHits(edges: DataFrame, iters: Int): DataFrame = {
+  def integerHits(edges: DataFrame, iters: Int,
+      maxBroadcastNodes: Long = 10000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    // nodes is checkpointed and node-sized: one cheap count job
+    // against materialized blocks, amortized over all iterations
+    val useBroadcast = nodes.count() <= maxBroadcastNodes
+    val (eBySrc, eByDst) =
+      if (useBroadcast) (e, e)
+      else (PageRank.pinBy(e, "src"), PageRank.pinBy(e, "dst"))
     var hub = nodes.withColumn("hub", lit(1000000L))
     var auth = nodes.withColumn("auth", lit(0L))
     for (_ <- 1 to iters) {
-      auth = normalize(rawSum(e, nodes,
+      auth = normalize(rawSum(eBySrc, nodes,
         hub.select(col("node").as("src"), col("hub").as("score")),
-        joinOn = "src", keyedBy = "dst"), "auth").localCheckpoint()
-      hub = normalize(rawSum(e, nodes,
+        joinOn = "src", keyedBy = "dst", useBroadcast), "auth").localCheckpoint()
+      hub = normalize(rawSum(eByDst, nodes,
         auth.select(col("node").as("dst"), col("auth").as("score")),
-        joinOn = "dst", keyedBy = "src"), "hub").localCheckpoint()
+        joinOn = "dst", keyedBy = "src", useBroadcast), "hub").localCheckpoint()
     }
     hub.join(auth, Seq("node")).select(col("node"), col("hub"), col("auth"))
   }
 
   /** Σ score over the edges incident at `keyedBy`, rebased on the
-    * node set (isolated-side nodes get 0). `scores` is node-sized
-    * and broadcast; the edge frame stays put.
+    * node set (isolated-side nodes get 0). Broadcast regime hints
+    * the node-sized `scores` frame; sharded regime relies on `e`
+    * arriving pinned on `joinOn` so only `scores` moves.
     */
   private[graft] def rawSum(e: DataFrame, nodes: DataFrame, scores: DataFrame,
-      joinOn: String, keyedBy: String): DataFrame =
+      joinOn: String, keyedBy: String,
+      useBroadcast: Boolean = true): DataFrame =
     nodes.join(
-        e.join(broadcast(scores), Seq(joinOn))
+        e.join(if (useBroadcast) broadcast(scores) else scores, Seq(joinOn))
           .groupBy(col(keyedBy).as("node")).agg(sum(col("score")).as("raw")),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))

@@ -102,11 +102,17 @@ object PageRank {
     * work either: in Spark 4 the cached-plan output partitioning is
     * itself adaptive and reports unknown.
     */
-  private[graft] def pinBySrc(df: DataFrame): DataFrame = {
+  private[graft] def pinBySrc(df: DataFrame): DataFrame = pinBy(df, "src")
+
+  /** The general form of [[pinBySrc]] — [[Hits]] needs the edge
+    * frame pinned on BOTH orientations (src for its hub half-step,
+    * dst for its auth half-step).
+    */
+  private[graft] def pinBy(df: DataFrame, key: String): DataFrame = {
     val conf = df.sparkSession.conf
     val aqe = conf.get("spark.sql.adaptive.enabled")
     conf.set("spark.sql.adaptive.enabled", "false")
-    try df.repartition(col("src")).localCheckpoint()
+    try df.repartition(col(key)).localCheckpoint()
     finally conf.set("spark.sql.adaptive.enabled", aqe)
   }
 

@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   * Scale shape: the per-group rank and count are ONE hash-shuffle
   * window (both over the group key); the global rank comes from the
   * two-phase [[PrefixSum]] (one range shuffle — never a
-  * single-partition window); the final lookup is an equi-join on the
-  * computed global index. Nothing is broadcast at data size, nothing
-  * collects to the driver.
+  * single-partition window); the total row count N is the MAX global
+  * rank — a 1-row broadcast aggregate riding the same ranked frame,
+  * so the operator runs zero driver actions of its own (no separate
+  * count job); the final lookup is an equi-join on the computed
+  * global index. Nothing is broadcast at data size, nothing collects
+  * to the driver.
   */
 object QuantileNorm {
 
@@ -40,10 +43,13 @@ object QuantileNorm {
         base.select(col("v").as("gv"), col("id").as("gid")),
         Seq(col("gv"), col("gid")), lit(1L), "grank")
       .select(col("gv"), col("grank"))
-    val n = base.count()
+    // N = max global rank: a 1-row broadcast off the ranked frame —
+    // no count() job, no N-as-literal plan
+    val n = globalRanked.agg(max(col("grank")).as("__n"))
     ranked
+      .crossJoin(broadcast(n))
       .withColumn("pick", greatest(lit(1L),
-        least(lit(n), expr(s"(q_ppm * (${n}L + 1)) div 1000000"))))
+        least(col("__n"), expr("(q_ppm * (__n + 1)) div 1000000"))))
       .join(globalRanked, col("pick") === col("grank"))
       .select(col("id"), col("grp"), col("v"), col("gv").as("norm"))
   }

@@ -26,9 +26,14 @@ import org.apache.spark.sql.functions._
   */
 object Scd {
 
-  /** (key, value, valid_from, valid_to, n_events) intervals for the
-    * change log `df`; `tieCol` breaks equal-timestamp ties to keep
-    * the run numbering total and engine-independent.
+  /** (key, version, value, valid_from, valid_to, n_events) intervals
+    * for the change log `df`; `tieCol` breaks equal-timestamp ties to
+    * keep the run numbering total and engine-independent. `version`
+    * is the 1-based run number — the standard SCD-2 row version, and
+    * the column that makes (key, version) a TOTAL order on the
+    * output: two consecutive runs can share `valid_from` when a value
+    * change happens at an equal timestamp, so (key, valid_from) alone
+    * cannot deterministically order the history.
     */
   def scd2Intervals(df: DataFrame, keyCol: Column, valueCol: Column,
       tsCol: Column, tieCol: Column): DataFrame = {
@@ -52,7 +57,7 @@ object Scd {
     val byRun = Window.partitionBy(col("key")).orderBy(col("run"))
     runs
       .withColumn("valid_to", lead(col("valid_from"), 1).over(byRun))
-      .select(col("key"), col("value"), col("valid_from"), col("valid_to"),
-        col("n_events"))
+      .select(col("key"), col("run").as("version"), col("value"),
+        col("valid_from"), col("valid_to"), col("n_events"))
   }
 }

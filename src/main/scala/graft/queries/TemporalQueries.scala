@@ -215,5 +215,7 @@ object TemporalQueries {
   def userTypeScd2(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Scd.scd2Intervals(Tables.load(spark, dir, "events"),
         col("user_id"), col("event_type"), col("ts"), col("event_id"))
-      .orderBy("key", "valid_from")
+      // (key, version) is the output's total order — valid_from can
+      // tie across consecutive runs on equal-timestamp changes
+      .orderBy("key", "version")
 }

@@ -29,8 +29,9 @@ import org.apache.spark.sql.functions._
   * written in the same expression order as the SQL oracle.
   *
   * Scale shape (100 TB): one corpus shuffle to count tokens; the
-  * vocab ranking runs over the VOCABULARY-sized count frame (see
-  * Vocab.scala's scale note); scoring is explode → broadcast-vocab
+  * vocab selection is a distributed TakeOrderedAndProject with only
+  * the v-row result ranked (see Vocab.scala's scale note); scoring
+  * is explode → broadcast-vocab
   * join (+ a broadcast 1-row total) → one doc_id-keyed aggregate.
   * The corpus shuffles twice total (token counts, per-doc agg) and
   * the model itself never exceeds `v` rows.
@@ -92,8 +93,9 @@ object LanguageModel {
     * integer sum (the q102 discipline).
     *
     * Scale shape: two corpus-keyed count aggregates (unigrams,
-    * bigrams); the bigram ranking runs over the BIGRAM-VOCABULARY-
-    * sized count frame; scoring is one pair-stream explode (built
+    * bigrams); the bigram pruning is a distributed
+    * TakeOrderedAndProject (never a window over the distinct-bigram
+    * frame); scoring is one pair-stream explode (built
     * per row from the token array — no window, no self-join) against
     * three broadcast model tables, then one doc-keyed aggregate.
     * Returns (idCol, n_tokens, n_backoff, avg_surprisal, ppl).
@@ -118,13 +120,14 @@ object LanguageModel {
     val uni = pairs.groupBy(col("w2").as("w"))
       .agg(count(lit(1)).as("cu"))
     val nTotal = uni.agg(coalesce(sum(col("cu")), lit(0L))).head().getLong(0)
-    // pruned bigram model, denominator c(w1) carried in (vocab-sized join)
-    val rankW = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cb").desc, col("w1"), col("w2"))
+    // pruned bigram model: top-vb by (cb desc, w1, w2) via a
+    // distributed TakeOrderedAndProject — the pruning filter needs no
+    // rank column, so the full distinct-bigram frame never sees a
+    // window (it would be ≥10^9 rows through one task on web text);
+    // denominator c(w1) carried in by a vocab-sized join afterwards
     val big = pairs.filter(col("w1").isNotNull)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-      .withColumn("__rk", row_number().over(rankW))
-      .filter(col("__rk") <= vb)
+      .orderBy(col("cb").desc, col("w1"), col("w2")).limit(vb)
       .join(uni.select(col("w").as("w1"), col("cu").as("c1")), Seq("w1"))
       .select(col("w1"), col("w2"), col("cb"), col("c1"))
 

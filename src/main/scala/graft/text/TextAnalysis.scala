@@ -350,8 +350,19 @@ object TextAnalysis {
     */
   def gopherQuality(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", minWords: Int = 50,
-      maxWords: Int = 100000): DataFrame = {
-    val t = col(textCol)
+      maxWords: Int = 100000): DataFrame =
+    df.select(col(idCol), gopherStruct(col(textCol), minWords, maxWords).as("g"))
+      .select(col(idCol), col("g.n_words"), col("g.mean_word_len"),
+        col("g.symbol_ratio"), col("g.bullet_ratio"), col("g.ellipsis_ratio"),
+        col("g.alpha_word_ratio"), col("g.stop_hits"), col("g.pass"))
+
+  /** The per-row form of [[gopherQuality]]: one struct-valued column
+    * over a text column, so the rule battery is also SQL-callable
+    * (`graft_gopher(text)` via [[graft.app.GraftExtensions]]) — all
+    * codegen'd built-ins, zero shuffle.
+    */
+  def gopherStruct(t: Column, minWords: Int = 50,
+      maxWords: Int = 100000): Column = {
     val toks = tokens(t)
     val nWords = size(toks)
     val meanLen = round6(
@@ -373,16 +384,15 @@ object TextAnalysis {
         nWords.cast("double"))
     val stopHits = size(filter(array(GopherStopwords.map(lit): _*),
       s => array_contains(toks, s)))
-    df.select(col(idCol), nWords.as("n_words"),
-        meanLen.as("mean_word_len"), symRatio.as("symbol_ratio"),
-        bulletRatio.as("bullet_ratio"), ellipsisRatio.as("ellipsis_ratio"),
-        alphaRatio.as("alpha_word_ratio"), stopHits.as("stop_hits"))
-      .withColumn("pass",
-        (col("n_words") >= minWords && col("n_words") <= maxWords &&
-          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
-          col("symbol_ratio") <= 0.1 && col("bullet_ratio") <= 0.9 &&
-          col("ellipsis_ratio") <= 0.3 && col("alpha_word_ratio") >= 0.8 &&
-          col("stop_hits") >= 2).cast("int"))
+    val pass = (nWords >= minWords && nWords <= maxWords &&
+      meanLen >= 3.0 && meanLen <= 10.0 &&
+      symRatio <= 0.1 && bulletRatio <= 0.9 &&
+      ellipsisRatio <= 0.3 && alphaRatio >= 0.8 &&
+      stopHits >= 2).cast("int")
+    struct(nWords.as("n_words"), meanLen.as("mean_word_len"),
+      symRatio.as("symbol_ratio"), bulletRatio.as("bullet_ratio"),
+      ellipsisRatio.as("ellipsis_ratio"), alphaRatio.as("alpha_word_ratio"),
+      stopHits.as("stop_hits"), pass.as("pass"))
   }
 
   /** TF-IDF term scoring with the top `k` terms kept per document —

@@ -1,20 +1,23 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Token-vocabulary construction and document id-encoding — the
   * tokenizer-prep step of a training pipeline: fix a vocabulary of
   * the `v` most frequent tokens, then rewrite every document as the
   * sequence of its token ids (0 = out-of-vocabulary).
   *
-  * Scale shape: the corpus shuffles once to count tokens; the
-  * ranking window runs over the VOCABULARY-sized count frame (a
-  * single-partition exchange of distinct tokens, not rows — at
-  * 100 TB of text the distinct-token frame is still merely millions
-  * of rows, and id assignment is inherently a total order).
-  * Encoding is an explode + broadcast-vocab join + per-doc
+  * Scale shape: the corpus shuffles once to count tokens; the top-v
+  * selection is a distributed TakeOrderedAndProject over the
+  * distinct-token count frame (per-partition top-v, merged at the
+  * driver — the 10^8–10^9-unigram frame of a web-scale corpus is
+  * never funneled through one task), and id assignment ranks the
+  * v-row RESULT on the driver — the vocabulary IS driver-state, the
+  * same model-sized budget as BPE merge tables and k-means
+  * centroids, and it re-enters the cluster as a broadcast local
+  * relation. Encoding is an explode + broadcast-vocab join + per-doc
   * re-assembly: one shuffle on doc_id, vocab never shuffles.
   */
 object Vocab {
@@ -25,15 +28,32 @@ object Vocab {
     */
   def buildVocab(df: DataFrame, v: Int, textCol: String = "text"): DataFrame = {
     require(v > 0, s"vocab size must be positive: $v")
-    val counts = df
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("cnt"))
-    // vocabulary-sized total order — see the scale note above
-    counts
-      .withColumn("id", row_number().over(
-        Window.orderBy(col("cnt").desc, col("token"))))
-      .filter(col("id") <= v)
+    // top-v first (TakeOrderedAndProject — never a global window over
+    // the corpus-distinct-token frame; Catalyst folds any constant
+    // window partition key right back onto WindowExec's
+    // single-partition path, so no window form survives here), THEN
+    // rank the v-row result on the driver. Eager by design: the
+    // vocabulary is a model, and every consumer broadcasts it.
+    val spark = df.sparkSession
+    val top = topTokenCounts(df, v, textCol)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, c) => (-c, t) }
+    val rows = top.zipWithIndex.map { case ((t, c), i) => Row(t, c, i + 1) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1),
+      StructType(Seq(StructField("token", StringType, nullable = true),
+        StructField("cnt", LongType, nullable = false),
+        StructField("id", IntegerType, nullable = false))))
   }
+
+  /** The lazy top-v count frame (token, cnt) feeding [[buildVocab]]
+    * — the distributed TakeOrderedAndProject whose plan shape the
+    * NewOpPlanShapesSpec pins.
+    */
+  private[graft] def topTokenCounts(df: DataFrame, v: Int,
+      textCol: String): DataFrame =
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(v)
 
   /** Encode each document against `vocab` (from [[buildVocab]]):
     * space-joined token-id sequence in original token order, id 0

@@ -25,13 +25,34 @@ import org.apache.spark.sql.types._
   * map-side-combined position aggregate (`dim` rows survive the
   * shuffle regardless of corpus size; the sum rides DECIMAL(38,0),
   * overflow-free past 10^12 rows).
+  *
+  * For large k the k-full-corpus-scans shape gets expensive;
+  * `candidateN` is the standard practice escape: prefilter to the
+  * top-N vectors by relevance (one distributed TakeOrdered) and run
+  * exact greedy MMR inside that pool — the N-row candidate frame is
+  * then checkpointed, so rounds scan N rows, not the corpus. For
+  * N ≥ corpus size the result is IDENTICAL to the exact path (the
+  * pool is the whole corpus, and the checkpoint changes nothing but
+  * speed); for N < corpus it is the usual approximation contract:
+  * every pick comes from the top-N relevance pool, so a
+  * diversity-only outlier below the relevance cut cannot be picked
+  * (exactly the trade MMR-over-retrieval systems make — the pool IS
+  * the retrieval result).
   */
 object Mmr {
 
-  /** Top-`k` diverse picks: (rank, vec_id, score) in pick order. */
+  /** Top-`k` diverse picks: (rank, vec_id, score) in pick order.
+    *
+    * @param candidateN 0 = exact over the full corpus (the oracle
+    *   face); N ≥ k = greedy MMR restricted to the top-N-by-relevance
+    *   candidate pool (identical output when N ≥ corpus size)
+    */
   def mmrSelect(emb: DataFrame, k: Int, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", candidateN: Int = 0): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    require(candidateN == 0 || candidateN >= k,
+      s"Mmr.mmrSelect: candidateN must be 0 (exact) or >= k, got " +
+        s"candidateN=$candidateN k=$k")
     val spark = emb.sparkSession
     // deliberately NOT checkpointed/persisted: each round re-derives
     // the quantized frame from the (column-pruned) source scan — a
@@ -44,7 +65,10 @@ object Mmr {
       VectorSearch.quantize(col(vecCol)).as("qv"))
     // positional floor-mean (truncating div, matching every engine's
     // integer division on the decimal-carried sum)
-    val dim = q.select(size(col("qv"))).head().getInt(0)
+    val dim = q.select(size(col("qv"))).limit(1).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "Mmr.mmrSelect: empty corpus — nothing to select from"))
+      .getInt(0)
     val centroid: Array[Long] = q
       .select(posexplode(col("qv")).as(Seq("pos", "x")))
       .groupBy("pos")
@@ -52,8 +76,15 @@ object Mmr {
       .collect().map(r => r.getInt(0) -> r.getLong(1))
       .sortBy(_._1).map(_._2)
     require(centroid.length == dim, "ragged embedding lengths")
-    val rel = q.withColumn("rel",
+    val relFull = q.withColumn("rel",
       VectorSearch.dot(col("qv"), typedlit(centroid.toSeq)))
+    // candidate pool: N-bounded, so the checkpoint is small by
+    // construction (unlike the corpus-sized one this operator
+    // deliberately avoids — see above)
+    val rel =
+      if (candidateN == 0) relFull
+      else relFull.orderBy(col("rel").desc, col("vec_id"))
+        .limit(candidateN).localCheckpoint()
     var selected = List.empty[(Long, Seq[Long], Long)] // id, qv, score
     for (_ <- 1 to k) {
       val score =
@@ -66,7 +97,11 @@ object Mmr {
         .filter(!col("vec_id").isInCollection(selected.map(_._1) :+ -1L))
         .select(col("vec_id"), col("qv"), score.as("score"))
         .orderBy(col("score").desc, col("vec_id"))
-        .limit(1).head()
+        .limit(1).collect().headOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"Mmr.mmrSelect: k=$k exceeds the " +
+            (if (candidateN == 0) "corpus" else s"candidate pool (N=$candidateN)") +
+            s" size ${selected.size}"))
       selected ::= ((picked.getLong(0),
         picked.getSeq[Long](1).toSeq, picked.getLong(2)))
     }

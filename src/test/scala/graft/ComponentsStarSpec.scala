@@ -48,6 +48,56 @@ class ComponentsStarSpec extends AnyFunSuite {
     assert(empty.count() == 0)
   }
 
+  test("star rounds cost one job each: the checksum rides the checkpoint") {
+    // AQE off and broadcast off so one action == exactly one job —
+    // job accounting is then exact: 1 initial checkpoint + R round
+    // checkpoints (checksum observed in the SAME job) + 1 star-
+    // invariant guard = R + 2 jobs total
+    val conf = spark.conf
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val chain = (0L until 32L).map(i => (i + 100L, i + 101L))
+        .toDF("doc_a", "doc_b")
+      // learn the loop's round count R by replaying the contraction
+      // outside the measured window (set equality == the checksum)
+      var cur = chain.select(greatest($"doc_a", $"doc_b").as("u"),
+          least($"doc_a", $"doc_b").as("v"))
+        .filter($"u" =!= $"v").distinct().localCheckpoint()
+      def edgeSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      var curSet = edgeSet(cur)
+      var rounds = 0
+      var done = false
+      while (!done) {
+        val nxt = ConnectedComponents.smallStar(
+          ConnectedComponents.largeStar(cur)).localCheckpoint()
+        val s = edgeSet(nxt)
+        done = s == curSet
+        curSet = s
+        cur = nxt
+        rounds += 1
+      }
+      val sc = spark.sparkContext
+      sc.setJobGroup("star-jobs", "job accounting")
+      try ConnectedComponents.starComponents(chain)
+      finally sc.clearJobGroup()
+      // the status store fills asynchronously: poll until stable
+      def count = sc.statusTracker.getJobIdsForGroup("star-jobs").length
+      var last = -1
+      var stable = 0
+      while (stable < 5) {
+        val c = count
+        if (c == last) stable += 1 else { stable = 0; last = c }
+        Thread.sleep(100)
+      }
+      assert(last == rounds + 2,
+        s"expected ${rounds + 2} jobs ($rounds rounds + init + guard), got $last")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("star components equal union-find across many random graph shapes") {
     // brute-force reference: path-compressed union-find with min roots
     def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {

@@ -502,6 +502,46 @@ class GraftAppSpec extends AnyFunSuite {
     assert(back.count() == 5)
   }
 
+  test("scd2 mode derives the history view through the CLI surface") {
+    val dst = Files.createTempDirectory("graft_appscd").toString
+    val c = GraftApp.parse(Seq(s"--src-dir=$dir", s"--dst-dir=$dst",
+      "--src-tables=events", "--scd2", "--scd2-value=event_type"))
+    val r = GraftApp.run(spark, c)
+    assert(r.curations.map(_.mode) == Seq("scd2"))
+    val out = spark.read.parquet(s"$dst/events_history.parquet")
+    val direct = graft.ops.Scd.scd2Intervals(
+      graft.Tables.load(spark, dir, "events"),
+      org.apache.spark.sql.functions.col("user_id"),
+      org.apache.spark.sql.functions.col("event_type"),
+      org.apache.spark.sql.functions.col("ts"),
+      org.apache.spark.sql.functions.col("event_id"))
+    assert(out.columns.toSeq ==
+      Seq("key", "version", "value", "valid_from", "valid_to", "n_events"))
+    assert(out.count() == direct.count() && out.except(direct).isEmpty,
+      "CLI output must equal the library call")
+    assert(r.curations.head.outRows == out.count())
+  }
+
+  test("ppl-filter mode drops the per-language tail bucket through the CLI surface") {
+    val dst = Files.createTempDirectory("graft_appppl").toString
+    val c = GraftApp.parse(Seq(s"--src-dir=$dir", s"--dst-dir=$dst",
+      "--src-tables=documents", "--ppl-filter", "--ppl-vocab=50",
+      "--ppl-buckets=3", "--ppl-drop=tail"))
+    val r = GraftApp.run(spark, c)
+    assert(r.curations.map(_.mode) == Seq("ppl-filter"))
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val buckets = graft.text.LanguageModel.perplexityBuckets(docs, v = 50)
+    val wantIds = buckets
+      .filter(org.apache.spark.sql.functions.col("bucket_name") =!= "tail")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = spark.read.parquet(s"$dst/documents_ppl.parquet")
+    assert(got.select("doc_id").collect().map(_.getLong(0)).toSet == wantIds)
+    assert(got.columns.toSeq == docs.columns.toSeq,
+      "filter keeps the source schema, not the score columns")
+    assert(r.curations.head.srcRows == docs.count() &&
+      r.curations.head.outRows == wantIds.size)
+  }
+
   test("debezium-feed mode pumps raw JSON envelopes into per-table state") {
     val dst = Files.createTempDirectory("graft_app_dbz").toString
     val events = Tables.load(spark, dir, "events")

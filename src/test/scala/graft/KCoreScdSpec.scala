@@ -34,16 +34,36 @@ class KCoreScdSpec extends AnyFunSuite {
     }.toDF("user_id", "ts", "event_type", "event_id")
     val got = Scd.scd2Intervals(rows, col("user_id"), col("event_type"),
         col("ts"), col("event_id"))
-      .orderBy("key", "valid_from")
-      .collect().map(r => (r.getLong(0), r.getString(1),
-        r.getTimestamp(2).getTime / 1000,
-        Option(r.getTimestamp(3)).map(_.getTime / 1000), r.getLong(4)))
+      .orderBy("key", "version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3).getTime / 1000,
+        Option(r.getTimestamp(4)).map(_.getTime / 1000), r.getLong(5)))
       .toList
     assert(got == List(
-      (1L, "a", 10L, Some(12L), 2L),
-      (1L, "b", 12L, Some(14L), 2L),
-      (1L, "a", 14L, None, 1L),
-      (2L, "x", 20L, None, 1L)))
+      (1L, 1L, "a", 10L, Some(12L), 2L),
+      (1L, 2L, "b", 12L, Some(14L), 2L),
+      (1L, 3L, "a", 14L, None, 1L),
+      (2L, 1L, "x", 20L, None, 1L)))
+  }
+
+  test("scd2 version totally orders equal-timestamp changes") {
+    // three changes at ONE timestamp: valid_from ties across runs, so
+    // only (key, version) orders the history; the event_id tie-break
+    // pins run order a→b→a
+    val rows = Seq((1L, "a", 1L), (1L, "b", 2L), (1L, "a", 3L))
+      .map { case (u, v, id) =>
+        (u, new java.sql.Timestamp(10L * 1000), v, id)
+      }.toDF("user_id", "ts", "event_type", "event_id")
+    val got = Scd.scd2Intervals(rows, col("user_id"), col("event_type"),
+        col("ts"), col("event_id"))
+      .orderBy("key", "version")
+      .collect().map(r => (r.getLong(1), r.getString(2),
+        r.getTimestamp(3).getTime / 1000,
+        Option(r.getTimestamp(4)).map(_.getTime / 1000))).toList
+    assert(got == List(
+      (1L, "a", 10L, Some(10L)),
+      (2L, "b", 10L, Some(10L)),
+      (3L, "a", 10L, None)))
   }
 
   test("scd2 treats NULL as a value: null runs collapse, transitions close") {
@@ -59,9 +79,9 @@ class KCoreScdSpec extends AnyFunSuite {
     }.toDF("user_id", "ts", "event_type", "event_id")
     val got = Scd.scd2Intervals(rows, col("user_id"), col("event_type"),
         col("ts"), col("event_id"))
-      .orderBy("key", "valid_from")
-      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
-        r.getTimestamp(2).getTime / 1000, r.getLong(4))).toList
+      .orderBy("key", "version")
+      .collect().map(r => (r.getLong(0), Option(r.getString(2)),
+        r.getTimestamp(3).getTime / 1000, r.getLong(5))).toList
     assert(got == List(
       (1L, Some("a"), 10L, 1L),
       (1L, None, 11L, 2L),

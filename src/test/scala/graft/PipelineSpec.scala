@@ -2024,6 +2024,83 @@ class HitsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("sharded regime (score table past the broadcast bound) matches broadcast bit-exactly") {
+    import graft.ops.Hits
+    // hubs, chains, and a popular sink so the two code paths have
+    // real structure to disagree on
+    val edges = (0L until 300L).flatMap { i =>
+      Seq(i -> (i * 3 + 1) % 300, i -> (i * 7 + 5) % 300) ++
+        (if (i % 4 == 0) Seq(i -> 1L) else Nil)
+    }.toDF("src", "dst")
+    val viaBroadcast = Hits
+      .integerHits(edges, 2, maxBroadcastNodes = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val viaShuffle = Hits.integerHits(edges, 2, maxBroadcastNodes = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(viaShuffle.toSeq == viaBroadcast.toSeq,
+      "integer arithmetic must make the two join regimes bit-identical")
+  }
+
+  test("hits sharded regime: zero edge-sized exchanges across two consecutive half-steps") {
+    import graft.ops.{Hits, PageRank}
+    // Past the broadcast bound only node-sized score frames may move:
+    // the auth half-step reuses the src-pinned edge copy, the hub
+    // half-step the dst-pinned one. Broadcast is disabled so AQE
+    // cannot paper over a lost pin by broadcasting the (here tiny)
+    // score side.
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    saved.foreach { case (k, _) => conf.set(k, "-1") }
+    try {
+      val edges = (0L until 2000L).flatMap { i =>
+        Seq(i -> (i + 1) % 2000, i -> (i * 7 + 3) % 2000)
+      }.toDF("src", "dst")
+      val e = edges.select($"src", $"dst").distinct().localCheckpoint()
+      val nodes = e.select($"src".as("node"))
+        .union(e.select($"dst".as("node"))).distinct().localCheckpoint()
+      val eBySrc = PageRank.pinBy(e, "src")
+      val eByDst = PageRank.pinBy(e, "dst")
+      val hub0 = nodes.withColumn("score", lit(1000000L))
+        .select($"node".as("src"), $"score")
+      val a1 = Hits.rawSum(eBySrc, nodes, hub0,
+        joinOn = "src", keyedBy = "dst", useBroadcast = false)
+      // feed the raw auths straight back (normalization is node-local
+      // arithmetic — irrelevant to the exchange shape under test)
+      val h1 = Hits.rawSum(eByDst, nodes,
+        a1.select($"node".as("dst"), $"raw".as("score")),
+        joinOn = "dst", keyedBy = "src", useBroadcast = false)
+      assert(h1.count() == 2000L)
+      def exchanges(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike] = {
+        val here = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            exchanges(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            exchanges(q.plan)
+          case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+            Seq(x) ++ exchanges(x.child)
+          case _ => Nil
+        }
+        here ++ p.children.flatMap(exchanges)
+      }
+      val xs = exchanges(h1.queryExecution.executedPlan)
+      assert(xs.nonEmpty, "expected node-sized score shuffles in the plan")
+      // the edge frame is the only one carrying BOTH src and dst
+      val edgeSized = xs.filter { x =>
+        val names = x.child.output.map(_.name).toSet
+        names.contains("src") && names.contains("dst")
+      }
+      assert(edgeSized.isEmpty,
+        s"edge frame re-shuffled: ${edgeSized.map(_.child.output.map(_.name).mkString(","))}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
 
 class GraphSimSpec extends AnyFunSuite {

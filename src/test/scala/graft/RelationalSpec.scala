@@ -58,6 +58,36 @@ class RelationalSpec extends AnyFunSuite {
       .isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
   }
 
+  test("curation battery is callable from SQL: canonical_url and gopher round-trip") {
+    import spark.implicits._
+    graft.app.GraftExtensions.register(spark)
+    val urls = Seq("HTTP://Ex.COM:80/Path?b=2&a=1#frag",
+      "https://www.site.org:443/x/", "http://plain.net/ok")
+    urls.toDF("url").createOrReplaceTempView("cu_in")
+    val viaSql = spark.sql(
+      "SELECT graft_canonical_url(url) AS c FROM cu_in ORDER BY url")
+      .collect().map(_.getString(0)).toSeq
+    val viaCol = urls.toDF("url")
+      .select(graft.text.WebAnalysis.canonicalizeUrl(col("url")).as("c"),
+        col("url"))
+      .orderBy("url").collect().map(_.getString(0)).toSeq
+    assert(viaSql == viaCol, "SQL face must equal the Column face")
+    val docs = Seq((1L, ("the be to of and that have with " * 8).trim),
+      (2L, "x y z")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("gq_in")
+    val sqlPass = spark.sql(
+      """SELECT doc_id, graft_gopher(text).pass AS p,
+        |  graft_gopher(text, 1, 10).pass AS p2 FROM gq_in ORDER BY doc_id"""
+        .stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    val dfPass = graft.text.TextAnalysis.gopherQuality(docs)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("pass")).toMap
+    assert(sqlPass.map(x => x._1 -> x._2).toMap == dfPass)
+    // the (text, minWords, maxWords) form re-bounds the word-count rule
+    assert(sqlPass.find(_._1 == 1L).get._3 == 0, "64 words > maxWords 10")
+  }
+
   test("weighted-mean UDAF: hand value, SQL registration, partial-agg plan") {
     import spark.implicits._
     graft.app.GraftExtensions.register(spark)
