@@ -165,6 +165,12 @@ object SparkEntry {
     "q131_quantile_norm"    -> PipelineQueries.lengthQuantileNorm _,
     "q132_mmr_select"       -> PipelineQueries.mmrDiverse _,
     "q133_seed_rank"        -> PipelineQueries.copurchaseSeedRank _,
+    "q134_char_entropy"     -> PipelineQueries.docCharEntropy _,
+    "q135_markov"           -> TemporalQueries.eventTransitions _,
+    "q136_cusum"            -> TemporalQueries.dailyVolumeCusum _,
+    "q137_state_diff"       -> TemporalQueries.lastEventStateDiff _,
+    "q138_label_prop"       -> PipelineQueries.copurchaseLabelProp _,
+    "q139_mad_outliers"     -> PipelineQueries.lengthMadOutliers _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2335,6 +2341,101 @@ object SparkEntry {
         |  LEFT JOIN r2 r ON r.node = e.src GROUP BY 1)
         |SELECT node, CAST(rank AS BIGINT) AS rank
         |FROM r3 ORDER BY node""".stripMargin,
+    // q134: per-char-class surprisal rounded once to micro-nats,
+    // count-weighted integer sum; n = the count sum itself, so the
+    // engines agree independent of string-length semantics
+    "q134_char_entropy" ->
+      """WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |    FROM documents WHERE len(text) > 0),
+        |k AS (SELECT doc_id, ch, COUNT(*) AS cnt FROM c GROUP BY 1, 2),
+        |l AS (SELECT doc_id, cnt, SUM(cnt) OVER (PARTITION BY doc_id) AS n FROM k),
+        |f AS (SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_chars,
+        |    COUNT(*) AS distinct_chars,
+        |    SUM(cnt * CAST(floor(-ln(CAST(cnt AS DOUBLE)/CAST(n AS DOUBLE))
+        |      * 1000000.0 + 0.5) AS BIGINT)) AS csum
+        |  FROM l GROUP BY 1)
+        |SELECT doc_id, n_chars, distinct_chars,
+        |  CAST(csum AS DOUBLE)/CAST(n_chars AS DOUBLE)/1000000.0 AS entropy
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // q135: lag() pairs in (ts, event_id) order, exact counts,
+    // integer ppm row-normalization
+    "q135_markov" ->
+      """WITH p AS (SELECT user_id, event_type AS next,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT prev, next, COUNT(*) AS cnt FROM p
+        |  WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev, next, cnt,
+        |  CAST((cnt * 1000000) // (SUM(cnt) OVER (PARTITION BY prev)) AS BIGINT) AS p_ppm
+        |FROM c ORDER BY prev, next""".stripMargin,
+    // q136: the CUSUM closed form — y_i − min(0, running min y) with
+    // y the running sum of (x − target), target the per-key floor
+    // mean; identical integer windows on both engines
+    "q136_cusum" ->
+      """WITH d AS (SELECT event_type AS key, strftime(ts, '%Y-%m-%d') AS ord,
+        |    COUNT(*) AS v FROM events GROUP BY 1, 2),
+        |t AS (SELECT key, ord, CAST(v AS BIGINT) AS v,
+        |    CAST((SUM(v) OVER (PARTITION BY key)) //
+        |      (COUNT(*) OVER (PARTITION BY key)) AS BIGINT) AS target FROM d),
+        |y AS (SELECT key, ord, v, target,
+        |    SUM(v - target) OVER (PARTITION BY key ORDER BY ord
+        |      ROWS UNBOUNDED PRECEDING) AS yv FROM t),
+        |f AS (SELECT key, ord, v, target,
+        |    CAST(yv - least(0, MIN(yv) OVER (PARTITION BY key ORDER BY ord
+        |      ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS s FROM y)
+        |SELECT key, ord, v, target, s, CAST(s > target * 3 AS INT) AS flag
+        |FROM f ORDER BY key, ord""".stripMargin,
+    // q137: the TableDiff contract — full outer join on the key,
+    // unchanged rows absent, changed rows name the columns
+    "q137_state_diff" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM events),
+        |a AS (SELECT user_id, event_type FROM r WHERE rn = 1),
+        |b AS (SELECT user_id, event_type FROM r WHERE rn = 2)
+        |SELECT COALESCE(b.user_id, a.user_id) AS user_id,
+        |  CASE WHEN b.user_id IS NULL THEN 'added'
+        |       WHEN a.user_id IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status,
+        |  CASE WHEN b.user_id IS NOT NULL AND a.user_id IS NOT NULL
+        |       THEN 'event_type' ELSE '' END AS changed_cols
+        |FROM b FULL OUTER JOIN a ON b.user_id = a.user_id
+        |WHERE b.user_id IS NULL OR a.user_id IS NULL
+        |   OR b.event_type IS DISTINCT FROM a.event_type
+        |ORDER BY user_id""".stripMargin,
+    // q138: one vote round from the pinned customer seeds — the
+    // bipartite fixpoint (round 2 re-derives identical part labels)
+    "q138_label_prop" ->
+      """WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_partkey + 10000000 AS p
+        |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |seeds AS (SELECT c_custkey AS node, CAST(c_nationkey AS BIGINT) AS label
+        |  FROM customer),
+        |votes AS (SELECT p AS node, s.label, COUNT(*) AS cnt
+        |  FROM pairs JOIN seeds s ON pairs.c = s.node GROUP BY 1, 2),
+        |picked AS (SELECT node, label FROM (
+        |    SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node
+        |      ORDER BY cnt DESC, label) AS rk FROM votes) WHERE rk = 1)
+        |SELECT node, label FROM seeds
+        |UNION ALL SELECT node, label FROM picked
+        |ORDER BY node""".stripMargin,
+    // q139: exact lower medians at rank (n+1)//2 in (value, id)
+    // order, integer deviation compare — no interpolation anywhere
+    "q139_mad_outliers" ->
+      """WITH d AS (SELECT doc_id AS id, source AS grp,
+        |    CAST(n_chars AS BIGINT) AS v FROM documents),
+        |r1 AS (SELECT id, grp, v,
+        |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v, id) AS r,
+        |    COUNT(*) OVER (PARTITION BY grp) AS n FROM d),
+        |med AS (SELECT grp, v AS med FROM r1 WHERE r = (n + 1) // 2),
+        |w AS (SELECT d.id, d.grp, d.v, med.med, abs(d.v - med.med) AS dev
+        |  FROM d JOIN med USING (grp)),
+        |r2 AS (SELECT grp, dev,
+        |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY dev, id) AS r,
+        |    COUNT(*) OVER (PARTITION BY grp) AS n FROM w),
+        |mad AS (SELECT grp, dev AS mad FROM r2 WHERE r = (n + 1) // 2)
+        |SELECT w.id, w.grp, w.v, w.med, mad.mad, w.dev,
+        |  CAST(w.dev > mad.mad * 3 AS INT) AS outlier
+        |FROM w JOIN mad USING (grp) ORDER BY w.id""".stripMargin,
   )
 
   /** Unrolled greedy-MMR rounds mirroring [[graft.vector.Mmr]]:

@@ -1165,4 +1165,40 @@ object PipelineQueries {
         minCount = 45L, capacity = 1 << 18)
       .select(col("key").as("l_partkey"), col("cnt"))
       .orderBy("l_partkey")
+
+  /** q134: per-document character-distribution entropy — integer
+    * micro-nat surprisal per character class, exact-count weighted.
+    */
+  def docCharEntropy(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charEntropy(Tables.load(spark, dir, "documents"))
+      .orderBy("doc_id")
+
+  /** q138: seeded label propagation on the co-purchase graph —
+    * customers seed their nation key, parts take the (count desc,
+    * label asc) majority nation of their purchasers; 2 rounds reach
+    * the bipartite fixpoint (seeds are pinned, so round 2 re-derives
+    * the identical part labels).
+    */
+  def copurchaseLabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val seeds = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("node"),
+        col("c_nationkey").cast("long").as("label"))
+    // one orientation only — propagate derives the other (the
+    // pre-doubled copurchaseEdges frame would double every vote)
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_partkey") + 10000000L).as("dst"))
+    graft.ops.LabelProp.propagate(edges, seeds, iters = 2)
+      .orderBy("node")
+  }
+
+  /** q139: median/MAD robust outlier flags over document lengths per
+    * source — exact lower medians, integer deviation compare.
+    */
+  def lengthMadOutliers(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.RobustStats.madOutliers(Tables.load(spark, dir, "documents"),
+        col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("id")
 }

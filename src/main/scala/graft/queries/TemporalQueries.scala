@@ -218,4 +218,47 @@ object TemporalQueries {
       // (key, version) is the output's total order — valid_from can
       // tie across consecutive runs on equal-timestamp changes
       .orderBy("key", "version")
+
+  /** q135: first-order Markov transition matrix of per-user
+    * event_type sequences — exact counts, integer ppm row
+    * probabilities.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Markov.transitionMatrix(Tables.load(spark, dir, "events"),
+        col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .orderBy("prev", "next")
+
+  /** q136: CUSUM drift detection over the per-type daily event
+    * volume — integer closed-form CUSUM against the per-type floor
+    * mean, flags where the statistic exceeds 3× the mean.
+    */
+  def dailyVolumeCusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    graft.ops.Cusum.cusumScores(daily,
+        col("event_type"), col("day"), col("n"))
+      .orderBy("key", "ord")
+  }
+
+  /** q137: snapshot diff of each user's current state against the
+    * state just before their last event — TableDiff keyed on
+    * user_id: single-event users report "added", last-event type
+    * changes report "changed" with the column list; unchanged users
+    * are absent (the reconciliation-report contract).
+    */
+  def lastEventStateDiff(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val ranked = Tables.load(spark, dir, "events")
+      .withColumn("__rn", row_number().over(w))
+    val after = ranked.filter(col("__rn") === 1)
+      .select(col("user_id"), col("event_type"))
+    val before = ranked.filter(col("__rn") === 2)
+      .select(col("user_id"), col("event_type"))
+    graft.migrate.TableDiff.diff(before, after, Seq("user_id"))
+      .orderBy("user_id")
+  }
 }

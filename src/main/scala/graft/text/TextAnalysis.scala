@@ -558,4 +558,45 @@ object TextAnalysis {
           col("n_words").cast("double"))).otherwise(lit(0.0))
           .as("complex_ratio"))
   }
+
+  /** Per-document character-distribution Shannon entropy — the
+    * randomness quality signal that separates natural prose
+    * (~4 bits/char band) from base64 blobs, minified code, and
+    * repeated-character padding, a standard cheap filter next to the
+    * Gopher rules. Documents with empty text drop (no distribution
+    * to measure) — the [[graft.text.LanguageModel]] empty-doc
+    * convention.
+    *
+    * Determinism: each character class's surprisal −ln(cnt/n) is
+    * rounded ONCE to integer micro-nats, weighted by its exact
+    * integer count, and summed as integers (the q102 discipline);
+    * `n` is the count-sum itself, so both engines agree even if
+    * their notions of string length diverge on exotic input. The
+    * entropy is then one fixed-order double division chain.
+    *
+    * Scale shape: one (doc, char) hash aggregate (map-side combined
+    * — the value space is doc × charset), one doc-keyed window over
+    * that charset-bounded frame, one doc-keyed aggregate. Returns
+    * (idCol, n_chars, distinct_chars, entropy) in nats.
+    */
+  def charEntropy(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val counts = df
+      .filter(length(col(textCol)) > 0)
+      .select(col(idCol), explode(split(col(textCol), "")).as("ch"))
+      .groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("cnt"))
+    val withN = counts.withColumn("n",
+      sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol))))
+    val smicro = floor(
+      log(col("cnt").cast("double") / col("n").cast("double")) *
+        lit(-1e6) + lit(0.5))
+    withN
+      .select(col(idCol), col("n"), (col("cnt") * smicro).as("contrib"))
+      .groupBy(col(idCol))
+      .agg(max(col("n")).as("n_chars"),
+        count(lit(1)).as("distinct_chars"),
+        (sum(col("contrib")).cast("double") /
+          max(col("n")).cast("double") / lit(1e6)).as("entropy"))
+  }
 }

@@ -1,0 +1,171 @@
+package graft
+
+import graft.ops.{Cusum, LabelProp, Markov, RobustStats}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Brute-force replays for the round-7 operators: character entropy,
+  * Markov transitions, CUSUM drift, seeded label propagation, and
+  * median/MAD outliers.
+  */
+class NewOps7Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("charEntropy: hand-computed distribution, empty docs drop, partition-stable") {
+    // "aabb": p(a)=p(b)=1/2 → entropy = ln 2; "abcd": ln 4
+    val docs = Seq((1L, "aabb"), (2L, "abcd"), (3L, "")).toDF("doc_id", "text")
+    def micro(p: Double): Long = math.floor(-math.log(p) * 1e6 + 0.5).toLong
+    val got = graft.text.TextAnalysis.charEntropy(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L), "empty doc must drop")
+    val e1 = (2 * micro(0.5) + 2 * micro(0.5)).toDouble / 4.0 / 1e6
+    val e2 = (4 * micro(0.25)).toDouble / 4.0 / 1e6
+    assert(got.toSeq == Seq((1L, 4L, 2L, e1), (2L, 4L, 4L, e2)))
+    val re = graft.text.TextAnalysis.charEntropy(docs.repartition(7))
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).sortBy(_._1)
+    assert(re.toSeq == got.map(x => (x._1, x._4)).toSeq)
+  }
+
+  test("markov transitions: hand counts, ppm floors, first events excluded") {
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000)
+    val events = Seq(
+      (1L, ts(1), "view", 1L), (1L, ts(2), "cart", 2L), (1L, ts(3), "view", 3L),
+      (2L, ts(1), "view", 4L), (2L, ts(2), "view", 5L), (2L, ts(3), "cart", 6L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val got = Markov.transitionMatrix(events, col("user_id"),
+        col("event_type"), col("ts"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sortBy(x => (x._1, x._2))
+    // from view: cart 2, view 1 (total 3); from cart: view 1 (total 1)
+    assert(got.toSeq == Seq(
+      ("cart", "view", 1L, 1000000L),
+      ("view", "cart", 2L, 666666L),
+      ("view", "view", 1L, 333333L)))
+  }
+
+  test("cusum closed form equals the textbook recurrence on random series") {
+    val rnd = new scala.util.Random(31)
+    val series = for {
+      k <- Seq("a", "b", "c")
+      i <- 1 to 40
+    } yield (k, f"d$i%03d", (rnd.nextInt(20) + (if (i > 30) 25 else 0)).toLong)
+    val df = series.toDF("key", "ord", "v")
+    val got = Cusum.cusumScores(df, col("key"), col("ord"), col("v"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    for ((k, rows) <- got) {
+      val vs = series.filter(_._1 == k).sortBy(_._2).map(_._3)
+      val target = vs.sum / vs.length
+      var s = 0L
+      val want = vs.map { x =>
+        s = math.max(0L, s + x - target)
+        (s, if (s > 3 * target) 1 else 0)
+      }
+      assert(rows.map(r => (r._5, r._6)).toSeq == want,
+        s"key $k: closed form must equal the recurrence")
+      assert(rows.forall(_._4 == target))
+    }
+    // the injected level shift at i>30 must actually flag somewhere
+    assert(got.values.flatten.exists(_._6 == 1), "shift must be detected")
+  }
+
+  test("label propagation: majority vote, (cnt desc, label asc) ties, pinned seeds") {
+    // seeds: 1→10, 2→20, 3→10; node 100 sees {10, 20, 10} → 10;
+    // node 200 sees {10, 20} → tie → min label 10;
+    // node 300 sees only unlabeled 400 in round 1 → labeled via 400
+    // never (400 has no labeled neighbor) — both stay absent;
+    // seed 1 also neighbors 2 (label 20) but stays pinned at 10
+    val edges = Seq(
+      (1L, 100L), (2L, 100L), (3L, 100L),
+      (1L, 200L), (2L, 200L),
+      (300L, 400L), (1L, 2L)
+    ).toDF("src", "dst")
+    val seeds = Seq((1L, 10L), (2L, 20L), (3L, 10L)).toDF("node", "label")
+    val got = LabelProp.propagate(edges, seeds, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 10L, 2L -> 20L, 3L -> 10L,
+      100L -> 10L, 200L -> 10L))
+    // two-hop reach: a chain seed-5-6 labels 6 on round 2
+    val chain = Seq((7L, 5L), (5L, 6L)).toDF("src", "dst")
+    val g2 = LabelProp.propagate(chain, Seq((7L, 99L)).toDF("node", "label"),
+      iters = 2).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g2 == Map(7L -> 99L, 5L -> 99L, 6L -> 99L))
+  }
+
+  test("label propagation: pinned adjacency, zero edge-sized exchanges per round") {
+    import graft.ops.PageRank
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    saved.foreach { case (k, _) => conf.set(k, "-1") }
+    try {
+      val edges = (0L until 2000L).map(i => (i, 10000L + i % 500))
+        .toDF("src", "dst")
+      val e = edges.select($"src", $"dst").distinct()
+      val adj = PageRank.pinBy(e.unionByName(
+        e.select($"dst".as("src"), $"src".as("dst"))), "src")
+      val seed = (0L until 2000L by 4).map(i => (i, i % 7)).toDF("node", "label")
+        .localCheckpoint()
+      val l1 = LabelProp.voteRound(adj, seed, seed).localCheckpoint()
+      val l2 = LabelProp.voteRound(adj, seed, l1)
+      assert(l2.count() > 0)
+      def exchanges(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike] = {
+        val here = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            exchanges(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            exchanges(q.plan)
+          case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+            Seq(x) ++ exchanges(x.child)
+          case _ => Nil
+        }
+        here ++ p.children.flatMap(exchanges)
+      }
+      val xs = exchanges(l2.queryExecution.executedPlan)
+      assert(xs.nonEmpty, "expected label-frame shuffles in the plan")
+      // only the adjacency frame carries both src and dst
+      val edgeSized = xs.filter { x =>
+        val names = x.child.output.map(_.name).toSet
+        names.contains("src") && names.contains("dst")
+      }
+      assert(edgeSized.isEmpty,
+        s"adjacency re-shuffled: ${edgeSized.map(_.child.output.map(_.name))}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("mad outliers equal a plain-Scala replay across random groups") {
+    val rnd = new scala.util.Random(47)
+    val rows = (1L to 300L).map { id =>
+      val g = s"g${id % 4}"
+      val v = if (id % 37 == 0) 5000L + rnd.nextInt(100)
+        else 100L + rnd.nextInt(50)
+      (id, g, v)
+    }
+    val df = rows.toDF("doc_id", "source", "n_chars")
+    val got = RobustStats.madOutliers(df, col("doc_id"), col("source"),
+        col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4),
+        r.getInt(6))).sortBy(_._1)
+    def lowerMedian(xs: Seq[(Long, Long)]): Long = {
+      // element at rank (n+1)/2 in (value, id) order
+      val sorted = xs.sortBy { case (v, id) => (v, id) }
+      sorted(((sorted.size + 1) / 2) - 1)._1
+    }
+    val byG = rows.groupBy(_._2)
+    val want = rows.map { case (id, g, v) =>
+      val grp = byG(g)
+      val med = lowerMedian(grp.map(x => (x._3, x._1)))
+      val mad = lowerMedian(grp.map(x => (math.abs(x._3 - med), x._1)))
+      (id, med, mad, if (math.abs(v - med) > 3 * mad) 1 else 0)
+    }.sortBy(_._1)
+    assert(got.toSeq == want)
+    assert(got.count(_._4 == 1) > 0, "the injected 5000s must flag")
+  }
+}
