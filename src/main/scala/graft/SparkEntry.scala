@@ -28,7 +28,7 @@ object SparkEntry {
     "q43_stream_dedup", "q51_stream_enrich", "q59_stream_stream_join",
     "q61_json_roundtrip", "q68_jdbc_cdc_live", "q69_jdbc_sink_roundtrip",
     "q71_catalog_migrate", "q73_orc_roundtrip", "q74_converted_migrate",
-    "q94_custom_state_sessions")
+    "q94_custom_state_sessions", "q140_redelivery_dedup")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -171,6 +171,10 @@ object SparkEntry {
     "q137_state_diff"       -> TemporalQueries.lastEventStateDiff _,
     "q138_label_prop"       -> PipelineQueries.copurchaseLabelProp _,
     "q139_mad_outliers"     -> PipelineQueries.lengthMadOutliers _,
+    "q140_redelivery_dedup" -> IngestQueries.streamRedeliveryDedup _,
+    "q141_top_p_sources"    -> PipelineQueries.topPSources _,
+    "q142_ann_recall"       -> PipelineQueries.annRecallInt8 _,
+    "q143_hard_negatives"   -> PipelineQueries.hardNegativeMining _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2436,6 +2440,91 @@ object SparkEntry {
         |SELECT w.id, w.grp, w.v, w.med, mad.mad, w.dev,
         |  CAST(w.dev > mad.mad * 3 AS INT) AS outlier
         |FROM w JOIN mad USING (grp) ORDER BY w.id""".stripMargin,
+    // q140: the streaming redelivery dedup must land exactly on the
+    // batch counts of the un-duplicated table
+    "q140_redelivery_dedup" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q141: per-source running mass in (v desc, id) order; keep rows
+    // STARTING before the 80% point; HUGEINT mass products ≡ the
+    // engine's DECIMAL(38,0) forms
+    "q141_top_p_sources" ->
+      """WITH d AS (SELECT doc_id AS id, source AS grp,
+        |    CAST(n_chars AS BIGINT) AS v FROM documents),
+        |r AS (SELECT id, grp, v,
+        |    SUM(v) OVER (PARTITION BY grp ORDER BY v DESC, id
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(v) OVER (PARTITION BY grp) AS tot FROM d)
+        |SELECT id, grp, v, CAST(cum AS BIGINT) AS cum,
+        |  CAST((CAST(cum AS HUGEINT) * 1000000) // tot AS BIGINT) AS share_ppm
+        |FROM r
+        |WHERE CAST(cum - v AS HUGEINT) * 1000000 < CAST(tot AS HUGEINT) * 800000
+        |ORDER BY grp, id""".stripMargin,
+    // q142: both top-10 chains (exact grid + int8 re-quantized grid,
+    // the q27/q60 arithmetic verbatim) intersected per query
+    "q142_ann_recall" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id,
+        |    [CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) for x in embedding] AS v
+        |  FROM embeddings),
+        |n AS MATERIALIZED (SELECT vec_id, v AS q,
+        |    list_reduce([CAST(0 AS BIGINT)] + [x*x for x in v], (a,b) -> a+b) AS n2
+        |  FROM e),
+        |qs AS (SELECT vec_id AS qid, q AS qq, n2 AS qn2 FROM n WHERE vec_id % 100 = 0),
+        |bt AS MATERIALIZED (SELECT query_id, vec_id FROM (
+        |    SELECT qid AS query_id, n.vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+        |        CAST(list_reduce([CAST(0 AS BIGINT)] + [qq[i]*q[i] for i in range(1, len(q)+1)],
+        |          (a,b) -> a+b) AS DOUBLE)
+        |        / sqrt(CAST(qn2 AS DOUBLE)*CAST(n2 AS DOUBLE)) DESC, n.vec_id) AS rnk
+        |    FROM qs CROSS JOIN n WHERE n.vec_id != qid) WHERE rnk <= 10),
+        |m AS (SELECT vec_id, v,
+        |    list_reduce([CAST(0 AS BIGINT)] + [abs(x) for x in v],
+        |      (a,b) -> greatest(a,b)) AS mx FROM e),
+        |q8 AS (SELECT vec_id,
+        |    CASE WHEN mx = 0 THEN [CAST(0 AS BIGINT) for x in v]
+        |         ELSE [CAST(round(CAST(x AS DOUBLE)*127.0/CAST(mx AS DOUBLE)) AS BIGINT) for x in v]
+        |    END AS q FROM m),
+        |n8 AS MATERIALIZED (SELECT vec_id, q,
+        |    list_reduce([CAST(0 AS BIGINT)] + [x*x for x in q], (a,b) -> a+b) AS n2
+        |  FROM q8),
+        |qs8 AS (SELECT vec_id AS qid, q AS qq, n2 AS qn2 FROM n8 WHERE vec_id % 100 = 0),
+        |at AS MATERIALIZED (SELECT query_id, vec_id FROM (
+        |    SELECT qid AS query_id, n8.vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+        |        CAST(list_reduce([CAST(0 AS BIGINT)] + [qq[i]*q[i] for i in range(1, len(q)+1)],
+        |          (a,b) -> a+b) AS DOUBLE)
+        |        / sqrt(CAST(qn2 AS DOUBLE)*CAST(n2 AS DOUBLE)) DESC, n8.vec_id) AS rnk
+        |    FROM qs8 CROSS JOIN n8 WHERE n8.vec_id != qid) WHERE rnk <= 10),
+        |h AS (SELECT bt.query_id, COUNT(*) AS hits FROM bt
+        |  JOIN at ON bt.query_id = at.query_id AND bt.vec_id = at.vec_id
+        |  GROUP BY 1)
+        |SELECT q.query_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+        |  CAST((COALESCE(h.hits, 0) * 1000000) // 10 AS BIGINT) AS recall_ppm
+        |FROM (SELECT DISTINCT query_id FROM bt) q LEFT JOIN h USING (query_id)
+        |ORDER BY query_id""".stripMargin,
+    // q143: the q27 ranking restricted to label-mismatched pairs
+    "q143_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    [CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) for x in embedding] AS q
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, q,
+        |    list_reduce([CAST(0 AS BIGINT)] + [x*x for x in q], (a,b) -> a+b) AS n2
+        |  FROM e),
+        |qs AS (SELECT vec_id AS qid, label AS qlbl, q AS qq, n2 AS qn2
+        |  FROM n WHERE vec_id % 100 = 0),
+        |d AS (SELECT qid, n.vec_id, n.label,
+        |    list_reduce([CAST(0 AS BIGINT)] + [qq[i]*q[i] for i in range(1, len(q)+1)],
+        |      (a,b) -> a+b) AS dot, qn2, n2
+        |  FROM qs CROSS JOIN n WHERE n.label IS DISTINCT FROM qlbl),
+        |c AS (SELECT qid AS query_id, vec_id, label AS lbl,
+        |    CAST(dot AS DOUBLE)/sqrt(CAST(qn2 AS DOUBLE)*CAST(n2 AS DOUBLE)) AS cos
+        |  FROM d),
+        |r AS (SELECT query_id, vec_id, lbl, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        |  FROM c)
+        |SELECT query_id, rnk, vec_id, lbl, floor(cos*1000000.0 + 0.5)/1000000.0 AS cos
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
   )
 
   /** Unrolled greedy-MMR rounds mirroring [[graft.vector.Mmr]]:

@@ -170,4 +170,41 @@ object Sampler {
       .filter(col("__rn") <= lit(maxQ) && col("__rn") <= quotaFor)
       .select(col(idCol), col(stratum))
   }
+
+  /** Nucleus (top-p) selection per group — the score-mass analog of
+    * the count quotas above: order each group by (score desc, id)
+    * and keep the rows that START before the `pPpm` fraction of the
+    * group's total score mass (the crossing row is kept, like
+    * nucleus sampling's crossing token). "The best documents until
+    * 80% of the mass" per source, deterministically.
+    *
+    * Determinism and overflow: all mass arithmetic rides
+    * DECIMAL(38,0) products with floor `div` — exact at any corpus
+    * mass (a LONG×10^6 product overflows past ~9·10^12 total mass;
+    * a 100 TB corpus's char-count mass is ~10^14).
+    *
+    * Scale shape: ONE hash shuffle on the group key feeds both
+    * windows (running mass, group total). Per-group ordering is a
+    * group-sized sort — the exact-per-group contract shared with
+    * QuantileNorm/SCD.
+    *
+    * Returns (id, grp, v, cum, share_ppm) for the kept rows.
+    */
+  def topPByGroup(df: DataFrame, idCol: Column, groupCol: Column,
+      scoreCol: Column, pPpm: Long): DataFrame = {
+    require(pPpm > 0 && pPpm <= 1000000L, s"pPpm must be in (0, 1e6]: $pPpm")
+    import org.apache.spark.sql.expressions.Window
+    val grpW = Window.partitionBy(col("grp"))
+    val runW = grpW.orderBy(col("v").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(idCol.as("id"), groupCol.as("grp"),
+        scoreCol.cast("long").as("v"))
+      .withColumn("cum", sum(col("v")).over(runW))
+      .withColumn("__tot", sum(col("v")).over(grpW))
+      .filter(expr("CAST(cum - v AS DECIMAL(38,0)) * 1000000 < " +
+        s"CAST(__tot AS DECIMAL(38,0)) * ${pPpm}L"))
+      .select(col("id"), col("grp"), col("v"), col("cum"),
+        expr("(CAST(cum AS DECIMAL(38,0)) * 1000000) div __tot")
+          .as("share_ppm"))
+  }
 }

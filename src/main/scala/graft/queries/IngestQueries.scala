@@ -530,4 +530,43 @@ object IngestQueries {
         col("n_events"))
       .orderBy("user_id", "session_start")
   }
+
+  /** q140: streaming exact dedup under redelivery —
+    * `dropDuplicatesWithinWatermark` on the event key over a feed
+    * that delivers EVERY event twice (the at-least-once delivery
+    * every CDC/queue source exhibits; the reference's binlog tail
+    * re-reads on reconnect, mysqlreader.py:356-448 in
+    * /root/reference). The watermark bounds the dedup state (keys
+    * older than the watermark are evicted — at-least-once sources
+    * redeliver within a bounded lag), where a batch `distinct` would
+    * hold every key forever — and where q43's maintained rollup
+    * AGGREGATES duplicates, this DROPS them pre-aggregation. The
+    * post-dedup per-type counts must equal the batch counts over the
+    * un-duplicated table — the streaming ≡ batch contract of the
+    * q33/q39 family.
+    */
+  def streamRedeliveryDedup(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val root = tmpDir("graft_stream_dedup")
+    // redelivery: two full copies of the feed
+    events.write.mode("overwrite").parquet(s"$root/in")
+    events.write.mode("append").parquet(s"$root/in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$root/in")
+    val name = s"graft_dedup_${streamCounter.incrementAndGet()}"
+    val q = stream
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("event_id")).as("n_ids"))
+      .orderBy("event_type")
+  }
 }

@@ -1201,4 +1201,36 @@ object PipelineQueries {
     graft.ops.RobustStats.madOutliers(Tables.load(spark, dir, "documents"),
         col("doc_id"), col("source"), col("n_chars"))
       .orderBy("id")
+
+  /** q141: nucleus (top-p) selection per source — the longest
+    * documents until 80% of each source's character mass, exact
+    * DECIMAL mass arithmetic.
+    */
+  def topPSources(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampler.topPByGroup(Tables.load(spark, dir, "documents"),
+        col("doc_id"), col("source"), col("n_chars"), pPpm = 800000L)
+      .orderBy("grp", "id")
+
+  /** q142: recall@10 of the int8-quantized ANN scan against the
+    * exact brute-force baseline, per query — the "measure, don't
+    * guess" acceptance gate for the compressed-domain index.
+    */
+  def annRecallInt8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val qs = knnQueries(emb)
+    graft.vector.Eval.recallAtK(
+        VectorSearch.bruteForceTopK(emb, qs, k = 10),
+        VectorSearch.int8TopK(emb, qs, k = 10), k = 10)
+      .orderBy("query_id")
+  }
+
+  /** q143: hard-negative mining — per query vector the top-10
+    * highest-cosine neighbors with a DIFFERENT label (contrastive
+    * training's near-miss negatives).
+    */
+  def hardNegativeMining(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    VectorSearch.hardNegatives(emb, knnQueries(emb), k = 10)
+      .orderBy("query_id", "rnk")
+  }
 }

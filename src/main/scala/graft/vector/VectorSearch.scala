@@ -129,6 +129,36 @@ object VectorSearch {
     * meant 3.4e7 broadcast rows at 1e9 vectors, a scale-killer.
     * 65536 64-dim long vectors ≈ 34 MB — always broadcastable.
     */
+  /** Hard-negative mining (contrastive-training data prep): for
+    * each query vector, the top-k highest-cosine corpus vectors with
+    * a DIFFERENT label — near-misses that make the hardest training
+    * negatives (same-label neighbors are positives, not negatives).
+    * Same scan shape as [[bruteForceTopK]] — query set broadcast,
+    * corpus scanned in place, per-query top-k through the
+    * WindowGroupLimit rank window — plus the per-pair label-mismatch
+    * predicate evaluated inside the scan. Returns
+    * (query_id, rnk, vec_id, lbl, cos).
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      labelCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"),
+        quantize(col(vecCol)).as("q"), col(labelCol).as("lbl"))
+      .withColumn("n2", norm2(col("q")))
+    val q = queries.select(col(idCol).as("query_id"),
+        quantize(col(vecCol)).as("qq"), col(labelCol).as("qlbl"))
+      .withColumn("qn2", norm2(col("qq")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    c.crossJoin(broadcast(q))
+      .filter(!(col("lbl") <=> col("qlbl")))
+      .withColumn("cos", cosine(dot(col("q"), col("qq")), col("n2"), col("qn2")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("lbl"),
+        graft.text.TextAnalysis.round6(col("cos")).as("cos"))
+  }
+
   def resolveNumCells(numCells: Int, n: Long): Int =
     if (numCells > 0) numCells
     else math.max(16, math.min(1 << 16,

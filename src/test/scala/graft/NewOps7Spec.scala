@@ -140,6 +140,65 @@ class NewOps7Spec extends AnyFunSuite {
     }
   }
 
+  test("recallAtK: hand overlaps, zero-hit queries kept, ppm floors") {
+    import graft.vector.Eval
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
+      (2L, 20L), (2L, 21L), (2L, 22L), (2L, 23L),
+      (3L, 30L), (3L, 31L), (3L, 32L), (3L, 33L))
+      .toDF("query_id", "vec_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), // 4/4
+      (2L, 20L), (2L, 99L), (2L, 98L), (2L, 23L),                // 2/4
+      (3L, 90L), (3L, 91L), (3L, 92L), (3L, 93L))                // 0/4
+      .toDF("query_id", "vec_id")
+    val got = Eval.recallAtK(exact, approx, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 4L, 1000000L), (2L, 2L, 500000L),
+      (3L, 0L, 0L)))
+  }
+
+  test("topPByGroup: crossing row kept, mass shares exact, group-independent") {
+    import graft.ops.Sampler
+    // group A masses 50,30,20 (total 100): p=0.7 keeps 50 (starts at
+    // 0) and 30 (starts at 0.5) but not 20 (starts at 0.8 = p when
+    // pPpm=700000? 0.8 > 0.7 → dropped); group B single row always kept
+    val df = Seq((1L, "A", 50L), (2L, "A", 30L), (3L, "A", 20L),
+      (4L, "B", 7L)).toDF("doc_id", "source", "n_chars")
+    val got = Sampler.topPByGroup(df, col("doc_id"), col("source"),
+        col("n_chars"), pPpm = 700000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "A", 50L, 500000L),   // cum 50, share 0.5
+      (2L, "A", 80L, 800000L),   // starts at 0.5 < 0.7 → kept (crossing)
+      (4L, "B", 7L, 1000000L)))  // whole group
+    // exactly-at-p boundary: a row starting AT p is dropped
+    val boundary = Sampler.topPByGroup(df, col("doc_id"), col("source"),
+        col("n_chars"), pPpm = 800000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(!boundary.contains(3L), "row starting exactly at p is out")
+  }
+
+  test("hardNegatives: same-label neighbors excluded, cosine rank order") {
+    import graft.vector.VectorSearch
+    // query 100 (label x) points +x; 1 (x) is closest but same label;
+    // 2 (y) next; 3 (z) orthogonal; 4 (y) opposite
+    val emb = Seq(
+      (100L, "x", Seq(1.0f, 0.0f)),
+      (1L, "x", Seq(0.99f, 0.01f)),
+      (2L, "y", Seq(0.9f, 0.1f)),
+      (3L, "z", Seq(0.0f, 1.0f)),
+      (4L, "y", Seq(-1.0f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = VectorSearch.hardNegatives(emb,
+        emb.filter($"vec_id" === 100L), k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(2L, 3L, 4L),
+      s"same-label 1 must be excluded, order by cosine: $got")
+    assert(got.map(_._3).toSeq == Seq("y", "z", "y"))
+  }
+
   test("mad outliers equal a plain-Scala replay across random groups") {
     val rnd = new scala.util.Random(47)
     val rows = (1L to 300L).map { id =>
