@@ -49,11 +49,36 @@ object SoakGraphOps {
     val (nCore, tCore) = timed {
       ops.KCore.kCore(pairs, k = 20).count()
     }
+    // HITS in BOTH regimes on the directed doubling of the pair
+    // graph: the broadcast face q119 exercises, and the sharded
+    // (pinned-edge) regime forced via maxBroadcastNodes = 0 — its
+    // 10x growth curve is the scale evidence for the regime switch
+    val directed = pairs
+      .select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val (nHb, tHb) = timed {
+      ops.Hits.integerHits(directed, iters = 2).count()
+    }
+    val (nHs, tHs) = timed {
+      ops.Hits.integerHits(directed, iters = 2, maxBroadcastNodes = 0L).count()
+    }
+    // seeded label propagation: every 10th customer-side node seeded
+    val seeds = pairs.select(col("a").as("node")).distinct()
+      .filter(col("node") % 10 === 0)
+      .withColumn("label", col("node") % 7)
+    val (nLp, tLp) = timed {
+      ops.LabelProp.propagate(
+        pairs.select(col("a").as("src"), col("b").as("dst")),
+        seeds, iters = 2).count()
+    }
     // component sanity: the co-purchase graph is connected at every
     // fixture scale — one label for every node
     println(s"""{"sfDir":"$sfDir","edges":$nEdges,""" +
       s""""star_nodes":$nStar,"star_sec":${f"$tStar%.2f"},""" +
-      s""""kcore_nodes":$nCore,"kcore_sec":${f"$tCore%.2f"}}""")
+      s""""kcore_nodes":$nCore,"kcore_sec":${f"$tCore%.2f"},""" +
+      s""""hits_nodes":$nHb,"hits_bcast_sec":${f"$tHb%.2f"},""" +
+      s""""hits_sharded_sec":${f"$tHs%.2f"},""" +
+      s""""labelprop_nodes":$nLp,"labelprop_sec":${f"$tLp%.2f"}}""")
     spark.stop()
   }
 }
