@@ -32,7 +32,11 @@ object SoakTextOps {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = Tables.load(spark, sfDir, "documents").localCheckpoint()
+    // NOT checkpointed: a corpus-sized localCheckpoint would bound
+    // the soakable corpus by local block storage and distort the
+    // first timed operator with spill — each operator re-scans the
+    // parquet source, exactly as it would in production
+    val docs = Tables.load(spark, sfDir, "documents")
     val nDocs = docs.count()
 
     def timed[T](f: => T): (T, Double) = {

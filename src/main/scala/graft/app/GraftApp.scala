@@ -382,37 +382,61 @@ object GraftApp {
     // like every other mode.
     val curations: Seq[Curation] = {
       import org.apache.spark.sql.functions.col
+      // per-table key resolution honors --pk-for like the pump modes
+      def keyFor(t: String): String = {
+        val pk = c.pkFor.getOrElse(t, c.pk)
+        require(pk.nonEmpty, s"--scd2: no key column for table $t " +
+          "(--pk is empty and no --pk-for entry names one)")
+        pk.head
+      }
+      // srcRows rides the write as an observed metric (the Migrator
+      // reconciliation discipline — no extra source scan); outRows is
+      // a parquet-metadata count of what was written
       val scd2Runs =
         if (!c.scd2) Nil
         else {
           val value = c.scd2Value.getOrElse(throw new IllegalArgumentException(
             "--scd2 requires --scd2-value=<tracked column>"))
           tables.map { t =>
+            val obs = org.apache.spark.sql.Observation()
             val df = Migrator.transformed(spark, c.srcDir, t, spec)
+              .observe(obs, org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)).as("src_rows"))
             val hist = graft.ops.Scd.scd2Intervals(df,
-              col(c.scd2Key.getOrElse(c.pk.head)), col(value),
+              col(c.scd2Key.getOrElse(keyFor(t))), col(value),
               col(c.scd2Ts.getOrElse(c.orderCols.head)),
               col(c.scd2Tie.getOrElse(c.orderCols.last)))
             val out = s"${c.dstDir}/${dstNameFor(t)}_history.parquet"
             hist.write.mode("overwrite").parquet(out)
-            Curation(t, "scd2", df.count(), spark.read.parquet(out).count(), out)
+            Curation(t, "scd2", obs.get("src_rows").asInstanceOf[Long],
+              spark.read.parquet(out).count(), out)
           }
         }
       val pplRuns =
         if (!c.pplFilter) Nil
-        else tables.map { t =>
-          val df = Migrator.transformed(spark, c.srcDir, t, spec)
-          val buckets = graft.text.LanguageModel.perplexityBuckets(df,
-            v = c.pplVocab, buckets = c.pplBuckets, idCol = c.docIdCol,
-            textCol = c.textCol, groupCol = c.pplGroupCol)
-          val keep = buckets
-            .filter(!col("bucket_name").isin(c.pplDrop: _*))
-            .select(col(c.docIdCol))
-          val kept = df.join(keep, Seq(c.docIdCol), "left_semi")
-          val out = s"${c.dstDir}/${dstNameFor(t)}_ppl.parquet"
-          kept.write.mode("overwrite").parquet(out)
-          Curation(t, "ppl-filter", df.count(),
-            spark.read.parquet(out).count(), out)
+        else {
+          val unknown = c.pplDrop.filterNot(Set("head", "middle", "tail"))
+          require(unknown.isEmpty,
+            s"--ppl-drop: unknown bucket name(s) ${unknown.mkString(", ")} " +
+              "(expected head, middle, tail) — refusing a silent no-op filter")
+          tables.map { t =>
+            val df = Migrator.transformed(spark, c.srcDir, t, spec)
+            val buckets = graft.text.LanguageModel.perplexityBuckets(df,
+              v = c.pplVocab, buckets = c.pplBuckets, idCol = c.docIdCol,
+              textCol = c.textCol, groupCol = c.pplGroupCol)
+            val keep = buckets
+              .filter(!col("bucket_name").isin(c.pplDrop: _*))
+              .select(col(c.docIdCol))
+            val obs = org.apache.spark.sql.Observation()
+            val kept = df
+              .observe(obs, org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)).as("src_rows"))
+              .join(keep, Seq(c.docIdCol), "left_semi")
+            val out = s"${c.dstDir}/${dstNameFor(t)}_ppl.parquet"
+            kept.write.mode("overwrite").parquet(out)
+            Curation(t, "ppl-filter", obs.get("src_rows").asInstanceOf[Long],
+              spark.read.parquet(out).count(), out)
+          }
         }
       scd2Runs ++ pplRuns
     }

@@ -27,14 +27,18 @@ object Cusum {
     * series: `target` is the per-key floor mean (the drift
     * allowance k), `s` the CUSUM statistic, `flag` 1 where
     * `s > thresholdNum · target` — a sustained upward shift.
+    * `tieCol` breaks equal-`ord` ties so the running windows are a
+    * total order (the SCD/Markov determinism discipline); pass the
+    * order column itself when it is already unique per key.
     */
   def cusumScores(df: DataFrame, keyCol: Column, orderCol: Column,
-      valueCol: Column, thresholdNum: Int = 3): DataFrame = {
+      valueCol: Column, tieCol: Column,
+      thresholdNum: Int = 3): DataFrame = {
     require(thresholdNum >= 1, s"thresholdNum must be >= 1: $thresholdNum")
     val byKey = Window.partitionBy(col("key"))
-    val run = byKey.orderBy(col("ord"))
+    val run = byKey.orderBy(col("ord"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(keyCol.as("key"), orderCol.as("ord"),
+    df.select(keyCol.as("key"), orderCol.as("ord"), tieCol.as("__tie"),
         valueCol.cast("long").as("v"))
       .withColumn("__tot", sum(col("v")).over(byKey))
       .withColumn("__n", count(lit(1)).over(byKey))

@@ -37,7 +37,12 @@ object LabelProp {
     val e = edges.select(col("src"), col("dst")).distinct()
     val adj = PageRank.pinBy(e.unionByName(
       e.select(col("dst").as("src"), col("src").as("dst"))), "src")
-    val seed = seeds.select(col("node"), col("label")).distinct()
+    // conflicting seed labels for one node resolve deterministically
+    // to the minimum label (one row per node — duplicate seed rows
+    // would otherwise double-vote neighbors and emit contradicting
+    // output rows every round)
+    val seed = seeds.select(col("node"), col("label"))
+      .groupBy(col("node")).agg(min(col("label")).as("label"))
       .localCheckpoint()
     var labels = seed
     for (_ <- 1 to iters)

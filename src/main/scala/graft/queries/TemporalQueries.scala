@@ -238,7 +238,10 @@ object TemporalQueries {
         date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n"))
     graft.ops.Cusum.cusumScores(daily,
-        col("event_type"), col("day"), col("n"))
+        col("event_type"), col("day"), col("n"),
+        // one row per (type, day) after the aggregate: the day is its
+        // own (trivially unique) tie-break
+        tieCol = col("day"))
       .orderBy("key", "ord")
   }
 

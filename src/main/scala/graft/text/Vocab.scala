@@ -38,8 +38,13 @@ object Vocab {
     val top = topTokenCounts(df, v, textCol)
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .sortBy { case (t, c) => (-c, t) }
-    val rows = top.zipWithIndex.map { case ((t, c), i) => Row(t, c, i + 1) }
-    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1),
+    val rows: java.util.List[Row] = java.util.Arrays.asList(
+      top.zipWithIndex.map { case ((t, c), i) => Row(t, c, i + 1) }: _*)
+    // a TRUE LocalRelation (accurate tiny stats — consumers that
+    // forget the broadcast hint still plan a broadcast join; an
+    // RDD-backed frame would report defaultSizeInBytes and force a
+    // corpus-sized sort-merge join on them)
+    spark.createDataFrame(rows,
       StructType(Seq(StructField("token", StringType, nullable = true),
         StructField("cnt", LongType, nullable = false),
         StructField("id", IntegerType, nullable = false))))

@@ -121,14 +121,6 @@ object VectorSearch {
           col("n2").as("qn2")),
       k)
 
-  /** Resolve the centroid count: explicit `numCells` wins; 0 = auto,
-    * ~√n clamped to [16, 65536]. √n balances the two costs of IVF —
-    * assignment work O(n·cells) and per-cell scan size O(n/cells) —
-    * and, critically, keeps the broadcast centroid table BOUNDED: a
-    * fixed *fraction* of the corpus as centroids (round-2 design)
-    * meant 3.4e7 broadcast rows at 1e9 vectors, a scale-killer.
-    * 65536 64-dim long vectors ≈ 34 MB — always broadcastable.
-    */
   /** Hard-negative mining (contrastive-training data prep): for
     * each query vector, the top-k highest-cosine corpus vectors with
     * a DIFFERENT label — near-misses that make the hardest training
@@ -159,6 +151,14 @@ object VectorSearch {
         graft.text.TextAnalysis.round6(col("cos")).as("cos"))
   }
 
+  /** Resolve the centroid count: explicit `numCells` wins; 0 = auto,
+    * ~√n clamped to [16, 65536]. √n balances the two costs of IVF —
+    * assignment work O(n·cells) and per-cell scan size O(n/cells) —
+    * and, critically, keeps the broadcast centroid table BOUNDED: a
+    * fixed *fraction* of the corpus as centroids (round-2 design)
+    * meant 3.4e7 broadcast rows at 1e9 vectors, a scale-killer.
+    * 65536 64-dim long vectors ≈ 34 MB — always broadcastable.
+    */
   def resolveNumCells(numCells: Int, n: Long): Int =
     if (numCells > 0) numCells
     else math.max(16, math.min(1 << 16,

@@ -52,7 +52,8 @@ class NewOps7Spec extends AnyFunSuite {
       i <- 1 to 40
     } yield (k, f"d$i%03d", (rnd.nextInt(20) + (if (i > 30) 25 else 0)).toLong)
     val df = series.toDF("key", "ord", "v")
-    val got = Cusum.cusumScores(df, col("key"), col("ord"), col("v"))
+    val got = Cusum.cusumScores(df, col("key"), col("ord"), col("v"),
+        tieCol = col("ord"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getInt(5)))
       .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
@@ -93,6 +94,12 @@ class NewOps7Spec extends AnyFunSuite {
     val g2 = LabelProp.propagate(chain, Seq((7L, 99L)).toDF("node", "label"),
       iters = 2).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(g2 == Map(7L -> 99L, 5L -> 99L, 6L -> 99L))
+    // conflicting seed labels resolve to the min, one row per node,
+    // and the neighbor receives ONE vote, not two
+    val g3 = LabelProp.propagate(Seq((7L, 5L)).toDF("src", "dst"),
+        Seq((7L, 99L), (7L, 11L)).toDF("node", "label"), iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(g3.sortBy(_._1).toSeq == Seq(5L -> 11L, 7L -> 11L))
   }
 
   test("label propagation: pinned adjacency, zero edge-sized exchanges per round") {
