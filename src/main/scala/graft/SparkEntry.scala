@@ -175,6 +175,9 @@ object SparkEntry {
     "q141_top_p_sources"    -> PipelineQueries.topPSources _,
     "q142_ann_recall"       -> PipelineQueries.annRecallInt8 _,
     "q143_hard_negatives"   -> PipelineQueries.hardNegativeMining _,
+    "q144_ann_recall_ivf"   -> PipelineQueries.annRecallIvf _,
+    "q145_ann_recall_pq"    -> PipelineQueries.annRecallPq _,
+    "q146_ann_recall_rplsh" -> PipelineQueries.annRecallRpLsh _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2410,7 +2413,8 @@ object SparkEntry {
     // q138: one vote round from the pinned customer seeds — the
     // bipartite fixpoint (round 2 re-derives identical part labels)
     "q138_label_prop" ->
-      """WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_partkey + 10000000 AS p
+      """WITH pairs AS (SELECT DISTINCT o_custkey AS c,
+        |      l_partkey + 1099511627776 AS p
         |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
         |seeds AS (SELECT c_custkey AS node, CAST(c_nationkey AS BIGINT) AS label
         |  FROM customer),

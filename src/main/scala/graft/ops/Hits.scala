@@ -54,16 +54,21 @@ object Hits {
     *   per-half-step score join switches from broadcast to the
     *   pinned-edge shuffle join (0 forces sharded, Long.MaxValue
     *   forces broadcast — both produce identical bit-exact output)
+    * @param nodeCount caller-supplied node count (or upper bound) for
+    *   the regime pick; < 0 (default) counts the node frame — one
+    *   cheap job against checkpointed node-sized blocks, but a caller
+    *   looping HITS variants over the same graph can pass the count
+    *   once and pay zero extra jobs per call
     */
   def integerHits(edges: DataFrame, iters: Int,
-      maxBroadcastNodes: Long = 10000000L): DataFrame = {
+      maxBroadcastNodes: Long = 10000000L,
+      nodeCount: Long = -1L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
-    // nodes is checkpointed and node-sized: one cheap count job
-    // against materialized blocks, amortized over all iterations
-    val useBroadcast = nodes.count() <= maxBroadcastNodes
+    val useBroadcast =
+      (if (nodeCount >= 0) nodeCount else nodes.count()) <= maxBroadcastNodes
     val (eBySrc, eByDst) =
       if (useBroadcast) (e, e)
       else (PageRank.pinBy(e, "src"), PageRank.pinBy(e, "dst"))

@@ -1189,7 +1189,11 @@ object PipelineQueries {
     val o = Tables.load(spark, dir, "orders")
     val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("src"),
-        (col("l_partkey") + 10000000L).as("dst"))
+        // high-bit tag, not a fixed decimal offset: part ids stay
+        // disjoint from customer keys up to 2^40 (~1.1e12, far past
+        // any TPC-H scale), where +10M collides at custkey ≥ 10M
+        // (sf ~67)
+        (col("l_partkey") + (1L << 40)).as("dst"))
     graft.ops.LabelProp.propagate(edges, seeds, iters = 2)
       .orderBy("node")
   }
@@ -1232,5 +1236,48 @@ object PipelineQueries {
     val emb = Tables.load(spark, dir, "embeddings")
     VectorSearch.hardNegatives(emb, knnQueries(emb), k = 10)
       .orderBy("query_id", "rnk")
+  }
+
+  /** q144: recall@10 of IVF at a genuinely LOSSY setting — 32 cells,
+    * nprobe=2 (q28's nprobe=1000 probes every cell, so its recall is
+    * trivially 1.0) — against the exact baseline. Portable Knuth
+    * centroid sample so the whole lossy chain is oracle-checkable.
+    */
+  def annRecallIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val qs = knnQueries(emb)
+    graft.vector.Eval.recallAtK(
+        VectorSearch.bruteForceTopK(emb, qs, k = 10),
+        VectorSearch.ivfTopK(emb, qs, k = 10, nprobe = 2, numCells = 32,
+          portableSample = true), k = 10)
+      .orderBy("query_id")
+  }
+
+  /** q145: recall@10 of the PQ/ADC ranking (m=4 subspaces, 16
+    * codewords — the q87 configuration) against the exact baseline —
+    * the measured cost of 8×-compressed codes on this corpus.
+    */
+  def annRecallPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val qs = knnQueries(emb)
+    graft.vector.Eval.recallAtK(
+        VectorSearch.bruteForceTopK(emb, qs, k = 10),
+        VectorSearch.pqTopK(emb, qs, k = 10), k = 10)
+      .orderBy("query_id")
+  }
+
+  /** q146: recall@10 of the RP-LSH slice-bucketed top-k (32 bits, 4
+    * slices — q97's signature dials) against the exact baseline —
+    * what bucket-mate-only candidate generation costs at top-k
+    * (vs the pair-mining guarantee regime of q97).
+    */
+  def annRecallRpLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val qs = knnQueries(emb)
+    graft.vector.Eval.recallAtK(
+        VectorSearch.bruteForceTopK(emb, qs, k = 10),
+        VectorSearch.rpLshTopK(emb, qs, k = 10, nbits = 32, chunks = 4),
+        k = 10)
+      .orderBy("query_id")
   }
 }

@@ -101,7 +101,7 @@ object Mmr {
         .getOrElse(throw new IllegalArgumentException(
           s"Mmr.mmrSelect: k=$k exceeds the " +
             (if (candidateN == 0) "corpus" else s"candidate pool (N=$candidateN)") +
-            s" size ${selected.size}"))
+            s" size — exhausted after ${selected.size} picks"))
       selected ::= ((picked.getLong(0),
         picked.getSeq[Long](1).toSeq, picked.getLong(2)))
     }

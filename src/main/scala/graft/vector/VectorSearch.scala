@@ -209,6 +209,17 @@ object VectorSearch {
       .limit(numCells)
       .select(col("vec_id").as("cell"), col("q").as("cq"), col("n2").as("cn2"))
 
+  /** Centroid sample by the portable Knuth uniform instead of
+    * xxhash64 — identical TakeOrderedAndProject shape, but the
+    * selection is expressible in ANSI SQL (the [[pqCodebooks]]
+    * convention), so an IVF result at a LOSSY nprobe can be
+    * oracle-checked end to end, not just spot-checked.
+    */
+  private def knuthCentroids(c: DataFrame, numCells: Int): DataFrame =
+    c.orderBy(graft.ops.Sampler.uniformKnuth(col("vec_id")), col("vec_id"))
+      .limit(numCells)
+      .select(col("vec_id").as("cell"), col("q").as("cq"), col("n2").as("cn2"))
+
   /** Lloyd refinement of an IVF centroid set: `iters` rounds of
     * assign-to-nearest → re-center on the cell mean. Upgrades the
     * zero-iteration hash sample toward real k-means cells (tighter
@@ -269,11 +280,14 @@ object VectorSearch {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
       numCells: Int = 0,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      portableSample: Boolean = false): DataFrame = {
     // quantize/norm the corpus ONCE; both the cell assignment and
     // the probe-side centroid list derive from the materialized frame
     val c = prepared(corpus, idCol, vecCol).localCheckpoint()
-    val cents = centroids(c, resolveNumCells(numCells, c.count()))
+    val nCells = resolveNumCells(numCells, c.count())
+    val cents =
+      if (portableSample) knuthCentroids(c, nCells) else centroids(c, nCells)
     val assigned = assignCells(c, cents)
     val q = prepared(queries, idCol, vecCol)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
@@ -513,6 +527,70 @@ object VectorSearch {
         }
         (id, s)
       }.toDF("vec_id", "sig")
+  }
+
+  /** RP-LSH-bucketed approximate top-k: candidates are the corpus
+    * vectors sharing at least one signature bit-slice with the query
+    * (the [[rpLshNearDupPairs]] bucketing without multiprobe),
+    * ranked by the EXACT quantized cosine — the LSH scale path for
+    * top-k when the query set is itself large: per query only the
+    * ~chunks·n/2^(nbits/chunks) bucket-mates are scored, never the
+    * corpus.
+    *
+    * Recall dials: more `chunks` (at fixed nbits) widens buckets and
+    * raises the chance a true neighbor shares a slice; more `nbits`
+    * (at fixed chunks) narrows buckets and trades recall for
+    * candidate count. Measured recall@k vs [[bruteForceTopK]] is the
+    * acceptance gate ([[Eval.recallAtK]]); a query whose true
+    * neighbor shares no slice simply misses it — this is an
+    * approximate index, not a pigeonhole-guaranteed dedup.
+    *
+    * Scale shape: signatures are one typed-map scan per side; the
+    * candidate join is a bucketed (slice_idx, slice_value) equi-join;
+    * the exact-cosine verify joins corpus-side vectors by vec_id and
+    * broadcasts the query-sized vector frame; per-query top-k is the
+    * WindowGroupLimit shape shared with [[bruteForceTopK]].
+    * Output (query_id, rnk, vec_id, cos) — queries with no
+    * bucket-mates produce no rows (recall accounting belongs to the
+    * evaluator).
+    */
+  def rpLshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nbits: Int = 32, chunks: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nbits % chunks == 0, s"chunks=$chunks must divide nbits=$nbits")
+    val w = nbits / chunks
+    val mask = (1L << w) - 1
+    val c = prepared(corpus, idCol, vecCol).localCheckpoint()
+    val q = prepared(queries, idCol, vecCol)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("n2").as("qn2")).localCheckpoint()
+
+    def sliceRows(sigs: DataFrame, idName: String): DataFrame =
+      sigs.select(col("vec_id").as(idName),
+        explode(array((0 until chunks).map { ci =>
+          struct(lit(ci).as("ci"),
+            shiftrightunsigned(col("sig"), ci * w).bitwiseAND(lit(mask)).as("cv"))
+        }: _*)).as("ck"))
+        .select(col(idName), col("ck.ci").as("ci"), col("ck.cv").as("cv"))
+
+    val cSlices = sliceRows(rpSignatures(c, nbits), "vec_id")
+    val qSlices = sliceRows(rpSignatures(
+      q.select(col("query_id").as("vec_id"), col("qq").as("q"),
+        col("qn2").as("n2")), nbits), "query_id")
+    val cand = qSlices.join(cSlices, Seq("ci", "cv"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val wnd = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(c, Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos", cosine(dot(col("q"), col("qq")), col("n2"), col("qn2")))
+      .withColumn("rnk", row_number().over(wnd))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("vec_id"),
+        graft.text.TextAnalysis.round6(col("cos")).as("cos"))
   }
 
   /** Near-dup pairs by RP-LSH signature: all (a, b) with signature
