@@ -2529,6 +2529,166 @@ object SparkEntry {
         |  FROM c)
         |SELECT query_id, rnk, vec_id, lbl, floor(cos*1000000.0 + 0.5)/1000000.0 AS cos
         |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    // q144: the LOSSY IVF chain end-to-end — centroids are the 32
+    // smallest (knuth-uniform, vec_id) rows (q87's uk formulation,
+    // bit-identical to Sampler.uniformKnuth ordering), every vector
+    // joins its argmax-cosine cell (ties to the smaller cell id),
+    // each query probes its 2 best cells and ranks only their
+    // members; recall join is q142's LEFT JOIN + COALESCE verbatim
+    "q144_ann_recall_ivf" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id,
+        |    [CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) for x in embedding] AS v
+        |  FROM embeddings),
+        |n AS MATERIALIZED (SELECT vec_id, v AS q,
+        |    list_reduce([CAST(0 AS BIGINT)] + [x*x for x in v], (a,b) -> a+b) AS n2
+        |  FROM e),
+        |qs AS MATERIALIZED (SELECT vec_id AS qid, q AS qq, n2 AS qn2 FROM n WHERE vec_id % 100 = 0),
+        |bt AS MATERIALIZED (SELECT query_id, vec_id FROM (
+        |    SELECT qid AS query_id, n.vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+        |        CAST(list_reduce([CAST(0 AS BIGINT)] + [qq[i]*q[i] for i in range(1, len(q)+1)],
+        |          (a,b) -> a+b) AS DOUBLE)
+        |        / sqrt(CAST(qn2 AS DOUBLE)*CAST(n2 AS DOUBLE)) DESC, n.vec_id) AS rnk
+        |    FROM qs CROSS JOIN n WHERE n.vec_id != qid) WHERE rnk <= 10),
+        |u AS (SELECT vec_id,
+        |    CAST((((CAST(((vec_id % 4294967296) - (vec_id % 65536)) / 65536 AS BIGINT)
+        |      * 2654435761) % 65536) * 65536 + (vec_id % 65536) * 2654435761)
+        |      % 4294967296 AS BIGINT) AS uk
+        |  FROM n),
+        |cr AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY uk, vec_id) AS rn FROM u),
+        |cents AS MATERIALIZED (SELECT n.vec_id AS cell, n.q AS cq, n.n2 AS cn2
+        |  FROM n JOIN cr ON n.vec_id = cr.vec_id WHERE cr.rn <= 32),
+        |asg AS MATERIALIZED (SELECT vec_id, cell, q, n2 FROM (
+        |    SELECT n.vec_id, c.cell, n.q, n.n2,
+        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+        |        CAST(list_reduce([CAST(0 AS BIGINT)] + [n.q[i]*c.cq[i] for i in range(1, len(n.q)+1)],
+        |          (a,b) -> a+b) AS DOUBLE)
+        |        / sqrt(CAST(n.n2 AS DOUBLE)*CAST(c.cn2 AS DOUBLE)) DESC, c.cell) AS rn
+        |    FROM n CROSS JOIN cents c) WHERE rn = 1),
+        |pr AS (SELECT qid, qq, qn2, cell FROM (
+        |    SELECT qs.qid, qs.qq, qs.qn2, c.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY qs.qid ORDER BY
+        |        CAST(list_reduce([CAST(0 AS BIGINT)] + [qs.qq[i]*c.cq[i] for i in range(1, len(qs.qq)+1)],
+        |          (a,b) -> a+b) AS DOUBLE)
+        |        / sqrt(CAST(qs.qn2 AS DOUBLE)*CAST(c.cn2 AS DOUBLE)) DESC, c.cell) AS rn
+        |    FROM qs CROSS JOIN cents c) WHERE rn <= 2),
+        |at AS MATERIALIZED (SELECT query_id, vec_id FROM (
+        |    SELECT pr.qid AS query_id, a.vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY pr.qid ORDER BY
+        |        CAST(list_reduce([CAST(0 AS BIGINT)] + [a.q[i]*pr.qq[i] for i in range(1, len(a.q)+1)],
+        |          (x,y) -> x+y) AS DOUBLE)
+        |        / sqrt(CAST(a.n2 AS DOUBLE)*CAST(pr.qn2 AS DOUBLE)) DESC, a.vec_id) AS rnk
+        |    FROM pr JOIN asg a ON a.cell = pr.cell WHERE a.vec_id != pr.qid) WHERE rnk <= 10),
+        |h AS (SELECT bt.query_id, COUNT(*) AS hits FROM bt
+        |  JOIN at ON bt.query_id = at.query_id AND bt.vec_id = at.vec_id
+        |  GROUP BY 1)
+        |SELECT q.query_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+        |  CAST((COALESCE(h.hits, 0) * 1000000) // 10 AS BIGINT) AS recall_ppm
+        |FROM (SELECT DISTINCT query_id FROM bt) q LEFT JOIN h USING (query_id)
+        |ORDER BY query_id""".stripMargin,
+    // q145: q87's codebook/code/ADC CTE chain (verbatim arithmetic)
+    // ranked to top-10 per query, intersected with the exact top-10
+    "q145_ann_recall_pq" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id,
+        |    [CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) for x in embedding] AS v
+        |  FROM embeddings),
+        |n AS MATERIALIZED (SELECT vec_id, v AS q,
+        |    list_reduce([CAST(0 AS BIGINT)] + [x*x for x in v], (a,b) -> a+b) AS n2
+        |  FROM e),
+        |qs AS MATERIALIZED (SELECT vec_id AS qid, q AS qq, n2 AS qn2 FROM n WHERE vec_id % 100 = 0),
+        |bt AS MATERIALIZED (SELECT query_id, vec_id FROM (
+        |    SELECT qid AS query_id, n.vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+        |        CAST(list_reduce([CAST(0 AS BIGINT)] + [qq[i]*q[i] for i in range(1, len(q)+1)],
+        |          (a,b) -> a+b) AS DOUBLE)
+        |        / sqrt(CAST(qn2 AS DOUBLE)*CAST(n2 AS DOUBLE)) DESC, n.vec_id) AS rnk
+        |    FROM qs CROSS JOIN n WHERE n.vec_id != qid) WHERE rnk <= 10),
+        |u AS (SELECT vec_id, q,
+        |    CAST((((CAST(((vec_id % 4294967296) - (vec_id % 65536)) / 65536 AS BIGINT)
+        |      * 2654435761) % 65536) * 65536 + (vec_id % 65536) * 2654435761)
+        |      % 4294967296 AS BIGINT) AS uk
+        |  FROM n),
+        |seeds AS (SELECT vec_id, q,
+        |    ROW_NUMBER() OVER (ORDER BY uk, vec_id) AS code FROM u),
+        |books AS MATERIALIZED (SELECT code, t.sub, q[t.sub*16+1 : t.sub*16+16] AS cw
+        |  FROM seeds, range(0, 4) t(sub) WHERE code <= 16),
+        |enc0 AS (SELECT v.vec_id, b.sub, b.code,
+        |    list_reduce([CAST(0 AS BIGINT)] +
+        |      [(v.q[b.sub*16+i] - b.cw[i]) * (v.q[b.sub*16+i] - b.cw[i])
+        |        for i in range(1, 17)], (a, x) -> a + x) AS dist
+        |  FROM n v CROSS JOIN books b),
+        |enc AS MATERIALIZED (SELECT vec_id, sub, code FROM (
+        |    SELECT vec_id, sub, code,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+        |        ORDER BY dist, code) AS rn
+        |    FROM enc0) WHERE rn = 1),
+        |dt AS (SELECT qid, b.sub, b.code,
+        |    list_reduce([CAST(0 AS BIGINT)] +
+        |      [(qq[b.sub*16+i] - b.cw[i]) * (qq[b.sub*16+i] - b.cw[i])
+        |        for i in range(1, 17)], (a, x) -> a + x) AS d
+        |  FROM qs CROSS JOIN books b),
+        |ad AS (SELECT dt.qid, enc.vec_id, SUM(dt.d) AS adist
+        |  FROM enc JOIN dt ON enc.sub = dt.sub AND enc.code = dt.code
+        |  WHERE enc.vec_id <> dt.qid
+        |  GROUP BY 1, 2),
+        |at AS MATERIALIZED (SELECT query_id, vec_id FROM (
+        |    SELECT qid AS query_id, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rnk
+        |    FROM ad) WHERE rnk <= 10),
+        |h AS (SELECT bt.query_id, COUNT(*) AS hits FROM bt
+        |  JOIN at ON bt.query_id = at.query_id AND bt.vec_id = at.vec_id
+        |  GROUP BY 1)
+        |SELECT q.query_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+        |  CAST((COALESCE(h.hits, 0) * 1000000) // 10 AS BIGINT) AS recall_ppm
+        |FROM (SELECT DISTINCT query_id FROM bt) q LEFT JOIN h USING (query_id)
+        |ORDER BY query_id""".stripMargin,
+    // q146: q97's integer-hyperplane signatures, sliced into 4
+    // byte-wide chunks; candidates share a slice with the query and
+    // rank by the exact quantized cosine — queries are corpus rows,
+    // so one signature CTE serves both sides
+    "q146_ann_recall_rplsh" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id,
+        |    [CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) for x in embedding] AS v
+        |  FROM embeddings),
+        |n AS MATERIALIZED (SELECT vec_id, v AS q,
+        |    list_reduce([CAST(0 AS BIGINT)] + [x*x for x in v], (a,b) -> a+b) AS n2
+        |  FROM e),
+        |qs AS MATERIALIZED (SELECT vec_id AS qid, q AS qq, n2 AS qn2 FROM n WHERE vec_id % 100 = 0),
+        |bt AS MATERIALIZED (SELECT query_id, vec_id FROM (
+        |    SELECT qid AS query_id, n.vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+        |        CAST(list_reduce([CAST(0 AS BIGINT)] + [qq[i]*q[i] for i in range(1, len(q)+1)],
+        |          (a,b) -> a+b) AS DOUBLE)
+        |        / sqrt(CAST(qn2 AS DOUBLE)*CAST(n2 AS DOUBLE)) DESC, n.vec_id) AS rnk
+        |    FROM qs CROSS JOIN n WHERE n.vec_id != qid) WHERE rnk <= 10),
+        |hp AS (SELECT b, pos, ((b*1009 + pos + 1) * 2654435761) % 2001 - 1000 AS hv
+        |      FROM range(32) t(b), range(64) p(pos)),
+        |ev AS (SELECT vec_id, pos, q[pos+1] AS v FROM n, range(64) p(pos)),
+        |dots AS (SELECT vec_id, b, SUM(v * hv) AS d
+        |         FROM ev JOIN hp USING (pos) GROUP BY 1, 2),
+        |sig AS MATERIALIZED (SELECT vec_id,
+        |    CAST(SUM(CASE WHEN d >= 0 THEN 1<<b ELSE 0 END) AS BIGINT) AS s
+        |  FROM dots GROUP BY 1),
+        |sl AS MATERIALIZED (SELECT vec_id, ci, (s >> CAST(ci*8 AS INT)) & 255 AS cv
+        |  FROM sig, range(4) c(ci)),
+        |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id
+        |  FROM sl a JOIN sl b ON a.ci = b.ci AND a.cv = b.cv
+        |  WHERE a.vec_id % 100 = 0 AND b.vec_id != a.vec_id),
+        |at AS MATERIALIZED (SELECT query_id, vec_id FROM (
+        |    SELECT cand.qid AS query_id, n.vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY cand.qid ORDER BY
+        |        CAST(list_reduce([CAST(0 AS BIGINT)] + [qs.qq[i]*n.q[i] for i in range(1, len(n.q)+1)],
+        |          (a,b) -> a+b) AS DOUBLE)
+        |        / sqrt(CAST(qs.qn2 AS DOUBLE)*CAST(n.n2 AS DOUBLE)) DESC, n.vec_id) AS rnk
+        |    FROM cand JOIN n ON n.vec_id = cand.vec_id
+        |    JOIN qs ON qs.qid = cand.qid) WHERE rnk <= 10),
+        |h AS (SELECT bt.query_id, COUNT(*) AS hits FROM bt
+        |  JOIN at ON bt.query_id = at.query_id AND bt.vec_id = at.vec_id
+        |  GROUP BY 1)
+        |SELECT q.query_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+        |  CAST((COALESCE(h.hits, 0) * 1000000) // 10 AS BIGINT) AS recall_ppm
+        |FROM (SELECT DISTINCT query_id FROM bt) q LEFT JOIN h USING (query_id)
+        |ORDER BY query_id""".stripMargin,
   )
 
   /** Unrolled greedy-MMR rounds mirroring [[graft.vector.Mmr]]:

@@ -80,6 +80,11 @@ object GraftApp {
       pplBuckets: Int = 3,                  // --ppl-buckets
       pplDrop: Seq[String] = Seq("tail"),   // --ppl-drop=tail[,middle]
       pplGroupCol: String = "lang",         // --ppl-group-col
+      dedup: Boolean = false,               // --dedup (exact + near-dup)
+      dedupK: Int = 3,                      // --dedup-k (shingle size)
+      dedupJaccard: Double = 0.5,           // --dedup-jaccard (threshold)
+      contaminationProbes: Option[String] = None, // --contamination=<dir>
+      contaminationK: Int = 3,              // --contamination-k
       docIdCol: String = "doc_id",          // --doc-id-col
       textCol: String = "text")             // --text-col
 
@@ -96,7 +101,7 @@ object GraftApp {
       stateExportRows: Option[Long] = None,
       jsonTemplates: Seq[String] = Nil,     // --create-table-json-template
       dryPlanned: Seq[String] = Nil,        // --dry: what WOULD have run
-      curations: Seq[Curation] = Nil)       // --scd2 / --ppl-filter
+      curations: Seq[Curation] = Nil)       // --scd2/--ppl-filter/--dedup/--contamination
 
   /** One table-level curation run: `mode` over `table`, `srcRows` in,
     * `outRows` written to `outDir`.
@@ -322,7 +327,11 @@ object GraftApp {
         c.scd2 ->
           s"scd2: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_history.parquet").mkString(", ")}",
         c.pplFilter ->
-          s"ppl-filter: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_ppl.parquet").mkString(", ")}"
+          s"ppl-filter: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_ppl.parquet").mkString(", ")}",
+        c.dedup ->
+          s"dedup: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_dedup.parquet").mkString(", ")}",
+        c.contaminationProbes.isDefined ->
+          s"contamination: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_contamination.parquet").mkString(", ")}"
       ).collect { case (true, s) => s }
       return Result(ddl = ddl, templates = templates,
         jsonTemplates = jsonTemplates, dryPlanned = planned)
@@ -438,7 +447,58 @@ object GraftApp {
               spark.read.parquet(out).count(), out)
           }
         }
-      scd2Runs ++ pplRuns
+      // --dedup (q46's head through the CLI face): exact dedup keeps
+      // the min-id copy of each distinct text; near-dup clustering
+      // over the k-gram Jaccard pair graph keeps each component's
+      // representative. Output keeps the source schema (a cleaned
+      // copy of the table, like --ppl-filter).
+      val dedupRuns =
+        if (!c.dedup) Nil
+        else tables.map { t =>
+          val base = Migrator.transformed(spark, c.srcDir, t, spec)
+          val exactKeepers = graft.dedup.Dedup
+            .exactDedup(base, c.docIdCol, c.textCol)
+            .select(col("keeper_doc_id").as(c.docIdCol))
+          val nearDupLosers = graft.dedup.Dedup.dupClusters(
+              graft.dedup.Dedup.jaccardPairs(base, k = c.dedupK,
+                threshold = c.dedupJaccard, idCol = c.docIdCol,
+                textCol = c.textCol))
+            .filter(col("doc_id") =!= col("cluster_id"))
+            .select(col("doc_id").as(c.docIdCol))
+          val obs = org.apache.spark.sql.Observation()
+          val kept = base
+            .observe(obs, org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("src_rows"))
+            .join(exactKeepers, Seq(c.docIdCol), "left_semi")
+            .join(nearDupLosers, Seq(c.docIdCol), "left_anti")
+          val out = s"${c.dstDir}/${dstNameFor(t)}_dedup.parquet"
+          kept.write.mode("overwrite").parquet(out)
+          Curation(t, "dedup", obs.get("src_rows").asInstanceOf[Long],
+            spark.read.parquet(out).count(), out)
+        }
+      // --contamination=<probe_dir> (q48 through the CLI face): flag
+      // every table row sharing a k-shingle with the probe corpus
+      // (benchmark decontamination). The report is hit-sized —
+      // (doc_id, n_hits) for flagged rows only.
+      val contaminationRuns = c.contaminationProbes match {
+        case None => Nil
+        case Some(probeDir) =>
+          val probes = spark.read.parquet(probeDir)
+          tables.map { t =>
+            val obs = org.apache.spark.sql.Observation()
+            val df = Migrator.transformed(spark, c.srcDir, t, spec)
+              .observe(obs, org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)).as("src_rows"))
+            val flagged = graft.dedup.Dedup.contaminationScan(df, probes,
+              k = c.contaminationK, idCol = c.docIdCol, textCol = c.textCol)
+            val out = s"${c.dstDir}/${dstNameFor(t)}_contamination.parquet"
+            flagged.write.mode("overwrite").parquet(out)
+            Curation(t, "contamination",
+              obs.get("src_rows").asInstanceOf[Long],
+              spark.read.parquet(out).count(), out)
+          }
+      }
+      scd2Runs ++ pplRuns ++ dedupRuns ++ contaminationRuns
     }
 
     val pumped =
@@ -571,13 +631,14 @@ object GraftApp {
     "state-dir", "state-export", "state-version",
     "scd2-value", "scd2-key", "scd2-ts", "scd2-tie",
     "ppl-vocab", "ppl-buckets", "ppl-drop", "ppl-group-col",
+    "dedup-k", "dedup-jaccard", "contamination", "contamination-k",
     "doc-id-col", "text-col")
   private val KnownFlags = Set("create-table-sql",
     "create-table-sql-template", "create-table-json-template",
     "dst-create-table", "migrate-table",
     "csvpool", "pump-data", "src-wait", "src-resume", "daemon",
     "install", "dry", "state-versions", "with-create-database",
-    "scd2", "ppl-filter")
+    "scd2", "ppl-filter", "dedup")
 
   /** `--column-default-value=t.col=v` values: numeric if they parse,
     * else the literal string (na.fill applies them type-matched).
@@ -759,8 +820,26 @@ object GraftApp {
       pplBuckets = kv.get("ppl-buckets").map(longOpt("ppl-buckets")(_).toInt)
         .getOrElse(3),
       pplDrop = kv.get("ppl-drop")
-        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq("tail")),
+        .map { v =>
+          val tiers = v.split(",").toSeq.filter(_.nonEmpty)
+          // `--ppl-drop=` would otherwise parse to zero tiers and the
+          // filter silently keeps everything — a no-op the user asked
+          // to be a drop
+          require(tiers.nonEmpty,
+            s"--ppl-drop=$v names no tiers (e.g. --ppl-drop=tail)")
+          tiers
+        }.getOrElse(Seq("tail")),
       pplGroupCol = kv.getOrElse("ppl-group-col", "lang"),
+      dedup = flags("dedup"),
+      dedupK = kv.get("dedup-k").map(longOpt("dedup-k")(_).toInt)
+        .getOrElse(3),
+      dedupJaccard = kv.get("dedup-jaccard").map(v =>
+        v.toDoubleOption.getOrElse(throw new IllegalArgumentException(
+          s"--dedup-jaccard=$v: expected a number in [0,1]")))
+        .getOrElse(0.5),
+      contaminationProbes = kv.get("contamination"),
+      contaminationK = kv.get("contamination-k")
+        .map(longOpt("contamination-k")(_).toInt).getOrElse(3),
       docIdCol = kv.getOrElse("doc-id-col", "doc_id"),
       textCol = kv.getOrElse("text-col", "text"))
   }

@@ -64,6 +64,8 @@ object Hits {
       maxBroadcastNodes: Long = 10000000L,
       nodeCount: Long = -1L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
+    require(nodeCount == -1L || nodeCount >= 0L,
+      s"nodeCount must be -1 (count the frame) or >= 0: $nodeCount")
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()

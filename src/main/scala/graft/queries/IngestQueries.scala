@@ -554,7 +554,13 @@ object IngestQueries {
     val stream = spark.readStream.schema(events.schema).parquet(s"$root/in")
     val name = s"graft_dedup_${streamCounter.incrementAndGet()}"
     val q = stream
-      .withWatermark("ts", "1 hour")
+      // the delay must exceed the fixture's whole event-time span:
+      // should the file source split the feed across micro-batches,
+      // a narrower watermark would evict old keys before their
+      // redelivered copies arrive and the copies would slip through
+      // (the production contract is delay > max redelivery lag; the
+      // fixture's "lag" is the full span, so the test pins that)
+      .withWatermark("ts", "8760 hours")
       .dropDuplicatesWithinWatermark("event_id")
       .writeStream
       .outputMode("append")

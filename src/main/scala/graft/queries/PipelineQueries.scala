@@ -1175,9 +1175,11 @@ object PipelineQueries {
 
   /** q138: seeded label propagation on the co-purchase graph —
     * customers seed their nation key, parts take the (count desc,
-    * label asc) majority nation of their purchasers; 2 rounds reach
-    * the bipartite fixpoint (seeds are pinned, so round 2 re-derives
-    * the identical part labels).
+    * label asc) majority nation of their purchasers; the loop runs to
+    * the detected FIXPOINT (on this bipartite graph with pinned seeds
+    * round 2 re-derives the identical part labels, so convergence
+    * fires after 2 vote rounds — the same job count the old fixed
+    * iters=2 paid, but self-terminating on any graph shape).
     */
   def copurchaseLabelProp(spark: SparkSession, dir: String): DataFrame = {
     val seeds = Tables.load(spark, dir, "customer")
@@ -1194,7 +1196,7 @@ object PipelineQueries {
         // any TPC-H scale), where +10M collides at custkey ≥ 10M
         // (sf ~67)
         (col("l_partkey") + (1L << 40)).as("dst"))
-    graft.ops.LabelProp.propagate(edges, seeds, iters = 2)
+    graft.ops.LabelProp.propagateToFixpoint(edges, seeds)
       .orderBy("node")
   }
 

@@ -215,7 +215,7 @@ object VectorSearch {
     * convention), so an IVF result at a LOSSY nprobe can be
     * oracle-checked end to end, not just spot-checked.
     */
-  private def knuthCentroids(c: DataFrame, numCells: Int): DataFrame =
+  private[graft] def knuthCentroids(c: DataFrame, numCells: Int): DataFrame =
     c.orderBy(graft.ops.Sampler.uniformKnuth(col("vec_id")), col("vec_id"))
       .limit(numCells)
       .select(col("vec_id").as("cell"), col("q").as("cq"), col("n2").as("cn2"))

@@ -542,6 +542,83 @@ class GraftAppSpec extends AnyFunSuite {
       r.curations.head.outRows == wantIds.size)
   }
 
+  test("dedup mode drops exact and near-dup copies through the CLI surface") {
+    val dst = Files.createTempDirectory("graft_appdedup").toString
+    val c = GraftApp.parse(Seq(s"--src-dir=$dir", s"--dst-dir=$dst",
+      "--src-tables=documents", "--dedup", "--dedup-k=3",
+      "--dedup-jaccard=0.5"))
+    val r = GraftApp.run(spark, c)
+    assert(r.curations.map(_.mode) == Seq("dedup"))
+    // the CLI result must equal the library composition it fronts
+    // (q46's head: exact keepers minus near-dup non-representatives)
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val keepers = graft.dedup.Dedup.exactDedup(docs)
+      .select(org.apache.spark.sql.functions.col("keeper_doc_id")
+        .as("doc_id"))
+    val losers = graft.dedup.Dedup.dupClusters(
+        graft.dedup.Dedup.jaccardPairs(docs, k = 3, threshold = 0.5))
+      .filter(org.apache.spark.sql.functions.col("doc_id") =!=
+        org.apache.spark.sql.functions.col("cluster_id"))
+      .select("doc_id")
+    val wantIds = docs.join(keepers, Seq("doc_id"), "left_semi")
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = spark.read.parquet(s"$dst/documents_dedup.parquet")
+    assert(got.select("doc_id").collect().map(_.getLong(0)).toSet == wantIds)
+    assert(got.columns.toSeq == docs.columns.toSeq,
+      "dedup keeps the source schema")
+    assert(r.curations.head.srcRows == docs.count() &&
+      r.curations.head.outRows == wantIds.size)
+    assert(wantIds.size < docs.count(),
+      "the fixture's planted duplicates must actually drop")
+  }
+
+  test("contamination mode flags probe-overlapping rows through the CLI surface") {
+    val dst = Files.createTempDirectory("graft_appcontam").toString
+    // probes: every 100th document, materialized as a parquet dir
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val probeDir = s"$dst/probes.parquet"
+    docs.filter(org.apache.spark.sql.functions
+      .pmod(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(100)) === 0)
+      .write.parquet(probeDir)
+    val c = GraftApp.parse(Seq(s"--src-dir=$dir", s"--dst-dir=$dst",
+      "--src-tables=documents", s"--contamination=$probeDir",
+      "--contamination-k=3"))
+    val r = GraftApp.run(spark, c)
+    assert(r.curations.map(_.mode) == Seq("contamination"))
+    val want = graft.dedup.Dedup.contaminationScan(docs,
+        spark.read.parquet(probeDir), k = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val got = spark.read.parquet(s"$dst/documents_contamination.parquet")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == want, "CLI scan must equal the library call")
+    assert(want.nonEmpty, "the probe split must flag something")
+    assert(r.curations.head.srcRows == docs.count() &&
+      r.curations.head.outRows == want.size)
+  }
+
+  test("dedup and contamination appear in the dry plan, execute nothing") {
+    val dst = Files.createTempDirectory("graft_drycur").toString + "/out"
+    val r = GraftApp.run(spark, GraftApp.parse(Seq(
+      s"--src-dir=$dir", s"--dst-dir=$dst", "--src-tables=documents",
+      "--dedup", "--contamination=/nonexistent/probes", "--dry")))
+    assert(r.curations.isEmpty)
+    assert(r.dryPlanned.exists(_.startsWith(
+      s"dedup: documents -> $dst/documents_dedup.parquet")))
+    assert(r.dryPlanned.exists(_.startsWith(
+      s"contamination: documents -> $dst/documents_contamination.parquet")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dst)))
+  }
+
+  test("empty --ppl-drop= is rejected, not a silent no-op filter") {
+    val e = intercept[IllegalArgumentException] {
+      GraftApp.parse(Seq("--src-dir=/x", "--dst-dir=/y",
+        "--src-tables=documents", "--ppl-filter", "--ppl-drop="))
+    }
+    assert(e.getMessage.contains("names no tiers"))
+  }
+
   test("debezium-feed mode pumps raw JSON envelopes into per-table state") {
     val dst = Files.createTempDirectory("graft_app_dbz").toString
     val events = Tables.load(spark, dir, "events")

@@ -234,4 +234,74 @@ class NewOps7Spec extends AnyFunSuite {
     assert(got.toSeq == want)
     assert(got.count(_._4 == 1) > 0, "the injected 5000s must flag")
   }
+
+  test("propagateToFixpoint equals fixed-iteration propagate on the vote fixture") {
+    // the q138-shaped bipartite fixture: pinned seeds converge after
+    // the first vote round, so fixpoint ≡ iters=1 ≡ iters=2
+    val edges = Seq(
+      (1L, 100L), (2L, 100L), (3L, 100L),
+      (1L, 200L), (2L, 200L),
+      (300L, 400L), (1L, 2L)
+    ).toDF("src", "dst")
+    val seeds = Seq((1L, 10L), (2L, 20L), (3L, 10L)).toDF("node", "label")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fix = toMap(LabelProp.propagateToFixpoint(edges, seeds))
+    assert(fix == toMap(LabelProp.propagate(edges, seeds, iters = 2)))
+    assert(fix == Map(1L -> 10L, 2L -> 20L, 3L -> 10L,
+      100L -> 10L, 200L -> 10L))
+  }
+
+  test("propagateToFixpoint converges at depth+1 rounds, one job per round") {
+    // a depth-d chain labels node d in round d and detects the
+    // fixpoint in round d+1; with AQE and broadcast off each round is
+    // exactly ONE job (the checksum rides the checkpoint), so the job
+    // counts of two chain depths differ by exactly the round delta
+    val conf = spark.conf
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sc = spark.sparkContext
+      def jobsFor(depth: Int): (Int, Map[Long, Long]) = {
+        val chain = (0 until depth).map(i => (i.toLong, i + 1L))
+          .toDF("src", "dst")
+        val seeds = Seq((0L, 42L)).toDF("node", "label")
+        val group = s"lp-fix-$depth"
+        sc.setJobGroup(group, "fixpoint job accounting")
+        val out =
+          try LabelProp.propagateToFixpoint(chain, seeds, maxIters = depth + 5)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          finally sc.clearJobGroup()
+        // the status store fills asynchronously: poll until stable
+        def count = sc.statusTracker.getJobIdsForGroup(group).length
+        var last = -1
+        var stable = 0
+        while (stable < 5) {
+          val c = count
+          if (c == last) stable += 1 else { stable = 0; last = c }
+          Thread.sleep(100)
+        }
+        (last, out)
+      }
+      val (j6, out6) = jobsFor(6)
+      val (j10, out10) = jobsFor(10)
+      // every chain node ends up labeled 42
+      assert(out6 == (0 to 6).map(_.toLong -> 42L).toMap)
+      assert(out10 == (0 to 10).map(_.toLong -> 42L).toMap)
+      // 4 extra chain links = 4 extra vote rounds = exactly 4 jobs
+      assert(j10 - j6 == 4,
+        s"one job per round: depth 6 → $j6 jobs, depth 10 → $j10 jobs")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
+  test("propagateToFixpoint maxIters backstop raises before convergence") {
+    val chain = (0 until 10).map(i => (i.toLong, i + 1L)).toDF("src", "dst")
+    val seeds = Seq((0L, 42L)).toDF("node", "label")
+    val e = intercept[IllegalArgumentException] {
+      LabelProp.propagateToFixpoint(chain, seeds, maxIters = 3)
+    }
+    assert(e.getMessage.contains("no fixpoint within 3 rounds"))
+  }
 }

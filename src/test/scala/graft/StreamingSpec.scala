@@ -465,6 +465,50 @@ class StreamingAggSpec extends AnyFunSuite {
       == events.count())
   }
 
+  test("dropDuplicatesWithinWatermark: dedup state survives a crash-restart") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val spark0 = spark
+    val all = graft.Tables.load(spark0, dir, "events")
+    val events = all.orderBy("event_id").limit(200).localCheckpoint()
+    val fresh = all.orderBy("event_id").limit(300)
+      .join(events.select("event_id"), Seq("event_id"), "left_anti")
+      .select(all.columns.map(col): _*)
+      .localCheckpoint() // the next 100 event_ids — disjoint from `events`
+    val root = Files.createTempDirectory("graft_ddww_cr").toString
+    def drain(): Unit = {
+      // durable (file) sink + explicit checkpoint: the memory sink
+      // does not support recovery, and the point here is exactly the
+      // recovery path — the dedup state store must come back
+      val q = spark0.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/feed")
+        .withWatermark("ts", "8760 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // phase 1: the original feed only
+    events.coalesce(1).write.mode("append").parquet(s"$root/feed")
+    drain()
+    val afterPhase1 = spark0.read.parquet(s"$root/out").count()
+    assert(afterPhase1 == 200L, s"phase 1 must emit the originals: $afterPhase1")
+    // "crash": the query object is gone. The redelivered copy of the
+    // WHOLE original feed arrives (duplicates spanning the restart),
+    // plus 100 genuinely new events
+    events.coalesce(1).write.mode("append").parquet(s"$root/feed")
+    fresh.coalesce(1).write.mode("append").parquet(s"$root/feed")
+    drain()
+    val out = spark0.read.parquet(s"$root/out")
+    // restart-spanning duplicates dropped by the RECOVERED state;
+    // new events pass
+    assert(out.count() == 300L,
+      s"300 distinct events expected, got ${out.count()}")
+    assert(out.select("event_id").distinct().count() == 300L)
+  }
+
   test("stream-stream join equals the batch self-join") {
     import org.apache.spark.sql.functions._
     val streamed = graft.queries.IngestQueries.streamStreamJoin(spark, dir)
