@@ -28,7 +28,8 @@ object SparkEntry {
     "q43_stream_dedup", "q51_stream_enrich", "q59_stream_stream_join",
     "q61_json_roundtrip", "q68_jdbc_cdc_live", "q69_jdbc_sink_roundtrip",
     "q71_catalog_migrate", "q73_orc_roundtrip", "q74_converted_migrate",
-    "q94_custom_state_sessions", "q140_redelivery_dedup")
+    "q94_custom_state_sessions", "q140_redelivery_dedup",
+    "q147_xml_roundtrip")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -178,6 +179,10 @@ object SparkEntry {
     "q144_ann_recall_ivf"   -> PipelineQueries.annRecallIvf _,
     "q145_ann_recall_pq"    -> PipelineQueries.annRecallPq _,
     "q146_ann_recall_rplsh" -> PipelineQueries.annRecallRpLsh _,
+    "q147_xml_roundtrip"    -> IngestQueries.xmlRoundtrip _,
+    "q148_embed_contamination" -> PipelineQueries.embeddingContamination _,
+    "q149_retrieval_eval"   -> PipelineQueries.retrievalEval _,
+    "q150_ngram_novelty"    -> PipelineQueries.ngramNovelty _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2689,6 +2694,82 @@ object SparkEntry {
         |  CAST((COALESCE(h.hits, 0) * 1000000) // 10 AS BIGINT) AS recall_ppm
         |FROM (SELECT DISTINCT query_id FROM bt) q LEFT JOIN h USING (query_id)
         |ORDER BY query_id""".stripMargin,
+    // q147: the XML round-trip must surface the parquet original
+    // value-identically (the q61 JSON-roundtrip contract on the
+    // third interchange format)
+    "q147_xml_roundtrip" ->
+      """SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+        |  o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // q148: q27's quantized-cosine arithmetic verbatim, aggregated
+    // per corpus vector over the probe set instead of ranked
+    "q148_embed_contamination" ->
+      """WITH e AS (SELECT vec_id,
+        |    [CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) for x in embedding] AS q
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, q,
+        |    list_reduce([CAST(0 AS BIGINT)] + [x*x for x in q], (a,b) -> a+b) AS n2
+        |  FROM e),
+        |p AS (SELECT vec_id AS probe_id, q AS pq, n2 AS pn2 FROM n WHERE vec_id % 97 = 0),
+        |c AS (SELECT vec_id, q, n2 FROM n WHERE vec_id % 97 != 0),
+        |d AS (SELECT c.vec_id,
+        |    CAST(list_reduce([CAST(0 AS BIGINT)] + [pq[i]*q[i] for i in range(1, len(q)+1)],
+        |      (a,b) -> a+b) AS DOUBLE)
+        |    / sqrt(CAST(pn2 AS DOUBLE)*CAST(n2 AS DOUBLE)) AS cos
+        |  FROM c CROSS JOIN p)
+        |SELECT vec_id, COUNT(*) AS hits,
+        |  floor(MAX(cos)*1000000.0 + 0.5)/1000000.0 AS max_cos
+        |FROM d WHERE cos >= 0.25 GROUP BY 1 ORDER BY vec_id""".stripMargin,
+    // q149: q27's exact top-10 ranking joined with labels; relevant
+    // mass per query = its label's corpus count minus itself (the
+    // query set is drawn from the corpus); every metric one exact
+    // count + one correctly-rounded division
+    "q149_retrieval_eval" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id, label,
+        |    [CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) for x in embedding] AS q
+        |  FROM embeddings),
+        |n AS MATERIALIZED (SELECT vec_id, label, q,
+        |    list_reduce([CAST(0 AS BIGINT)] + [x*x for x in q], (a,b) -> a+b) AS n2
+        |  FROM e),
+        |qs AS (SELECT vec_id AS qid, label AS qlbl, q AS qq, n2 AS qn2
+        |  FROM n WHERE vec_id % 100 = 0),
+        |r AS (SELECT qid AS query_id, qlbl, vec_id, label,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+        |      CAST(list_reduce([CAST(0 AS BIGINT)] + [qq[i]*q[i] for i in range(1, len(q)+1)],
+        |        (a,b) -> a+b) AS DOUBLE)
+        |      / sqrt(CAST(qn2 AS DOUBLE)*CAST(n2 AS DOUBLE)) DESC, n.vec_id) AS rnk
+        |  FROM qs CROSS JOIN n WHERE n.vec_id != qid),
+        |t AS (SELECT query_id, qlbl,
+        |    CAST(SUM(CASE WHEN label = qlbl THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |    MIN(CASE WHEN label = qlbl THEN rnk END) AS first_rel
+        |  FROM r WHERE rnk <= 10 GROUP BY 1, 2),
+        |lc AS (SELECT label, COUNT(*) AS n_label FROM embeddings GROUP BY 1),
+        |nr AS (SELECT q2.vec_id AS query_id,
+        |    CAST(lc.n_label - 1 AS BIGINT) AS n_rel
+        |  FROM (SELECT vec_id, label FROM embeddings WHERE vec_id % 100 = 0) q2
+        |  JOIN lc USING (label))
+        |SELECT query_id, n_rel, hits,
+        |  CAST(hits AS DOUBLE)/10.0 AS p_at_k,
+        |  CASE WHEN n_rel > 0 THEN CAST(hits AS DOUBLE)/CAST(n_rel AS DOUBLE)
+        |       ELSE 0.0 END AS r_at_k,
+        |  CASE WHEN first_rel IS NOT NULL THEN 1.0/CAST(first_rel AS DOUBLE)
+        |       ELSE 0.0 END AS mrr
+        |FROM t JOIN nr USING (query_id) ORDER BY query_id""".stripMargin,
+    // q150: q24's shingle formulation; each gram's first-occurrence
+    // doc via MIN, regrouped into per-doc novel counts
+    "q150_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |    unnest(list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1, len(toks)-1)])) AS s
+        |  FROM t),
+        |pd AS (SELECT doc_id, COUNT(*) AS n_grams FROM sh GROUP BY 1),
+        |fo AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+        |nv AS (SELECT first_doc, COUNT(*) AS novel FROM fo GROUP BY 1)
+        |SELECT pd.doc_id, pd.n_grams,
+        |  CAST(COALESCE(nv.novel, 0) AS BIGINT) AS novel,
+        |  CAST(COALESCE(nv.novel, 0) AS DOUBLE)/CAST(pd.n_grams AS DOUBLE) AS novelty
+        |FROM pd LEFT JOIN nv ON pd.doc_id = nv.first_doc
+        |ORDER BY pd.doc_id""".stripMargin,
   )
 
   /** Unrolled greedy-MMR rounds mirroring [[graft.vector.Mmr]]:

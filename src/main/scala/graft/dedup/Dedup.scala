@@ -55,6 +55,45 @@ object Dedup {
       .select(col("doc_id"), size(col("sh")).as("n_sh"),
         explode(col("sh")).as("shingle"))
 
+  /** Corpus n-gram novelty curve — per document (in `idCol` order,
+    * the ingestion order), how much of it is NEW to the corpus: the
+    * fraction of its distinct k-shingles whose FIRST occurrence
+    * (minimum doc id) is this document. A falling novelty curve is
+    * the standard corpus-saturation signal ("more crawl is mostly
+    * re-crawl"), and per-source novelty rates drive crawl budget
+    * allocation — the acquisition-side complement of the dedup
+    * operators (dedup removes what this measures).
+    *
+    * Returns (doc_id, n_grams, novel, novelty) for documents with at
+    * least one shingle (a doc shorter than k tokens has no grams and
+    * no row), ordered by doc_id.
+    *
+    * Scale shape: no pair join anywhere — unlike [[jaccardPairs]]
+    * the gram frame never self-joins. One shuffle keyed on the
+    * shingle computes each gram's first-occurrence doc with
+    * map-side-combined `min`; its result is regrouped by that first
+    * doc into per-doc novel counts (gram-cardinality input, doc-
+    * cardinality output); the per-doc gram totals ride the same
+    * scan. The final join co-partitions two doc-keyed frames. Hot
+    * shingles cost one combiner cell each — there is no bucket bomb
+    * to cap (cf. [[jaccardPairs]]' maxDF).
+    */
+  def ngramNovelty(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val rows = shingleRows(docs, k, idCol, textCol)
+    val perDoc = rows.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val novel = rows.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc")).agg(count(lit(1)).as("nov"))
+    perDoc.join(novel, col("doc_id") === col("first_doc"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("nov"), lit(0L)).as("novel"),
+        (coalesce(col("nov"), lit(0L)).cast("double") /
+          col("n_grams").cast("double")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** Exact n-gram Jaccard similarity pairs with J >= `threshold`.
     *
     * Candidate generation is the shingle inverted index: join docs

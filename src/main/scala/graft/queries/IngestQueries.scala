@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.cdc.ChangeFeed
 import graft.migrate.Migrator
-import graft.sources.{CsvSource, JdbcSink, JdbcSnapshot, JsonSource, OrcSource}
+import graft.sources.{CsvSource, JdbcSink, JdbcSnapshot, JsonSource, OrcSource, XmlSource}
 import graft.streaming.StreamingCdc
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -258,6 +258,21 @@ object IngestQueries {
     val sortedSchema = StructType(src.schema.fields.sortBy(_.name))
     OrcSource.read(spark, path, Some(sortedSchema))
       .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** q147: XML sink → source round-trip of `orders` (long/int/
+    * double/string/timestamp columns through the text format) must
+    * be value-identical to the parquet original. Doubles survive
+    * because Java's shortest-representation `Double.toString` /
+    * `parseDouble` pair is round-trip exact; timestamps ride the
+    * explicit microsecond ISO format pinned in XmlSource.
+    */
+  def xmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.load(spark, dir, "orders")
+    val path = tmpDir("graft_xml")
+    XmlSource.write(src, path)
+    val sortedSchema = StructType(src.schema.fields.sortBy(_.name))
+    XmlSource.read(spark, path, Some(sortedSchema)).orderBy("o_orderkey")
   }
 
   /** q32: CDC final state through the STREAMING path — the change

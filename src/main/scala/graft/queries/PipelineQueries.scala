@@ -1282,4 +1282,33 @@ object PipelineQueries {
         k = 10)
       .orderBy("query_id")
   }
+
+  /** q148: embedding-space benchmark decontamination — corpus
+    * vectors (vec_id % 97 != 0) within cosine 0.25 of any probe
+    * vector (vec_id % 97 == 0), with hit counts and closest-probe
+    * cosine. The semantic second pass beside q48's shingle scan.
+    */
+  def embeddingContamination(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    VectorSearch.embeddingContamination(
+      emb.filter(pmod(col("vec_id"), lit(97)) =!= 0),
+      emb.filter(pmod(col("vec_id"), lit(97)) === 0),
+      threshold = 0.25)
+  }
+
+  /** q149: label-relevance retrieval evaluation over the exact
+    * top-10 lists of the fixed query set — per query precision@10,
+    * recall@10, MRR with "relevant = carries the query's label".
+    */
+  def retrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    VectorSearch.retrievalEval(emb, knnQueries(emb), k = 10)
+  }
+
+  /** q150: corpus 3-gram novelty curve — per document the fraction
+    * of its distinct shingles first seen in it (corpus-saturation /
+    * crawl-budget signal).
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramNovelty(Tables.load(spark, dir, "documents"), k = 3)
 }

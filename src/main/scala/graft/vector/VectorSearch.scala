@@ -151,6 +151,104 @@ object VectorSearch {
         graft.text.TextAnalysis.round6(col("cos")).as("cos"))
   }
 
+  /** Embedding-space benchmark decontamination — the vector-similarity
+    * face of [[graft.dedup.Dedup.contaminationScan]]: for each corpus
+    * vector, how many probe (benchmark) vectors sit within cosine
+    * `threshold`, and how close the closest one is. Paraphrased or
+    * re-tokenized benchmark leaks that shingle-overlap scans miss
+    * still collide in embedding space — this is the standard second
+    * decontamination pass (semantic dedup à la SemDeDup applied
+    * corpus × benchmark).
+    *
+    * Returns (vec_id, hits, max_cos) for corpus vectors with at
+    * least one probe within the threshold, ordered by vec_id.
+    *
+    * Scale shape: the probe set is benchmark-sized → broadcast; the
+    * corpus is scanned ONCE in place and never shuffles for the
+    * similarity compute (the [[bruteForceTopK]] scan contract). The
+    * per-vector aggregate partial-aggregates inside the scan
+    * partition (every (corpus row × probe) pair lives where the
+    * corpus row lives), so only the hit rows — contamination-sized,
+    * not corpus-sized — reach the final shuffle.
+    */
+  def embeddingContamination(corpus: DataFrame, probes: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = prepared(corpus, idCol, vecCol)
+    val p = prepared(probes, idCol, vecCol)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"),
+        col("n2").as("pn2"))
+    c.crossJoin(broadcast(p))
+      .withColumn("cos", cosine(dot(col("q"), col("pq")), col("n2"), col("pn2")))
+      .filter(col("cos") >= lit(threshold))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("hits"),
+        graft.text.TextAnalysis.round6(max(col("cos"))).as("max_cos"))
+      .orderBy("vec_id")
+  }
+
+  /** Retrieval-quality evaluation with label relevance — the IR
+    * metrics layer over the ANN operators: run exact top-k for each
+    * query, score a retrieved vector as relevant iff it carries the
+    * query's label, and report per query
+    *   n_rel      — relevant corpus vectors available (excluding the
+    *                query vector itself),
+    *   hits       — relevant vectors inside the top-k,
+    *   precision  — hits / k,
+    *   recall     — hits / n_rel (0.0 when n_rel = 0),
+    *   mrr        — 1 / rank of the first relevant hit (0.0 if none).
+    * [[annRecall]]-style evaluations (q142/q144-q146) grade an index
+    * against the exact scan; this grades the exact scan against
+    * ground-truth labels — the "is the embedding any good" question.
+    * Every metric is an exact integer count plus one correctly-rounded
+    * IEEE division, so the whole report is bit-portable.
+    *
+    * Scale shape: the ranked lists come from the [[bruteForceTopK]]
+    * scan (query set broadcast, WindowGroupLimit top-k); the label
+    * census is one map-side-combined aggregate over the corpus
+    * (label-cardinality-sized result, broadcast back); the metric
+    * rollup touches only k·|queries| ranked rows.
+    */
+  def retrievalEval(corpus: DataFrame, queries: DataFrame, k: Int,
+      labelCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val corpusLabels = corpus.select(col(idCol).as("vec_id"),
+      col(labelCol).as("lbl"))
+    val queryLabels = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("qlbl"))
+    // benchmark-sized per-label census, built once from the corpus
+    val labelCounts = corpusLabels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_label"))
+    // does the query vector itself sit in the corpus under its own
+    // label? (it must not count as retrievable relevant mass)
+    val selfIn = corpusLabels.join(broadcast(queryLabels),
+        col("vec_id") === col("query_id") && col("lbl") === col("qlbl"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("self_n"))
+    val nRel = queryLabels
+      .join(broadcast(labelCounts), col("qlbl") === col("lbl"), "left")
+      .join(broadcast(selfIn), Seq("query_id"), "left")
+      .select(col("query_id"), col("qlbl"),
+        (coalesce(col("n_label"), lit(0L)) -
+          coalesce(col("self_n"), lit(0L))).as("n_rel"))
+    val ranked = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .join(broadcast(corpusLabels), Seq("vec_id"))
+      .join(broadcast(queryLabels), Seq("query_id"))
+      .withColumn("rel", when(col("lbl") === col("qlbl"), 1L).otherwise(0L))
+    ranked.groupBy(col("query_id"))
+      .agg(sum(col("rel")).as("hits"),
+        min(when(col("rel") === 1L, col("rnk"))).as("first_rel"))
+      .join(broadcast(nRel), Seq("query_id"))
+      .select(col("query_id"), col("n_rel"), col("hits"),
+        (col("hits").cast("double") / lit(k.toDouble)).as("p_at_k"),
+        when(col("n_rel") > 0,
+            col("hits").cast("double") / col("n_rel").cast("double"))
+          .otherwise(lit(0.0)).as("r_at_k"),
+        when(col("first_rel").isNotNull,
+            lit(1.0) / col("first_rel").cast("double"))
+          .otherwise(lit(0.0)).as("mrr"))
+      .orderBy("query_id")
+  }
+
   /** Resolve the centroid count: explicit `numCells` wins; 0 = auto,
     * ~√n clamped to [16, 65536]. √n balances the two costs of IVF —
     * assignment work O(n·cells) and per-cell scan size O(n/cells) —
