@@ -18,11 +18,26 @@ import org.apache.spark.sql.types.StructType
   * reads with an explicit schema are a single typed pass (schema
   * inference over XML is a full extra data pass — exploration only,
   * production passes the schema, same contract as CsvSource).
+  *
+  * Round-trip contract — NARROWER than the CSV/JSON sinks': XML 1.0
+  * cannot encode control characters (legal in parquet/JSON strings),
+  * so strings containing them do not survive this format — route
+  * such tables through CSV or JSON-lines. Surrounding whitespace in
+  * string values IS preserved: the reader pins
+  * `ignoreSurroundingSpaces=false` (locked by a unit test with
+  * leading/trailing-space fixtures) so `" padded "` round-trips
+  * byte-identical rather than being silently trimmed.
   */
 object XmlSource {
 
   val RowTag = "row"
   val RootTag = "rows"
+
+  /** Microsecond ISO timestamp format shared by [[read]] and
+    * [[write]] — one literal, so the two sides can never drift apart
+    * and silently break the round-trip (q147 depends on it).
+    */
+  private val TsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
   /** Read an XML path written by [[write]] (or any single-level
     * rowTag document). With a schema: one typed pass. Timestamps
@@ -32,7 +47,8 @@ object XmlSource {
       schema: Option[StructType] = None): DataFrame = {
     val r = spark.read.format("xml")
       .option("rowTag", RowTag)
-      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .option("ignoreSurroundingSpaces", "false")
+      .option("timestampFormat", TsFormat)
     schema.fold(r)(s => r.schema(s)).load(path)
   }
 
@@ -46,7 +62,7 @@ object XmlSource {
     Transforms.sortedColumns(df).write.format("xml")
       .option("rowTag", RowTag)
       .option("rootTag", RootTag)
-      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .option("timestampFormat", TsFormat)
       .mode("overwrite")
       .save(path)
   }

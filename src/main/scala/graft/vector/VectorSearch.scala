@@ -230,8 +230,12 @@ object VectorSearch {
       .select(col("query_id"), col("qlbl"),
         (coalesce(col("n_label"), lit(0L)) -
           coalesce(col("self_n"), lit(0L))).as("n_rel"))
-    val ranked = bruteForceTopK(corpus, queries, k, idCol, vecCol)
-      .join(broadcast(corpusLabels), Seq("vec_id"))
+    // label the ranked lists: the ranked frame is k·|queries| rows —
+    // THAT is the broadcast side; corpusLabels is corpus-cardinality
+    // and must stream (broadcasting it would hold a corpus-sized map
+    // per executor at 100 TB)
+    val topk = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+    val ranked = corpusLabels.join(broadcast(topk), Seq("vec_id"))
       .join(broadcast(queryLabels), Seq("query_id"))
       .withColumn("rel", when(col("lbl") === col("qlbl"), 1L).otherwise(0L))
     ranked.groupBy(col("query_id"))

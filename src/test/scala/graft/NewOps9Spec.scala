@@ -35,6 +35,23 @@ class NewOps9Spec extends AnyFunSuite {
       src.orderBy("id").collect().toSeq)
   }
 
+  test("XmlSource preserves leading/trailing whitespace in strings") {
+    // locks the ignoreSurroundingSpaces=false pin: XML readers trim
+    // surrounding whitespace by default, which would silently alter
+    // padded string values (the documented round-trip hazard)
+    val src = Seq(
+      (1L, "  leading"), (2L, "trailing  "), (3L, "  both  "),
+      (4L, " "), (5L, "inner  gap")
+    ).toDF("id", "s")
+    val path = tmp("graft_xml_ws")
+    XmlSource.write(src, path)
+    val back = XmlSource.read(spark, path,
+        Some(StructType(src.schema.fields.sortBy(_.name))))
+      .select("id", "s")
+    assert(back.orderBy("id").collect().toSeq ==
+      src.orderBy("id").collect().toSeq)
+  }
+
   test("XmlSource round-trips orders at sf0.001 value-identically") {
     val dir = "/root/testdata/sf0.001"
     val src = Tables.load(spark, dir, "orders")
