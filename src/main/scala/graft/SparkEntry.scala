@@ -29,7 +29,7 @@ object SparkEntry {
     "q61_json_roundtrip", "q68_jdbc_cdc_live", "q69_jdbc_sink_roundtrip",
     "q71_catalog_migrate", "q73_orc_roundtrip", "q74_converted_migrate",
     "q94_custom_state_sessions", "q140_redelivery_dedup",
-    "q147_xml_roundtrip")
+    "q147_xml_roundtrip", "q151_remigrate_drift")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -183,6 +183,7 @@ object SparkEntry {
     "q148_embed_contamination" -> PipelineQueries.embeddingContamination _,
     "q149_retrieval_eval"   -> PipelineQueries.retrievalEval _,
     "q150_ngram_novelty"    -> PipelineQueries.ngramNovelty _,
+    "q151_remigrate_drift"  -> IngestQueries.remigrateDrift _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2770,6 +2771,17 @@ object SparkEntry {
         |  CAST(COALESCE(nv.novel, 0) AS DOUBLE)/CAST(pd.n_grams AS DOUBLE) AS novelty
         |FROM pd LEFT JOIN nv ON pd.doc_id = nv.first_doc
         |ORDER BY pd.doc_id""".stripMargin,
+    // q151: the merged managed table after drift evolution — rows in
+    // the re-migrated overlapping scope (key >= max//2 - 4) carry the
+    // ALTERed column and every row carries the widened nationkey;
+    // retained lower-half rows take NULL for the added column
+    "q151_remigrate_drift" ->
+      """SELECT s_suppkey, s_name,
+        |  CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal,
+        |  CASE WHEN s_suppkey >= (SELECT MAX(s_suppkey)//2 - 4 FROM supplier)
+        |       THEN CAST(s_suppkey % 5 AS INTEGER) END AS s_tier
+        |FROM supplier
+        |ORDER BY s_suppkey""".stripMargin,
   )
 
   /** Unrolled greedy-MMR rounds mirroring [[graft.vector.Mmr]]:

@@ -147,6 +147,77 @@ object Migrator {
       sparkDdl = sparkDdl, chDdl = chDdl)
   }
 
+  /** One re-migration's record: the detected drift (added/widened
+    * columns), the retained-vs-incoming row split, and the both-sides
+    * count for the reconciliation protocol.
+    */
+  final case class Remigration(
+      table: String,
+      addedColumns: Seq[String],
+      widenedColumns: Seq[String],
+      retainedRows: Long,
+      incomingRows: Long,
+      dstRows: Long) {
+    def reconciled: Boolean = retainedRows + incomingRows == dstRows
+  }
+
+  /** Re-migrate a table AFTER source schema drift — the story the
+    * reference explicitly punts ("DDL changes are not supported",
+    * docs/manual.md:261-262; `freeze_schema` pins the first-seen
+    * schema, mysqlreader.py:130 in /root/reference). The managed
+    * table at `dstDir/<table>.parquet` (written by a prior
+    * [[migrateTable]]) is evolved to the drifted source schema via
+    * [[SchemaDrift.diff]] — new columns take NULL on retained rows,
+    * widened columns cast exactly; destructive drift throws before
+    * anything is written — then merged with the incoming snapshot by
+    * primary key: incoming rows REPLACE same-key retained rows
+    * (re-snapshot of an overlapping scope), disjoint scopes append
+    * (the reference's WHERE-partitioned incremental migrations).
+    *
+    * Scale shape: the evolution is a cast-only projection riding the
+    * merge scan (no separate rewrite pass); the PK anti-join shuffles
+    * both sides by key once — the same shape as the CDC merge — and
+    * the merged result streams to a sibling directory which is then
+    * atomically swapped in, so the managed table is never read and
+    * overwritten in the same job and a crash mid-write leaves the old
+    * table intact.
+    */
+  def remigrate(spark: SparkSession, srcDir: String, dstDir: String,
+      table: String, pk: Seq[String], spec: Spec = Spec(),
+      dstTable: Option[String] = None): Remigration = {
+    require(pk.nonEmpty, "remigrate needs a primary key to merge on")
+    val dstName = dstTable.getOrElse(table)
+    val dst = s"$dstDir/$dstName.parquet"
+    val incoming = transformed(spark, srcDir, table, spec)
+    val existing = spark.read.parquet(dst)
+    val drift = SchemaDrift.diff(existing.schema, incoming.schema)
+    val inFields = incoming.schema.fields.toSeq
+    val evolvedOld = existing.select(inFields.map { f =>
+      if (existing.columns.contains(f.name))
+        existing(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    val retainedObs = Observation(s"graft_remigrate_retained_$table")
+    val incomingObs = Observation(s"graft_remigrate_incoming_$table")
+    val merged = evolvedOld
+      .join(incoming.select(pk.map(incoming(_)): _*), pk, "left_anti")
+      .observe(retainedObs, count(lit(1)).as("rows"))
+      .unionByName(incoming.observe(incomingObs, count(lit(1)).as("rows")))
+    val tmp = s"$dst.__remigrate"
+    merged.write.mode("overwrite").parquet(tmp)
+    val hPath = new org.apache.hadoop.fs.Path(dst)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(hPath, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath))
+      throw new IllegalStateException(s"failed to swap $tmp into $dst")
+    Remigration(table,
+      addedColumns = drift.added.map(_.name),
+      widenedColumns = drift.widened.map(_._1),
+      retainedRows = retainedObs.get("rows").asInstanceOf[Long],
+      incomingRows = incomingObs.get("rows").asInstanceOf[Long],
+      dstRows = spark.read.parquet(dst).count())
+  }
+
   /** Migrate a table list (the reference's db→table loop,
     * tablemigrator.py:154-178); fails fast on the first
     * non-reconciled table like the reference's per-table exception

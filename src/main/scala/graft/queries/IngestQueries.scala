@@ -219,6 +219,48 @@ object IngestQueries {
     spark.read.parquet(s"$dst/supplier.parquet").orderBy("s_suppkey")
   }
 
+  /** q151: re-migration after source schema drift — the reference's
+    * loudest self-declared gap ("DDL changes are not supported",
+    * docs/manual.md:261-262; freeze_schema mysqlreader.py:130 in
+    * /root/reference) closed end to end. Migration 1 snapshots the
+    * lower half of `supplier` under the original schema; the source
+    * then "ALTERs" (a converter adds `s_tier` and widens
+    * `s_nationkey` int → bigint — the additive evolution lattice);
+    * remigrate detects exactly that drift, evolves the managed table
+    * (retained rows: NULL tier, widened nationkey), and PK-merges an
+    * OVERLAPPING second scope (incoming rows replace same-key
+    * retained rows). The merged managed table is what the oracle
+    * recomputes from the raw source.
+    */
+  def remigrateDrift(spark: SparkSession, dir: String): DataFrame = {
+    val dst = tmpDir("graft_remigrate")
+    val supplier = Tables.load(spark, dir, "supplier")
+    val half = supplier.agg(max(col("s_suppkey"))).head().getLong(0) / 2
+    val m1 = Migrator.migrateTable(spark, dir, dst, "supplier",
+      spec = Migrator.Spec(whereClauses =
+        Map("supplier" -> s"s_suppkey <= $half")))
+    require(m1.reconciled, s"initial migration: src=${m1.srcRows} dst=${m1.dstRows}")
+    // the drifted source: ALTER TABLE supplier ADD COLUMN s_tier INT,
+    // MODIFY s_nationkey BIGINT — simulated by a registered converter
+    // on the re-migration scope, which overlaps the first by 5 keys
+    val drifted = new graft.ops.Transforms.TransformRegistry()
+      .register("supplier", df => df
+        .withColumn("s_nationkey", col("s_nationkey").cast("bigint"))
+        .withColumn("s_tier", (col("s_suppkey") % 5).cast("int")))
+    val r = Migrator.remigrate(spark, dir, dst, "supplier",
+      pk = Seq("s_suppkey"),
+      spec = Migrator.Spec(
+        whereClauses = Map("supplier" -> s"s_suppkey >= ${half - 4}"),
+        transforms = drifted))
+    require(r.addedColumns == Seq("s_tier") &&
+      r.widenedColumns == Seq("s_nationkey"),
+      s"drift detection: added=${r.addedColumns} widened=${r.widenedColumns}")
+    require(r.reconciled,
+      s"remigrate counts: retained=${r.retainedRows} " +
+        s"incoming=${r.incomingRows} dst=${r.dstRows}")
+    spark.read.parquet(s"$dst/supplier.parquet").orderBy("s_suppkey")
+  }
+
   /** q31: CSV sink → source round-trip of `customer` (sorted header
     * layout, '' ↔ NULL, typed read-back via explicit schema).
     */

@@ -231,6 +231,97 @@ class MigratorSpec extends AnyFunSuite {
       .select("r_name").collect().map(_.getString(0))
     assert(names.forall(n => n == n.toUpperCase))
   }
+
+  // ---- schema-drift re-migration (SchemaDrift + Migrator.remigrate) ----
+
+  import graft.migrate.SchemaDrift
+
+  private def driftFixture(): (String, String) = {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_drift_src").toString
+    val dst = Files.createTempDirectory("graft_drift_dst").toString
+    Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("id", "name", "qty")
+      .write.mode("overwrite").parquet(s"$src/driftprobe.parquet")
+    (src, dst)
+  }
+
+  test("remigrate evolves added + widened columns and merges by PK") {
+    import spark.implicits._
+    val (src, dst) = driftFixture()
+    // what Tables.load resolves for arbitrary names: a direct path
+    val m1 = Migrator.migrateTable(spark, src, dst, "driftprobe")
+    assert(m1.reconciled)
+    // source ALTERs: qty widened int -> bigint, new column flag; row 3
+    // updated, row 4 appended — the re-migration scope overlaps on 3
+    Seq((3L, "c2", 300L, "x"), (4L, "d", 40L, "y"))
+      .toDF("id", "name", "qty", "flag")
+      .write.mode("overwrite").parquet(s"$src/driftprobe.parquet")
+    val r = Migrator.remigrate(spark, src, dst, "driftprobe", pk = Seq("id"))
+    assert(r.addedColumns == Seq("flag") && r.widenedColumns == Seq("qty"), r)
+    assert(r.retainedRows == 2 && r.incomingRows == 2 && r.dstRows == 4, r)
+    val out = spark.read.parquet(s"$dst/driftprobe.parquet")
+    assert(out.schema("qty").dataType == LongType)
+    val rows = out.orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2),
+        Option(x.getString(3)))).toSeq
+    assert(rows == Seq((1L, "a", 10L, None), (2L, "b", 20L, None),
+      (3L, "c2", 300L, Some("x")), (4L, "d", 40L, Some("y"))), rows)
+  }
+
+  test("remigrate refuses dropped columns and narrowed types loudly") {
+    import spark.implicits._
+    val (src, dst) = driftFixture()
+    Migrator.migrateTable(spark, src, dst, "driftprobe")
+    val before = spark.read.parquet(s"$dst/driftprobe.parquet").count()
+    // dropped column
+    Seq((4L, 40)).toDF("id", "qty")
+      .write.mode("overwrite").parquet(s"$src/driftprobe.parquet")
+    val e1 = intercept[IllegalStateException] {
+      Migrator.remigrate(spark, src, dst, "driftprobe", pk = Seq("id"))
+    }
+    assert(e1.getMessage.contains("name dropped"), e1.getMessage)
+    // narrowed type (qty int -> short)
+    Seq((4L, "d", 40.toShort)).toDF("id", "name", "qty")
+      .write.mode("overwrite").parquet(s"$src/driftprobe.parquet")
+    val e2 = intercept[IllegalStateException] {
+      Migrator.remigrate(spark, src, dst, "driftprobe", pk = Seq("id"))
+    }
+    assert(e2.getMessage.contains("narrowed"), e2.getMessage)
+    // refused drift left the managed table untouched
+    assert(spark.read.parquet(s"$dst/driftprobe.parquet").count() == before)
+  }
+
+  test("remigrate with an unchanged schema is a plain PK merge") {
+    import spark.implicits._
+    val (src, dst) = driftFixture()
+    Migrator.migrateTable(spark, src, dst, "driftprobe")
+    Seq((2L, "b2", 200)).toDF("id", "name", "qty")
+      .write.mode("overwrite").parquet(s"$src/driftprobe.parquet")
+    val r = Migrator.remigrate(spark, src, dst, "driftprobe", pk = Seq("id"))
+    assert(r.addedColumns.isEmpty && r.widenedColumns.isEmpty)
+    assert(r.retainedRows == 2 && r.incomingRows == 1 && r.reconciled)
+    val byId = spark.read.parquet(s"$dst/driftprobe.parquet")
+      .orderBy("id").collect().map(x => x.getLong(0) -> x.getString(1)).toSeq
+    assert(byId == Seq(1L -> "a", 2L -> "b2", 3L -> "c"))
+  }
+
+  test("SchemaDrift.widens follows the exact-value lattice only") {
+    assert(SchemaDrift.widens(IntegerType, LongType))
+    assert(SchemaDrift.widens(ByteType, IntegerType))
+    assert(SchemaDrift.widens(FloatType, DoubleType))
+    assert(SchemaDrift.widens(DecimalType(10, 2), DecimalType(12, 2)))
+    assert(SchemaDrift.widens(DecimalType(10, 2), DecimalType(14, 4)))
+    assert(SchemaDrift.widens(IntegerType, DecimalType(12, 2)))
+    // NOT widenings: value-lossy or shape-changing moves
+    assert(!SchemaDrift.widens(LongType, IntegerType))
+    assert(!SchemaDrift.widens(LongType, DoubleType)) // rounds above 2^53
+    assert(!SchemaDrift.widens(DoubleType, FloatType))
+    assert(!SchemaDrift.widens(DecimalType(12, 2), DecimalType(12, 4)))
+    assert(!SchemaDrift.widens(StringType, IntegerType))
+    assert(!SchemaDrift.widens(LongType, DecimalType(18, 0))) // 19 digits
+    assert(SchemaDrift.widens(LongType, DecimalType(19, 0)))
+  }
 }
 
 class OrcSourceSpec extends AnyFunSuite {
