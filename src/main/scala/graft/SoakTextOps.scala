@@ -7,15 +7,20 @@ import org.apache.spark.sql.functions._
   * scale soak of the round-6 text/LM operators — cross-doc
   * exact-substring dedup rewrite, stupid-backoff bigram perplexity,
   * and the Naive Bayes classifier — over the documents table of
-  * whatever scale dir it is pointed at. Reports seconds and output
+  * whatever scale dir it is pointed at, plus the two round-9
+  * operators with data-dependent scaling: the corpus n-gram novelty
+  * curve (its no-pair-join claim means hot shingles must cost one
+  * combiner cell, not a fan-out) and embedding-space contamination
+  * (a broadcast-probe BNLJ scan whose cost is corpus × probe-count —
+  * linear in the corpus at fixed probes). Reports seconds and output
   * cardinalities as one JSON line; run it at sf0.1 and at a ScaleUp
-  * 10× dir and compare growth. All three should track the corpus
-  * roughly linearly: the gram-frequency aggregate and the
-  * collect_set removal lists in substrDedupCut are doc-length-
-  * bounded, the bigram aggregate is corpus-keyed with a
-  * TakeOrdered pruning, and the NB model is broadcastable at any
-  * corpus size — a super-linear jump means one of those contracts
-  * broke.
+  * 10× dir and compare growth. All should track the corpus roughly
+  * linearly: the gram-frequency aggregate and the collect_set
+  * removal lists in substrDedupCut are doc-length-bounded, the
+  * bigram aggregate is corpus-keyed with a TakeOrdered pruning, the
+  * NB model is broadcastable at any corpus size, novelty is two
+  * hash aggregates, and the contamination scan never shuffles the
+  * corpus — a super-linear jump means one of those contracts broke.
   *
   * `runMain graft.SoakTextOps <sfDir>`
   */
@@ -57,10 +62,40 @@ object SoakTextOps {
     val (nNb, tNb) = timed {
       text.Classifier.naiveBayes(docs, classCol = "lang", v = 64).count()
     }
-    println(s"""{"sfDir":"$sfDir","docs":$nDocs,""" +
+    // the q150 shape: corpus 3-gram novelty (no pair join — hot
+    // shingles must land in one combiner cell)
+    val (nNv, tNv) = timed {
+      dedup.Dedup.ngramNovelty(docs, k = 3).count()
+    }
+    // the q148 shape: embedding contamination, probes = vec_id % 97
+    // (the probe count scales with the corpus here, so the scan is
+    // corpus × (corpus/97) — expect ~100× work at 10×; the fixed-
+    // probe production regime is the corpus-linear column)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val nVecs = emb.count()
+    val (nEc, tEc) = timed {
+      vector.VectorSearch.embeddingContamination(
+        emb.filter(pmod(col("vec_id"), lit(97)) =!= 0),
+        emb.filter(pmod(col("vec_id"), lit(97)) === 0),
+        threshold = 0.25).count()
+    }
+    // fixed-probe variant: the SAME probe count at any corpus scale
+    // (the 10 lowest ids, present in every scale dir) — this is the
+    // production decontamination shape (benchmark-sized probe set,
+    // growing corpus) and must grow corpus-linearly
+    val (nEcf, tEcf) = timed {
+      vector.VectorSearch.embeddingContamination(
+        emb.filter(col("vec_id") >= 10),
+        emb.filter(col("vec_id") < 10),
+        threshold = 0.25).count()
+    }
+    println(s"""{"sfDir":"$sfDir","docs":$nDocs,"vecs":$nVecs,""" +
       s""""substr_rows":$nSub,"substr_sec":${f"$tSub%.2f"},""" +
       s""""backoff_rows":$nLm,"backoff_sec":${f"$tLm%.2f"},""" +
-      s""""nb_rows":$nNb,"nb_sec":${f"$tNb%.2f"}}""")
+      s""""nb_rows":$nNb,"nb_sec":${f"$tNb%.2f"},""" +
+      s""""novelty_rows":$nNv,"novelty_sec":${f"$tNv%.2f"},""" +
+      s""""embcon_rows":$nEc,"embcon_sec":${f"$tEc%.2f"},""" +
+      s""""embcon_fixed_rows":$nEcf,"embcon_fixed_sec":${f"$tEcf%.2f"}}""")
     spark.stop()
   }
 }

@@ -86,7 +86,18 @@ object GraftApp {
       contaminationProbes: Option[String] = None, // --contamination=<dir>
       contaminationK: Int = 3,              // --contamination-k
       docIdCol: String = "doc_id",          // --doc-id-col
-      textCol: String = "text")             // --text-col
+      textCol: String = "text",             // --text-col
+      semdedup: Boolean = false,            // --semdedup (SemDeDup prune)
+      semdedupClusters: Int = 8,            // --semdedup-clusters
+      semdedupIters: Int = 2,               // --semdedup-iters
+      semdedupMinCos: Double = 0.4,         // --semdedup-min-cos
+      embedContaminationProbes: Option[String] = None, // --embed-contamination=<dir>
+      embedContaminationCos: Double = 0.25, // --embed-contamination-cos
+      annRecall: Option[String] = None,     // --ann-recall=int8|ivf|pq|lsh
+      annK: Int = 10,                       // --ann-k (top-k depth)
+      annQueryMod: Int = 100,               // --ann-queries (vec_id % mod == 0)
+      vecIdCol: String = "vec_id",          // --vec-id-col
+      embeddingCol: String = "embedding")   // --embedding-col
 
   final case class Result(
       ddl: Seq[String] = Nil,
@@ -101,7 +112,9 @@ object GraftApp {
       stateExportRows: Option[Long] = None,
       jsonTemplates: Seq[String] = Nil,     // --create-table-json-template
       dryPlanned: Seq[String] = Nil,        // --dry: what WOULD have run
-      curations: Seq[Curation] = Nil)       // --scd2/--ppl-filter/--dedup/--contamination
+      curations: Seq[Curation] = Nil)       // --scd2/--ppl-filter/--dedup/
+                                            // --contamination/--semdedup/
+                                            // --embed-contamination/--ann-recall
 
   /** One table-level curation run: `mode` over `table`, `srcRows` in,
     * `outRows` written to `outDir`.
@@ -331,7 +344,13 @@ object GraftApp {
         c.dedup ->
           s"dedup: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_dedup.parquet").mkString(", ")}",
         c.contaminationProbes.isDefined ->
-          s"contamination: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_contamination.parquet").mkString(", ")}"
+          s"contamination: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_contamination.parquet").mkString(", ")}",
+        c.semdedup ->
+          s"semdedup: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_semdedup.parquet").mkString(", ")}",
+        c.embedContaminationProbes.isDefined ->
+          s"embed-contamination: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_embed_contamination.parquet").mkString(", ")}",
+        c.annRecall.isDefined ->
+          s"ann-recall[${c.annRecall.getOrElse("")}]: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_ann_recall_${c.annRecall.getOrElse("")}.parquet").mkString(", ")}"
       ).collect { case (true, s) => s }
       return Result(ddl = ddl, templates = templates,
         jsonTemplates = jsonTemplates, dryPlanned = planned)
@@ -498,7 +517,91 @@ object GraftApp {
               spark.read.parquet(out).count(), out)
           }
       }
-      scd2Runs ++ pplRuns ++ dedupRuns ++ contaminationRuns
+      // --semdedup (q107 through the CLI face — the embedding half of
+      // --dedup): Lloyd-cluster the table's embedding column, mark
+      // within-cluster semantic duplicates at the cosine threshold,
+      // keep each cluster's representatives. Output is a cleaned copy
+      // of the table, like --dedup.
+      val semdedupRuns =
+        if (!c.semdedup) Nil
+        else tables.map { t =>
+          val base = Migrator.transformed(spark, c.srcDir, t, spec)
+          val keepers = graft.vector.KMeans.semanticDedup(base,
+              k = c.semdedupClusters, iters = c.semdedupIters,
+              minCos = c.semdedupMinCos, idCol = c.vecIdCol,
+              vecCol = c.embeddingCol)
+            .filter(col("kept") === 1)
+            .select(col("vec_id").as(c.vecIdCol))
+          val obs = org.apache.spark.sql.Observation()
+          val kept = base
+            .observe(obs, org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("src_rows"))
+            .join(keepers, Seq(c.vecIdCol), "left_semi")
+          val out = s"${c.dstDir}/${dstNameFor(t)}_semdedup.parquet"
+          kept.write.mode("overwrite").parquet(out)
+          Curation(t, "semdedup", obs.get("src_rows").asInstanceOf[Long],
+            spark.read.parquet(out).count(), out)
+        }
+      // --embed-contamination=<probe_dir> (q148 through the CLI face —
+      // the embedding half of --contamination): flag every table row
+      // whose embedding sits within the cosine threshold of any probe
+      // vector. Hit-sized report (vec_id, hits, max_cos).
+      val embedContaminationRuns = c.embedContaminationProbes match {
+        case None => Nil
+        case Some(probeDir) =>
+          val probes = spark.read.parquet(probeDir)
+          tables.map { t =>
+            val obs = org.apache.spark.sql.Observation()
+            val df = Migrator.transformed(spark, c.srcDir, t, spec)
+              .observe(obs, org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)).as("src_rows"))
+            val flagged = graft.vector.VectorSearch.embeddingContamination(
+              df, probes, threshold = c.embedContaminationCos,
+              idCol = c.vecIdCol, vecCol = c.embeddingCol)
+            val out = s"${c.dstDir}/${dstNameFor(t)}_embed_contamination.parquet"
+            flagged.write.mode("overwrite").parquet(out)
+            Curation(t, "embed-contamination",
+              obs.get("src_rows").asInstanceOf[Long],
+              spark.read.parquet(out).count(), out)
+          }
+      }
+      // --ann-recall=<variant> diagnostic (the q142/q144-q146 recall
+      // gate as an operable CLI check): recall@k of the named lossy
+      // index against the exact brute-force scan on the table's own
+      // fixed query set (vec_id % --ann-queries == 0). srcRows here is
+      // the query count — the evaluation's natural denominator.
+      val annRecallRuns = c.annRecall match {
+        case None => Nil
+        case Some(variant) =>
+          import graft.vector.VectorSearch
+          tables.map { t =>
+            val emb = Migrator.transformed(spark, c.srcDir, t, spec)
+            val qs = emb.filter(
+              org.apache.spark.sql.functions.pmod(col(c.vecIdCol),
+                org.apache.spark.sql.functions.lit(c.annQueryMod)) === 0)
+            val exact = VectorSearch.bruteForceTopK(emb, qs, k = c.annK,
+              idCol = c.vecIdCol, vecCol = c.embeddingCol)
+            val approx = variant match {
+              case "int8" => VectorSearch.int8TopK(emb, qs, k = c.annK,
+                idCol = c.vecIdCol, vecCol = c.embeddingCol)
+              case "ivf" => VectorSearch.ivfTopK(emb, qs, k = c.annK,
+                nprobe = 2, numCells = 32, idCol = c.vecIdCol,
+                vecCol = c.embeddingCol, portableSample = true)
+              case "pq" => VectorSearch.pqTopK(emb, qs, k = c.annK,
+                idCol = c.vecIdCol, vecCol = c.embeddingCol)
+              case "lsh" => VectorSearch.rpLshTopK(emb, qs, k = c.annK,
+                nbits = 32, chunks = 4, idCol = c.vecIdCol,
+                vecCol = c.embeddingCol)
+            }
+            val report = graft.vector.Eval.recallAtK(exact, approx, k = c.annK)
+            val out = s"${c.dstDir}/${dstNameFor(t)}_ann_recall_$variant.parquet"
+            report.write.mode("overwrite").parquet(out)
+            Curation(t, s"ann-recall-$variant", qs.count(),
+              spark.read.parquet(out).count(), out)
+          }
+      }
+      scd2Runs ++ pplRuns ++ dedupRuns ++ contaminationRuns ++
+        semdedupRuns ++ embedContaminationRuns ++ annRecallRuns
     }
 
     val pumped =
@@ -632,13 +735,17 @@ object GraftApp {
     "scd2-value", "scd2-key", "scd2-ts", "scd2-tie",
     "ppl-vocab", "ppl-buckets", "ppl-drop", "ppl-group-col",
     "dedup-k", "dedup-jaccard", "contamination", "contamination-k",
-    "doc-id-col", "text-col")
+    "doc-id-col", "text-col",
+    "semdedup-clusters", "semdedup-iters", "semdedup-min-cos",
+    "embed-contamination", "embed-contamination-cos",
+    "ann-recall", "ann-k", "ann-queries",
+    "vec-id-col", "embedding-col")
   private val KnownFlags = Set("create-table-sql",
     "create-table-sql-template", "create-table-json-template",
     "dst-create-table", "migrate-table",
     "csvpool", "pump-data", "src-wait", "src-resume", "daemon",
     "install", "dry", "state-versions", "with-create-database",
-    "scd2", "ppl-filter", "dedup")
+    "scd2", "ppl-filter", "dedup", "semdedup")
 
   /** `--column-default-value=t.col=v` values: numeric if they parse,
     * else the literal string (na.fill applies them type-matched).
@@ -841,8 +948,34 @@ object GraftApp {
       contaminationK = kv.get("contamination-k")
         .map(longOpt("contamination-k")(_).toInt).getOrElse(3),
       docIdCol = kv.getOrElse("doc-id-col", "doc_id"),
-      textCol = kv.getOrElse("text-col", "text"))
+      textCol = kv.getOrElse("text-col", "text"),
+      semdedup = flags("semdedup"),
+      semdedupClusters = kv.get("semdedup-clusters")
+        .map(longOpt("semdedup-clusters")(_).toInt).getOrElse(8),
+      semdedupIters = kv.get("semdedup-iters")
+        .map(longOpt("semdedup-iters")(_).toInt).getOrElse(2),
+      semdedupMinCos = kv.get("semdedup-min-cos").map(doubleOpt("semdedup-min-cos"))
+        .getOrElse(0.4),
+      embedContaminationProbes = kv.get("embed-contamination"),
+      embedContaminationCos = kv.get("embed-contamination-cos")
+        .map(doubleOpt("embed-contamination-cos")).getOrElse(0.25),
+      annRecall = kv.get("ann-recall").map { v =>
+        require(AnnRecallVariants.contains(v),
+          s"--ann-recall=$v: expected one of ${AnnRecallVariants.toSeq.sorted.mkString(", ")}")
+        v
+      },
+      annK = kv.get("ann-k").map(longOpt("ann-k")(_).toInt).getOrElse(10),
+      annQueryMod = kv.get("ann-queries")
+        .map(longOpt("ann-queries")(_).toInt).getOrElse(100),
+      vecIdCol = kv.getOrElse("vec-id-col", "vec_id"),
+      embeddingCol = kv.getOrElse("embedding-col", "embedding"))
   }
+
+  private val AnnRecallVariants = Set("int8", "ivf", "pq", "lsh")
+
+  private def doubleOpt(name: String)(v: String): Double =
+    v.toDoubleOption.getOrElse(throw new IllegalArgumentException(
+      s"--$name=$v: expected a number"))
 
   private def longOpt(name: String)(v: String): Long =
     v.toLongOption.getOrElse(throw new IllegalArgumentException(

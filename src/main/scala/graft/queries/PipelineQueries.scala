@@ -695,6 +695,20 @@ object PipelineQueries {
     * q20, q42); this query pins their COMPOSITION against one SQL
     * oracle. Scale shape: steps 3-5 are per-row expressions fused
     * into one scan; steps 1-2 are the bucketed dedup shuffles.
+    *
+    * Shared-scan audit (round 10): the composition reads
+    * documents.parquet three times — the fused main scan, the
+    * exact-dedup md5 aggregate, and the near-dup shingle index (the
+    * cluster pre-pass behind the ExistingRDD) — all column-pruned to
+    * (doc_id, text). Materializing one shared `localCheckpoint` of
+    * that projection measured 5.21 → 4.69 s at sf0.1 (median-of-3
+    * isolated) but was REJECTED: the checkpoint is a corpus-sized
+    * uncompressed spill, the same move jaccardPairs' scaladoc records
+    * as a measured loss for the exploded index, and at the 100 TB
+    * target re-writing the corpus to executor disks to save two
+    * compressed column-pruned scans inverts badly (write bandwidth ≫
+    * scan savings, plus corpus-sized local storage per run). The
+    * stages deliberately re-scan parquet.
     */
   def trainingPipeline(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.TextAnalysis

@@ -702,6 +702,101 @@ class GraftAppSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dst)))
   }
 
+  test("semdedup mode keeps semantic representatives through the CLI surface") {
+    val dst = Files.createTempDirectory("graft_appsemdedup").toString
+    val c = GraftApp.parse(Seq(s"--src-dir=$dir", s"--dst-dir=$dst",
+      "--src-tables=embeddings", "--semdedup", "--semdedup-clusters=8",
+      "--semdedup-iters=2", "--semdedup-min-cos=0.4"))
+    val r = GraftApp.run(spark, c)
+    assert(r.curations.map(_.mode) == Seq("semdedup"))
+    // the CLI result must equal the library call it fronts (q107's
+    // kept-representative set)
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val wantIds = graft.vector.KMeans.semanticDedup(emb, k = 8, iters = 2,
+        minCos = 0.4)
+      .filter(org.apache.spark.sql.functions.col("kept") === 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = spark.read.parquet(s"$dst/embeddings_semdedup.parquet")
+    assert(got.select("vec_id").collect().map(_.getLong(0)).toSet == wantIds)
+    assert(got.columns.toSeq == emb.columns.toSeq,
+      "semdedup keeps the source schema")
+    assert(r.curations.head.srcRows == emb.count() &&
+      r.curations.head.outRows == wantIds.size)
+    assert(wantIds.size < emb.count(),
+      "the fixture corpus must contain semantic near-dups at 0.4")
+  }
+
+  test("embed-contamination mode flags cosine-close rows through the CLI surface") {
+    val dst = Files.createTempDirectory("graft_appembcon").toString
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val probeDir = s"$dst/probes.parquet"
+    emb.filter(org.apache.spark.sql.functions
+      .pmod(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.lit(97)) === 0)
+      .write.parquet(probeDir)
+    val c = GraftApp.parse(Seq(s"--src-dir=$dir", s"--dst-dir=$dst",
+      "--src-tables=embeddings", s"--embed-contamination=$probeDir",
+      "--embed-contamination-cos=0.25"))
+    val r = GraftApp.run(spark, c)
+    assert(r.curations.map(_.mode) == Seq("embed-contamination"))
+    val want = graft.vector.VectorSearch.embeddingContamination(emb,
+        spark.read.parquet(probeDir), threshold = 0.25)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val got = spark.read.parquet(s"$dst/embeddings_embed_contamination.parquet")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == want, "CLI scan must equal the library call")
+    assert(want.nonEmpty, "the probe split must flag something")
+    assert(r.curations.head.srcRows == emb.count() &&
+      r.curations.head.outRows == want.size)
+  }
+
+  test("ann-recall mode reports recall@k of a lossy index via the CLI") {
+    val dst = Files.createTempDirectory("graft_appannrec").toString
+    val c = GraftApp.parse(Seq(s"--src-dir=$dir", s"--dst-dir=$dst",
+      "--src-tables=embeddings", "--ann-recall=int8", "--ann-k=10",
+      "--ann-queries=100"))
+    val r = GraftApp.run(spark, c)
+    assert(r.curations.map(_.mode) == Seq("ann-recall-int8"))
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val qs = emb.filter(org.apache.spark.sql.functions
+      .pmod(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.lit(100)) === 0)
+    val want = graft.vector.Eval.recallAtK(
+        graft.vector.VectorSearch.bruteForceTopK(emb, qs, k = 10),
+        graft.vector.VectorSearch.int8TopK(emb, qs, k = 10), k = 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val got = spark.read.parquet(s"$dst/embeddings_ann_recall_int8.parquet")
+    val gotMap = got.select("query_id", "hits")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(gotMap == want, "CLI recall must equal the library evaluator")
+    assert(r.curations.head.srcRows == qs.count() &&
+      r.curations.head.outRows == want.size)
+  }
+
+  test("ann-recall rejects unknown variants at parse time") {
+    val e = intercept[IllegalArgumentException] {
+      GraftApp.parse(Seq("--src-dir=/x", "--dst-dir=/y",
+        "--src-tables=embeddings", "--ann-recall=hnsw"))
+    }
+    assert(e.getMessage.contains("expected one of"), e.getMessage)
+  }
+
+  test("embedding curation modes appear in the dry plan, execute nothing") {
+    val dst = Files.createTempDirectory("graft_dryemb").toString + "/out"
+    val r = GraftApp.run(spark, GraftApp.parse(Seq(
+      s"--src-dir=$dir", s"--dst-dir=$dst", "--src-tables=embeddings",
+      "--semdedup", "--embed-contamination=/nonexistent/probes",
+      "--ann-recall=pq", "--dry")))
+    assert(r.curations.isEmpty)
+    assert(r.dryPlanned.exists(_.startsWith(
+      s"semdedup: embeddings -> $dst/embeddings_semdedup.parquet")))
+    assert(r.dryPlanned.exists(_.startsWith(
+      s"embed-contamination: embeddings -> $dst/embeddings_embed_contamination.parquet")))
+    assert(r.dryPlanned.exists(_.startsWith(
+      s"ann-recall[pq]: embeddings -> $dst/embeddings_ann_recall_pq.parquet")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dst)))
+  }
+
   test("empty --ppl-drop= is rejected, not a silent no-op filter") {
     val e = intercept[IllegalArgumentException] {
       GraftApp.parse(Seq("--src-dir=/x", "--dst-dir=/y",
