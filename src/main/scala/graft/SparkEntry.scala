@@ -184,6 +184,8 @@ object SparkEntry {
     "q149_retrieval_eval"   -> PipelineQueries.retrievalEval _,
     "q150_ngram_novelty"    -> PipelineQueries.ngramNovelty _,
     "q151_remigrate_drift"  -> IngestQueries.remigrateDrift _,
+    "q152_source_overlap"   -> PipelineQueries.sourceOverlap _,
+    "q153_langid_eval"      -> PipelineQueries.langIdEval _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2782,6 +2784,70 @@ object SparkEntry {
         |       THEN CAST(s_suppkey % 5 AS INTEGER) END AS s_tier
         |FROM supplier
         |ORDER BY s_suppkey""".stripMargin,
+    // q152: source-pair distinct-shingle Jaccard/containment — the
+    // census-sized pair grid keeps zero-overlap pairs; every ratio is
+    // one double division of exact integer counts
+    "q152_source_overlap" ->
+      """WITH t AS (SELECT source, string_split(text,' ') AS toks FROM documents),
+        |sh0 AS (SELECT source,
+        |    unnest([array_to_string(toks[i:i+2],' ') for i in range(1, len(toks)-1)]) AS s
+        |  FROM t),
+        |sh AS (SELECT DISTINCT source, s FROM sh0),
+        |sz AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        |          GROUP BY 1, 2)
+        |SELECT x.source AS source_a, y.source AS source_b,
+        |  x.n AS n_a, y.n AS n_b,
+        |  CAST(COALESCE(i, 0) AS BIGINT) AS inter,
+        |  CAST(COALESCE(i, 0) AS DOUBLE)/CAST(x.n + y.n - COALESCE(i, 0) AS DOUBLE) AS jaccard,
+        |  CAST(COALESCE(i, 0) AS DOUBLE)/CAST(x.n AS DOUBLE) AS containment_a,
+        |  CAST(COALESCE(i, 0) AS DOUBLE)/CAST(y.n AS DOUBLE) AS containment_b
+        |FROM sz x JOIN sz y ON x.source < y.source
+        |LEFT JOIN inter ON inter.sa = x.source AND inter.sb = y.source
+        |ORDER BY source_a, source_b""".stripMargin,
+    // q153: q21's labeler graded against gold labels — per-class
+    // P/R/F1 from the confusion matrix, global accuracy, and Cohen's
+    // kappa (agree·N − Σ n_gold·n_pred)/(N² − Σ n_gold·n_pred) in
+    // HUGEINT mirroring the engine's DECIMAL(38,0)
+    "q153_langid_eval" ->
+      """WITH p AS (SELECT lang AS gold,
+        |    CASE WHEN len(list_filter(string_split(text,' '), x -> x='the' OR x='a')) >= 2
+        |         THEN 'en' ELSE 'und' END AS pred
+        |  FROM documents),
+        |cm AS (SELECT gold, pred, COUNT(*) AS n FROM p GROUP BY 1, 2),
+        |gm AS (SELECT gold AS cls, SUM(n) AS n_gold FROM cm GROUP BY 1),
+        |pm AS (SELECT pred AS cls, SUM(n) AS n_pred FROM cm GROUP BY 1),
+        |cls AS (SELECT cls FROM gm UNION SELECT cls FROM pm),
+        |tot AS (SELECT CAST(SUM(n) AS HUGEINT) AS nn,
+        |    CAST(COALESCE(SUM(CASE WHEN gold = pred THEN n END), 0) AS HUGEINT) AS agree
+        |  FROM cm),
+        |rc AS (SELECT CAST(COALESCE(SUM(CAST(COALESCE(gm.n_gold, 0) AS HUGEINT) *
+        |      CAST(COALESCE(pm.n_pred, 0) AS HUGEINT)), 0) AS HUGEINT) AS s
+        |  FROM cls LEFT JOIN gm USING (cls) LEFT JOIN pm USING (cls)),
+        |dg AS (SELECT gold AS cls, n AS tp0 FROM cm WHERE gold = pred)
+        |SELECT cls.cls,
+        |  CAST(COALESCE(dg.tp0, 0) AS BIGINT) AS tp,
+        |  CAST(COALESCE(pm.n_pred, 0) - COALESCE(dg.tp0, 0) AS BIGINT) AS fp,
+        |  CAST(COALESCE(gm.n_gold, 0) - COALESCE(dg.tp0, 0) AS BIGINT) AS fn,
+        |  CASE WHEN COALESCE(pm.n_pred, 0) > 0
+        |       THEN CAST(COALESCE(dg.tp0, 0) AS DOUBLE)/CAST(pm.n_pred AS DOUBLE)
+        |       ELSE 0.0 END AS prec,
+        |  CASE WHEN COALESCE(gm.n_gold, 0) > 0
+        |       THEN CAST(COALESCE(dg.tp0, 0) AS DOUBLE)/CAST(gm.n_gold AS DOUBLE)
+        |       ELSE 0.0 END AS rec,
+        |  CASE WHEN 2*COALESCE(dg.tp0, 0) + (COALESCE(pm.n_pred, 0) - COALESCE(dg.tp0, 0))
+        |            + (COALESCE(gm.n_gold, 0) - COALESCE(dg.tp0, 0)) > 0
+        |       THEN CAST(2*COALESCE(dg.tp0, 0) AS DOUBLE) /
+        |            CAST(COALESCE(pm.n_pred, 0) + COALESCE(gm.n_gold, 0) AS DOUBLE)
+        |       ELSE 0.0 END AS f1,
+        |  CAST(tot.agree AS DOUBLE)/CAST(tot.nn AS DOUBLE) AS accuracy,
+        |  CASE WHEN tot.nn*tot.nn - rc.s != 0
+        |       THEN CAST(tot.agree*tot.nn - rc.s AS DOUBLE)/CAST(tot.nn*tot.nn - rc.s AS DOUBLE)
+        |       ELSE 0.0 END AS kappa
+        |FROM cls LEFT JOIN gm USING (cls) LEFT JOIN pm USING (cls)
+        |LEFT JOIN dg USING (cls) CROSS JOIN tot CROSS JOIN rc
+        |ORDER BY cls.cls""".stripMargin,
   )
 
   /** Unrolled greedy-MMR rounds mirroring [[graft.vector.Mmr]]:

@@ -94,6 +94,65 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Source-pair overlap matrix — for every unordered pair of values
+    * of `groupCol` (crawl/source/domain buckets), the exact Jaccard
+    * and directional containments of their distinct k-shingle sets.
+    * This is the corpus-composition view of redundancy: [[jaccardPairs]]
+    * answers "which DOCUMENTS duplicate each other", this answers
+    * "how much of source B is already covered by source A" — the
+    * number dataset-mixture design needs before re-weighting sources
+    * (a mirror of CommonCrawl-snapshot overlap studies; cf. the
+    * reference's per-table routing in src/pumper.py, which treats
+    * sources as disjoint — here we measure whether they are).
+    *
+    * Scale shape: NO doc-pair join and NO corpus self-join. The
+    * per-source distinct shingle sets are one map-side-combined
+    * aggregate; each shingle then carries its source SET (bounded by
+    * the source count, like a label census — `collect_set` here is
+    * bucket-bomb-free because its cardinality is |sources|, not
+    * corpus), and pair counts come from exploding those per-shingle
+    * source pairs: per-shingle cost ≤ |sources|², independent of how
+    * many documents share the shingle. Output is |sources|²/2 rows.
+    * Zero-overlap pairs are kept (jaccard 0.0) via the census-sized
+    * pair grid.
+    */
+  def sourceOverlap(docs: DataFrame, k: Int = 3, textCol: String = "text",
+      groupCol: String = "source"): DataFrame = {
+    val srcShingle = docs
+      .select(col(groupCol).as("src"),
+        explode(array_distinct(TextAnalysis.shingles(col(textCol), k)))
+          .as("shingle"))
+      .distinct() // Aggregate on (src, shingle): map-side combined
+    val sizes = srcShingle.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val inter = srcShingle
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col("src"))).as("srcs"))
+      .select(explode(col("srcs")).as("source_a"), col("srcs"))
+      .select(col("source_a"), explode(col("srcs")).as("source_b"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("inter"))
+    // the pair grid is |sources|² — census-sized by construction, so
+    // both joins pin the broadcast side explicitly
+    val grid = sizes.select(col("src").as("source_a"), col("n").as("n_a"))
+      .crossJoin(broadcast(
+        sizes.select(col("src").as("source_b"), col("n").as("n_b"))))
+      .filter(col("source_a") < col("source_b"))
+    grid.join(broadcast(inter), Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        coalesce(col("inter"), lit(0L)).as("inter"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("inter"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+          .as("jaccard"),
+        (col("inter").cast("double") / col("n_a").cast("double"))
+          .as("containment_a"),
+        (col("inter").cast("double") / col("n_b").cast("double"))
+          .as("containment_b"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Exact n-gram Jaccard similarity pairs with J >= `threshold`.
     *
     * Candidate generation is the shingle inverted index: join docs

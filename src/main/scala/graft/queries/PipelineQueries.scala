@@ -1325,4 +1325,26 @@ object PipelineQueries {
     */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramNovelty(Tables.load(spark, dir, "documents"), k = 3)
+
+  /** q152: source-pair shingle overlap matrix — exact Jaccard and
+    * directional containments of the per-source distinct 3-shingle
+    * sets, one row per unordered source pair (zero-overlap pairs
+    * included). The corpus-composition redundancy view q24's
+    * doc-pair Jaccard can't give: "how much of source B does source
+    * A already cover" is the input to mixture re-weighting.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    Dedup.sourceOverlap(Tables.load(spark, dir, "documents"), k = 3)
+
+  /** q153: evaluation of the q21 heuristic language labeler against
+    * the gold `lang` column — per-class precision/recall/F1 plus
+    * global accuracy and Cohen's kappa (the chance-corrected
+    * agreement that survives class imbalance). The report any
+    * labeler must pass before gating a curation run.
+    */
+  def langIdEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    graft.ops.Agreement.classifierReport(docs, col("lang"),
+      TextAnalysis.langId(col("text"), TextAnalysis.defaultProfiles))
+  }
 }

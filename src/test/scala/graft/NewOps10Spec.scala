@@ -1,0 +1,146 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.ops.Agreement
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the round-10 additions: the source-pair shingle
+  * overlap matrix and the classifier agreement report (Cohen's
+  * kappa).
+  */
+class NewOps10Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // --- sourceOverlap ------------------------------------------------
+
+  test("sourceOverlap computes exact Jaccard/containment on known sets") {
+    // source A: docs over tokens {w1..w4} -> distinct 2-shingles
+    //   "w1 w2", "w2 w3", "w3 w4"
+    // source B: shares "w2 w3", "w3 w4", adds "w4 w5"
+    // source C: disjoint
+    val docs = Seq(
+      (1L, "w1 w2 w3", "A"), (2L, "w3 w4", "A"),
+      (3L, "w2 w3 w4 w5", "B"),
+      (4L, "x1 x2", "C")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(docs, k = 2).collect()
+    assert(out.length == 3, "3 unordered pairs of 3 sources")
+    val byPair = out.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = byPair(("A", "B"))
+    // A = {w1 w2, w2 w3, w3 w4} (3), B = {w2 w3, w3 w4, w4 w5} (3),
+    // inter = 2, union = 4
+    assert(ab.getLong(2) == 3 && ab.getLong(3) == 3 && ab.getLong(4) == 2)
+    assert(ab.getDouble(5) == 2.0 / 4.0)
+    assert(ab.getDouble(6) == 2.0 / 3.0 && ab.getDouble(7) == 2.0 / 3.0)
+    val ac = byPair(("A", "C"))
+    assert(ac.getLong(4) == 0 && ac.getDouble(5) == 0.0 &&
+      ac.getDouble(6) == 0.0 && ac.getDouble(7) == 0.0,
+      "zero-overlap pairs are present with 0.0 ratios")
+  }
+
+  test("sourceOverlap counts DISTINCT shingles per source (no doc-multiplicity)") {
+    // the same shingle in 100 docs of one source must count once
+    val docs = (1L to 100L).map(i => (i, "w1 w2 w3", "A")) ++
+      Seq((200L, "w2 w3 w4", "B"))
+    val out = Dedup.sourceOverlap(docs.toDF("doc_id", "text", "source"),
+      k = 2).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // A = {w1 w2, w2 w3} set-wise, B = {w2 w3, w3 w4}, inter = 1
+    assert(r.getLong(2) == 2 && r.getLong(3) == 2 && r.getLong(4) == 1)
+    assert(r.getDouble(5) == 1.0 / 3.0)
+  }
+
+  test("sourceOverlap plan has no corpus-sized join input") {
+    // the pair counts come from per-shingle source sets, NOT a
+    // corpus self-join: the only join inputs are the census-sized
+    // size/pair frames, so no SortMergeJoin may appear (census joins
+    // broadcast under AQE), and no CartesianProduct over the corpus
+    val docs = Seq((1L, "w1 w2 w3", "A"), (2L, "w2 w3 w4", "B"))
+      .toDF("doc_id", "text", "source")
+    val plan = Dedup.sourceOverlap(docs, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"census grid must broadcast, not cartesian over corpus:\n$plan")
+  }
+
+  test("sourceOverlap at sf0.001 matches a collected recomputation") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val got = Dedup.sourceOverlap(docs, k = 3).collect()
+    // independent local recomputation over collected text
+    val sets = docs.select("source", "text").collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.flatMap { r =>
+        val t = r.getString(1).split(" ").toSeq
+        t.sliding(3).filter(_.size == 3).map(_.mkString(" "))
+      }.toSet).toMap
+    val srcs = sets.keys.toSeq.sorted
+    val want = for {
+      i <- srcs.indices; j <- (i + 1) until srcs.length
+      a = sets(srcs(i)); b = sets(srcs(j))
+    } yield (srcs(i), srcs(j), a.size.toLong, b.size.toLong,
+      a.intersect(b).size.toLong)
+    assert(got.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq == want)
+    assert(got.nonEmpty)
+  }
+
+  // --- Agreement.classifierReport ------------------------------------
+
+  test("classifierReport reproduces a textbook kappa") {
+    // classic 2x2 example: gold/pred counts 20 yes-yes, 5 yes-no,
+    // 10 no-yes, 15 no-no -> N=50, agree=35, po=0.7
+    // pe = (25*30 + 25*20)/2500 = 0.5 -> kappa = 0.4
+    val rows =
+      Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
+      Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no"))
+    val out = Agreement.classifierReport(rows.toDF("g", "p"),
+      col("g"), col("p")).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("no", "yes"))
+    val no = out(0); val yes = out(1)
+    assert(yes.getLong(1) == 20 && yes.getLong(2) == 10 &&
+      yes.getLong(3) == 5)
+    assert(yes.getDouble(4) == 20.0 / 30.0, "precision(yes)")
+    assert(yes.getDouble(5) == 20.0 / 25.0, "recall(yes)")
+    assert(yes.getDouble(6) == 40.0 / 55.0, "f1(yes)")
+    assert(no.getLong(1) == 15 && no.getLong(2) == 5 && no.getLong(3) == 10)
+    assert(out.forall(_.getDouble(7) == 35.0 / 50.0), "accuracy")
+    // kappa = (35*50 - 1250) / (2500 - 1250) = 500/1250 = 0.4
+    assert(out.forall(_.getDouble(8) == 0.4), "kappa")
+  }
+
+  test("classifierReport handles classes absent on one side") {
+    // pred never emits 'c'; gold never contains 'b'
+    val df = Seq(("a", "a"), ("a", "b"), ("c", "a")).toDF("g", "p")
+    val out = Agreement.classifierReport(df, col("g"), col("p"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("a", "b", "c"))
+    assert(out("b").getLong(1) == 0 && out("b").getLong(2) == 1 &&
+      out("b").getLong(3) == 0)
+    assert(out("b").getDouble(4) == 0.0 && out("b").getDouble(5) == 0.0 &&
+      out("b").getDouble(6) == 0.0, "never-gold class: zero P/R/F1, not null")
+    assert(out("c").getLong(1) == 0 && out("c").getLong(2) == 0 &&
+      out("c").getLong(3) == 1)
+  }
+
+  test("classifierReport: constant labeler on constant gold has kappa 0") {
+    // pe = 1 -> the chance-corrected denominator is 0; report 0.0
+    // rather than NaN/null (accuracy still 1.0)
+    val df = Seq.fill(7)(("en", "en")).toDF("g", "p")
+    val out = Agreement.classifierReport(df, col("g"), col("p")).collect()
+    assert(out.length == 1)
+    assert(out.head.getDouble(7) == 1.0 && out.head.getDouble(8) == 0.0)
+  }
+
+  test("classifierReport kappa punishes the majority-class cheat") {
+    // 95/5 imbalance, labeler always says the majority class:
+    // accuracy 0.95 but kappa exactly 0 — the reason this op exists
+    val rows = Seq.fill(95)(("en", "en")) ++ Seq.fill(5)(("und", "en"))
+    val out = Agreement.classifierReport(rows.toDF("g", "p"),
+      col("g"), col("p")).collect()
+    assert(out.forall(_.getDouble(7) == 0.95))
+    assert(out.forall(_.getDouble(8) == 0.0))
+  }
+}
