@@ -67,6 +67,12 @@ object SoakTextOps {
     val (nNv, tNv) = timed {
       dedup.Dedup.ngramNovelty(docs, k = 3).count()
     }
+    // the q152 shape: source-pair shingle overlap — the per-source
+    // DISTINCT shingle aggregate is the corpus-scaling term; the
+    // pair grid is census-sized at any scale
+    val (nSo, tSo) = timed {
+      dedup.Dedup.sourceOverlap(docs, k = 3).count()
+    }
     // the q148 shape: embedding contamination, probes = vec_id % 97
     // (the probe count scales with the corpus here, so the scan is
     // corpus × (corpus/97) — expect ~100× work at 10×; the fixed-
@@ -94,6 +100,7 @@ object SoakTextOps {
       s""""backoff_rows":$nLm,"backoff_sec":${f"$tLm%.2f"},""" +
       s""""nb_rows":$nNb,"nb_sec":${f"$tNb%.2f"},""" +
       s""""novelty_rows":$nNv,"novelty_sec":${f"$tNv%.2f"},""" +
+      s""""overlap_rows":$nSo,"overlap_sec":${f"$tSo%.2f"},""" +
       s""""embcon_rows":$nEc,"embcon_sec":${f"$tEc%.2f"},""" +
       s""""embcon_fixed_rows":$nEcf,"embcon_fixed_sec":${f"$tEcf%.2f"}}""")
     spark.stop()

@@ -134,6 +134,45 @@ class NewOps10Spec extends AnyFunSuite {
     assert(out.head.getDouble(7) == 1.0 && out.head.getDouble(8) == 0.0)
   }
 
+  test("classifierReport is invariant under class relabeling") {
+    // kappa/accuracy are label-name-free; per-class rows permute
+    // with the relabeling — pin both on a 3-class confusion
+    val base = Seq(
+      ("a", "a"), ("a", "b"), ("a", "a"), ("b", "b"), ("b", "c"),
+      ("c", "c"), ("c", "a"), ("c", "c"), ("b", "b"), ("a", "c"))
+    val ren = Map("a" -> "x", "b" -> "y", "c" -> "z")
+    val r1 = Agreement.classifierReport(base.toDF("g", "p"),
+      col("g"), col("p")).collect()
+    val r2 = Agreement.classifierReport(
+      base.map { case (g, p) => (ren(g), ren(p)) }.toDF("g", "p"),
+      col("g"), col("p")).collect()
+    assert(r1.map(_.getDouble(8)).distinct.toSeq ==
+      r2.map(_.getDouble(8)).distinct.toSeq, "kappa unchanged")
+    assert(r1.map(_.getDouble(7)).distinct.toSeq ==
+      r2.map(_.getDouble(7)).distinct.toSeq, "accuracy unchanged")
+    val m1 = r1.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(6))).toMap
+    val m2 = r2.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(6))).toMap
+    assert(m1.map { case (k, v) => ren(k) -> v } == m2,
+      "per-class rows follow the relabeling")
+  }
+
+  test("sourceOverlap ratios are internally consistent at sf0.001") {
+    // jaccard = inter/(n_a+n_b-inter) and containments = inter/n
+    // recomputed from the integer columns must reproduce the doubles
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val rows = Dedup.sourceOverlap(docs, k = 3).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, nb, i) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(i <= math.min(na, nb), "intersection bounded by set sizes")
+      assert(r.getDouble(5) == i.toDouble / (na + nb - i).toDouble)
+      assert(r.getDouble(6) == i.toDouble / na.toDouble)
+      assert(r.getDouble(7) == i.toDouble / nb.toDouble)
+    }
+  }
+
   test("classifierReport kappa punishes the majority-class cheat") {
     // 95/5 imbalance, labeler always says the majority class:
     // accuracy 0.95 but kappa exactly 0 — the reason this op exists
