@@ -29,7 +29,8 @@ object SparkEntry {
     "q61_json_roundtrip", "q68_jdbc_cdc_live", "q69_jdbc_sink_roundtrip",
     "q71_catalog_migrate", "q73_orc_roundtrip", "q74_converted_migrate",
     "q94_custom_state_sessions", "q140_redelivery_dedup",
-    "q147_xml_roundtrip", "q151_remigrate_drift")
+    "q147_xml_roundtrip", "q151_remigrate_drift",
+    "q154_stream_novelty")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -186,6 +187,7 @@ object SparkEntry {
     "q151_remigrate_drift"  -> IngestQueries.remigrateDrift _,
     "q152_source_overlap"   -> PipelineQueries.sourceOverlap _,
     "q153_langid_eval"      -> PipelineQueries.langIdEval _,
+    "q154_stream_novelty"   -> IngestQueries.streamNovelty _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2848,6 +2850,22 @@ object SparkEntry {
         |FROM cls LEFT JOIN gm USING (cls) LEFT JOIN pm USING (cls)
         |LEFT JOIN dg USING (cls) CROSS JOIN tot CROSS JOIN rc
         |ORDER BY cls.cls""".stripMargin,
+    // q154: the streaming drain of q150 must produce the identical
+    // batch answer (min first-occurrence is commutative), so the
+    // oracle is q150's verbatim
+    "q154_stream_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |    unnest(list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1, len(toks)-1)])) AS s
+        |  FROM t),
+        |pd AS (SELECT doc_id, COUNT(*) AS n_grams FROM sh GROUP BY 1),
+        |fo AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+        |nv AS (SELECT first_doc, COUNT(*) AS novel FROM fo GROUP BY 1)
+        |SELECT pd.doc_id, pd.n_grams,
+        |  CAST(COALESCE(nv.novel, 0) AS BIGINT) AS novel,
+        |  CAST(COALESCE(nv.novel, 0) AS DOUBLE)/CAST(pd.n_grams AS DOUBLE) AS novelty
+        |FROM pd LEFT JOIN nv ON pd.doc_id = nv.first_doc
+        |ORDER BY pd.doc_id""".stripMargin,
   )
 
   /** Unrolled greedy-MMR rounds mirroring [[graft.vector.Mmr]]:

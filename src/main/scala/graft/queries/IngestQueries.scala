@@ -632,4 +632,56 @@ object IngestQueries {
         countDistinct(col("event_id")).as("n_ids"))
       .orderBy("event_type")
   }
+
+  /** q154: INCREMENTAL corpus n-gram novelty — q150 as a stream.
+    * Documents arrive as files; a streaming aggregate maintains each
+    * shingle's first-occurrence doc (`min(doc_id)` — commutative, so
+    * the drained answer is arrival-order-free and must hash-equal
+    * batch [[graft.dedup.Dedup.ngramNovelty]]; q150's oracle checks
+    * both). The streaming state IS the seen-shingle dictionary —
+    * exactly what a crawl-saturation monitor keeps between snapshots
+    * (RocksDB-state-sized at corpus scale, the same cardinality the
+    * batch op shuffles); per-doc gram totals are per-file facts and
+    * ride the batch side. Complete-mode memory sink here because the
+    * gate drains to termination; a production deployment would emit
+    * update-mode deltas to the metrics sink instead.
+    */
+  def streamNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val root = tmpDir("graft_stream_novelty")
+    // two files, upper half written first: arrival order must not
+    // matter because min() is commutative
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$root/docs")
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append")
+      .parquet(s"$root/docs")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/docs")
+    val name = s"graft_novelty_${streamCounter.incrementAndGet()}"
+    val q = stream
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.text.TextAnalysis.shingles(col("text"), 3))).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val novel = spark.table(name)
+      .groupBy(col("first_doc")).agg(count(lit(1)).as("nov"))
+    val perDoc = docs.select(col("doc_id"),
+        size(array_distinct(
+          graft.text.TextAnalysis.shingles(col("text"), 3))).as("n_grams"))
+    perDoc.join(novel, col("doc_id") === col("first_doc"), "left")
+      .select(col("doc_id"), col("n_grams").cast("long").as("n_grams"),
+        coalesce(col("nov"), lit(0L)).as("novel"),
+        (coalesce(col("nov"), lit(0L)).cast("double") /
+          col("n_grams").cast("double")).as("novelty"))
+      .orderBy("doc_id")
+  }
 }

@@ -87,6 +87,22 @@ class NewOps10Spec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  // --- streaming novelty ---------------------------------------------
+
+  test("streamNovelty drains to the exact batch novelty answer") {
+    // the streaming min-first-occurrence state, fed file-by-file in
+    // shuffled halves (evens written after odds), must equal batch
+    // ngramNovelty row-for-row — min is commutative, so arrival
+    // order is irrelevant by construction
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.IngestQueries.streamNovelty(spark, dir)
+      .collect()
+    val want = Dedup.ngramNovelty(Tables.load(spark, dir, "documents"),
+      k = 3).orderBy("doc_id").collect()
+    assert(got.toSeq == want.toSeq)
+    assert(got.length > 0)
+  }
+
   // --- Agreement.classifierReport ------------------------------------
 
   test("classifierReport reproduces a textbook kappa") {
