@@ -30,7 +30,7 @@ object SparkEntry {
     "q71_catalog_migrate", "q73_orc_roundtrip", "q74_converted_migrate",
     "q94_custom_state_sessions", "q140_redelivery_dedup",
     "q147_xml_roundtrip", "q151_remigrate_drift",
-    "q154_stream_novelty")
+    "q154_stream_novelty", "q155_stream_contamination")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -188,6 +188,7 @@ object SparkEntry {
     "q152_source_overlap"   -> PipelineQueries.sourceOverlap _,
     "q153_langid_eval"      -> PipelineQueries.langIdEval _,
     "q154_stream_novelty"   -> IngestQueries.streamNovelty _,
+    "q155_stream_contamination" -> IngestQueries.streamContamination _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2866,6 +2867,18 @@ object SparkEntry {
         |  CAST(COALESCE(nv.novel, 0) AS DOUBLE)/CAST(pd.n_grams AS DOUBLE) AS novelty
         |FROM pd LEFT JOIN nv ON pd.doc_id = nv.first_doc
         |ORDER BY pd.doc_id""".stripMargin,
+    // q155: the streaming drain of q48 — per-doc probe-hit counts are
+    // micro-batch-local facts, so the stream must equal the batch scan
+    "q155_stream_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1, len(toks)-1)])) AS s
+        |       FROM t),
+        |probe AS (SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 0)
+        |SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |FROM sh JOIN probe ON sh.s = probe.s
+        |WHERE sh.doc_id % 100 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** Unrolled greedy-MMR rounds mirroring [[graft.vector.Mmr]]:

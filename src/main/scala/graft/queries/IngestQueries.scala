@@ -684,4 +684,46 @@ object IngestQueries {
           col("n_grams").cast("double")).as("novelty"))
       .orderBy("doc_id")
   }
+
+  /** q155: decontamination ON INGEST — q48's benchmark contamination
+    * scan as a stream-static join. The probe shingle set is batch
+    * (benchmark-sized, broadcast, built once); corpus documents
+    * arrive as files and each is graded in the micro-batch that
+    * carries it — the production shape, where contaminated documents
+    * are flagged before they ever land in the training store rather
+    * than by a later full-corpus sweep. Counts are per-doc facts of
+    * the arriving document (distinct shingles ∩ probe set), so the
+    * drained answer equals batch [[graft.dedup.Dedup.contaminationScan]]
+    * on the same split — q48's oracle checks both.
+    */
+  def streamContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val probes = docs.filter(col("doc_id") % 100 === 0)
+    val corpus = docs.filter(col("doc_id") % 100 =!= 0)
+    val root = tmpDir("graft_stream_contam")
+    corpus.write.parquet(s"$root/docs")
+    val probeShingles = graft.dedup.Dedup
+      .shingleRows(probes, 3, "doc_id", "text")
+      .select("shingle").distinct()
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/docs")
+    val name = s"graft_contam_${streamCounter.incrementAndGet()}"
+    val q = stream
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.text.TextAnalysis.shingles(col("text"), 3))).as("shingle"))
+      .join(broadcast(probeShingles), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("doc_id")
+  }
 }

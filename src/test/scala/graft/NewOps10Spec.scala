@@ -103,6 +103,20 @@ class NewOps10Spec extends AnyFunSuite {
     assert(got.length > 0)
   }
 
+  test("streamContamination flags on ingest exactly like the batch scan") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val got = graft.queries.IngestQueries.streamContamination(spark, dir)
+      .collect()
+    val want = Dedup.contaminationScan(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0), k = 3)
+      .orderBy("doc_id").collect()
+    assert(got.toSeq == want.toSeq)
+    assert(got.nonEmpty, "the fixture split must produce hits")
+  }
+
   // --- Agreement.classifierReport ------------------------------------
 
   test("classifierReport reproduces a textbook kappa") {
