@@ -97,7 +97,10 @@ object GraftApp {
       annK: Int = 10,                       // --ann-k (top-k depth)
       annQueryMod: Int = 100,               // --ann-queries (vec_id % mod == 0)
       vecIdCol: String = "vec_id",          // --vec-id-col
-      embeddingCol: String = "embedding")   // --embedding-col
+      embeddingCol: String = "embedding",   // --embedding-col
+      overlapReport: Boolean = false,       // --overlap-report
+      overlapGroupCol: String = "source",   // --overlap-group-col
+      noveltyReport: Boolean = false)       // --novelty-report
 
   final case class Result(
       ddl: Seq[String] = Nil,
@@ -350,7 +353,11 @@ object GraftApp {
         c.embedContaminationProbes.isDefined ->
           s"embed-contamination: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_embed_contamination.parquet").mkString(", ")}",
         c.annRecall.isDefined ->
-          s"ann-recall[${c.annRecall.getOrElse("")}]: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_ann_recall_${c.annRecall.getOrElse("")}.parquet").mkString(", ")}"
+          s"ann-recall[${c.annRecall.getOrElse("")}]: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_ann_recall_${c.annRecall.getOrElse("")}.parquet").mkString(", ")}",
+        c.overlapReport ->
+          s"overlap-report: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_overlap.parquet").mkString(", ")}",
+        c.noveltyReport ->
+          s"novelty-report: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_novelty.parquet").mkString(", ")}"
       ).collect { case (true, s) => s }
       return Result(ddl = ddl, templates = templates,
         jsonTemplates = jsonTemplates, dryPlanned = planned)
@@ -600,8 +607,46 @@ object GraftApp {
               spark.read.parquet(out).count(), out)
           }
       }
+      // --overlap-report (q152 through the CLI face): the source-pair
+      // shingle Jaccard/containment matrix — the corpus-composition
+      // number to read BEFORE deciding any mixture re-weighting. A
+      // census-sized report, not a cleaned copy; srcRows is the doc
+      // count scanned, outRows the pair count.
+      val overlapRuns =
+        if (!c.overlapReport) Nil
+        else tables.map { t =>
+          val obs = org.apache.spark.sql.Observation()
+          val docs = Migrator.transformed(spark, c.srcDir, t, spec)
+            .observe(obs, org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("src_rows"))
+          val report = graft.dedup.Dedup.sourceOverlap(docs, k = c.dedupK,
+            textCol = c.textCol, groupCol = c.overlapGroupCol)
+          val out = s"${c.dstDir}/${dstNameFor(t)}_overlap.parquet"
+          report.write.mode("overwrite").parquet(out)
+          Curation(t, "overlap-report",
+            obs.get("src_rows").asInstanceOf[Long],
+            spark.read.parquet(out).count(), out)
+        }
+      // --novelty-report (q150 through the CLI face): the per-document
+      // first-occurrence novelty curve — the crawl-saturation signal.
+      val noveltyRuns =
+        if (!c.noveltyReport) Nil
+        else tables.map { t =>
+          val obs = org.apache.spark.sql.Observation()
+          val docs = Migrator.transformed(spark, c.srcDir, t, spec)
+            .observe(obs, org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("src_rows"))
+          val report = graft.dedup.Dedup.ngramNovelty(docs, k = c.dedupK,
+            idCol = c.docIdCol, textCol = c.textCol)
+          val out = s"${c.dstDir}/${dstNameFor(t)}_novelty.parquet"
+          report.write.mode("overwrite").parquet(out)
+          Curation(t, "novelty-report",
+            obs.get("src_rows").asInstanceOf[Long],
+            spark.read.parquet(out).count(), out)
+        }
       scd2Runs ++ pplRuns ++ dedupRuns ++ contaminationRuns ++
-        semdedupRuns ++ embedContaminationRuns ++ annRecallRuns
+        semdedupRuns ++ embedContaminationRuns ++ annRecallRuns ++
+        overlapRuns ++ noveltyRuns
     }
 
     val pumped =
@@ -739,13 +784,14 @@ object GraftApp {
     "semdedup-clusters", "semdedup-iters", "semdedup-min-cos",
     "embed-contamination", "embed-contamination-cos",
     "ann-recall", "ann-k", "ann-queries",
-    "vec-id-col", "embedding-col")
+    "vec-id-col", "embedding-col", "overlap-group-col")
   private val KnownFlags = Set("create-table-sql",
     "create-table-sql-template", "create-table-json-template",
     "dst-create-table", "migrate-table",
     "csvpool", "pump-data", "src-wait", "src-resume", "daemon",
     "install", "dry", "state-versions", "with-create-database",
-    "scd2", "ppl-filter", "dedup", "semdedup")
+    "scd2", "ppl-filter", "dedup", "semdedup",
+    "overlap-report", "novelty-report")
 
   /** `--column-default-value=t.col=v` values: numeric if they parse,
     * else the literal string (na.fill applies them type-matched).
@@ -968,7 +1014,10 @@ object GraftApp {
       annQueryMod = kv.get("ann-queries")
         .map(longOpt("ann-queries")(_).toInt).getOrElse(100),
       vecIdCol = kv.getOrElse("vec-id-col", "vec_id"),
-      embeddingCol = kv.getOrElse("embedding-col", "embedding"))
+      embeddingCol = kv.getOrElse("embedding-col", "embedding"),
+      overlapReport = flags("overlap-report"),
+      overlapGroupCol = kv.getOrElse("overlap-group-col", "source"),
+      noveltyReport = flags("novelty-report"))
   }
 
   private val AnnRecallVariants = Set("int8", "ivf", "pq", "lsh")

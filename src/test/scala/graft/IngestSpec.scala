@@ -773,6 +773,49 @@ class GraftAppSpec extends AnyFunSuite {
       r.curations.head.outRows == want.size)
   }
 
+  test("overlap-report and novelty-report modes equal their library calls") {
+    val dst = Files.createTempDirectory("graft_appreports").toString
+    val c = GraftApp.parse(Seq(s"--src-dir=$dir", s"--dst-dir=$dst",
+      "--src-tables=documents", "--overlap-report", "--novelty-report",
+      "--dedup-k=3"))
+    val r = GraftApp.run(spark, c)
+    assert(r.curations.map(_.mode).sorted ==
+      Seq("novelty-report", "overlap-report"))
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val wantOverlap = graft.dedup.Dedup.sourceOverlap(docs, k = 3)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    val gotOverlap = spark.read
+      .parquet(s"$dst/documents_overlap.parquet")
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(gotOverlap == wantOverlap && wantOverlap.nonEmpty)
+    val wantNovelty = graft.dedup.Dedup.ngramNovelty(docs, k = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    val gotNovelty = spark.read
+      .parquet(s"$dst/documents_novelty.parquet")
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(gotNovelty == wantNovelty && wantNovelty.nonEmpty)
+    val byMode = r.curations.map(cur => cur.mode -> cur).toMap
+    assert(byMode("overlap-report").srcRows == docs.count() &&
+      byMode("overlap-report").outRows == wantOverlap.size)
+    assert(byMode("novelty-report").srcRows == docs.count() &&
+      byMode("novelty-report").outRows == wantNovelty.size)
+  }
+
+  test("report modes appear in the dry plan, execute nothing") {
+    val dst = Files.createTempDirectory("graft_dryreports").toString + "/out"
+    val r = GraftApp.run(spark, GraftApp.parse(Seq(
+      s"--src-dir=$dir", s"--dst-dir=$dst", "--src-tables=documents",
+      "--overlap-report", "--novelty-report", "--dry")))
+    assert(r.curations.isEmpty)
+    assert(r.dryPlanned.exists(_.startsWith(
+      s"overlap-report: documents -> $dst/documents_overlap.parquet")))
+    assert(r.dryPlanned.exists(_.startsWith(
+      s"novelty-report: documents -> $dst/documents_novelty.parquet")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dst)))
+  }
+
   test("ann-recall rejects unknown variants at parse time") {
     val e = intercept[IllegalArgumentException] {
       GraftApp.parse(Seq("--src-dir=/x", "--dst-dir=/y",
