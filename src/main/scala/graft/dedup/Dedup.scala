@@ -105,33 +105,32 @@ object Dedup {
     * reference's per-table routing in src/pumper.py, which treats
     * sources as disjoint — here we measure whether they are).
     *
-    * Scale shape: NO doc-pair join and NO corpus self-join. The
-    * per-source distinct shingle sets are one map-side-combined
-    * aggregate; each shingle then carries its source SET (bounded by
-    * the source count, like a label census — `collect_set` here is
-    * bucket-bomb-free because its cardinality is |sources|, not
-    * corpus), and pair counts come from exploding those per-shingle
-    * source pairs: per-shingle cost ≤ |sources|², independent of how
-    * many documents share the shingle. Output is |sources|²/2 rows.
-    * Zero-overlap pairs are kept (jaccard 0.0) via the census-sized
-    * pair grid.
+    * Scale shape: NO doc-pair join, NO corpus self-join, and the
+    * corpus is scanned EXACTLY ONCE. The per-source distinct shingle
+    * sets are one map-side-combined aggregate; each shingle then
+    * carries its source SET (bounded by the source count, like a
+    * label census — `collect_set` here is bucket-bomb-free because
+    * its cardinality is |sources|, not corpus); exploding ordered
+    * pairs INCLUDING self-pairs (a,a) lets one census-sized
+    * aggregate deliver both the intersections (a<b rows) and the
+    * per-source set sizes (diagonal rows), so no second pass over
+    * the corpus is needed. Per-shingle cost ≤ |sources|²,
+    * independent of how many documents share the shingle. That
+    * sources²-sized count frame is eagerly materialized
+    * (localCheckpoint — the census-frame precedent) and everything
+    * downstream is census-only. Output is |sources|²/2 rows;
+    * zero-overlap pairs are kept (jaccard 0.0) via the pair grid.
     */
   def sourceOverlap(docs: DataFrame, k: Int = 3, textCol: String = "text",
       groupCol: String = "source"): DataFrame = {
-    val srcShingle = docs
-      .select(col(groupCol).as("src"),
-        explode(array_distinct(TextAnalysis.shingles(col(textCol), k)))
-          .as("shingle"))
-      .distinct() // Aggregate on (src, shingle): map-side combined
-    val sizes = srcShingle.groupBy(col("src")).agg(count(lit(1)).as("n"))
-    val inter = srcShingle
-      .groupBy(col("shingle"))
-      .agg(sort_array(collect_set(col("src"))).as("srcs"))
-      .select(explode(col("srcs")).as("source_a"), col("srcs"))
-      .select(col("source_a"), explode(col("srcs")).as("source_b"))
-      .filter(col("source_a") < col("source_b"))
-      .groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("inter"))
+    // sources²-sized; feeds sizes AND intersections — materialized so
+    // the corpus chain runs once
+    val counts = sourcePairCounts(docs, k, textCol, groupCol)
+      .localCheckpoint()
+    val sizes = counts.filter(col("source_a") === col("source_b"))
+      .select(col("source_a").as("src"), col("cnt").as("n"))
+    val inter = counts.filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), col("cnt").as("inter"))
     // the pair grid is |sources|² — census-sized by construction, so
     // both joins pin the broadcast side explicitly
     val grid = sizes.select(col("src").as("source_a"), col("n").as("n_a"))
@@ -152,6 +151,27 @@ object Dedup {
           .as("containment_b"))
       .orderBy("source_a", "source_b")
   }
+
+  /** [[sourceOverlap]]'s single corpus pass, pre-checkpoint (exposed
+    * so plan tests can pin the scan shape): ordered source pairs per
+    * shingle INCLUDING self-pairs, counted — diagonal rows (a,a) are
+    * the per-source distinct-shingle set sizes, off-diagonal rows
+    * (a<b) the pairwise intersections.
+    */
+  private[graft] def sourcePairCounts(docs: DataFrame, k: Int,
+      textCol: String, groupCol: String): DataFrame =
+    docs
+      .select(col(groupCol).as("src"),
+        explode(array_distinct(TextAnalysis.shingles(col(textCol), k)))
+          .as("shingle"))
+      .distinct() // Aggregate on (src, shingle): map-side combined
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col("src"))).as("srcs"))
+      .select(explode(col("srcs")).as("source_a"), col("srcs"))
+      .select(col("source_a"), explode(col("srcs")).as("source_b"))
+      .filter(col("source_a") <= col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("cnt"))
 
   /** Exact n-gram Jaccard similarity pairs with J >= `threshold`.
     *

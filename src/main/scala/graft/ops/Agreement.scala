@@ -20,65 +20,71 @@ import org.apache.spark.sql.functions._
   * DECIMAL(38,0): with row counts up to ~1e14 the products reach
   * ~1e28 — far past BIGINT, comfortably inside 38 digits.
   *
-  * Scale shape: ONE map-side-combined aggregate over the corpus
-  * produces the (gold, pred) confusion matrix — a classes²-sized
-  * frame; everything after (marginals, kappa cross term, per-class
-  * joins) touches only that census, so the driver never sees a
-  * corpus-sized structure and the corpus is scanned exactly once.
+  * Scale shape: the corpus is scanned EXACTLY ONCE — one map-side-
+  * combined aggregate to the (gold, pred) confusion cells, each cell
+  * exploded into a gold-tagged and a pred-tagged row so a second
+  * census-sized aggregate yields (cls, n_gold, n_pred, tp) with no
+  * join at all; that classes-sized frame is eagerly materialized
+  * (localCheckpoint — the q29 labelCentroidStats precedent for
+  * census-sized shared frames) and both consumers (the global
+  * kappa/accuracy aggregate and the per-class metric projection)
+  * read it instead of re-deriving from the corpus.
   */
 object Agreement {
 
-  /** One row per class (the union of gold and predicted values):
-    * `(cls, tp, fp, fn, prec, rec, f1, accuracy, kappa)` — accuracy
-    * and kappa are global, repeated per row for a flat schema.
-    * Zero-denominator metrics (class never predicted / never gold /
-    * constant labeler) are 0.0, not null.
+  /** The shared census: one row per class (the union of gold and
+    * predicted values) with `(cls, tp, n_gold, n_pred)` — built from
+    * the corpus in a single pass, NOT materialized (classifierReport
+    * checkpoints it; exposed pre-checkpoint so plan tests can pin
+    * the scan shape).
+    */
+  private[graft] def perClassStats(df: DataFrame, gold: Column,
+      pred: Column): DataFrame =
+    df.select(gold.as("gold"), pred.as("pred"))
+      .groupBy(col("gold"), col("pred")).agg(count(lit(1)).as("n"))
+      .select(explode(array(
+        struct(col("gold").as("cls"),
+          when(col("gold") === col("pred"), col("n")).otherwise(lit(0L))
+            .as("tp"),
+          col("n").as("ng"), lit(0L).as("np")),
+        struct(col("pred").as("cls"), lit(0L).as("tp"),
+          lit(0L).as("ng"), col("n").as("np")))).as("r"))
+      .groupBy(col("r.cls").as("cls"))
+      .agg(sum(col("r.tp")).as("tp"),
+        sum(col("r.ng")).as("n_gold"),
+        sum(col("r.np")).as("n_pred"))
+
+  /** One row per class: `(cls, tp, fp, fn, prec, rec, f1, accuracy,
+    * kappa)` — accuracy and kappa are global, repeated per row for a
+    * flat schema. Zero-denominator metrics (class never predicted /
+    * never gold / constant labeler) are 0.0, not null.
     */
   def classifierReport(df: DataFrame, gold: Column, pred: Column)
       : DataFrame = {
-    val cm = df.select(gold.as("gold"), pred.as("pred"))
-      .groupBy(col("gold"), col("pred")).agg(count(lit(1)).as("n"))
-    val goldMarg = cm.groupBy(col("gold").as("cls"))
-      .agg(sum(col("n")).as("n_gold"))
-    val predMarg = cm.groupBy(col("pred").as("cls"))
-      .agg(sum(col("n")).as("n_pred"))
-    val classes = goldMarg.select(col("cls"))
-      .union(predMarg.select(col("cls"))).distinct()
-    val diag = cm.filter(col("gold") === col("pred"))
-      .select(col("gold").as("cls"), col("n").as("tp0"))
+    // classes-sized; feeds the globals aggregate AND the final
+    // projection — materialized so the corpus is scanned once
+    val perClass = perClassStats(df, gold, pred).localCheckpoint()
 
     val dec = "decimal(38,0)"
-    // global census: N, diagonal mass, and the chance cross term
-    // Σ_c n_gold(c)·n_pred(c) — all exact integers
-    val totals = cm.agg(
-      sum(col("n")).cast(dec).as("nn"),
-      coalesce(sum(when(col("gold") === col("pred"), col("n"))), lit(0L))
-        .cast(dec).as("agree"))
-    val crossTerm = classes
-      .join(broadcast(goldMarg), Seq("cls"), "left")
-      .join(broadcast(predMarg), Seq("cls"), "left")
-      .agg(coalesce(sum(
-          coalesce(col("n_gold"), lit(0L)).cast(dec) *
-            coalesce(col("n_pred"), lit(0L)).cast(dec)),
-        lit(0L).cast(dec)).as("rc"))
-    val globals = totals.crossJoin(crossTerm).select(
-      (col("agree").cast("double") / col("nn").cast("double"))
-        .as("accuracy"),
-      when(col("nn") * col("nn") - col("rc") =!= lit(0L).cast(dec),
-          (col("agree") * col("nn") - col("rc")).cast("double") /
-            (col("nn") * col("nn") - col("rc")).cast("double"))
-        .otherwise(lit(0.0)).as("kappa"))
+    // N = Σ n_gold, agree = Σ tp, chance cross term Σ n_gold·n_pred —
+    // all exact integers off the census
+    val globals = perClass.agg(
+        sum(col("n_gold")).cast(dec).as("nn"),
+        sum(col("tp")).cast(dec).as("agree"),
+        coalesce(sum(col("n_gold").cast(dec) * col("n_pred").cast(dec)),
+          lit(0L).cast(dec)).as("rc"))
+      .select(
+        (col("agree").cast("double") / col("nn").cast("double"))
+          .as("accuracy"),
+        when(col("nn") * col("nn") - col("rc") =!= lit(0L).cast(dec),
+            (col("agree") * col("nn") - col("rc")).cast("double") /
+              (col("nn") * col("nn") - col("rc")).cast("double"))
+          .otherwise(lit(0.0)).as("kappa"))
 
-    classes
-      .join(broadcast(diag), Seq("cls"), "left")
-      .join(broadcast(goldMarg), Seq("cls"), "left")
-      .join(broadcast(predMarg), Seq("cls"), "left")
-      .select(col("cls"),
-        coalesce(col("tp0"), lit(0L)).as("tp"),
-        (coalesce(col("n_pred"), lit(0L)) - coalesce(col("tp0"), lit(0L)))
-          .as("fp"),
-        (coalesce(col("n_gold"), lit(0L)) - coalesce(col("tp0"), lit(0L)))
-          .as("fn"))
+    perClass
+      .select(col("cls"), col("tp"),
+        (col("n_pred") - col("tp")).as("fp"),
+        (col("n_gold") - col("tp")).as("fn"))
       .select(col("cls"), col("tp"), col("fp"), col("fn"),
         when(col("tp") + col("fp") > 0,
             col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))

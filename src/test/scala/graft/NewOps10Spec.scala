@@ -87,6 +87,45 @@ class NewOps10Spec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q152/q153 corpus passes scan once, column-pruned") {
+    // a scan reading all five documents columns for a two-column
+    // computation would drag n_chars/doc_id through 100 TB for
+    // nothing; the pins target the pre-checkpoint census builders —
+    // the ONLY corpus passes either operator makes (their final
+    // frames are ExistingRDD-rooted census math)
+    def readSchemas(plan: String): Seq[String] =
+      "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan)
+        .map(_.group(1)).toSeq
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val p152 = Dedup.sourcePairCounts(docs, 3, "text", "source")
+      .queryExecution.executedPlan.toString
+    val s152 = readSchemas(p152)
+    assert(s152.length == 1 && s152.forall { s =>
+      s.contains("text") && !s.contains("n_chars") &&
+        !s.contains("doc_id") && !s.contains("lang")
+    }, s"q152's one corpus pass must scan only (source, text): $s152")
+    val p153 = Agreement.perClassStats(docs, col("lang"),
+        graft.text.TextAnalysis.langId(col("text"),
+          graft.text.TextAnalysis.defaultProfiles))
+      .queryExecution.executedPlan.toString
+    val s153 = readSchemas(p153)
+    assert(s153.length == 1 && s153.forall { s =>
+      s.contains("text") && !s.contains("n_chars") &&
+        !s.contains("doc_id") && !s.contains("source")
+    }, s"q153's one corpus pass must scan only (lang, text): $s153")
+    // and the shipped operators' own plans contain NO parquet scan at
+    // all — everything after the materialized census is census math
+    Seq(
+      Dedup.sourceOverlap(docs, k = 3)
+        .queryExecution.executedPlan.toString,
+      Agreement.classifierReport(docs, col("lang"), col("source"))
+        .queryExecution.executedPlan.toString
+    ).foreach { p =>
+      assert(readSchemas(p).isEmpty && !p.contains("CartesianProduct"),
+        s"post-census plan must be scan-free and cartesian-free:\n$p")
+    }
+  }
+
   // --- streaming novelty ---------------------------------------------
 
   test("streamNovelty drains to the exact batch novelty answer") {
