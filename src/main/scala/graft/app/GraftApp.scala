@@ -100,7 +100,8 @@ object GraftApp {
       embeddingCol: String = "embedding",   // --embedding-col
       overlapReport: Boolean = false,       // --overlap-report
       overlapGroupCol: String = "source",   // --overlap-group-col
-      noveltyReport: Boolean = false)       // --novelty-report
+      noveltyReport: Boolean = false,       // --novelty-report
+      remigrate: Boolean = false)           // --remigrate
 
   final case class Result(
       ddl: Seq[String] = Nil,
@@ -115,9 +116,10 @@ object GraftApp {
       stateExportRows: Option[Long] = None,
       jsonTemplates: Seq[String] = Nil,     // --create-table-json-template
       dryPlanned: Seq[String] = Nil,        // --dry: what WOULD have run
-      curations: Seq[Curation] = Nil)       // --scd2/--ppl-filter/--dedup/
+      curations: Seq[Curation] = Nil,       // --scd2/--ppl-filter/--dedup/
                                             // --contamination/--semdedup/
                                             // --embed-contamination/--ann-recall
+      remigrations: Seq[Migrator.Remigration] = Nil) // --remigrate
 
   /** One table-level curation run: `mode` over `table`, `srcRows` in,
     * `outRows` written to `outDir`.
@@ -357,7 +359,9 @@ object GraftApp {
         c.overlapReport ->
           s"overlap-report: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_overlap.parquet").mkString(", ")}",
         c.noveltyReport ->
-          s"novelty-report: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_novelty.parquet").mkString(", ")}"
+          s"novelty-report: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_novelty.parquet").mkString(", ")}",
+        c.remigrate ->
+          s"remigrate: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}.parquet (merge on ${c.pkFor.getOrElse(t, c.pk).mkString("+")})").mkString(", ")}"
       ).collect { case (true, s) => s }
       return Result(ddl = ddl, templates = templates,
         jsonTemplates = jsonTemplates, dryPlanned = planned)
@@ -393,6 +397,29 @@ object GraftApp {
         }
       else Migrator.migrateAll(spark, c.srcDir, c.dstDir, tables, c.db, spec,
         dstName = dstNameFor)
+
+    // --remigrate (the q151 operator on the CLI face): re-snapshot a
+    // previously-migrated table after source schema drift — additive
+    // drift (new columns, widened types) evolves the managed table
+    // and the incoming rows merge by primary key; DESTRUCTIVE drift
+    // (dropped columns, narrowed types) throws before anything is
+    // written, so the run exits non-zero with the violation text —
+    // the reference's "DDL changes are not supported" gap
+    // (docs/manual.md:261-262 in /root/reference) closed as a mode.
+    // PK resolution honors --pk-for per table like the pump modes.
+    val remigrations: Seq[Migrator.Remigration] =
+      if (!c.remigrate) Nil
+      else tables.map { t =>
+        val pk = c.pkFor.getOrElse(t, c.pk)
+        require(pk.nonEmpty, s"--remigrate: no primary key for table $t " +
+          "(--pk is empty and no --pk-for entry names one)")
+        val r = Migrator.remigrate(spark, c.srcDir, c.dstDir, t, pk, spec,
+          dstTable = Some(dstNameFor(t)))
+        if (!r.reconciled) throw new IllegalStateException(
+          s"remigrate count mismatch for $t: retained=${r.retainedRows} " +
+            s"incoming=${r.incomingRows} dst=${r.dstRows}")
+        r
+      }
 
     // --csvpool analog: spill each (transformed) table as CSV — the
     // reference's CSV writer chain (config.py:351-367) as a batch
@@ -764,7 +791,8 @@ object GraftApp {
       }
 
     Result(ddl, templates, createdTables, migrations, csvDirs, pumped,
-      jsonTemplates = jsonTemplates, curations = curations)
+      jsonTemplates = jsonTemplates, curations = curations,
+      remigrations = remigrations)
   }
 
   private val KnownOptions = Set("src-dir", "dst-dir", "dst-schema",
@@ -791,7 +819,7 @@ object GraftApp {
     "csvpool", "pump-data", "src-wait", "src-resume", "daemon",
     "install", "dry", "state-versions", "with-create-database",
     "scd2", "ppl-filter", "dedup", "semdedup",
-    "overlap-report", "novelty-report")
+    "overlap-report", "novelty-report", "remigrate")
 
   /** `--column-default-value=t.col=v` values: numeric if they parse,
     * else the literal string (na.fill applies them type-matched).
@@ -1017,7 +1045,8 @@ object GraftApp {
       embeddingCol = kv.getOrElse("embedding-col", "embedding"),
       overlapReport = flags("overlap-report"),
       overlapGroupCol = kv.getOrElse("overlap-group-col", "source"),
-      noveltyReport = flags("novelty-report"))
+      noveltyReport = flags("novelty-report"),
+      remigrate = flags("remigrate"))
   }
 
   private val AnnRecallVariants = Set("int8", "ivf", "pq", "lsh")
@@ -1048,6 +1077,12 @@ object GraftApp {
     result.migrations.foreach { m =>
       println(s"migrated ${m.table}: src=${m.srcRows} dst=${m.dstRows} " +
         (if (m.reconciled) "OK" else "MISMATCH"))
+    }
+    result.remigrations.foreach { r =>
+      println(s"remigrated ${r.table}: added=[${r.addedColumns.mkString(",")}] " +
+        s"widened=[${r.widenedColumns.mkString(",")}] " +
+        s"retained=${r.retainedRows} incoming=${r.incomingRows} " +
+        s"dst=${r.dstRows} " + (if (r.reconciled) "OK" else "MISMATCH"))
     }
     result.csvDirs.foreach(d => println(s"csv export at $d"))
     result.curations.foreach { cu =>

@@ -174,13 +174,28 @@ object Migrator {
     * (re-snapshot of an overlapping scope), disjoint scopes append
     * (the reference's WHERE-partitioned incremental migrations).
     *
+    * DELETE semantics: rows deleted at the source are RETAINED — the
+    * merge is snapshot-additive (left-anti keeps every managed row
+    * whose key is absent from the incoming scope, then the incoming
+    * rows union in). This matches the reference's migrate, which only
+    * ever INSERTs (tablemigrator.py:180-224 has no delete path);
+    * propagating deletes is the CDC pump's job ([[graft.streaming
+    * .StreamingCdc]] applies op=delete), not the re-snapshot's, which
+    * cannot distinguish "deleted at the source" from "outside this
+    * migration's WHERE scope". To rebuild from scratch instead, run
+    * [[migrateTable]] (mode=overwrite) — the full-replace path.
+    *
     * Scale shape: the evolution is a cast-only projection riding the
     * merge scan (no separate rewrite pass); the PK anti-join shuffles
     * both sides by key once — the same shape as the CDC merge — and
     * the merged result streams to a sibling directory which is then
-    * atomically swapped in, so the managed table is never read and
-    * overwritten in the same job and a crash mid-write leaves the old
-    * table intact.
+    * swapped in by [[swapIn]]'s three-step rename (old aside → new
+    * in → delete old last), so a COMPLETE table exists at a findable
+    * name at every instant: a crash during the write leaves the old
+    * table live at `dst`; between the renames leaves it at
+    * `dst.__old` (auto-recovered by the next remigrate via
+    * [[recoverSwap]]); after the second rename the new table is live
+    * and only the obsolete copy remains to delete.
     */
   def remigrate(spark: SparkSession, srcDir: String, dstDir: String,
       table: String, pk: Seq[String], spec: Spec = Spec(),
@@ -188,6 +203,10 @@ object Migrator {
     require(pk.nonEmpty, "remigrate needs a primary key to merge on")
     val dstName = dstTable.getOrElse(table)
     val dst = s"$dstDir/$dstName.parquet"
+    val hPath = new org.apache.hadoop.fs.Path(dst)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // heal a crash window left by a previous run BEFORE reading dst
+    recoverSwap(fs, hPath)
     val incoming = transformed(spark, srcDir, table, spec)
     val existing = spark.read.parquet(dst)
     val drift = SchemaDrift.diff(existing.schema, incoming.schema)
@@ -205,17 +224,77 @@ object Migrator {
       .unionByName(incoming.observe(incomingObs, count(lit(1)).as("rows")))
     val tmp = s"$dst.__remigrate"
     merged.write.mode("overwrite").parquet(tmp)
-    val hPath = new org.apache.hadoop.fs.Path(dst)
-    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(hPath, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath))
-      throw new IllegalStateException(s"failed to swap $tmp into $dst")
+    swapIn(fs, new org.apache.hadoop.fs.Path(tmp), hPath)
     Remigration(table,
       addedColumns = drift.added.map(_.name),
       widenedColumns = drift.widened.map(_._1),
       retainedRows = retainedObs.get("rows").asInstanceOf[Long],
       incomingRows = incomingObs.get("rows").asInstanceOf[Long],
       dstRows = spark.read.parquet(dst).count())
+  }
+
+  private def oldPathOf(dst: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dst.toString + ".__old")
+
+  /** Three-step swap of the freshly-written `tmp` table into `dst`:
+    * (1) rename `dst` aside to `dst.__old`, (2) rename `tmp` → `dst`,
+    * (3) delete `dst.__old`. A single directory rename is atomic on
+    * HDFS-semantics filesystems, and deletion happens ONLY after the
+    * new table is live — so every crash point leaves a complete table
+    * at a findable name (`dst` before step 1 and after step 2;
+    * `dst.__old` between them, which [[recoverSwap]] heals). A failed
+    * step-2 rename rolls the old table back into place before
+    * throwing, so readers never see an empty destination.
+    */
+  private[graft] def swapIn(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Unit = {
+    val old = oldPathOf(dst)
+    // a stale __old can only be a prior run's step-3 leftover (its dst
+    // is complete — recoverSwap semantics); clear it so step 1's
+    // rename cannot collide
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(dst, old))
+      throw new IllegalStateException(
+        s"remigrate swap: failed to move $dst aside to $old")
+    // FileSystem.rename signals failure BOTH ways depending on the
+    // implementation (false on HDFS, IOException subclasses on local/
+    // object stores) — roll back on either, or the old table would be
+    // stranded at __old with nothing at dst
+    val renamedIn =
+      try fs.rename(tmp, dst)
+      catch { case e: java.io.IOException =>
+        fs.rename(old, dst)
+        throw new IllegalStateException(
+          s"remigrate swap: failed to move $tmp into $dst " +
+            "(old table restored)", e)
+      }
+    if (!renamedIn) {
+      fs.rename(old, dst) // roll back: the old table stays live
+      throw new IllegalStateException(
+        s"remigrate swap: failed to move $tmp into $dst " +
+          "(old table restored)")
+    }
+    fs.delete(old, true)
+  }
+
+  /** Heal a crash window left by a previous [[swapIn]]: if
+    * `dst.__old` exists and `dst` does not, the process died between
+    * the two renames — the complete old table is at `__old`, so
+    * rename it back (the interrupted run's `tmp` output is stale and
+    * will be overwritten by the retry). If both exist, the crash was
+    * after the new table went live — just finish step 3. Idempotent;
+    * called at the top of every [[remigrate]].
+    */
+  private[graft] def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+      dst: org.apache.hadoop.fs.Path): Unit = {
+    val old = oldPathOf(dst)
+    if (fs.exists(old)) {
+      if (fs.exists(dst)) fs.delete(old, true)
+      else if (!fs.rename(old, dst))
+        throw new IllegalStateException(
+          s"remigrate recovery: failed to restore $old to $dst")
+    }
   }
 
   /** Migrate a table list (the reference's db→table loop,

@@ -674,9 +674,13 @@ object IngestQueries {
     q.awaitTermination()
     val novel = spark.table(name)
       .groupBy(col("first_doc")).agg(count(lit(1)).as("nov"))
+    // documents shorter than k tokens have NO shingles and NO row in
+    // batch ngramNovelty (explode of an empty array); drop them here
+    // too so stream and batch are row-identical on every valid corpus
     val perDoc = docs.select(col("doc_id"),
         size(array_distinct(
           graft.text.TextAnalysis.shingles(col("text"), 3))).as("n_grams"))
+      .filter(col("n_grams") > 0)
     perDoc.join(novel, col("doc_id") === col("first_doc"), "left")
       .select(col("doc_id"), col("n_grams").cast("long").as("n_grams"),
         coalesce(col("nov"), lit(0L)).as("novel"),

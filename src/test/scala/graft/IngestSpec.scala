@@ -306,6 +306,99 @@ class MigratorSpec extends AnyFunSuite {
     assert(byId == Seq(1L -> "a", 2L -> "b2", 3L -> "c"))
   }
 
+  test("remigrate RETAINS rows deleted at the source (snapshot-additive merge)") {
+    import spark.implicits._
+    val (src, dst) = driftFixture()
+    Migrator.migrateTable(spark, src, dst, "driftprobe")
+    // the re-snapshot no longer contains rows 1 and 3 — deleted at
+    // the source (or outside the migration's WHERE scope; the merge
+    // cannot tell the difference, so it must keep them — deletes are
+    // the CDC pump's job)
+    Seq((2L, "b2", 200)).toDF("id", "name", "qty")
+      .write.mode("overwrite").parquet(s"$src/driftprobe.parquet")
+    val r = Migrator.remigrate(spark, src, dst, "driftprobe", pk = Seq("id"))
+    assert(r.retainedRows == 2 && r.incomingRows == 1 && r.dstRows == 3)
+    val ids = spark.read.parquet(s"$dst/driftprobe.parquet")
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L, 2L, 3L), "source-deleted rows 1 and 3 retained")
+  }
+
+  // ---- three-step swap: a complete table exists at EVERY crash point ----
+
+  private def hadoopFs() = {
+    val conf = spark.sessionState.newHadoopConf()
+    new org.apache.hadoop.fs.Path("/tmp").getFileSystem(conf)
+  }
+
+  test("swap crash between rename-aside and rename-in leaves the old table at __old; next remigrate heals it") {
+    import spark.implicits._
+    val (src, dst) = driftFixture()
+    Migrator.migrateTable(spark, src, dst, "driftprobe")
+    val dstP = new org.apache.hadoop.fs.Path(s"$dst/driftprobe.parquet")
+    val oldP = new org.apache.hadoop.fs.Path(s"$dstP.__old")
+    val fs = hadoopFs()
+    // manufacture the exact on-disk state after swapIn step 1 died:
+    // dst moved aside, the interrupted run's tmp output still present
+    Seq((9L, "stale", 0)).toDF("id", "name", "qty")
+      .write.parquet(s"$dstP.__remigrate")
+    assert(fs.rename(dstP, oldP))
+    // invariant: the complete old table is readable at a findable name
+    assert(spark.read.parquet(oldP.toString).count() == 3)
+    // a fresh remigrate heals the window, ignores the stale tmp, and
+    // completes the merge as if the crash never happened
+    Seq((2L, "b2", 200)).toDF("id", "name", "qty")
+      .write.mode("overwrite").parquet(s"$src/driftprobe.parquet")
+    val r = Migrator.remigrate(spark, src, dst, "driftprobe", pk = Seq("id"))
+    assert(r.retainedRows == 2 && r.incomingRows == 1 && r.dstRows == 3)
+    assert(!fs.exists(oldP), "recovery + completed swap leave no __old")
+    val rows = spark.read.parquet(dstP.toString).orderBy("id").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toSeq
+    assert(rows == Seq(1L -> "a", 2L -> "b2", 3L -> "c"),
+      "stale tmp output from the dead run must NOT leak into the state")
+  }
+
+  test("swap crash between rename-in and delete-old leaves the NEW table live; next remigrate clears the leftover") {
+    import spark.implicits._
+    val (src, dst) = driftFixture()
+    Migrator.migrateTable(spark, src, dst, "driftprobe")
+    val dstP = new org.apache.hadoop.fs.Path(s"$dst/driftprobe.parquet")
+    val oldP = new org.apache.hadoop.fs.Path(s"$dstP.__old")
+    val fs = hadoopFs()
+    // manufacture the state after swapIn step 2 died: new table live
+    // at dst, the superseded copy still at __old
+    Seq((1L, "a", 10), (2L, "b2", 200), (3L, "c", 30))
+      .toDF("id", "name", "qty")
+      .write.parquet(s"$dstP.__swapnew")
+    assert(fs.rename(dstP, oldP))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dstP.__swapnew"), dstP))
+    // invariant: the new table is already live at dst
+    assert(spark.read.parquet(dstP.toString)
+      .filter(col("name") === "b2").count() == 1)
+    // next remigrate finishes step 3 (deletes __old) and proceeds
+    Seq((4L, "d", 40)).toDF("id", "name", "qty")
+      .write.mode("overwrite").parquet(s"$src/driftprobe.parquet")
+    val r = Migrator.remigrate(spark, src, dst, "driftprobe", pk = Seq("id"))
+    assert(r.retainedRows == 3 && r.incomingRows == 1 && r.dstRows == 4)
+    assert(!fs.exists(oldP))
+  }
+
+  test("swapIn rolls the old table back when the rename-in fails") {
+    import spark.implicits._
+    val (src, dst) = driftFixture()
+    Migrator.migrateTable(spark, src, dst, "driftprobe")
+    val dstP = new org.apache.hadoop.fs.Path(s"$dst/driftprobe.parquet")
+    val fs = hadoopFs()
+    // a tmp path that does not exist: rename(tmp, dst) returns false
+    val ghost = new org.apache.hadoop.fs.Path(s"$dstP.__nosuch")
+    val e = intercept[IllegalStateException] {
+      Migrator.swapIn(fs, ghost, dstP)
+    }
+    assert(e.getMessage.contains("old table restored"), e.getMessage)
+    // rollback: the old table is live at dst again, no __old remains
+    assert(spark.read.parquet(dstP.toString).count() == 3)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dstP.__old")))
+  }
+
   test("SchemaDrift.widens follows the exact-value lattice only") {
     assert(SchemaDrift.widens(IntegerType, LongType))
     assert(SchemaDrift.widens(ByteType, IntegerType))
@@ -813,6 +906,74 @@ class GraftAppSpec extends AnyFunSuite {
       s"overlap-report: documents -> $dst/documents_overlap.parquet")))
     assert(r.dryPlanned.exists(_.startsWith(
       s"novelty-report: documents -> $dst/documents_novelty.parquet")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dst)))
+  }
+
+  test("remigrate mode evolves drift and merges by PK through the CLI surface") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_appremig_src").toString
+    val dst = Files.createTempDirectory("graft_appremig_dst").toString
+    Seq((0L, "ALGERIA", 0L), (1L, "ARGENTINA", 1L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.parquet(s"$src/nation.parquet")
+    // initial migration establishes the managed table
+    GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$src",
+      s"--dst-dir=$dst", "--src-tables=nation", "--migrate-table")))
+    // source ALTERs: new column iso, regionkey stays; row 1 updated,
+    // row 2 appended — re-migrate through the CLI with --pk-for
+    Seq((1L, "ARGENTINA2", 1L, "AR"), (2L, "BRAZIL", 1L, "BR"))
+      .toDF("n_nationkey", "n_name", "n_regionkey", "iso")
+      .write.mode("overwrite").parquet(s"$src/nation.parquet")
+    val r = GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$src",
+      s"--dst-dir=$dst", "--src-tables=nation", "--remigrate",
+      "--pk-for=nation:n_nationkey")))
+    assert(r.remigrations.length == 1)
+    val m = r.remigrations.head
+    assert(m.addedColumns == Seq("iso") && m.widenedColumns.isEmpty)
+    assert(m.retainedRows == 1 && m.incomingRows == 2 && m.dstRows == 3
+      && m.reconciled, m)
+    val rows = spark.read.parquet(s"$dst/nation.parquet")
+      .orderBy("n_nationkey").collect()
+      .map(x => (x.getLong(0), x.getString(1), Option(x.getString(3)))).toSeq
+    assert(rows == Seq((0L, "ALGERIA", None),
+      (1L, "ARGENTINA2", Some("AR")), (2L, "BRAZIL", Some("BR"))), rows)
+  }
+
+  test("remigrate mode refuses destructive drift with a non-zero exit path") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_appremig_bad").toString
+    val dst = Files.createTempDirectory("graft_appremig_badout").toString
+    Seq((0L, "ALGERIA", 0L)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.parquet(s"$src/nation.parquet")
+    GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$src",
+      s"--dst-dir=$dst", "--src-tables=nation", "--migrate-table")))
+    // destructive drift: n_name dropped at the source
+    Seq((1L, 1L)).toDF("n_nationkey", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$src/nation.parquet")
+    // the run THROWS (main exits non-zero) naming the violation, and
+    // the managed table is untouched
+    val e = intercept[IllegalStateException] {
+      GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$src",
+        s"--dst-dir=$dst", "--src-tables=nation", "--remigrate",
+        "--pk=n_nationkey")))
+    }
+    assert(e.getMessage.contains("n_name dropped"), e.getMessage)
+    assert(spark.read.parquet(s"$dst/nation.parquet").count() == 1)
+  }
+
+  test("remigrate appears in the dry plan with its merge key, executes nothing") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_appremig_dry").toString
+    val dst = Files.createTempDirectory("graft_appremig_dryout").toString + "/out"
+    Seq((0L, "ALGERIA", 0L)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.parquet(s"$src/nation.parquet")
+    val r = GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$src",
+      s"--dst-dir=$dst", "--src-tables=nation", "--remigrate",
+      "--pk=n_nationkey", "--dry")))
+    assert(r.remigrations.isEmpty)
+    assert(r.dryPlanned.exists(_.startsWith(
+      s"remigrate: nation -> $dst/nation.parquet (merge on n_nationkey)")),
+      r.dryPlanned)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dst)))
   }
 

@@ -142,6 +142,31 @@ class NewOps10Spec extends AnyFunSuite {
     assert(got.length > 0)
   }
 
+  test("streamNovelty equals batch on a corpus containing sub-k-token docs") {
+    // a doc shorter than k tokens has ZERO shingles: batch
+    // ngramNovelty drops it (explode of an empty array yields no
+    // row); the stream side must drop it too, not emit an
+    // (n_grams=0, novelty=NULL) row — the stream-equals-batch
+    // contract over ALL valid corpora, not just fixtures without
+    // short docs
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_short_doc").toString
+    Seq(
+      (1L, "w1 w2 w3 w4"), // 2 shingles at k=3
+      (2L, "w2 w3"),       // 0 shingles — must vanish from BOTH sides
+      (3L, "w2 w3 w4 w5"), // shares "w2 w3 w4" with doc 1
+      (4L, "")             // empty text — also 0 shingles
+    ).toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.IngestQueries.streamNovelty(spark, tmp)
+      .collect()
+    val want = Dedup.ngramNovelty(Tables.load(spark, tmp, "documents"),
+      k = 3).orderBy("doc_id").collect()
+    assert(got.toSeq == want.toSeq)
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 3L),
+      "sub-k-token docs appear on neither side")
+  }
+
   test("streamContamination flags on ingest exactly like the batch scan") {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables.load(spark, dir, "documents")
