@@ -101,7 +101,12 @@ object GraftApp {
       overlapReport: Boolean = false,       // --overlap-report
       overlapGroupCol: String = "source",   // --overlap-group-col
       noveltyReport: Boolean = false,       // --novelty-report
-      remigrate: Boolean = false)           // --remigrate
+      remigrate: Boolean = false,           // --remigrate
+      agreementReport: Boolean = false,     // --agreement-report
+      agreementGold: String = "lang",       // --agreement-gold=<col>
+      agreementPred: Option[String] = None) // --agreement-pred=<col>;
+                                            // default: built-in langId
+                                            // over --text-col (q153)
 
   final case class Result(
       ddl: Seq[String] = Nil,
@@ -361,7 +366,9 @@ object GraftApp {
         c.noveltyReport ->
           s"novelty-report: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_novelty.parquet").mkString(", ")}",
         c.remigrate ->
-          s"remigrate: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}.parquet (merge on ${c.pkFor.getOrElse(t, c.pk).mkString("+")})").mkString(", ")}"
+          s"remigrate: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}.parquet (merge on ${c.pkFor.getOrElse(t, c.pk).mkString("+")})").mkString(", ")}",
+        c.agreementReport ->
+          s"agreement-report[${c.agreementGold} vs ${c.agreementPred.getOrElse("langid(" + c.textCol + ")")}]: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_agreement.parquet").mkString(", ")}"
       ).collect { case (true, s) => s }
       return Result(ddl = ddl, templates = templates,
         jsonTemplates = jsonTemplates, dryPlanned = planned)
@@ -671,9 +678,33 @@ object GraftApp {
             obs.get("src_rows").asInstanceOf[Long],
             spark.read.parquet(out).count(), out)
         }
+      // --agreement-report (q153 through the CLI face): per-class
+      // P/R/F1 + accuracy + Cohen's kappa of a predicted label column
+      // against a gold column — the go/no-go number to read before a
+      // heuristic labeler gates a curation run. Default prediction is
+      // the built-in language identifier over --text-col (the q153
+      // pairing); --agreement-pred names a stored column instead.
+      val agreementRuns =
+        if (!c.agreementReport) Nil
+        else tables.map { t =>
+          val obs = org.apache.spark.sql.Observation()
+          val docs = Migrator.transformed(spark, c.srcDir, t, spec)
+            .observe(obs, org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("src_rows"))
+          val pred = c.agreementPred.map(col).getOrElse(
+            graft.text.TextAnalysis.langId(col(c.textCol),
+              graft.text.TextAnalysis.defaultProfiles))
+          val report = graft.ops.Agreement.classifierReport(docs,
+            col(c.agreementGold), pred)
+          val out = s"${c.dstDir}/${dstNameFor(t)}_agreement.parquet"
+          report.write.mode("overwrite").parquet(out)
+          Curation(t, "agreement-report",
+            obs.get("src_rows").asInstanceOf[Long],
+            spark.read.parquet(out).count(), out)
+        }
       scd2Runs ++ pplRuns ++ dedupRuns ++ contaminationRuns ++
         semdedupRuns ++ embedContaminationRuns ++ annRecallRuns ++
-        overlapRuns ++ noveltyRuns
+        overlapRuns ++ noveltyRuns ++ agreementRuns
     }
 
     val pumped =
@@ -812,14 +843,15 @@ object GraftApp {
     "semdedup-clusters", "semdedup-iters", "semdedup-min-cos",
     "embed-contamination", "embed-contamination-cos",
     "ann-recall", "ann-k", "ann-queries",
-    "vec-id-col", "embedding-col", "overlap-group-col")
+    "vec-id-col", "embedding-col", "overlap-group-col",
+    "agreement-gold", "agreement-pred")
   private val KnownFlags = Set("create-table-sql",
     "create-table-sql-template", "create-table-json-template",
     "dst-create-table", "migrate-table",
     "csvpool", "pump-data", "src-wait", "src-resume", "daemon",
     "install", "dry", "state-versions", "with-create-database",
     "scd2", "ppl-filter", "dedup", "semdedup",
-    "overlap-report", "novelty-report", "remigrate")
+    "overlap-report", "novelty-report", "remigrate", "agreement-report")
 
   /** `--column-default-value=t.col=v` values: numeric if they parse,
     * else the literal string (na.fill applies them type-matched).
@@ -1046,7 +1078,10 @@ object GraftApp {
       overlapReport = flags("overlap-report"),
       overlapGroupCol = kv.getOrElse("overlap-group-col", "source"),
       noveltyReport = flags("novelty-report"),
-      remigrate = flags("remigrate"))
+      remigrate = flags("remigrate"),
+      agreementReport = flags("agreement-report"),
+      agreementGold = kv.getOrElse("agreement-gold", "lang"),
+      agreementPred = kv.get("agreement-pred"))
   }
 
   private val AnnRecallVariants = Set("int8", "ivf", "pq", "lsh")

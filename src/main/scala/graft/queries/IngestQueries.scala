@@ -643,8 +643,10 @@ object IngestQueries {
     * (RocksDB-state-sized at corpus scale, the same cardinality the
     * batch op shuffles); per-doc gram totals are per-file facts and
     * ride the batch side. Complete-mode memory sink here because the
-    * gate drains to termination; a production deployment would emit
-    * update-mode deltas to the metrics sink instead.
+    * gate drains to termination — this face is the ORACLE HARNESS;
+    * the PRODUCTION face is [[graft.streaming.CurationPumps
+    * .startNoveltyPump]], which persists the same dictionary through
+    * BucketStateStore via foreachBatch and survives crash-restarts.
     */
   def streamNovelty(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
@@ -698,7 +700,11 @@ object IngestQueries {
     * than by a later full-corpus sweep. Counts are per-doc facts of
     * the arriving document (distinct shingles ∩ probe set), so the
     * drained answer equals batch [[graft.dedup.Dedup.contaminationScan]]
-    * on the same split — q48's oracle checks both.
+    * on the same split — q48's oracle checks both. This memory-sink
+    * face is the ORACLE HARNESS; the PRODUCTION face is
+    * [[graft.streaming.CurationPumps.startContaminationPump]], which
+    * persists the verdicts through BucketStateStore and survives
+    * crash-restarts.
     */
   def streamContamination(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")

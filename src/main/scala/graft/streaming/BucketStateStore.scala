@@ -211,6 +211,24 @@ object BucketStateStore {
     spark.read.parquet(paths: _*)
   }
 
+  /** The on-disk schema the LAST merge persisted (None when the store
+    * is absent or empty): inferred from the parquet footer of the
+    * most-recently-rewritten bucket — by construction the one written
+    * with the newest template. One footer read per call (a single
+    * file), negligible next to the merge itself; used by the CDC
+    * pump's schema-drift refusal before each merge.
+    */
+  def persistedSchema(spark: SparkSession,
+      stateDir: String): Option[org.apache.spark.sql.types.StructType] =
+    currentVersion(spark, stateDir).flatMap { v =>
+      val m = readManifest(spark, stateDir, v)
+      if (m.buckets.isEmpty) None
+      else {
+        val (b, bv) = m.buckets.maxBy(_._2)
+        Some(spark.read.parquet(bucketDir(stateDir, b, bv)).schema)
+      }
+    }
+
   /** Committed versions still readable by [[stateAt]] (ascending):
     * the manifests that exist — vacuum trims this list from the
     * front, merges extend it at the back.

@@ -1,0 +1,179 @@
+package graft.streaming
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** PRODUCTION faces of the streaming corpus-curation pair: documents
+  * arrive as a stream and the curation state persists through
+  * [[BucketStateStore]] via `foreachBatch`, so a killed pump resumes
+  * from its checkpoint with the state intact — the q140/StreamingCdc
+  * crash-recovery discipline applied to corpus analytics.
+  *
+  * The memory-sink drains in [[graft.queries.IngestQueries]]
+  * (`streamNovelty`/`streamContamination`, the q154/q155 gate faces)
+  * stay as the ORACLE HARNESS — they prove drain-equals-batch against
+  * DuckDB but hold the whole answer in a complete-mode memory sink,
+  * which is driver-sized at corpus scale. These pumps are what a
+  * deployment runs: state lives in hash-bucketed copy-on-write
+  * parquet (RocksDB-free, readable by any Spark job), each
+  * micro-batch rewrites only the key-buckets it touches, and the
+  * streaming checkpoint + the store's batch-id fence give
+  * exactly-once across crash replays.
+  *
+  * Mirrors the role of the reference's resident pump loop
+  * (pumper.py:13-47, mysqlreader.py:362-448 in /root/reference) with
+  * curation state instead of replicated rows.
+  */
+object CurationPumps {
+
+  /** Persisted dictionary schema: each distinct k-shingle's
+    * first-occurrence document id. This IS the crawl-saturation
+    * monitor's between-snapshots state; its cardinality is the same
+    * one the batch op (Dedup.ngramNovelty) shuffles.
+    */
+  val NoveltySchema: StructType = StructType(Seq(
+    StructField("shingle", StringType, nullable = true),
+    StructField("first_doc", LongType, nullable = true)))
+
+  /** Persisted verdict schema: per contaminated document, how many of
+    * its distinct k-shingles hit the probe set.
+    */
+  val ContaminationSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = true),
+    StructField("n_hits", LongType, nullable = true)))
+
+  private def emptyOf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+
+  private def triggerOf(processingTime: Option[String]): Trigger =
+    processingTime.map(Trigger.ProcessingTime(_))
+      .getOrElse(Trigger.AvailableNow())
+
+  /** Fold one document batch into the seen-shingle min-dictionary.
+    * The batch pre-aggregates to one row per distinct shingle
+    * (map-side combine), then the store merge takes `min(first_doc)`
+    * of state and batch — min is commutative AND idempotent, so
+    * arrival order is irrelevant and a crash-replayed batch folds to
+    * a no-op even without the fence (the fence is passed anyway: it
+    * skips the replay's read-merge-write entirely).
+    */
+  private[graft] def mergeNoveltyBatch(batch: DataFrame, stateDir: String,
+      k: Int, idCol: String, textCol: String, numBuckets: Int,
+      batchId: Option[Long]): Unit = {
+    val batchMin = Dedup.shingleRows(batch, k, idCol, textCol)
+      .groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val template = emptyOf(batch.sparkSession, NoveltySchema)
+    BucketStateStore.merge(batchMin, stateDir, Seq("shingle"), template,
+      numBuckets, batchId) { (state, b) =>
+      state.unionByName(b)
+        .groupBy(col("shingle"))
+        .agg(min(col("first_doc")).as("first_doc"))
+    }
+  }
+
+  /** Start the incremental-novelty pump: `docsStream` (rows carrying
+    * `idCol`, `textCol`) → per-batch shingle min → durable
+    * dictionary at `stateDir`. Kill it, start it again with the same
+    * checkpoint: processed files are not re-read, replayed batches
+    * are fenced, and the dictionary continues exactly where it was.
+    */
+  def startNoveltyPump(docsStream: DataFrame, stateDir: String,
+      checkpointDir: String, k: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text",
+      numBuckets: Int = BucketStateStore.DefaultNumBuckets,
+      processingTime: Option[String] = None): StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(triggerOf(processingTime))
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        mergeNoveltyBatch(batch, stateDir, k, idCol, textCol,
+          numBuckets, Some(bid))
+      }
+      .start()
+
+  /** The novelty report derived from the PERSISTED dictionary —
+    * row-identical to batch [[Dedup.ngramNovelty]] over the same
+    * corpus (the q154 contract, now against durable state instead of
+    * a memory sink): per document with ≥1 shingle, how many of its
+    * distinct k-shingles first occurred in it. `docs` supplies the
+    * per-doc gram totals (per-file facts, not state).
+    */
+  def noveltyReport(spark: SparkSession, stateDir: String,
+      docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val dict = BucketStateStore.currentState(spark, stateDir,
+      emptyOf(spark, NoveltySchema))
+    val novel = dict.groupBy(col("first_doc"))
+      .agg(count(lit(1)).as("nov"))
+    val perDoc = Dedup.shingleRows(docs, k, idCol, textCol)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    perDoc.join(novel, col("doc_id") === col("first_doc"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("nov"), lit(0L)).as("novel"),
+        (coalesce(col("nov"), lit(0L)).cast("double") /
+          col("n_grams").cast("double")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** Fold one document batch's contamination verdicts into the store.
+    * Verdicts are per-doc facts of the arriving document (distinct
+    * shingles ∩ probe set), so the combine is replace-by-key: a
+    * replayed batch recomputes identical verdicts and overwrites them
+    * — idempotent, with the fence skipping the work besides.
+    */
+  private[graft] def mergeContaminationBatch(batch: DataFrame,
+      probeShingles: DataFrame, stateDir: String, k: Int, idCol: String,
+      textCol: String, numBuckets: Int, batchId: Option[Long]): Unit = {
+    val hits = Dedup.shingleRows(batch, k, idCol, textCol)
+      .join(broadcast(probeShingles), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    val template = emptyOf(batch.sparkSession, ContaminationSchema)
+    BucketStateStore.merge(hits, stateDir, Seq("doc_id"), template,
+      numBuckets, batchId) { (state, b) =>
+      state.join(b.select("doc_id"), Seq("doc_id"), "left_anti")
+        .unionByName(b)
+    }
+  }
+
+  /** Start the decontamination-on-ingest pump: each arriving document
+    * is graded against the (static, benchmark-sized) probe corpus in
+    * the micro-batch that carries it, and flagged verdicts persist at
+    * `stateDir` — so contaminated documents are known BEFORE they
+    * land in the training store, and the verdict table survives the
+    * pump. The probe shingle set is built once here and materialized
+    * (it feeds every micro-batch; unmaterialized it would re-shingle
+    * the probes per batch).
+    */
+  def startContaminationPump(docsStream: DataFrame, probes: DataFrame,
+      stateDir: String, checkpointDir: String, k: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      numBuckets: Int = BucketStateStore.DefaultNumBuckets,
+      processingTime: Option[String] = None): StreamingQuery = {
+    val probeShingles = Dedup.shingleRows(probes, k, idCol, textCol)
+      .select("shingle").distinct().localCheckpoint()
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(triggerOf(processingTime))
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        mergeContaminationBatch(batch, probeShingles, stateDir, k,
+          idCol, textCol, numBuckets, Some(bid))
+      }
+      .start()
+  }
+
+  /** The persisted contamination verdicts — row-identical to batch
+    * [[Dedup.contaminationScan]] over the drained corpus (the q155
+    * contract against durable state).
+    */
+  def contaminationVerdicts(spark: SparkSession,
+      stateDir: String): DataFrame =
+    BucketStateStore.currentState(spark, stateDir,
+      emptyOf(spark, ContaminationSchema))
+      .orderBy("doc_id")
+}

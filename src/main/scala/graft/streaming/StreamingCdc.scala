@@ -67,6 +67,18 @@ object StreamingCdc {
     * ONLY the key-buckets the batch touches. Idempotent for a
     * replayed batch: last-write-wins per key means re-applying the
     * same changes to the already-merged buckets is a no-op.
+    *
+    * Schema drift follows the [[graft.migrate.SchemaDrift]] contract
+    * (the same one `remigrate` applies to snapshots): ADDITIVE feed
+    * drift evolves the state in place — a new column surfaces as NULL
+    * when old buckets are read, a widened column (int → long, float →
+    * double, decimal growth) widen-reads exactly, no historical
+    * rewrite — while DESTRUCTIVE drift (a column dropped or narrowed
+    * in the feed) is REFUSED loudly before anything is written,
+    * naming every violating column. Without the check, a dropped feed
+    * column would silently vanish from state on the next touched
+    * bucket's rewrite — the silent-data-loss mode a replication tool
+    * must never have.
     */
   def mergeIntoState(rawBatch: DataFrame, stateDir: String, pk: Seq[String],
       orderCols: Seq[String],
@@ -77,6 +89,9 @@ object StreamingCdc {
     // must not become part of the persisted state schema
     val batch = CdcApplier.normalizePkChanges(rawBatch, pk)
     val template = batch.drop(CdcApplier.OpCol)
+    BucketStateStore.persistedSchema(spark, stateDir).foreach { existing =>
+      graft.migrate.SchemaDrift.diff(existing, template.schema)
+    }
     if (BucketStateStore.currentVersion(spark, stateDir).isEmpty)
       recordFirstRow(batch, stateDir, orderCols)
     BucketStateStore.merge(batch, stateDir, pk, template, numBuckets) {

@@ -1,0 +1,114 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.streaming.CurationPumps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Production-face verification for the streaming curation pair
+  * (CurationPumps): the foreachBatch + BucketStateStore drains must
+  * (a) land exactly on the batch answers the q154/q155 oracle faces
+  * prove, and (b) survive a crash-restart — kill the query, add more
+  * data, restart from the same checkpoint, still land on the full
+  * batch answer (the StreamingCdcSpec discipline applied to corpus
+  * analytics state).
+  */
+class CurationPumpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def docs =
+    Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))
+
+  /** One parquet file per slice — file granularity is micro-batch
+    * granularity under maxFilesPerTrigger=1.
+    */
+  private def writeSlices(feedDir: String,
+      slices: Seq[org.apache.spark.sql.DataFrame]): Unit =
+    slices.foreach(s => s.coalesce(1).write.mode("append").parquet(feedDir))
+
+  private def stream(feedDir: String) =
+    spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feedDir)
+
+  test("novelty pump: persisted dictionary report equals batch ngramNovelty") {
+    val root = Files.createTempDirectory("graft_novpump").toString
+    writeSlices(s"$root/feed", Seq(
+      docs.filter(col("doc_id") % 2 === 1), docs.filter(col("doc_id") % 2 === 0)))
+    CurationPumps.startNoveltyPump(stream(s"$root/feed"),
+      s"$root/state", s"$root/ckpt", k = 3).awaitTermination()
+    val got = CurationPumps.noveltyReport(spark, s"$root/state", docs, k = 3)
+      .collect()
+    val want = Dedup.ngramNovelty(docs, k = 3).orderBy("doc_id").collect()
+    assert(got.toSeq == want.toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("novelty pump: crash-restart resumes from the checkpoint onto the batch answer") {
+    val root = Files.createTempDirectory("graft_novcrash").toString
+    // phase 1: only the odd half exists; drain and "crash" (query gone)
+    writeSlices(s"$root/feed", Seq(docs.filter(col("doc_id") % 2 === 1)))
+    CurationPumps.startNoveltyPump(stream(s"$root/feed"),
+      s"$root/state", s"$root/ckpt", k = 3).awaitTermination()
+    val v1 = graft.streaming.BucketStateStore
+      .currentVersion(spark, s"$root/state")
+    assert(v1.nonEmpty, "phase 1 must have committed dictionary state")
+    // the half-corpus dictionary is itself correct (novelty over odds)
+    val oddDocs = docs.filter(col("doc_id") % 2 === 1)
+    val half = CurationPumps.noveltyReport(spark, s"$root/state", oddDocs, 3)
+      .collect()
+    val wantHalf = Dedup.ngramNovelty(oddDocs, k = 3).orderBy("doc_id")
+      .collect()
+    assert(half.toSeq == wantHalf.toSeq, "mid-crash state is a correct half answer")
+    // more data arrives while the pump is down
+    writeSlices(s"$root/feed", Seq(docs.filter(col("doc_id") % 2 === 0)))
+    // phase 2: new query, SAME checkpoint — resumes past processed files
+    CurationPumps.startNoveltyPump(stream(s"$root/feed"),
+      s"$root/state", s"$root/ckpt", k = 3).awaitTermination()
+    val got = CurationPumps.noveltyReport(spark, s"$root/state", docs, 3)
+      .collect()
+    val want = Dedup.ngramNovelty(docs, k = 3).orderBy("doc_id").collect()
+    assert(got.toSeq == want.toSeq,
+      "resumed pump must land on the full batch answer")
+  }
+
+  test("novelty pump: replayed batch is fenced (no-op, no version churn)") {
+    val root = Files.createTempDirectory("graft_novfence").toString
+    writeSlices(s"$root/feed", Seq(docs.filter(col("doc_id") % 2 === 1)))
+    CurationPumps.startNoveltyPump(stream(s"$root/feed"),
+      s"$root/state", s"$root/ckpt", k = 3).awaitTermination()
+    val v = graft.streaming.BucketStateStore
+      .currentVersion(spark, s"$root/state").get
+    // simulate the crash-replay of an already-folded micro-batch: the
+    // offset log committed batch 0, the store fenced it — re-merging
+    // with the same batch id must not advance the version
+    CurationPumps.mergeNoveltyBatch(docs.filter(col("doc_id") % 2 === 1),
+      s"$root/state", 3, "doc_id", "text",
+      graft.streaming.BucketStateStore.DefaultNumBuckets, Some(0L))
+    assert(graft.streaming.BucketStateStore
+      .currentVersion(spark, s"$root/state").get == v,
+      "fenced replay must not publish a new version")
+  }
+
+  test("contamination pump: persisted verdicts equal the batch scan across a crash-restart") {
+    val root = Files.createTempDirectory("graft_contpump").toString
+    val probes = docs.filter(col("doc_id") % 100 === 0)
+    val corpus = docs.filter(col("doc_id") % 100 =!= 0)
+    // phase 1: first half of the corpus, drain, "crash"
+    writeSlices(s"$root/feed", Seq(corpus.filter(col("doc_id") % 2 === 1)))
+    CurationPumps.startContaminationPump(stream(s"$root/feed"), probes,
+      s"$root/state", s"$root/ckpt", k = 3).awaitTermination()
+    // second half arrives; restart from the same checkpoint
+    writeSlices(s"$root/feed", Seq(corpus.filter(col("doc_id") % 2 === 0)))
+    CurationPumps.startContaminationPump(stream(s"$root/feed"), probes,
+      s"$root/state", s"$root/ckpt", k = 3).awaitTermination()
+    val got = CurationPumps.contaminationVerdicts(spark, s"$root/state")
+      .collect()
+    val want = Dedup.contaminationScan(corpus, probes, k = 3)
+      .orderBy("doc_id").collect()
+    assert(got.toSeq == want.toSeq)
+    assert(got.nonEmpty, "the fixture split must produce hits")
+  }
+}

@@ -900,13 +900,45 @@ class GraftAppSpec extends AnyFunSuite {
     val dst = Files.createTempDirectory("graft_dryreports").toString + "/out"
     val r = GraftApp.run(spark, GraftApp.parse(Seq(
       s"--src-dir=$dir", s"--dst-dir=$dst", "--src-tables=documents",
-      "--overlap-report", "--novelty-report", "--dry")))
+      "--overlap-report", "--novelty-report", "--agreement-report", "--dry")))
     assert(r.curations.isEmpty)
     assert(r.dryPlanned.exists(_.startsWith(
       s"overlap-report: documents -> $dst/documents_overlap.parquet")))
     assert(r.dryPlanned.exists(_.startsWith(
       s"novelty-report: documents -> $dst/documents_novelty.parquet")))
+    assert(r.dryPlanned.exists(_.startsWith(
+      s"agreement-report[lang vs langid(text)]: documents -> $dst/documents_agreement.parquet")))
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dst)))
+  }
+
+  test("agreement-report mode equals the library call, honors --agreement-pred") {
+    val dst = Files.createTempDirectory("graft_appagree").toString
+    // default prediction: built-in langId over --text-col (q153 pairing)
+    val r = GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$dir",
+      s"--dst-dir=$dst", "--src-tables=documents", "--agreement-report")))
+    assert(r.curations.map(_.mode) == Seq("agreement-report"))
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val want = graft.ops.Agreement.classifierReport(docs, col("lang"),
+        graft.text.TextAnalysis.langId(col("text"),
+          graft.text.TextAnalysis.defaultProfiles))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(8))).toMap
+    val got = spark.read.parquet(s"$dst/documents_agreement.parquet")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(8))).toMap
+    assert(got == want && want.nonEmpty)
+    assert(r.curations.head.srcRows == docs.count() &&
+      r.curations.head.outRows == want.size)
+    // --agreement-pred names a stored column: source-vs-lang agreement
+    val r2 = GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$dir",
+      s"--dst-dir=$dst", "--src-tables=documents", "--agreement-report",
+      "--agreement-gold=lang", "--agreement-pred=source")))
+    val want2 = graft.ops.Agreement.classifierReport(docs, col("lang"),
+        col("source"))
+      .collect().map(x => x.getString(0) -> x.getDouble(8)).toMap
+    val got2 = spark.read.parquet(s"$dst/documents_agreement.parquet")
+      .collect().map(x => x.getString(0) -> x.getDouble(8)).toMap
+    assert(got2 == want2 && r2.curations.head.mode == "agreement-report")
   }
 
   test("remigrate mode evolves drift and merges by PK through the CLI surface") {

@@ -110,6 +110,68 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(state(1).getAs[String]("a") == "y2")
   }
 
+  test("CDC feed drift: dropped and narrowed feed columns are refused loudly") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_scdc_drift").toString
+    val f1 = Seq((1L, 1L, "x", "insert")).toDF("id", "ver", "a", "op")
+    f1.coalesce(1).write.parquet(s"$root/feed1")
+    StreamingCdc.start(
+        spark.readStream.schema(f1.schema).parquet(s"$root/feed1"),
+        s"$root/state", s"$root/ckpt1", Seq("id"), Seq("ver"))
+      .awaitTermination()
+    // the restarted feed DROPPED column a: without the refusal, the
+    // next touched-bucket rewrite would silently erase a from state
+    val dropped = Seq((2L, 1L, "insert")).toDF("id", "ver", "op")
+    dropped.coalesce(1).write.parquet(s"$root/feed2")
+    val e1 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingCdc.start(
+          spark.readStream.schema(dropped.schema).parquet(s"$root/feed2"),
+          s"$root/state", s"$root/ckpt2", Seq("id"), Seq("ver"))
+        .awaitTermination()
+    }
+    assert(e1.getMessage.contains("a dropped"), e1.getMessage)
+    // narrowed type: ver arrives as INT where state holds BIGINT
+    val narrowed = Seq((2L, 7, "y", "insert")).toDF("id", "ver", "a", "op")
+    narrowed.coalesce(1).write.parquet(s"$root/feed3")
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingCdc.start(
+          spark.readStream.schema(narrowed.schema).parquet(s"$root/feed3"),
+          s"$root/state", s"$root/ckpt3", Seq("id"), Seq("ver"))
+        .awaitTermination()
+    }
+    assert(e2.getMessage.contains("ver narrowed"), e2.getMessage)
+    // both refusals left the state untouched and readable
+    val state = StreamingCdc.currentState(spark, s"$root/state",
+      f1.drop("op")).collect()
+    assert(state.length == 1 && state.head.getString(2) == "x")
+  }
+
+  test("CDC feed drift: widened feed column evolves state (int -> long widen-read)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_scdc_widen").toString
+    // phase 1: qty is INT
+    val f1 = Seq((1L, 1L, 10, "insert"), (2L, 1L, 20, "insert"))
+      .toDF("id", "ver", "qty", "op")
+    f1.coalesce(1).write.parquet(s"$root/feed1")
+    StreamingCdc.start(
+        spark.readStream.schema(f1.schema).parquet(s"$root/feed1"),
+        s"$root/state", s"$root/ckpt1", Seq("id"), Seq("ver"))
+      .awaitTermination()
+    // restart: the source ALTERed qty to BIGINT — a value-preserving
+    // widening; old buckets widen-read exactly, no rewrite
+    val f2 = Seq((2L, 2L, 9000000000L, "update"), (3L, 1L, 30L, "insert"))
+      .toDF("id", "ver", "qty", "op")
+    f2.coalesce(1).write.parquet(s"$root/feed2")
+    StreamingCdc.start(
+        spark.readStream.schema(f2.schema).parquet(s"$root/feed2"),
+        s"$root/state", s"$root/ckpt2", Seq("id"), Seq("ver"))
+      .awaitTermination()
+    val state = StreamingCdc.currentState(spark, s"$root/state",
+        f2.drop("op")).orderBy("id").collect()
+    assert(state.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((1L, 10L), (2L, 9000000000L), (3L, 30L)))
+  }
+
   test("multiplexed pump routes tables into independent states (T2)") {
     val root = Files.createTempDirectory("graft_scdc_mux").toString
     // two logical tables multiplexed on one feed, split by user parity
