@@ -189,6 +189,9 @@ object SparkEntry {
     "q153_langid_eval"      -> PipelineQueries.langIdEval _,
     "q154_stream_novelty"   -> IngestQueries.streamNovelty _,
     "q155_stream_contamination" -> IngestQueries.streamContamination _,
+    "q156_fleiss_kappa"     -> PipelineQueries.raterAgreement _,
+    "q157_ann_rbo"          -> PipelineQueries.annRboInt8 _,
+    "q158_generation_bleu"  -> PipelineQueries.generationBleu _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2879,6 +2882,122 @@ object SparkEntry {
         |FROM sh JOIN probe ON sh.s = probe.s
         |WHERE sh.doc_id % 100 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q156: Fleiss' kappa over the 3-rater panel (gold lang, the q21
+    // labeler, length parity). Every sum exact in HUGEINT; p_bar/p_e
+    // are single cast-then-divide ops and kappa the same fixed IEEE
+    // sequence as the Scala side, so the doubles hash-match.
+    "q156_fleiss_kappa" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang AS cls FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN len(list_filter(string_split(text,' '), x -> x='the' OR x='a')) >= 2
+        |                      THEN 'en' ELSE 'und' END FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN n_chars % 2 = 0 THEN 'en' ELSE 'und' END FROM documents),
+        |cells AS (SELECT doc_id, cls, COUNT(*) AS n FROM r GROUP BY 1, 2),
+        |per AS (SELECT doc_id, SUM(CAST(n AS HUGEINT)*CAST(n AS HUGEINT)) AS sq FROM cells GROUP BY 1),
+        |g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS items, SUM(sq) AS sumsq FROM per),
+        |ct AS (SELECT cls, SUM(n) AS c FROM cells GROUP BY 1),
+        |cs AS (SELECT SUM(CAST(c AS HUGEINT)*CAST(c AS HUGEINT)) AS csq FROM ct),
+        |kap AS (SELECT
+        |    CAST(g.sumsq - g.items*3 AS DOUBLE) / CAST(g.items*3*2 AS DOUBLE) AS p_bar,
+        |    CAST(cs.csq AS DOUBLE) / CAST(g.items*3*g.items*3 AS DOUBLE) AS p_e
+        |  FROM g, cs)
+        |SELECT ct.cls, CAST(ct.c AS BIGINT) AS n_ratings,
+        |  CAST(ct.c AS DOUBLE) / CAST((SELECT items FROM g)*3 AS DOUBLE) AS p_cat,
+        |  kap.p_bar AS p_bar,
+        |  CASE WHEN kap.p_e = 1.0 THEN 0.0
+        |       ELSE (kap.p_bar - kap.p_e)/(1.0 - kap.p_e) END AS kappa
+        |FROM ct, kap ORDER BY cls""".stripMargin,
+    // q157: truncated RBO (p = 1/2, k = 10) of the int8 lists vs the
+    // exact lists — q142's two ranking CTEs with ranks kept; each
+    // matched id contributes the integer weight W(max(rank_e,
+    // rank_a)) = Σ_{d≥m} D/(d·2^d) with D = lcm(1..10)·2^10 =
+    // 2580480, so the metric is one integer mass / D.
+    "q157_ann_rbo" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id,
+        |    [CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) for x in embedding] AS v
+        |  FROM embeddings),
+        |n AS MATERIALIZED (SELECT vec_id, v AS q,
+        |    list_reduce([CAST(0 AS BIGINT)] + [x*x for x in v], (a,b) -> a+b) AS n2
+        |  FROM e),
+        |qs AS (SELECT vec_id AS qid, q AS qq, n2 AS qn2 FROM n WHERE vec_id % 100 = 0),
+        |bt AS MATERIALIZED (SELECT query_id, vec_id, rnk FROM (
+        |    SELECT qid AS query_id, n.vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+        |        CAST(list_reduce([CAST(0 AS BIGINT)] + [qq[i]*q[i] for i in range(1, len(q)+1)],
+        |          (a,b) -> a+b) AS DOUBLE)
+        |        / sqrt(CAST(qn2 AS DOUBLE)*CAST(n2 AS DOUBLE)) DESC, n.vec_id) AS rnk
+        |    FROM qs CROSS JOIN n WHERE n.vec_id != qid) WHERE rnk <= 10),
+        |m AS (SELECT vec_id, v,
+        |    list_reduce([CAST(0 AS BIGINT)] + [abs(x) for x in v],
+        |      (a,b) -> greatest(a,b)) AS mx FROM e),
+        |q8 AS (SELECT vec_id,
+        |    CASE WHEN mx = 0 THEN [CAST(0 AS BIGINT) for x in v]
+        |         ELSE [CAST(round(CAST(x AS DOUBLE)*127.0/CAST(mx AS DOUBLE)) AS BIGINT) for x in v]
+        |    END AS q FROM m),
+        |n8 AS MATERIALIZED (SELECT vec_id, q,
+        |    list_reduce([CAST(0 AS BIGINT)] + [x*x for x in q], (a,b) -> a+b) AS n2
+        |  FROM q8),
+        |qs8 AS (SELECT vec_id AS qid, q AS qq, n2 AS qn2 FROM n8 WHERE vec_id % 100 = 0),
+        |at AS MATERIALIZED (SELECT query_id, vec_id, rnk FROM (
+        |    SELECT qid AS query_id, n8.vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+        |        CAST(list_reduce([CAST(0 AS BIGINT)] + [qq[i]*q[i] for i in range(1, len(q)+1)],
+        |          (a,b) -> a+b) AS DOUBLE)
+        |        / sqrt(CAST(qn2 AS DOUBLE)*CAST(n2 AS DOUBLE)) DESC, n8.vec_id) AS rnk
+        |    FROM qs8 CROSS JOIN n8 WHERE n8.vec_id != qid) WHERE rnk <= 10),
+        |j AS (SELECT bt.query_id, GREATEST(bt.rnk, at.rnk) AS mm
+        |  FROM bt JOIN at ON bt.query_id = at.query_id AND bt.vec_id = at.vec_id),
+        |w AS (SELECT query_id, SUM(CASE mm
+        |    WHEN 1 THEN 1788440 WHEN 2 THEN 498200 WHEN 3 THEN 175640
+        |    WHEN 4 THEN 68120 WHEN 5 THEN 27800 WHEN 6 THEN 11672
+        |    WHEN 7 THEN 4952 WHEN 8 THEN 2072 WHEN 9 THEN 812
+        |    WHEN 10 THEN 252 END) AS mass FROM j GROUP BY 1)
+        |SELECT q.query_id, CAST(COALESCE(w.mass, 0) AS BIGINT) AS mass,
+        |  CAST(COALESCE(w.mass, 0) AS DOUBLE) / 2580480.0 AS rbo
+        |FROM (SELECT DISTINCT query_id FROM bt) q LEFT JOIN w USING (query_id)
+        |ORDER BY query_id""".stripMargin,
+    // q158: BLEU-2 over adjacent doc pairs — clipped n-gram counts
+    // with MULTIPLICITY (no list_distinct), each precision one
+    // cast-then-divide, bleu2 = sqrt(p1*p2) (multiply and sqrt are
+    // correctly-rounded IEEE ops — portable; exp/BP is not, so no
+    // brevity penalty on either side).
+    "q158_generation_bleu" ->
+      """WITH p AS (SELECT a.doc_id AS pair_id, a.text AS cand, b.text AS ref
+        |    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |    WHERE a.doc_id % 2 = 0),
+        |c1 AS (SELECT pair_id, g, COUNT(*) AS nc FROM
+        |    (SELECT pair_id, unnest(string_split(cand,' ')) AS g FROM p) GROUP BY 1, 2),
+        |r1 AS (SELECT pair_id, g, COUNT(*) AS nr FROM
+        |    (SELECT pair_id, unnest(string_split(ref,' ')) AS g FROM p) GROUP BY 1, 2),
+        |u AS (SELECT c1.pair_id, SUM(c1.nc) AS total1,
+        |    SUM(LEAST(c1.nc, COALESCE(r1.nr, 0))) AS clip1
+        |  FROM c1 LEFT JOIN r1 ON c1.pair_id = r1.pair_id AND c1.g = r1.g
+        |  GROUP BY 1),
+        |c2 AS (SELECT pair_id, g, COUNT(*) AS nc FROM
+        |    (SELECT pair_id, unnest([array_to_string(toks[i:i+1],' ') for i in range(1, len(toks))]) AS g
+        |     FROM (SELECT pair_id, string_split(cand,' ') AS toks FROM p)) GROUP BY 1, 2),
+        |r2 AS (SELECT pair_id, g, COUNT(*) AS nr FROM
+        |    (SELECT pair_id, unnest([array_to_string(toks[i:i+1],' ') for i in range(1, len(toks))]) AS g
+        |     FROM (SELECT pair_id, string_split(ref,' ') AS toks FROM p)) GROUP BY 1, 2),
+        |b AS (SELECT c2.pair_id, SUM(c2.nc) AS total2,
+        |    SUM(LEAST(c2.nc, COALESCE(r2.nr, 0))) AS clip2
+        |  FROM c2 LEFT JOIN r2 ON c2.pair_id = r2.pair_id AND c2.g = r2.g
+        |  GROUP BY 1),
+        |f AS (SELECT p.pair_id,
+        |    CAST(COALESCE(u.total1, 0) AS BIGINT) AS total1,
+        |    CAST(COALESCE(u.clip1, 0) AS BIGINT) AS clip1,
+        |    CAST(COALESCE(b.total2, 0) AS BIGINT) AS total2,
+        |    CAST(COALESCE(b.clip2, 0) AS BIGINT) AS clip2
+        |  FROM p LEFT JOIN u USING (pair_id) LEFT JOIN b USING (pair_id)),
+        |fin AS (SELECT pair_id, total1, clip1, total2, clip2,
+        |    CASE WHEN total1 > 0 THEN CAST(clip1 AS DOUBLE)/CAST(total1 AS DOUBLE) ELSE 0.0 END AS p1,
+        |    CASE WHEN total2 > 0 THEN CAST(clip2 AS DOUBLE)/CAST(total2 AS DOUBLE) ELSE 0.0 END AS p2
+        |  FROM f)
+        |SELECT pair_id, total1, clip1, total2, clip2, p1, p2,
+        |  sqrt(p1*p2) AS bleu2
+        |FROM fin ORDER BY pair_id""".stripMargin,
   )
 
   /** Unrolled greedy-MMR rounds mirroring [[graft.vector.Mmr]]:

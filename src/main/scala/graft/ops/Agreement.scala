@@ -99,4 +99,77 @@ object Agreement {
       .crossJoin(broadcast(globals))
       .orderBy("cls")
   }
+
+  /** Fleiss' kappa — chance-corrected agreement among n ≥ 2 RATERS
+    * (Fleiss 1971), the multi-rater generalization of
+    * [[classifierReport]]'s Cohen's kappa: where Cohen grades one
+    * labeler against one gold column, this grades a PANEL — n
+    * heuristic labelers / annotators per document — before their
+    * majority vote gates a curation run. Input is long-format: one
+    * row per RATING `(item, category)`; every item must carry exactly
+    * the same number of ratings n (Fleiss' formula assumes fixed n —
+    * heterogeneous counts are refused loudly, never silently
+    * re-weighted).
+    *
+    * Returns one row per category: `(cls, n_ratings, p_cat)` plus the
+    * global mean observed agreement `p_bar` and `kappa` repeated per
+    * row (flat schema, like [[classifierReport]]).
+    *
+    * Determinism: every sum is an exact integer (DECIMAL(38,0) for
+    * the squared terms; Σ n_ij² ≤ N·n² and Σ c_j² ≤ |cls|·(N·n)² both
+    * fit 38 digits at any realistic N); `p_bar = (Σ n_ij² − N·n) /
+    * (N·n·(n−1))` and `p_e = Σ c_j² / (N·n)²` are each ONE
+    * cast-to-double-then-divide of exact integers, and
+    * `kappa = (p_bar − p_e)/(1 − p_e)` is a fixed sequence of
+    * correctly-rounded IEEE ops — bit-identical in any engine
+    * mirroring the same order. A degenerate panel (p_e = 1: every
+    * rating one category) reports kappa 0.0, not NaN.
+    *
+    * Scale shape: ONE corpus shuffle to the (item, category) cells
+    * (map-side combined; id-and-count-sized — orders of magnitude
+    * narrower than the document rows), eagerly materialized so the
+    * per-item census, the per-category census, and the output
+    * projection all read it without re-scanning the corpus; the
+    * global scalars collapse to one driver row.
+    */
+  def fleissKappa(ratings: DataFrame, item: Column,
+      category: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = ratings.select(item.as("item"), category.as("cls"))
+      .groupBy(col("item"), col("cls")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val g = cells.groupBy(col("item"))
+      .agg(sum(col("n")).as("tot"),
+        sum((col("n") * col("n")).cast(dec)).as("sq"))
+      .agg(count(lit(1)).as("items"),
+        min(col("tot")).as("tmin"), max(col("tot")).as("tmax"),
+        sum(col("sq")).as("sumsq"))
+      .head()
+    val nItems = g.getLong(0)
+    require(nItems > 0, "Fleiss' kappa needs at least one rated item")
+    val (tmin, tmax) = (g.getLong(1), g.getLong(2))
+    require(tmin == tmax,
+      s"Fleiss' kappa assumes a CONSTANT rating count per item; found " +
+        s"items with $tmin and items with $tmax ratings — fix the panel " +
+        "or filter to fully-rated items")
+    val n = tmin
+    require(n >= 2,
+      s"Fleiss' kappa needs at least 2 ratings per item, got $n")
+    val catTotals = cells.groupBy(col("cls"))
+      .agg(sum(col("n")).as("c")).localCheckpoint()
+    val csq = BigInt(catTotals
+      .agg(sum(col("c").cast(dec) * col("c").cast(dec)).as("csq"))
+      .head().getDecimal(0).toBigInteger)
+    val a = BigInt(g.getDecimal(3).toBigInteger) - BigInt(nItems) * BigInt(n)
+    val b = BigInt(nItems) * BigInt(n) * BigInt(n - 1)
+    val d = (BigInt(nItems) * BigInt(n)).pow(2)
+    val pBar = a.toDouble / b.toDouble
+    val pE = csq.toDouble / d.toDouble
+    val kappa = if (pE == 1.0) 0.0 else (pBar - pE) / (1.0 - pE)
+    catTotals.select(col("cls"), col("c").as("n_ratings"),
+        (col("c").cast("double") /
+          lit(nItems * n).cast("double")).as("p_cat"),
+        lit(pBar).as("p_bar"), lit(kappa).as("kappa"))
+      .orderBy("cls")
+  }
 }

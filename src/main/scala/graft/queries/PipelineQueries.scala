@@ -1347,4 +1347,54 @@ object PipelineQueries {
     graft.ops.Agreement.classifierReport(docs, col("lang"),
       TextAnalysis.langId(col("text"), TextAnalysis.defaultProfiles))
   }
+
+  /** q156: Fleiss' kappa over a 3-rater panel — the gold `lang`
+    * column, the q21 heuristic labeler, and a length-parity
+    * pseudo-rater, one rating row each per document. The multi-rater
+    * generalization of q153: before a labeler PANEL's majority vote
+    * gates a curation run, its chance-corrected agreement needs one
+    * number, and pairwise Cohen's kappas don't compose into it.
+    */
+  def raterAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val heur = TextAnalysis.langId(col("text"), TextAnalysis.defaultProfiles)
+    val parity = when(pmod(col("n_chars"), lit(2)) === 0, lit("en"))
+      .otherwise(lit("und"))
+    val ratings = docs.select(col("doc_id"), col("lang").as("cls"))
+      .unionByName(docs.select(col("doc_id"), heur.as("cls")))
+      .unionByName(docs.select(col("doc_id"), parity.as("cls")))
+    graft.ops.Agreement.fleissKappa(ratings, col("doc_id"), col("cls"))
+  }
+
+  /** q157: rank-biased overlap (p = 1/2, truncated at depth 10) of
+    * the int8-quantized top-10 lists against the exact ones — q142's
+    * recall gate re-graded with top-weighting: recall@10 treats rank
+    * 1 and rank 10 as equals; RBO discounts depth geometrically, the
+    * right grade when the pipeline consumes the head of the list.
+    */
+  def annRboInt8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val qs = knnQueries(emb)
+    graft.vector.Eval.rboHalf(
+      VectorSearch.bruteForceTopK(emb, qs, k = 10),
+      VectorSearch.int8TopK(emb, qs, k = 10), k = 10)
+  }
+
+  /** q158: BLEU-2 over adjacent document pairs (even doc_id as
+    * candidate, the next odd doc as reference) — clipped unigram and
+    * bigram precisions plus their geometric mean. The multiplicity-
+    * aware overlap grade q24's set-Jaccard can't give; the same
+    * operator grades rewriters and generated continuations against
+    * references.
+    */
+  def generationBleu(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val cand = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id").as("pair_id"), col("text").as("cand"))
+    val ref = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select((col("doc_id") - 1).as("pair_id"), col("text").as("ref"))
+    graft.text.GenerationEval.bleu2(cand.join(ref, Seq("pair_id")),
+      "pair_id", "cand", "ref")
+  }
 }
