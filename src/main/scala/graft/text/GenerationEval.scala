@@ -50,21 +50,47 @@ object GenerationEval {
     * plus their geometric mean — `(pair_id, total1, clip1, total2,
     * clip2, p1, p2, bleu2)`. Zero-gram candidates score 0.0, never
     * NULL/NaN.
+    *
+    * Scale shape: the pairs frame is scanned EXACTLY ONCE — both
+    * sides' grams at both orders explode in one tagged projection
+    * (n, side-count pair, gram), one (pair_id, n, gram)-keyed
+    * map-side-combined aggregate clips, and a conditional pair-keyed
+    * regroup pivots the two orders into columns. A per-pair sentinel
+    * row rides the same explode so gram-less pairs stay in the
+    * report with zeros — no second pass to reattach them. (The
+    * naive composition of [[clippedCounts]] per side per order plus
+    * an id reattach reads the pairs five times; at corpus scale
+    * that is five scans for one metric.)
     */
   def bleu2(pairs: DataFrame, pairIdCol: String, candCol: String,
       refCol: String): DataFrame = {
-    val u = clippedCounts(pairs, pairIdCol, candCol, refCol, 1)
-      .withColumnRenamed("total", "total1").withColumnRenamed("clipped", "clip1")
-    val b = clippedCounts(pairs, pairIdCol, candCol, refCol, 2)
-      .withColumnRenamed("total", "total2").withColumnRenamed("clipped", "clip2")
+    def tag(c: String, n: Int, cand: Boolean) =
+      transform(TextAnalysis.shingles(col(c), n), g =>
+        struct(lit(n).as("n"), lit(if (cand) 1L else 0L).as("nc"),
+          lit(if (cand) 0L else 1L).as("nr"), g.as("g")))
+    // one guaranteed row per pair (n = 0 contributes to no sum):
+    // gram-less pairs survive both groupings with all-zero counts
+    val sentinel = array(struct(lit(0).as("n"), lit(0L).as("nc"),
+      lit(0L).as("nr"), lit("").as("g")))
+    val counts = pairs.select(col(pairIdCol).as("pair_id"),
+        explode(concat(sentinel,
+          tag(candCol, 1, cand = true), tag(refCol, 1, cand = false),
+          tag(candCol, 2, cand = true), tag(refCol, 2, cand = false)))
+          .as("r"))
+      .groupBy(col("pair_id"), col("r.n").as("n"), col("r.g").as("g"))
+      .agg(sum(col("r.nc")).as("nc"), sum(col("r.nr")).as("nr"))
+    def totalOf(n: Int) =
+      sum(when(col("n") === n, col("nc")).otherwise(lit(0L)))
+    def clipOf(n: Int) =
+      sum(when(col("n") === n, least(col("nc"), col("nr")))
+        .otherwise(lit(0L)))
     def prec(clip: String, total: String) =
       when(col(total) > 0,
         col(clip).cast("double") / col(total).cast("double"))
         .otherwise(lit(0.0))
-    pairs.select(col(pairIdCol).as("pair_id"))
-      .join(u, Seq("pair_id"), "left")
-      .join(b, Seq("pair_id"), "left")
-      .na.fill(0L, Seq("total1", "clip1", "total2", "clip2"))
+    counts.groupBy(col("pair_id"))
+      .agg(totalOf(1).as("total1"), clipOf(1).as("clip1"),
+        totalOf(2).as("total2"), clipOf(2).as("clip2"))
       .withColumn("p1", prec("clip1", "total1"))
       .withColumn("p2", prec("clip2", "total2"))
       .withColumn("bleu2", sqrt(col("p1") * col("p2")))

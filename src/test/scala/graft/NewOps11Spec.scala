@@ -175,6 +175,18 @@ class NewOps11Spec extends AnyFunSuite {
       r.getDouble(7) == 0.0)
   }
 
+  test("bleu2 scans the pairs exactly once (no per-order re-read)") {
+    // the q158 pairing join reads documents twice (cand side + ref
+    // side); the metric itself must add ZERO further corpus passes —
+    // the naive per-side-per-order composition would make it ten
+    val plan = graft.queries.PipelineQueries
+      .generationBleu(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val scans = "ReadSchema: struct<".r.findAllMatchIn(plan).size
+    assert(scans == 2,
+      s"expected exactly the 2 pairing-join scans, saw $scans:\n$plan")
+  }
+
   test("clipped counts use multiplicity, not the set view") {
     // set-Jaccard would call these identical; clipping must not
     val pairs = Seq((1L, "w w w w", "w")).toDF("pair_id", "cand", "ref")
