@@ -95,6 +95,33 @@ object SoakTextOps {
         emb.filter(col("vec_id") < 10),
         threshold = 0.25).count()
     }
+    // the q156 shape: Fleiss' kappa over the 3-rater panel — ONE
+    // corpus shuffle to (item, category) cells, then census math;
+    // growth must be corpus-linear (a super-linear jump means the
+    // cells materialization or a census grew with the corpus)
+    val (nFk, tFk) = timed {
+      val heur = text.TextAnalysis.langId(col("text"),
+        text.TextAnalysis.defaultProfiles)
+      val parity = when(pmod(col("n_chars"), lit(2)) === 0, lit("en"))
+        .otherwise(lit("und"))
+      val ratings = docs.select(col("doc_id"), col("lang").as("cls"))
+        .unionByName(docs.select(col("doc_id"), heur.as("cls")))
+        .unionByName(docs.select(col("doc_id"), parity.as("cls")))
+      ops.Agreement.fleissKappa(ratings, col("doc_id"), col("cls")).count()
+    }
+    // the q158 shape: BLEU-2 over adjacent pairs — one tagged
+    // explode, one (pair, n, gram) shuffle; pair count scales with
+    // the corpus (ScaleUp preserves doc_id parity and adjacency), so
+    // growth must be corpus-linear
+    val (nBl, tBl) = timed {
+      val d = docs.select(col("doc_id"), col("text"))
+      val cand = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id").as("pair_id"), col("text").as("cand"))
+      val ref = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select((col("doc_id") - 1).as("pair_id"), col("text").as("ref"))
+      text.GenerationEval.bleu2(cand.join(ref, Seq("pair_id")),
+        "pair_id", "cand", "ref").count()
+    }
     println(s"""{"sfDir":"$sfDir","docs":$nDocs,"vecs":$nVecs,""" +
       s""""substr_rows":$nSub,"substr_sec":${f"$tSub%.2f"},""" +
       s""""backoff_rows":$nLm,"backoff_sec":${f"$tLm%.2f"},""" +
@@ -102,7 +129,9 @@ object SoakTextOps {
       s""""novelty_rows":$nNv,"novelty_sec":${f"$tNv%.2f"},""" +
       s""""overlap_rows":$nSo,"overlap_sec":${f"$tSo%.2f"},""" +
       s""""embcon_rows":$nEc,"embcon_sec":${f"$tEc%.2f"},""" +
-      s""""embcon_fixed_rows":$nEcf,"embcon_fixed_sec":${f"$tEcf%.2f"}}""")
+      s""""embcon_fixed_rows":$nEcf,"embcon_fixed_sec":${f"$tEcf%.2f"},""" +
+      s""""fleiss_rows":$nFk,"fleiss_sec":${f"$tFk%.2f"},""" +
+      s""""bleu_rows":$nBl,"bleu_sec":${f"$tBl%.2f"}}""")
     spark.stop()
   }
 }
