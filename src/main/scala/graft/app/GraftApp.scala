@@ -678,24 +678,46 @@ object GraftApp {
             obs.get("src_rows").asInstanceOf[Long],
             spark.read.parquet(out).count(), out)
         }
-      // --agreement-report (q153 through the CLI face): per-class
-      // P/R/F1 + accuracy + Cohen's kappa of a predicted label column
-      // against a gold column — the go/no-go number to read before a
-      // heuristic labeler gates a curation run. Default prediction is
-      // the built-in language identifier over --text-col (the q153
-      // pairing); --agreement-pred names a stored column instead.
+      // --agreement-report (q153/q156 through the CLI face): with ONE
+      // prediction, per-class P/R/F1 + accuracy + Cohen's kappa of
+      // the predicted column against the gold column; with TWO OR
+      // MORE comma-separated predictions, Fleiss' kappa over the
+      // whole panel {gold, preds...} — the go/no-go number to read
+      // before a heuristic labeler (or a labeler panel's majority
+      // vote) gates a curation run. Default prediction is the
+      // built-in language identifier over --text-col (the q153
+      // pairing); --agreement-pred names stored column(s) instead.
       val agreementRuns =
         if (!c.agreementReport) Nil
         else tables.map { t =>
           val obs = org.apache.spark.sql.Observation()
-          val docs = Migrator.transformed(spark, c.srcDir, t, spec)
-            .observe(obs, org.apache.spark.sql.functions.count(
+          val docs0 = Migrator.transformed(spark, c.srcDir, t, spec)
+          // the observed copy must appear ONCE in the executed plan;
+          // the panel path unions three scans, so only the gold
+          // branch carries the metric (it sees every source row)
+          val observed = docs0.observe(obs,
+            org.apache.spark.sql.functions.count(
               org.apache.spark.sql.functions.lit(1)).as("src_rows"))
-          val pred = c.agreementPred.map(col).getOrElse(
-            graft.text.TextAnalysis.langId(col(c.textCol),
-              graft.text.TextAnalysis.defaultProfiles))
-          val report = graft.ops.Agreement.classifierReport(docs,
-            col(c.agreementGold), pred)
+          val preds = c.agreementPred
+            .map(_.split(",").toSeq.filter(_.nonEmpty))
+            .getOrElse(Nil)
+          val report =
+            if (preds.sizeIs >= 2) {
+              // panel: gold + every prediction, one rating row each
+              val goldRatings = observed.select(
+                col(c.docIdCol).as("item"), col(c.agreementGold).as("cls"))
+              val ratings = preds.map(p => docs0.select(
+                  col(c.docIdCol).as("item"), col(p).as("cls")))
+                .foldLeft(goldRatings)(_ unionByName _)
+              graft.ops.Agreement.fleissKappa(ratings,
+                col("item"), col("cls"))
+            } else {
+              val pred = preds.headOption.map(col).getOrElse(
+                graft.text.TextAnalysis.langId(col(c.textCol),
+                  graft.text.TextAnalysis.defaultProfiles))
+              graft.ops.Agreement.classifierReport(observed,
+                col(c.agreementGold), pred)
+            }
           val out = s"${c.dstDir}/${dstNameFor(t)}_agreement.parquet"
           report.write.mode("overwrite").parquet(out)
           Curation(t, "agreement-report",

@@ -941,6 +941,28 @@ class GraftAppSpec extends AnyFunSuite {
     assert(got2 == want2 && r2.curations.head.mode == "agreement-report")
   }
 
+  test("agreement-report with a pred LIST runs the Fleiss panel") {
+    val dst = Files.createTempDirectory("graft_appfleiss").toString
+    // two predictions + gold = a 3-rater panel -> Fleiss' kappa
+    val r = GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$dir",
+      s"--dst-dir=$dst", "--src-tables=documents", "--agreement-report",
+      "--agreement-gold=lang", "--agreement-pred=source,lang")))
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val ratings = Seq(col("lang"), col("source"), col("lang"))
+      .map(c0 => docs.select(col("doc_id").as("item"), c0.as("cls")))
+      .reduce(_ unionByName _)
+    val want = graft.ops.Agreement.fleissKappa(ratings,
+        col("item"), col("cls"))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(3), x.getDouble(4))).toMap
+    val got = spark.read.parquet(s"$dst/documents_agreement.parquet")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(3), x.getDouble(4))).toMap
+    assert(got == want && want.nonEmpty)
+    assert(r.curations.head.srcRows == docs.count(),
+      "panel srcRows is the table row count, not 3x the union")
+  }
+
   test("remigrate mode evolves drift and merges by PK through the CLI surface") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_appremig_src").toString
