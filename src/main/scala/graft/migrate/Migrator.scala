@@ -205,6 +205,9 @@ object Migrator {
     val dst = s"$dstDir/$dstName.parquet"
     val hPath = new org.apache.hadoop.fs.Path(dst)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // refuse non-atomic-rename stores BEFORE any work (not at swap
+    // time, after the full merge has already been written)
+    requireAtomicRename(fs, hPath)
     // heal a crash window left by a previous run BEFORE reading dst
     recoverSwap(fs, hPath)
     val incoming = transformed(spark, srcDir, table, spec)
@@ -236,19 +239,59 @@ object Migrator {
   private def oldPathOf(dst: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(dst.toString + ".__old")
 
+  /** Filesystem schemes whose `rename` is a COPY + DELETE, not an
+    * atomic directory move (S3A/S3N, the GCS connector, OSS/COS,
+    * Swift, the wasb Azure blob driver). The three-step swap's crash
+    * safety hinges on single-rename atomicity: on these stores a
+    * crash mid-rename can leave a PARTIAL `dst` alongside a remainder
+    * at `__old`, which [[recoverSwap]] would then delete (`dst`
+    * exists, so it looks like a finished step 2) — silent data loss.
+    * Refused up front instead.
+    */
+  private val NonAtomicRenameSchemes =
+    Set("s3", "s3a", "s3n", "gs", "oss", "cos", "swift", "wasb", "wasbs")
+
+  private[graft] def requireAtomicRename(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dst: org.apache.hadoop.fs.Path): Unit = {
+    val scheme = Option(dst.toUri.getScheme)
+      .orElse(Option(fs.getUri.getScheme))
+      .map(_.toLowerCase).getOrElse("file")
+    if (NonAtomicRenameSchemes(scheme))
+      throw new IllegalStateException(
+        s"remigrate: $dst lives on '$scheme', whose rename is copy+delete, " +
+          "not an atomic directory move — a crash mid-swap could lose data " +
+          "silently. Re-migrate into an atomic-rename filesystem (HDFS, " +
+          "posix local) and copy the result over, or rebuild with " +
+          "migrateTable (mode=overwrite).")
+  }
+
   /** Three-step swap of the freshly-written `tmp` table into `dst`:
     * (1) rename `dst` aside to `dst.__old`, (2) rename `tmp` → `dst`,
     * (3) delete `dst.__old`. A single directory rename is atomic on
-    * HDFS-semantics filesystems, and deletion happens ONLY after the
-    * new table is live — so every crash point leaves a complete table
-    * at a findable name (`dst` before step 1 and after step 2;
+    * HDFS-semantics filesystems — a HARD requirement, enforced by
+    * [[requireAtomicRename]] (object stores emulate rename as
+    * copy+delete and are refused) — and deletion happens ONLY after
+    * the new table is live, so every crash point leaves a complete
+    * table at a findable name (`dst` before step 1 and after step 2;
     * `dst.__old` between them, which [[recoverSwap]] heals). A failed
     * step-2 rename rolls the old table back into place before
-    * throwing, so readers never see an empty destination.
+    * throwing; if even the rollback rename fails, the thrown message
+    * says exactly where the complete table sits (`__old`) and that
+    * the next remigrate will recover it — it never claims a
+    * restoration that did not happen.
+    *
+    * SINGLE WRITER per table is a contract, not a detected condition:
+    * two concurrent remigrates of the same table can interleave so
+    * that one's stale-`__old` clear (below) deletes the other's
+    * freshly-made aside copy during that peer's crash window. Serialize
+    * remigrates per destination table (the reference's pump holds the
+    * same stance: one process per table pipeline, main.py:97-148).
     */
   private[graft] def swapIn(fs: org.apache.hadoop.fs.FileSystem,
       tmp: org.apache.hadoop.fs.Path,
       dst: org.apache.hadoop.fs.Path): Unit = {
+    requireAtomicRename(fs, dst)
     val old = oldPathOf(dst)
     // a stale __old can only be a prior run's step-3 leftover (its dst
     // is complete — recoverSwap semantics); clear it so step 1's
@@ -261,20 +304,25 @@ object Migrator {
     // implementation (false on HDFS, IOException subclasses on local/
     // object stores) — roll back on either, or the old table would be
     // stranded at __old with nothing at dst
+    def rollbackNote(): String = {
+      val restored =
+        try fs.rename(old, dst)
+        catch { case _: java.io.IOException => false }
+      if (restored) "old table restored"
+      else s"old table STRANDED at $old — rollback rename failed too; " +
+        "the next remigrate's recovery will restore it"
+    }
     val renamedIn =
       try fs.rename(tmp, dst)
       catch { case e: java.io.IOException =>
-        fs.rename(old, dst)
         throw new IllegalStateException(
           s"remigrate swap: failed to move $tmp into $dst " +
-            "(old table restored)", e)
+            s"(${rollbackNote()})", e)
       }
-    if (!renamedIn) {
-      fs.rename(old, dst) // roll back: the old table stays live
+    if (!renamedIn)
       throw new IllegalStateException(
         s"remigrate swap: failed to move $tmp into $dst " +
-          "(old table restored)")
-    }
+          s"(${rollbackNote()})")
     fs.delete(old, true)
   }
 

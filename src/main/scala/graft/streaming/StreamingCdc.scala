@@ -79,6 +79,16 @@ object StreamingCdc {
     * column would silently vanish from state on the next touched
     * bucket's rewrite — the silent-data-loss mode a replication tool
     * must never have.
+    *
+    * The narrowing check is asymmetric on purpose: a batch column
+    * whose type the PERSISTED type widens FROM (int arriving where
+    * state already holds long) is a LATE PRE-ALTER file, not drift —
+    * around an ALTER, a feed directory legitimately holds
+    * mixed-schema files, and a restart may deliver them after the
+    * widened state exists. Such columns are cast UP into the
+    * persisted type (value-preserving by [[graft.migrate.SchemaDrift
+    * .widens]]'s definition) before the merge; only truly
+    * incompatible moves are refused.
     */
   def mergeIntoState(rawBatch: DataFrame, stateDir: String, pk: Seq[String],
       orderCols: Seq[String],
@@ -87,9 +97,23 @@ object StreamingCdc {
     // expand PK-moving updates BEFORE deriving the state template:
     // normalization drops the transient `_before_<pk>` columns, which
     // must not become part of the persisted state schema
-    val batch = CdcApplier.normalizePkChanges(rawBatch, pk)
+    val normalized = CdcApplier.normalizePkChanges(rawBatch, pk)
+    val persisted = BucketStateStore.persistedSchema(spark, stateDir)
+    val batch = persisted match {
+      case None => normalized
+      case Some(existing) =>
+        val persistedType = existing.fields.map(f => f.name -> f.dataType).toMap
+        val upcast = normalized.schema.fields.collect {
+          case f if persistedType.get(f.name).exists(pt =>
+            pt != f.dataType && graft.migrate.SchemaDrift.widens(f.dataType, pt)) =>
+            f.name -> persistedType(f.name)
+        }.toMap
+        if (upcast.isEmpty) normalized
+        else normalized.select(normalized.columns.map(c =>
+          upcast.get(c).fold(col(c))(t => col(c).cast(t).as(c))): _*)
+    }
     val template = batch.drop(CdcApplier.OpCol)
-    BucketStateStore.persistedSchema(spark, stateDir).foreach { existing =>
+    persisted.foreach { existing =>
       graft.migrate.SchemaDrift.diff(existing, template.schema)
     }
     if (BucketStateStore.currentVersion(spark, stateDir).isEmpty)

@@ -399,6 +399,52 @@ class MigratorSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dstP.__old")))
   }
 
+  test("swapIn reports STRANDED (not 'restored') when the rollback " +
+    "rename fails too") {
+    import spark.implicits._
+    val (src, dst) = driftFixture()
+    Migrator.migrateTable(spark, src, dst, "driftprobe")
+    val dstP = new org.apache.hadoop.fs.Path(s"$dst/driftprobe.parquet")
+    // a local fs whose rename REFUSES to move anything back out of
+    // __old — the rollback-also-failed window (e.g. a permissions
+    // flip or the volume going read-only mid-swap)
+    val fs = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def rename(s: org.apache.hadoop.fs.Path,
+          d: org.apache.hadoop.fs.Path): Boolean =
+        if (s.getName.endsWith(".__old")) false else super.rename(s, d)
+    }
+    fs.initialize(java.net.URI.create("file:///"),
+      spark.sessionState.newHadoopConf())
+    val ghost = new org.apache.hadoop.fs.Path(s"$dstP.__nosuch")
+    val e = intercept[IllegalStateException] {
+      Migrator.swapIn(fs, ghost, dstP)
+    }
+    assert(e.getMessage.contains("STRANDED"), e.getMessage)
+    assert(!e.getMessage.contains("restored"),
+      "must not claim a restoration that did not happen: " + e.getMessage)
+    // the complete table IS at __old, exactly as the message says,
+    // and the next remigrate's recovery heals it
+    val oldP = new org.apache.hadoop.fs.Path(s"$dstP.__old")
+    assert(spark.read.parquet(oldP.toString).count() == 3)
+    Migrator.recoverSwap(hadoopFs(), dstP)
+    assert(spark.read.parquet(dstP.toString).count() == 3)
+  }
+
+  test("remigrate refuses object-store destinations whose rename is " +
+    "copy+delete (crash mid-swap would lose data silently)") {
+    val fs = hadoopFs()
+    for (p <- Seq("s3a://bucket/tbl.parquet", "gs://bucket/tbl.parquet")) {
+      val e = intercept[IllegalStateException] {
+        Migrator.swapIn(fs, new org.apache.hadoop.fs.Path(s"$p.__tmp"),
+          new org.apache.hadoop.fs.Path(p))
+      }
+      assert(e.getMessage.contains("atomic"), e.getMessage)
+    }
+    // the local filesystem stays allowed (posix rename is atomic)
+    Migrator.requireAtomicRename(fs,
+      new org.apache.hadoop.fs.Path("/tmp/graft/tbl.parquet"))
+  }
+
   test("SchemaDrift.widens follows the exact-value lattice only") {
     assert(SchemaDrift.widens(IntegerType, LongType))
     assert(SchemaDrift.widens(ByteType, IntegerType))

@@ -130,8 +130,11 @@ class StreamingCdcSpec extends AnyFunSuite {
         .awaitTermination()
     }
     assert(e1.getMessage.contains("a dropped"), e1.getMessage)
-    // narrowed type: ver arrives as INT where state holds BIGINT
-    val narrowed = Seq((2L, 7, "y", "insert")).toDF("id", "ver", "a", "op")
+    // incompatible type: a arrives as INT where state holds STRING —
+    // neither direction widens, so this is real destructive drift
+    // (an INT-where-BIGINT arrival is NOT: that's a late pre-ALTER
+    // file, cast up by the test below)
+    val narrowed = Seq((2L, 7L, 99, "insert")).toDF("id", "ver", "a", "op")
     narrowed.coalesce(1).write.parquet(s"$root/feed3")
     val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       StreamingCdc.start(
@@ -139,11 +142,40 @@ class StreamingCdcSpec extends AnyFunSuite {
           s"$root/state", s"$root/ckpt3", Seq("id"), Seq("ver"))
         .awaitTermination()
     }
-    assert(e2.getMessage.contains("ver narrowed"), e2.getMessage)
+    assert(e2.getMessage.contains("a narrowed"), e2.getMessage)
     // both refusals left the state untouched and readable
     val state = StreamingCdc.currentState(spark, s"$root/state",
       f1.drop("op")).collect()
     assert(state.length == 1 && state.head.getString(2) == "x")
+  }
+
+  test("CDC feed drift: a late pre-ALTER file (narrower-but-widenable " +
+    "type) is cast up into state, not refused") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_scdc_late").toString
+    // phase 1: qty already BIGINT (the post-ALTER widened state)
+    val f1 = Seq((1L, 1L, 9000000000L, "insert"))
+      .toDF("id", "ver", "qty", "op")
+    f1.coalesce(1).write.parquet(s"$root/feed1")
+    StreamingCdc.start(
+        spark.readStream.schema(f1.schema).parquet(s"$root/feed1"),
+        s"$root/state", s"$root/ckpt1", Seq("id"), Seq("ver"))
+      .awaitTermination()
+    // a restart delivers a file written BEFORE the ALTER: qty is INT.
+    // Its values are exactly representable in the persisted BIGINT,
+    // so the merge must accept and upcast them — refusing would wedge
+    // every mixed-schema feed directory around an ALTER
+    val late = Seq((2L, 1L, 20, "insert")).toDF("id", "ver", "qty", "op")
+    late.coalesce(1).write.parquet(s"$root/feed2")
+    StreamingCdc.start(
+        spark.readStream.schema(late.schema).parquet(s"$root/feed2"),
+        s"$root/state", s"$root/ckpt2", Seq("id"), Seq("ver"))
+      .awaitTermination()
+    val state = StreamingCdc.currentState(spark, s"$root/state",
+        f1.drop("op")).orderBy("id").collect()
+    assert(state.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((1L, 9000000000L), (2L, 20L)),
+      "late narrow file must merge upcast, state stays BIGINT")
   }
 
   test("CDC feed drift: widened feed column evolves state (int -> long widen-read)") {
