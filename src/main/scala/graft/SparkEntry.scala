@@ -192,6 +192,8 @@ object SparkEntry {
     "q156_fleiss_kappa"     -> PipelineQueries.raterAgreement _,
     "q157_ann_rbo"          -> PipelineQueries.annRboInt8 _,
     "q158_generation_bleu"  -> PipelineQueries.generationBleu _,
+    "q159_retrieval_ndcg"   -> PipelineQueries.retrievalNdcg _,
+    "q160_retrieval_map"    -> PipelineQueries.retrievalMap _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2998,6 +3000,92 @@ object SparkEntry {
         |SELECT pair_id, total1, clip1, total2, clip2, p1, p2,
         |  sqrt(p1*p2) AS bleu2
         |FROM fin ORDER BY pair_id""".stripMargin,
+    // q159: nDCG@10 over q149's exact ranking — micro-unit log2
+    // discounts W(d) = floor(1e6/log2(d+1)+0.5) as literals (the
+    // Eval.ndcgWeights unit pins the Scala side to these same
+    // constants); DCG is one exact integer mass, IDCG the exact
+    // prefix sum cumW(min(n_rel,10)), ndcg one cast-then-divide.
+    "q159_retrieval_ndcg" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id, label,
+        |    [CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) for x in embedding] AS q
+        |  FROM embeddings),
+        |n AS MATERIALIZED (SELECT vec_id, label, q,
+        |    list_reduce([CAST(0 AS BIGINT)] + [x*x for x in q], (a,b) -> a+b) AS n2
+        |  FROM e),
+        |qs AS (SELECT vec_id AS qid, label AS qlbl, q AS qq, n2 AS qn2
+        |  FROM n WHERE vec_id % 100 = 0),
+        |r AS (SELECT qid AS query_id, qlbl, vec_id, label,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+        |      CAST(list_reduce([CAST(0 AS BIGINT)] + [qq[i]*q[i] for i in range(1, len(q)+1)],
+        |        (a,b) -> a+b) AS DOUBLE)
+        |      / sqrt(CAST(qn2 AS DOUBLE)*CAST(n2 AS DOUBLE)) DESC, n.vec_id) AS rnk
+        |  FROM qs CROSS JOIN n WHERE n.vec_id != qid),
+        |d AS (SELECT query_id, CAST(SUM(CASE WHEN label = qlbl THEN
+        |      CASE rnk WHEN 1 THEN 1000000 WHEN 2 THEN 630930
+        |        WHEN 3 THEN 500000 WHEN 4 THEN 430677 WHEN 5 THEN 386853
+        |        WHEN 6 THEN 356207 WHEN 7 THEN 333333 WHEN 8 THEN 315465
+        |        WHEN 9 THEN 301030 WHEN 10 THEN 289065 END
+        |      ELSE 0 END) AS BIGINT) AS dcg_micro
+        |  FROM r WHERE rnk <= 10 GROUP BY 1),
+        |lc AS (SELECT label, COUNT(*) AS n_label FROM embeddings GROUP BY 1),
+        |nr AS (SELECT q2.vec_id AS query_id,
+        |    CAST(lc.n_label - 1 AS BIGINT) AS n_rel
+        |  FROM (SELECT vec_id, label FROM embeddings WHERE vec_id % 100 = 0) q2
+        |  JOIN lc USING (label))
+        |SELECT nr.query_id, nr.n_rel,
+        |  COALESCE(d.dcg_micro, 0) AS dcg_micro,
+        |  CAST(CASE LEAST(nr.n_rel, 10) WHEN 1 THEN 1000000 WHEN 2 THEN 1630930
+        |    WHEN 3 THEN 2130930 WHEN 4 THEN 2561607 WHEN 5 THEN 2948460
+        |    WHEN 6 THEN 3304667 WHEN 7 THEN 3638000 WHEN 8 THEN 3953465
+        |    WHEN 9 THEN 4254495 WHEN 10 THEN 4543560 ELSE 0 END AS BIGINT)
+        |    AS ideal_micro,
+        |  CASE WHEN nr.n_rel > 0 THEN CAST(COALESCE(d.dcg_micro, 0) AS DOUBLE) /
+        |      CAST(CASE LEAST(nr.n_rel, 10) WHEN 1 THEN 1000000 WHEN 2 THEN 1630930
+        |        WHEN 3 THEN 2130930 WHEN 4 THEN 2561607 WHEN 5 THEN 2948460
+        |        WHEN 6 THEN 3304667 WHEN 7 THEN 3638000 WHEN 8 THEN 3953465
+        |        WHEN 9 THEN 4254495 WHEN 10 THEN 4543560 END AS DOUBLE)
+        |    ELSE 0.0 END AS ndcg
+        |FROM nr LEFT JOIN d USING (query_id) ORDER BY query_id""".stripMargin,
+    // q160: MAP@10 over the same ranking — each relevant hit weighted
+    // by hits(d)·(2520/d) over the common denominator lcm(1..10) =
+    // 2520, so AP's numerator is one exact integer and ap one
+    // cast-then-divide by 2520·min(n_rel,10).
+    "q160_retrieval_map" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id, label,
+        |    [CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) for x in embedding] AS q
+        |  FROM embeddings),
+        |n AS MATERIALIZED (SELECT vec_id, label, q,
+        |    list_reduce([CAST(0 AS BIGINT)] + [x*x for x in q], (a,b) -> a+b) AS n2
+        |  FROM e),
+        |qs AS (SELECT vec_id AS qid, label AS qlbl, q AS qq, n2 AS qn2
+        |  FROM n WHERE vec_id % 100 = 0),
+        |r AS (SELECT qid AS query_id, qlbl, vec_id, label,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+        |      CAST(list_reduce([CAST(0 AS BIGINT)] + [qq[i]*q[i] for i in range(1, len(q)+1)],
+        |        (a,b) -> a+b) AS DOUBLE)
+        |      / sqrt(CAST(qn2 AS DOUBLE)*CAST(n2 AS DOUBLE)) DESC, n.vec_id) AS rnk
+        |  FROM qs CROSS JOIN n WHERE n.vec_id != qid),
+        |h AS (SELECT query_id, rnk,
+        |    CASE WHEN label = qlbl THEN 1 ELSE 0 END AS rel,
+        |    SUM(CASE WHEN label = qlbl THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY query_id ORDER BY rnk) AS hits_at
+        |  FROM r WHERE rnk <= 10),
+        |m AS (SELECT query_id, CAST(SUM(hits_at *
+        |      CASE rnk WHEN 1 THEN 2520 WHEN 2 THEN 1260 WHEN 3 THEN 840
+        |        WHEN 4 THEN 630 WHEN 5 THEN 504 WHEN 6 THEN 420
+        |        WHEN 7 THEN 360 WHEN 8 THEN 315 WHEN 9 THEN 280
+        |        WHEN 10 THEN 252 END) AS BIGINT) AS ap_mass
+        |  FROM h WHERE rel = 1 GROUP BY 1),
+        |lc AS (SELECT label, COUNT(*) AS n_label FROM embeddings GROUP BY 1),
+        |nr AS (SELECT q2.vec_id AS query_id,
+        |    CAST(lc.n_label - 1 AS BIGINT) AS n_rel
+        |  FROM (SELECT vec_id, label FROM embeddings WHERE vec_id % 100 = 0) q2
+        |  JOIN lc USING (label))
+        |SELECT nr.query_id, nr.n_rel, COALESCE(m.ap_mass, 0) AS ap_mass,
+        |  CASE WHEN nr.n_rel > 0 THEN CAST(COALESCE(m.ap_mass, 0) AS DOUBLE) /
+        |      CAST(2520 * LEAST(nr.n_rel, 10) AS DOUBLE)
+        |    ELSE 0.0 END AS ap
+        |FROM nr LEFT JOIN m USING (query_id) ORDER BY query_id""".stripMargin,
   )
 
   /** Unrolled greedy-MMR rounds mirroring [[graft.vector.Mmr]]:

@@ -1397,4 +1397,33 @@ object PipelineQueries {
     graft.text.GenerationEval.bleu2(cand.join(ref, Seq("pair_id")),
       "pair_id", "cand", "ref")
   }
+
+  /** q159: nDCG@10 over q149's exact top-10 lists with label
+    * relevance — the graded-position complement of precision/recall
+    * @k: a system that surfaces the relevant vectors FIRST outranks
+    * one that buries them at rank 10. Micro-unit log2 discounts keep
+    * the DCG mass an exact integer (the q102 rounding discipline).
+    */
+  def retrievalNdcg(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val (ranked, nRel) = VectorSearch.labeledRanking(emb, knnQueries(emb),
+      k = 10)
+    graft.vector.Eval.ndcgAtK(
+      ranked.select(col("query_id"), col("rnk"), col("rel")),
+      nRel.select(col("query_id"), col("n_rel")), k = 10)
+  }
+
+  /** q160: MAP@10 over the same labeled ranking — each relevant hit
+    * graded by the precision AT ITS RANK, the strictest of the three
+    * ranking grades (one early miss drags every later hit down).
+    * The AP numerator is one exact integer mass over lcm(1..10).
+    */
+  def retrievalMap(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val (ranked, nRel) = VectorSearch.labeledRanking(emb, knnQueries(emb),
+      k = 10)
+    graft.vector.Eval.mapAtK(
+      ranked.select(col("query_id"), col("rnk"), col("rel")),
+      nRel.select(col("query_id"), col("n_rel")), k = 10)
+  }
 }

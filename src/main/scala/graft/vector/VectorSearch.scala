@@ -187,6 +187,49 @@ object VectorSearch {
       .orderBy("vec_id")
   }
 
+  /** The shared label-relevance substrate of the retrieval metric
+    * family ([[retrievalEval]], [[Eval.ndcgAtK]], [[Eval.mapAtK]]):
+    * exact top-k lists with each row scored relevant iff it carries
+    * the query's label, plus the per-query relevant-mass census.
+    * Returns `(ranked, nRel)` — `ranked` is the (|Q|·k)-sized frame
+    * `(query_id, rnk, rel, …)`, `nRel` the |Q|-sized
+    * `(query_id, qlbl, n_rel)` with the query vector itself excluded
+    * from retrievable relevant mass.
+    *
+    * Scale shape: the label census is one map-side-combined aggregate
+    * over the corpus (label-cardinality-sized, broadcast back); the
+    * ranked frame is the broadcast side of the labeling join —
+    * corpusLabels is corpus-cardinality and must stream (broadcasting
+    * it would hold a corpus-sized map per executor at 100 TB).
+    */
+  private[graft] def labeledRanking(corpus: DataFrame, queries: DataFrame,
+      k: Int, labelCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val corpusLabels = corpus.select(col(idCol).as("vec_id"),
+      col(labelCol).as("lbl"))
+    val queryLabels = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("qlbl"))
+    // benchmark-sized per-label census, built once from the corpus
+    val labelCounts = corpusLabels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_label"))
+    // does the query vector itself sit in the corpus under its own
+    // label? (it must not count as retrievable relevant mass)
+    val selfIn = corpusLabels.join(broadcast(queryLabels),
+        col("vec_id") === col("query_id") && col("lbl") === col("qlbl"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("self_n"))
+    val nRel = queryLabels
+      .join(broadcast(labelCounts), col("qlbl") === col("lbl"), "left")
+      .join(broadcast(selfIn), Seq("query_id"), "left")
+      .select(col("query_id"), col("qlbl"),
+        (coalesce(col("n_label"), lit(0L)) -
+          coalesce(col("self_n"), lit(0L))).as("n_rel"))
+    val topk = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+    val ranked = corpusLabels.join(broadcast(topk), Seq("vec_id"))
+      .join(broadcast(queryLabels), Seq("query_id"))
+      .withColumn("rel", when(col("lbl") === col("qlbl"), 1L).otherwise(0L))
+    (ranked, nRel)
+  }
+
   /** Retrieval-quality evaluation with label relevance — the IR
     * metrics layer over the ANN operators: run exact top-k for each
     * query, score a retrieved vector as relevant iff it carries the
@@ -212,32 +255,8 @@ object VectorSearch {
   def retrievalEval(corpus: DataFrame, queries: DataFrame, k: Int,
       labelCol: String = "label", idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val corpusLabels = corpus.select(col(idCol).as("vec_id"),
-      col(labelCol).as("lbl"))
-    val queryLabels = queries.select(col(idCol).as("query_id"),
-      col(labelCol).as("qlbl"))
-    // benchmark-sized per-label census, built once from the corpus
-    val labelCounts = corpusLabels.groupBy(col("lbl"))
-      .agg(count(lit(1)).as("n_label"))
-    // does the query vector itself sit in the corpus under its own
-    // label? (it must not count as retrievable relevant mass)
-    val selfIn = corpusLabels.join(broadcast(queryLabels),
-        col("vec_id") === col("query_id") && col("lbl") === col("qlbl"))
-      .groupBy(col("query_id")).agg(count(lit(1)).as("self_n"))
-    val nRel = queryLabels
-      .join(broadcast(labelCounts), col("qlbl") === col("lbl"), "left")
-      .join(broadcast(selfIn), Seq("query_id"), "left")
-      .select(col("query_id"), col("qlbl"),
-        (coalesce(col("n_label"), lit(0L)) -
-          coalesce(col("self_n"), lit(0L))).as("n_rel"))
-    // label the ranked lists: the ranked frame is k·|queries| rows —
-    // THAT is the broadcast side; corpusLabels is corpus-cardinality
-    // and must stream (broadcasting it would hold a corpus-sized map
-    // per executor at 100 TB)
-    val topk = bruteForceTopK(corpus, queries, k, idCol, vecCol)
-    val ranked = corpusLabels.join(broadcast(topk), Seq("vec_id"))
-      .join(broadcast(queryLabels), Seq("query_id"))
-      .withColumn("rel", when(col("lbl") === col("qlbl"), 1L).otherwise(0L))
+    val (ranked, nRel) = labeledRanking(corpus, queries, k,
+      labelCol, idCol, vecCol)
     ranked.groupBy(col("query_id"))
       .agg(sum(col("rel")).as("hits"),
         min(when(col("rel") === 1L, col("rnk"))).as("first_rel"))
