@@ -194,6 +194,7 @@ object SparkEntry {
     "q158_generation_bleu"  -> PipelineQueries.generationBleu _,
     "q159_retrieval_ndcg"   -> PipelineQueries.retrievalNdcg _,
     "q160_retrieval_map"    -> PipelineQueries.retrievalMap _,
+    "q161_generation_rouge" -> PipelineQueries.generationRouge _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3086,6 +3087,42 @@ object SparkEntry {
         |      CAST(2520 * LEAST(nr.n_rel, 10) AS DOUBLE)
         |    ELSE 0.0 END AS ap
         |FROM nr LEFT JOIN m USING (query_id) ORDER BY query_id""".stripMargin,
+    // q161: ROUGE-L over the q158 pairs, 40-token bound — the LCS DP
+    // as a recursive CTE carrying the rolling row as a list; the
+    // prefix-max formulation row_new[j] = max(row_old[j],
+    // max_{j'<=j, ref_j'=cand_i}(row_old[j'-1]+1)) makes each row a
+    // pure comprehension of the previous one. F1 in the reduced
+    // exact form 2L/(m+n), same single division as the Scala side.
+    "q161_generation_rouge" ->
+      """WITH RECURSIVE pp AS (
+        |  SELECT a.doc_id AS pair_id,
+        |    string_split(a.text,' ')[1:40] AS cand,
+        |    string_split(b.text,' ')[1:40] AS ref
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 2 = 0),
+        |lcs(pair_id, i, row) AS (
+        |  SELECT pair_id, 0, [0 for _ in range(1, len(ref)+2)] FROM pp
+        |  UNION ALL
+        |  SELECT l.pair_id, l.i + 1,
+        |    [CASE WHEN ji = 1 THEN 0
+        |          ELSE greatest(l.row[ji],
+        |            coalesce(list_max([l.row[jj-1]+1 for jj in range(2, ji+1)
+        |              if pp.ref[jj-1] = pp.cand[l.i+1]]), 0))
+        |     END for ji in range(1, len(pp.ref)+2)]
+        |  FROM lcs l JOIN pp USING (pair_id) WHERE l.i < len(pp.cand)),
+        |f AS (
+        |  SELECT l.pair_id, CAST(len(pp.cand) AS BIGINT) AS m,
+        |    CAST(len(pp.ref) AS BIGINT) AS n,
+        |    CAST(l.row[len(pp.ref)+1] AS BIGINT) AS lcs_len
+        |  FROM lcs l JOIN pp USING (pair_id) WHERE l.i = len(pp.cand))
+        |SELECT pair_id, m, n, lcs_len,
+        |  CASE WHEN m > 0 THEN CAST(lcs_len AS DOUBLE)/CAST(m AS DOUBLE)
+        |       ELSE 0.0 END AS prec,
+        |  CASE WHEN n > 0 THEN CAST(lcs_len AS DOUBLE)/CAST(n AS DOUBLE)
+        |       ELSE 0.0 END AS rec,
+        |  CASE WHEN lcs_len > 0 THEN CAST(2*lcs_len AS DOUBLE)/CAST(m + n AS DOUBLE)
+        |       ELSE 0.0 END AS f1
+        |FROM f ORDER BY pair_id""".stripMargin,
   )
 
   /** Unrolled greedy-MMR rounds mirroring [[graft.vector.Mmr]]:

@@ -1398,6 +1398,24 @@ object PipelineQueries {
       "pair_id", "cand", "ref")
   }
 
+  /** q161: ROUGE-L over q158's adjacent document pairs, both sides
+    * bounded to their first 40 tokens (the DP-cost bound a corpus
+    * run would set anyway) — the order-sensitive complement of
+    * BLEU-2's bag-of-n-grams overlap: LCS rewards preserved
+    * SEQUENCE, so a shuffled bag of the right words scores high
+    * BLEU but low ROUGE-L.
+    */
+  def generationRouge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val cand = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id").as("pair_id"), col("text").as("cand"))
+    val ref = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select((col("doc_id") - 1).as("pair_id"), col("text").as("ref"))
+    graft.text.GenerationEval.rougeL(cand.join(ref, Seq("pair_id")),
+      "pair_id", "cand", "ref", maxTokens = 40)
+  }
+
   /** q159: nDCG@10 over q149's exact top-10 lists with label
     * relevance — the graded-position complement of precision/recall
     * @k: a system that surfaces the relevant vectors FIRST outranks

@@ -96,4 +96,54 @@ object GenerationEval {
       .withColumn("bleu2", sqrt(col("p1") * col("p2")))
       .orderBy("pair_id")
   }
+
+  /** ROUGE-L report per pair (Lin 2004) — the ORDER-SENSITIVE
+    * complement of [[bleu2]]: clipped n-gram counts ignore where the
+    * overlap sits; the longest common subsequence rewards text that
+    * preserves the reference's SEQUENCE, so a shuffled bag of the
+    * right words scores high BLEU but low ROUGE-L. Returns
+    * `(pair_id, m, n, lcs_len, prec, rec, f1)` with m/n the
+    * candidate/reference token counts, `prec = LCS/m`,
+    * `rec = LCS/n`, and F1 in its algebraically-reduced exact form
+    * `2·LCS/(m+n)` (the usual 2PR/(P+R) collapses to it, and this
+    * form is ONE correctly-rounded division instead of three).
+    * Zero-token sides and zero overlap score 0.0, never NULL/NaN.
+    *
+    * Determinism: LCS is an exact integer from the native
+    * [[graft.functions.LcsLength]] DP; each metric is one
+    * cast-to-double-then-divide — bit-portable.
+    *
+    * Scale shape: zero shuffle — one codegen'd per-row projection
+    * over the pairs frame. The DP is O(m·n) PER PAIR, so
+    * `maxTokens > 0` bounds both sides (first `maxTokens` tokens) —
+    * at corpus scale an unbounded quadratic term on pathological
+    * documents is a straggler-maker; the metric is then ROUGE-L of
+    * the truncated texts, stated rather than silent.
+    */
+  def rougeL(pairs: DataFrame, pairIdCol: String, candCol: String,
+      refCol: String, maxTokens: Int = 0): DataFrame = {
+    require(maxTokens >= 0, s"maxTokens must be >= 0 (0 = unbounded): $maxTokens")
+    def toks(c: String) = {
+      val t = split(col(c), " ")
+      if (maxTokens > 0) slice(t, 1, maxTokens) else t
+    }
+    pairs.select(col(pairIdCol).as("pair_id"),
+        toks(candCol).as("ct"), toks(refCol).as("rt"))
+      .select(col("pair_id"),
+        size(col("ct")).cast("long").as("m"),
+        size(col("rt")).cast("long").as("n"),
+        graft.functions.Lcs.lcsLength(col("ct"), col("rt")).as("lcs_len"))
+      .select(col("pair_id"), col("m"), col("n"), col("lcs_len"),
+        when(col("m") > 0,
+            col("lcs_len").cast("double") / col("m").cast("double"))
+          .otherwise(lit(0.0)).as("prec"),
+        when(col("n") > 0,
+            col("lcs_len").cast("double") / col("n").cast("double"))
+          .otherwise(lit(0.0)).as("rec"),
+        when(col("lcs_len") > 0,
+            (lit(2L) * col("lcs_len")).cast("double") /
+              (col("m") + col("n")).cast("double"))
+          .otherwise(lit(0.0)).as("f1"))
+      .orderBy("pair_id")
+  }
 }

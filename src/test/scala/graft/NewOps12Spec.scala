@@ -99,4 +99,71 @@ class NewOps12Spec extends AnyFunSuite {
     intercept[IllegalArgumentException](Eval.ndcgAtK(r, n, 0))
     intercept[IllegalArgumentException](Eval.mapAtK(r, n, 21))
   }
+
+  // --- LcsLength / GenerationEval.rougeL --------------------------------
+
+  test("LcsLength matches hand-computed subsequences (codegen and interpreted)") {
+    val df = Seq(
+      (1L, "a b c b d a b", "b d c a b a"), // LCS = 4 (b c a b)
+      (2L, "x y z", "q r s"),               // disjoint -> 0
+      (3L, "hello world", "hello world"),   // identical -> 2
+      (4L, "", "a b"),                      // split("") = [""] -> 0
+      (5L, "a a a", "a a"))                 // multiplicity -> 2
+      .toDF("id", "ca", "re")
+      .select(col("id"), split(col("ca"), " ").as("a"),
+        split(col("re"), " ").as("b"))
+    val got = df.select(col("id"),
+        graft.functions.Lcs.lcsLength(col("a"), col("b")).as("l"))
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.toSeq == Seq(1L -> 4L, 2L -> 0L, 3L -> 2L, 4L -> 0L, 5L -> 2L))
+    // interpreted path (constant folding evaluates without codegen)
+    val folded = spark.range(1).select(graft.functions.Lcs.lcsLength(
+        array(lit("a"), lit("b"), lit("c")),
+        array(lit("b"), lit("c"), lit("a"))).as("l"))
+      .collect().head.getLong(0)
+    assert(folded == 2L)
+  }
+
+  test("LcsLength: null elements match nothing, null arrays propagate null") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(StringType, containsNull = true)),
+      StructField("b", ArrayType(StringType, containsNull = true))))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(Seq("x", null, "y"), Seq(null, "x", "y")),
+      org.apache.spark.sql.Row(null, Seq("x")))
+    val df = spark.createDataFrame(rows, schema)
+    val got = df.select(
+      graft.functions.Lcs.lcsLength(col("a"), col("b")).as("l")).collect()
+    assert(got(0).getLong(0) == 2L, "null tokens must not match each other")
+    assert(got(1).isNullAt(0), "null array propagates null")
+  }
+
+  test("rougeL reproduces hand-computed precision/recall/F1 and is " +
+    "order-sensitive where BLEU-1 is not") {
+    val pairs = Seq(
+      (1L, "a b c b d a b", "b d c a b a"),
+      (2L, "the cat sat", "sat cat the"), // bag-identical, order broken
+      (3L, "same text here", "same text here"))
+      .toDF("pair_id", "cand", "ref")
+    val out = graft.text.GenerationEval
+      .rougeL(pairs, "pair_id", "cand", "ref").collect()
+    val p1 = out(0)
+    assert(p1.getLong(3) == 4L && p1.getDouble(4) == 4.0 / 7.0 &&
+      p1.getDouble(5) == 4.0 / 6.0 && p1.getDouble(6) == 8.0 / 13.0)
+    // pair 2: unigram-clipped BLEU would be 1.0; LCS of a reversed
+    // 3-token sentence is 1 -> f1 = 2/6
+    assert(out(1).getLong(3) == 1L && out(1).getDouble(6) == 2.0 / 6.0)
+    // identical texts: perfect 1.0 on all three
+    assert(out(2).getDouble(4) == 1.0 && out(2).getDouble(5) == 1.0 &&
+      out(2).getDouble(6) == 1.0)
+  }
+
+  test("rougeL maxTokens bounds both sides of the DP") {
+    val pairs = Seq((1L, "a b c d e", "a b x y z")).toDF("pair_id", "c", "r")
+    val out = graft.text.GenerationEval
+      .rougeL(pairs, "pair_id", "c", "r", maxTokens = 2).collect().head
+    assert(out.getLong(1) == 2L && out.getLong(2) == 2L &&
+      out.getLong(3) == 2L && out.getDouble(6) == 1.0)
+  }
 }
