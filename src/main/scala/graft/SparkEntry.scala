@@ -30,7 +30,8 @@ object SparkEntry {
     "q71_catalog_migrate", "q73_orc_roundtrip", "q74_converted_migrate",
     "q94_custom_state_sessions", "q140_redelivery_dedup",
     "q147_xml_roundtrip", "q151_remigrate_drift",
-    "q154_stream_novelty", "q155_stream_contamination")
+    "q154_stream_novelty", "q155_stream_contamination",
+    "q162_stream_agreement")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -195,7 +196,55 @@ object SparkEntry {
     "q159_retrieval_ndcg"   -> PipelineQueries.retrievalNdcg _,
     "q160_retrieval_map"    -> PipelineQueries.retrievalMap _,
     "q161_generation_rouge" -> PipelineQueries.generationRouge _,
+    "q162_stream_agreement" -> IngestQueries.streamAgreement _,
   )
+
+  /** q153's oracle, shared verbatim by q162 (the streaming drain of
+    * the same report: confusion-cell counts are additive and
+    * commutative, so the pump's durable census must grade
+    * identically): q21's labeler graded against gold labels —
+    * per-class P/R/F1 from the confusion matrix, global accuracy,
+    * and Cohen's kappa (agree·N − Σ n_gold·n_pred)/(N² − Σ
+    * n_gold·n_pred) in HUGEINT mirroring the engine's DECIMAL(38,0).
+    */
+  private val LangIdEvalSql: String =
+    """WITH p AS (SELECT lang AS gold,
+      |    CASE WHEN len(list_filter(string_split(text,' '), x -> x='the' OR x='a')) >= 2
+      |         THEN 'en' ELSE 'und' END AS pred
+      |  FROM documents),
+      |cm AS (SELECT gold, pred, COUNT(*) AS n FROM p GROUP BY 1, 2),
+      |gm AS (SELECT gold AS cls, SUM(n) AS n_gold FROM cm GROUP BY 1),
+      |pm AS (SELECT pred AS cls, SUM(n) AS n_pred FROM cm GROUP BY 1),
+      |cls AS (SELECT cls FROM gm UNION SELECT cls FROM pm),
+      |tot AS (SELECT CAST(SUM(n) AS HUGEINT) AS nn,
+      |    CAST(COALESCE(SUM(CASE WHEN gold = pred THEN n END), 0) AS HUGEINT) AS agree
+      |  FROM cm),
+      |rc AS (SELECT CAST(COALESCE(SUM(CAST(COALESCE(gm.n_gold, 0) AS HUGEINT) *
+      |      CAST(COALESCE(pm.n_pred, 0) AS HUGEINT)), 0) AS HUGEINT) AS s
+      |  FROM cls LEFT JOIN gm USING (cls) LEFT JOIN pm USING (cls)),
+      |dg AS (SELECT gold AS cls, n AS tp0 FROM cm WHERE gold = pred)
+      |SELECT cls.cls,
+      |  CAST(COALESCE(dg.tp0, 0) AS BIGINT) AS tp,
+      |  CAST(COALESCE(pm.n_pred, 0) - COALESCE(dg.tp0, 0) AS BIGINT) AS fp,
+      |  CAST(COALESCE(gm.n_gold, 0) - COALESCE(dg.tp0, 0) AS BIGINT) AS fn,
+      |  CASE WHEN COALESCE(pm.n_pred, 0) > 0
+      |       THEN CAST(COALESCE(dg.tp0, 0) AS DOUBLE)/CAST(pm.n_pred AS DOUBLE)
+      |       ELSE 0.0 END AS prec,
+      |  CASE WHEN COALESCE(gm.n_gold, 0) > 0
+      |       THEN CAST(COALESCE(dg.tp0, 0) AS DOUBLE)/CAST(gm.n_gold AS DOUBLE)
+      |       ELSE 0.0 END AS rec,
+      |  CASE WHEN 2*COALESCE(dg.tp0, 0) + (COALESCE(pm.n_pred, 0) - COALESCE(dg.tp0, 0))
+      |            + (COALESCE(gm.n_gold, 0) - COALESCE(dg.tp0, 0)) > 0
+      |       THEN CAST(2*COALESCE(dg.tp0, 0) AS DOUBLE) /
+      |            CAST(COALESCE(pm.n_pred, 0) + COALESCE(gm.n_gold, 0) AS DOUBLE)
+      |       ELSE 0.0 END AS f1,
+      |  CAST(tot.agree AS DOUBLE)/CAST(tot.nn AS DOUBLE) AS accuracy,
+      |  CASE WHEN tot.nn*tot.nn - rc.s != 0
+      |       THEN CAST(tot.agree*tot.nn - rc.s AS DOUBLE)/CAST(tot.nn*tot.nn - rc.s AS DOUBLE)
+      |       ELSE 0.0 END AS kappa
+      |FROM cls LEFT JOIN gm USING (cls) LEFT JOIN pm USING (cls)
+      |LEFT JOIN dg USING (cls) CROSS JOIN tot CROSS JOIN rc
+      |ORDER BY cls.cls""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2819,44 +2868,11 @@ object SparkEntry {
     // P/R/F1 from the confusion matrix, global accuracy, and Cohen's
     // kappa (agree·N − Σ n_gold·n_pred)/(N² − Σ n_gold·n_pred) in
     // HUGEINT mirroring the engine's DECIMAL(38,0)
-    "q153_langid_eval" ->
-      """WITH p AS (SELECT lang AS gold,
-        |    CASE WHEN len(list_filter(string_split(text,' '), x -> x='the' OR x='a')) >= 2
-        |         THEN 'en' ELSE 'und' END AS pred
-        |  FROM documents),
-        |cm AS (SELECT gold, pred, COUNT(*) AS n FROM p GROUP BY 1, 2),
-        |gm AS (SELECT gold AS cls, SUM(n) AS n_gold FROM cm GROUP BY 1),
-        |pm AS (SELECT pred AS cls, SUM(n) AS n_pred FROM cm GROUP BY 1),
-        |cls AS (SELECT cls FROM gm UNION SELECT cls FROM pm),
-        |tot AS (SELECT CAST(SUM(n) AS HUGEINT) AS nn,
-        |    CAST(COALESCE(SUM(CASE WHEN gold = pred THEN n END), 0) AS HUGEINT) AS agree
-        |  FROM cm),
-        |rc AS (SELECT CAST(COALESCE(SUM(CAST(COALESCE(gm.n_gold, 0) AS HUGEINT) *
-        |      CAST(COALESCE(pm.n_pred, 0) AS HUGEINT)), 0) AS HUGEINT) AS s
-        |  FROM cls LEFT JOIN gm USING (cls) LEFT JOIN pm USING (cls)),
-        |dg AS (SELECT gold AS cls, n AS tp0 FROM cm WHERE gold = pred)
-        |SELECT cls.cls,
-        |  CAST(COALESCE(dg.tp0, 0) AS BIGINT) AS tp,
-        |  CAST(COALESCE(pm.n_pred, 0) - COALESCE(dg.tp0, 0) AS BIGINT) AS fp,
-        |  CAST(COALESCE(gm.n_gold, 0) - COALESCE(dg.tp0, 0) AS BIGINT) AS fn,
-        |  CASE WHEN COALESCE(pm.n_pred, 0) > 0
-        |       THEN CAST(COALESCE(dg.tp0, 0) AS DOUBLE)/CAST(pm.n_pred AS DOUBLE)
-        |       ELSE 0.0 END AS prec,
-        |  CASE WHEN COALESCE(gm.n_gold, 0) > 0
-        |       THEN CAST(COALESCE(dg.tp0, 0) AS DOUBLE)/CAST(gm.n_gold AS DOUBLE)
-        |       ELSE 0.0 END AS rec,
-        |  CASE WHEN 2*COALESCE(dg.tp0, 0) + (COALESCE(pm.n_pred, 0) - COALESCE(dg.tp0, 0))
-        |            + (COALESCE(gm.n_gold, 0) - COALESCE(dg.tp0, 0)) > 0
-        |       THEN CAST(2*COALESCE(dg.tp0, 0) AS DOUBLE) /
-        |            CAST(COALESCE(pm.n_pred, 0) + COALESCE(gm.n_gold, 0) AS DOUBLE)
-        |       ELSE 0.0 END AS f1,
-        |  CAST(tot.agree AS DOUBLE)/CAST(tot.nn AS DOUBLE) AS accuracy,
-        |  CASE WHEN tot.nn*tot.nn - rc.s != 0
-        |       THEN CAST(tot.agree*tot.nn - rc.s AS DOUBLE)/CAST(tot.nn*tot.nn - rc.s AS DOUBLE)
-        |       ELSE 0.0 END AS kappa
-        |FROM cls LEFT JOIN gm USING (cls) LEFT JOIN pm USING (cls)
-        |LEFT JOIN dg USING (cls) CROSS JOIN tot CROSS JOIN rc
-        |ORDER BY cls.cls""".stripMargin,
+    "q153_langid_eval" -> LangIdEvalSql,
+    // q162: the streaming drain of q153 — confusion-cell counts are
+    // additive/commutative, so the pump's durable census must grade
+    // to the identical batch report; the oracle is q153's verbatim
+    "q162_stream_agreement" -> LangIdEvalSql,
     // q154: the streaming drain of q150 must produce the identical
     // batch answer (min first-occurrence is commutative), so the
     // oracle is q150's verbatim

@@ -32,6 +32,19 @@ import org.apache.spark.sql.functions._
   */
 object Agreement {
 
+  /** The (gold, pred, n) confusion-cell census — ONE map-side-combined
+    * corpus scan. Exposed as the report family's interchange frame:
+    * [[classifierReport]] builds it inline; the streaming agreement
+    * pump ([[graft.streaming.CurationPumps.startAgreementPump]])
+    * persists it through BucketStateStore (counts merge additively)
+    * and [[classifierReportFromCells]] grades the durable copy —
+    * drain == batch because both read the same cells.
+    */
+  private[graft] def confusionCells(df: DataFrame, gold: Column,
+      pred: Column): DataFrame =
+    df.select(gold.as("gold"), pred.as("pred"))
+      .groupBy(col("gold"), col("pred")).agg(count(lit(1)).as("n"))
+
   /** The shared census: one row per class (the union of gold and
     * predicted values) with `(cls, tp, n_gold, n_pred)` — built from
     * the corpus in a single pass, NOT materialized (classifierReport
@@ -40,8 +53,10 @@ object Agreement {
     */
   private[graft] def perClassStats(df: DataFrame, gold: Column,
       pred: Column): DataFrame =
-    df.select(gold.as("gold"), pred.as("pred"))
-      .groupBy(col("gold"), col("pred")).agg(count(lit(1)).as("n"))
+    perClassStatsFromCells(confusionCells(df, gold, pred))
+
+  private[graft] def perClassStatsFromCells(cells: DataFrame): DataFrame =
+    cells
       .select(explode(array(
         struct(col("gold").as("cls"),
           when(col("gold") === col("pred"), col("n")).otherwise(lit(0L))
@@ -60,10 +75,17 @@ object Agreement {
     * never gold / constant labeler) are 0.0, not null.
     */
   def classifierReport(df: DataFrame, gold: Column, pred: Column)
-      : DataFrame = {
+      : DataFrame =
+    classifierReportFromCells(confusionCells(df, gold, pred))
+
+  /** [[classifierReport]] over a pre-built `(gold, pred, n)` cell
+    * census — the face the streaming agreement pump's durable state
+    * feeds. Same report, same metric arithmetic, one code path.
+    */
+  def classifierReportFromCells(cells: DataFrame): DataFrame = {
     // classes-sized; feeds the globals aggregate AND the final
     // projection — materialized so the corpus is scanned once
-    val perClass = perClassStats(df, gold, pred).localCheckpoint()
+    val perClass = perClassStatsFromCells(cells).localCheckpoint()
 
     val dec = "decimal(38,0)"
     // N = Σ n_gold, agree = Σ tp, chance cross term Σ n_gold·n_pred —

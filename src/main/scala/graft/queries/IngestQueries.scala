@@ -736,4 +736,38 @@ object IngestQueries {
     q.awaitTermination()
     spark.table(name).orderBy("doc_id")
   }
+
+  /** q162: labeler grading ON INGEST — q153's classifier report as a
+    * stream. Documents arrive as files; each micro-batch's
+    * (gold, predicted) confusion cells fold ADDITIVELY into the
+    * durable census through the PRODUCTION pump
+    * ([[graft.streaming.CurationPumps.startAgreementPump]] —
+    * BucketStateStore + batch-id fence; unlike q154/q155 this face
+    * drives the production path directly, there is no memory-sink
+    * intermediary), and the report reads the persisted state. Counts
+    * are commutative, so the drained report must hash-equal batch
+    * [[graft.ops.Agreement.classifierReport]] — q153's oracle checks
+    * both. The production stance: a labeler's live agreement with
+    * gold is readable at any time without re-scanning the corpus,
+    * and the census survives the pump.
+    */
+  def streamAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val root = tmpDir("graft_stream_agree")
+    // two files, upper half first: additive counts are arrival-order-free
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$root/docs")
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append")
+      .parquet(s"$root/docs")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/docs")
+    graft.streaming.CurationPumps.startAgreementPump(
+        stream, s"$root/state", s"$root/ckpt",
+        gold = col("lang"),
+        pred = graft.text.TextAnalysis.langId(col("text"),
+          graft.text.TextAnalysis.defaultProfiles))
+      .awaitTermination()
+    graft.streaming.CurationPumps.agreementReport(spark, s"$root/state")
+  }
 }

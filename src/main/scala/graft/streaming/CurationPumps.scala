@@ -176,4 +176,73 @@ object CurationPumps {
     BucketStateStore.currentState(spark, stateDir,
       emptyOf(spark, ContaminationSchema))
       .orderBy("doc_id")
+
+  /** Persisted confusion-cell schema for the agreement pump: one row
+    * per (gold, predicted) class pair with its running count —
+    * class-cardinality-squared-sized, orders of magnitude narrower
+    * than the rated documents.
+    */
+  val AgreementSchema: StructType = StructType(Seq(
+    StructField("gold", StringType, nullable = true),
+    StructField("pred", StringType, nullable = true),
+    StructField("n", LongType, nullable = true)))
+
+  /** Fold one document batch's confusion cells into the store. The
+    * combine is an ADDITIVE count merge — commutative (arrival order
+    * is irrelevant, so drain == batch) but NOT idempotent, so the
+    * batch-id fence is LOAD-BEARING here, unlike the novelty pump's
+    * min-merge: without it a crash-replayed batch would double-count
+    * its cells (the IncrementalAgg regime of
+    * [[BucketStateStore.merge]]).
+    */
+  private[graft] def mergeAgreementBatch(batch: DataFrame,
+      gold: org.apache.spark.sql.Column, pred: org.apache.spark.sql.Column,
+      stateDir: String, numBuckets: Int, batchId: Option[Long]): Unit = {
+    val cells = graft.ops.Agreement.confusionCells(batch, gold, pred)
+    val template = emptyOf(batch.sparkSession, AgreementSchema)
+    BucketStateStore.merge(cells, stateDir, Seq("gold", "pred"), template,
+      numBuckets, batchId) { (state, b) =>
+      state.unionByName(b)
+        .groupBy(col("gold"), col("pred"))
+        .agg(sum(col("n")).as("n"))
+    }
+  }
+
+  /** Start the labeler-grading pump: each arriving document's
+    * (gold, predicted) class pair — `pred` is typically a heuristic
+    * labeler EXPRESSION over the document text, graded against a
+    * stored gold column — folds into the durable confusion census at
+    * `stateDir`, so the agreement report over everything ingested so
+    * far is readable at any time without re-scanning the corpus
+    * (and survives the pump: kill it, restart on the same
+    * checkpoint, the census continues exactly).
+    */
+  def startAgreementPump(docsStream: DataFrame, stateDir: String,
+      checkpointDir: String, gold: org.apache.spark.sql.Column,
+      pred: org.apache.spark.sql.Column,
+      numBuckets: Int = BucketStateStore.DefaultNumBuckets,
+      processingTime: Option[String] = None): StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(triggerOf(processingTime))
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        mergeAgreementBatch(batch, gold, pred, stateDir, numBuckets,
+          Some(bid))
+      }
+      .start()
+
+  /** The persisted confusion cells, as
+    * [[graft.ops.Agreement.classifierReportFromCells]] input. */
+  def agreementCells(spark: SparkSession, stateDir: String): DataFrame =
+    BucketStateStore.currentState(spark, stateDir,
+      emptyOf(spark, AgreementSchema))
+
+  /** The classifier report derived from the PERSISTED census —
+    * row-identical to batch [[graft.ops.Agreement.classifierReport]]
+    * over the drained corpus (additive counts are commutative, and
+    * both faces grade the same cell frame through one code path).
+    */
+  def agreementReport(spark: SparkSession, stateDir: String): DataFrame =
+    graft.ops.Agreement.classifierReportFromCells(
+      agreementCells(spark, stateDir))
 }

@@ -111,4 +111,64 @@ class CurationPumpsSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
     assert(got.nonEmpty, "the fixture split must produce hits")
   }
+
+  private def agreeDocs = Tables.load(spark, dir, "documents")
+    .select(col("doc_id"), col("text"), col("lang"))
+
+  private def langPred = graft.text.TextAnalysis.langId(col("text"),
+    graft.text.TextAnalysis.defaultProfiles)
+
+  private def agreeStream(feedDir: String) =
+    spark.readStream.schema(agreeDocs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feedDir)
+
+  test("agreement pump: persisted census grades to the batch " +
+    "classifierReport across a crash-restart") {
+    val root = Files.createTempDirectory("graft_agrpump").toString
+    // phase 1: odd half only; drain and "crash" (query object gone)
+    writeSlices(s"$root/feed", Seq(agreeDocs.filter(col("doc_id") % 2 === 1)))
+    CurationPumps.startAgreementPump(agreeStream(s"$root/feed"),
+      s"$root/state", s"$root/ckpt", gold = col("lang"), pred = langPred)
+      .awaitTermination()
+    // the half-corpus census is itself a correct half answer
+    val half = CurationPumps.agreementReport(spark, s"$root/state").collect()
+    val wantHalf = graft.ops.Agreement.classifierReport(
+        agreeDocs.filter(col("doc_id") % 2 === 1), col("lang"), langPred)
+      .collect()
+    assert(half.toSeq == wantHalf.toSeq, "mid-crash census grades the half")
+    // more documents arrive while the pump is down; restart, SAME ckpt
+    writeSlices(s"$root/feed", Seq(agreeDocs.filter(col("doc_id") % 2 === 0)))
+    CurationPumps.startAgreementPump(agreeStream(s"$root/feed"),
+      s"$root/state", s"$root/ckpt", gold = col("lang"), pred = langPred)
+      .awaitTermination()
+    val got = CurationPumps.agreementReport(spark, s"$root/state").collect()
+    val want = graft.ops.Agreement.classifierReport(agreeDocs,
+      col("lang"), langPred).collect()
+    assert(got.toSeq == want.toSeq,
+      "resumed pump must grade to the full batch report")
+    assert(got.nonEmpty)
+  }
+
+  test("agreement pump: replayed batch is fenced — additive counts " +
+    "would double without it") {
+    val root = Files.createTempDirectory("graft_agrfence").toString
+    writeSlices(s"$root/feed", Seq(agreeDocs))
+    CurationPumps.startAgreementPump(agreeStream(s"$root/feed"),
+      s"$root/state", s"$root/ckpt", gold = col("lang"), pred = langPred)
+      .awaitTermination()
+    val cells = CurationPumps.agreementCells(spark, s"$root/state")
+      .orderBy("gold", "pred").collect()
+    // crash-replay of already-folded micro-batch 0: counts are NOT
+    // idempotent, so only the fence keeps the census exact
+    CurationPumps.mergeAgreementBatch(agreeDocs, col("lang"), langPred,
+      s"$root/state",
+      graft.streaming.BucketStateStore.DefaultNumBuckets, Some(0L))
+    val after = CurationPumps.agreementCells(spark, s"$root/state")
+      .orderBy("gold", "pred").collect()
+    assert(after.toSeq == cells.toSeq,
+      "fenced replay must not inflate the counts")
+    val n = CurationPumps.agreementCells(spark, s"$root/state")
+      .agg(sum(col("n"))).collect().head.getLong(0)
+    assert(n == agreeDocs.count(), "census mass == documents rated once")
+  }
 }
