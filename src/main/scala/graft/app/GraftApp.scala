@@ -104,9 +104,12 @@ object GraftApp {
       remigrate: Boolean = false,           // --remigrate
       agreementReport: Boolean = false,     // --agreement-report
       agreementGold: String = "lang",       // --agreement-gold=<col>
-      agreementPred: Option[String] = None) // --agreement-pred=<col>;
+      agreementPred: Option[String] = None, // --agreement-pred=<col>;
                                             // default: built-in langId
                                             // over --text-col (q153)
+      noveltyPump: Boolean = false,         // --novelty-pump
+      contaminationPump: Option[String] = None, // --contamination-pump=<dir>
+      agreementPump: Boolean = false)       // --agreement-pump
 
   final case class Result(
       ddl: Seq[String] = Nil,
@@ -368,7 +371,13 @@ object GraftApp {
         c.remigrate ->
           s"remigrate: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}.parquet (merge on ${c.pkFor.getOrElse(t, c.pk).mkString("+")})").mkString(", ")}",
         c.agreementReport ->
-          s"agreement-report[${c.agreementGold} vs ${c.agreementPred.getOrElse("langid(" + c.textCol + ")")}]: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_agreement.parquet").mkString(", ")}"
+          s"agreement-report[${c.agreementGold} vs ${c.agreementPred.getOrElse("langid(" + c.textCol + ")")}]: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_agreement.parquet").mkString(", ")}",
+        c.noveltyPump ->
+          s"novelty-pump: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_novelty_state").mkString(", ")}",
+        c.contaminationPump.isDefined ->
+          s"contamination-pump: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_contamination_state").mkString(", ")}",
+        c.agreementPump ->
+          s"agreement-pump[${c.agreementGold} vs ${c.agreementPred.getOrElse("langid(" + c.textCol + ")")}]: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_agreement_state").mkString(", ")}"
       ).collect { case (true, s) => s }
       return Result(ddl = ddl, templates = templates,
         jsonTemplates = jsonTemplates, dryPlanned = planned)
@@ -729,6 +738,105 @@ object GraftApp {
         overlapRuns ++ noveltyRuns ++ agreementRuns
     }
 
+    // RESIDENT curation pumps (the q154/q155/q162 production faces on
+    // the CLI): where --novelty-report/--contamination/--agreement-report
+    // re-scan the whole table per run, these STREAM the source table's
+    // parquet directory — new files appearing there fold incrementally
+    // into durable BucketStateStore state under dstDir, and a restart
+    // resumes from the checkpoint (kill-safe, replay-fenced). The
+    // resident-monitor counterpart of --pump (the reference's pump
+    // stance, pumper.py:13-47, mysqlreader.py:421-429 nice-pause loop
+    // in /root/reference) with curation state instead of rows.
+    // Without --daemon/--src-wait the pump drains what exists
+    // (AvailableNow) and writes the derived report beside the state;
+    // resident runs keep folding on the nice-pause cadence — state is
+    // then read live via --state-dir/--state-export or the library
+    // report faces.
+    val curationPumps: Seq[Curation] = {
+      import org.apache.spark.sql.functions.col
+      import graft.streaming.{BucketStateStore, CurationPumps}
+      def tableStream(t: String) = {
+        val schema = Tables.load(spark, c.srcDir, t).schema
+        // one file per micro-batch: deterministic pacing for a file
+        // feed (rows-per-batch is a key-range dial, graft-jdbc only)
+        val reader = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+        val p = Tables.path(c.srcDir, t)
+        // the streaming file source tails DIRECTORIES; a table stored
+        // as one bare parquet FILE streams via its parent + leaf glob
+        // (one immutable batch — the degenerate drain)
+        if (new java.io.File(p).isDirectory) reader.parquet(p)
+        else reader.option("pathGlobFilter", new java.io.File(p).getName)
+          .parquet(c.srcDir)
+      }
+      val cadence = if (stayUp(c)) Some(c.nicePause) else None
+      def drainAndReport(t: String, mode: String, stateDir: String,
+          q: org.apache.spark.sql.streaming.StreamingQuery,
+          report: () => org.apache.spark.sql.DataFrame,
+          out: String): Curation = {
+        q.awaitTermination()
+        report().write.mode("overwrite").parquet(out)
+        val stateRows = BucketStateStore.currentVersion(spark, stateDir)
+          .map(v => BucketStateStore.stateAtInferred(spark, stateDir, v)
+            .count()).getOrElse(0L)
+        Curation(t, mode, stateRows, spark.read.parquet(out).count(), out)
+      }
+      val noveltyPumpRuns =
+        if (!c.noveltyPump) Nil
+        else tables.map { t =>
+          val stateDir = s"${c.dstDir}/${dstNameFor(t)}_novelty_state"
+          val q = CurationPumps.startNoveltyPump(tableStream(t), stateDir,
+            s"${c.dstDir}/_ckpt_novelty_$t", k = c.dedupK,
+            idCol = c.docIdCol, textCol = c.textCol,
+            processingTime = cadence)
+          drainAndReport(t, "novelty-pump", stateDir, q,
+            () => CurationPumps.noveltyReport(spark, stateDir,
+              Tables.load(spark, c.srcDir, t), k = c.dedupK,
+              idCol = c.docIdCol, textCol = c.textCol),
+            s"${c.dstDir}/${dstNameFor(t)}_novelty_pump.parquet")
+        }
+      val contaminationPumpRuns = c.contaminationPump match {
+        case None => Nil
+        case Some(probeDir) =>
+          val probes = spark.read.parquet(probeDir)
+          tables.map { t =>
+            val stateDir = s"${c.dstDir}/${dstNameFor(t)}_contamination_state"
+            val q = CurationPumps.startContaminationPump(tableStream(t),
+              probes, stateDir, s"${c.dstDir}/_ckpt_contamination_$t",
+              k = c.contaminationK, idCol = c.docIdCol, textCol = c.textCol,
+              processingTime = cadence)
+            drainAndReport(t, "contamination-pump", stateDir, q,
+              () => CurationPumps.contaminationVerdicts(spark, stateDir),
+              s"${c.dstDir}/${dstNameFor(t)}_contamination_pump.parquet")
+          }
+      }
+      val agreementPumpRuns =
+        if (!c.agreementPump) Nil
+        else {
+          val preds = c.agreementPred
+            .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+          require(preds.sizeIs <= 1,
+            "--agreement-pump grades ONE labeler against gold (the " +
+              "durable census is a pairwise confusion matrix); a panel " +
+              s"got ${preds.size} predictions — use batch " +
+              "--agreement-report for Fleiss' kappa")
+          val pred = preds.headOption.map(col).getOrElse(
+            graft.text.TextAnalysis.langId(col(c.textCol),
+              graft.text.TextAnalysis.defaultProfiles))
+          tables.map { t =>
+            val stateDir = s"${c.dstDir}/${dstNameFor(t)}_agreement_state"
+            val q = CurationPumps.startAgreementPump(tableStream(t),
+              stateDir, s"${c.dstDir}/_ckpt_agreement_$t",
+              gold = col(c.agreementGold), pred = pred,
+              processingTime = cadence)
+            drainAndReport(t, "agreement-pump", stateDir, q,
+              () => CurationPumps.agreementReport(spark, stateDir),
+              s"${c.dstDir}/${dstNameFor(t)}_agreement_pump.parquet")
+          }
+        }
+      noveltyPumpRuns ++ contaminationPumpRuns ++ agreementPumpRuns
+    }
+
     val pumped =
       if (c.srcJdbcUrl.isDefined) {
         // LIVE replication pump over a real database connection — the
@@ -844,7 +952,7 @@ object GraftApp {
       }
 
     Result(ddl, templates, createdTables, migrations, csvDirs, pumped,
-      jsonTemplates = jsonTemplates, curations = curations,
+      jsonTemplates = jsonTemplates, curations = curations ++ curationPumps,
       remigrations = remigrations)
   }
 
@@ -866,14 +974,15 @@ object GraftApp {
     "embed-contamination", "embed-contamination-cos",
     "ann-recall", "ann-k", "ann-queries",
     "vec-id-col", "embedding-col", "overlap-group-col",
-    "agreement-gold", "agreement-pred")
+    "agreement-gold", "agreement-pred", "contamination-pump")
   private val KnownFlags = Set("create-table-sql",
     "create-table-sql-template", "create-table-json-template",
     "dst-create-table", "migrate-table",
     "csvpool", "pump-data", "src-wait", "src-resume", "daemon",
     "install", "dry", "state-versions", "with-create-database",
     "scd2", "ppl-filter", "dedup", "semdedup",
-    "overlap-report", "novelty-report", "remigrate", "agreement-report")
+    "overlap-report", "novelty-report", "remigrate", "agreement-report",
+    "novelty-pump", "agreement-pump")
 
   /** `--column-default-value=t.col=v` values: numeric if they parse,
     * else the literal string (na.fill applies them type-matched).
@@ -1103,7 +1212,10 @@ object GraftApp {
       remigrate = flags("remigrate"),
       agreementReport = flags("agreement-report"),
       agreementGold = kv.getOrElse("agreement-gold", "lang"),
-      agreementPred = kv.get("agreement-pred"))
+      agreementPred = kv.get("agreement-pred"),
+      noveltyPump = flags("novelty-pump"),
+      contaminationPump = kv.get("contamination-pump"),
+      agreementPump = flags("agreement-pump"))
   }
 
   private val AnnRecallVariants = Set("int8", "ivf", "pq", "lsh")

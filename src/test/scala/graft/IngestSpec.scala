@@ -1339,6 +1339,96 @@ class GraftAppSpec extends AnyFunSuite {
     assert(state.agg(org.apache.spark.sql.functions.min("ID"))
       .head().getLong(0) == 10L)
   }
+
+  test("novelty-pump mode: drain equals batch novelty and a " +
+    "kill-and-restart resumes onto the full answer") {
+    val src = Files.createTempDirectory("graft_appnovp_src").toString
+    val dst = Files.createTempDirectory("graft_appnovp_dst").toString
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+    // phase 1: only the odd half of the corpus exists in the source
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$src/documents.parquet")
+    val args = Seq(s"--src-dir=$src", s"--dst-dir=$dst",
+      "--src-tables=documents", "--novelty-pump", "--dedup-k=3")
+    val r1 = GraftApp.run(spark, GraftApp.parse(args))
+    assert(r1.curations.map(_.mode) == Seq("novelty-pump"))
+    val oddDocs = docs.filter(col("doc_id") % 2 === 1)
+    val wantHalf = graft.dedup.Dedup.ngramNovelty(oddDocs, k = 3)
+      .orderBy("doc_id").collect()
+    val gotHalf = spark.read.parquet(s"$dst/documents_novelty_pump.parquet")
+      .orderBy("doc_id").collect()
+    assert(gotHalf.toSeq == wantHalf.toSeq,
+      "drained pump report equals batch novelty over what arrived")
+    // the pump is DOWN (run returned); the crawl delivers more files
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(s"$src/documents.parquet")
+    // restart: same dst -> same checkpoint + state; processed files
+    // are not re-read, the dictionary continues where it was
+    val r2 = GraftApp.run(spark, GraftApp.parse(args))
+    assert(r2.curations.map(_.mode) == Seq("novelty-pump"))
+    val want = graft.dedup.Dedup.ngramNovelty(docs, k = 3)
+      .orderBy("doc_id").collect()
+    val got = spark.read.parquet(s"$dst/documents_novelty_pump.parquet")
+      .orderBy("doc_id").collect()
+    assert(got.toSeq == want.toSeq,
+      "restarted pump must land on the full batch answer")
+  }
+
+  test("contamination-pump and agreement-pump modes equal their batch " +
+    "library calls through the CLI surface") {
+    val dst = Files.createTempDirectory("graft_apppumps").toString
+    val probeDir = Files.createTempDirectory("graft_apppumps_probe").toString
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val probes = docs.filter(col("doc_id") % 100 === 0)
+    probes.write.mode("overwrite").parquet(probeDir)
+    val r = GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$dir",
+      s"--dst-dir=$dst", "--src-tables=documents",
+      s"--contamination-pump=$probeDir", "--contamination-k=3",
+      "--agreement-pump", "--agreement-gold=lang")))
+    assert(r.curations.map(_.mode).sorted ==
+      Seq("agreement-pump", "contamination-pump"))
+    // contamination: the pump grades the WHOLE table against the
+    // probes (probe rows included — they trivially self-hit), exactly
+    // like the batch scan over the same inputs
+    val wantContam = graft.dedup.Dedup.contaminationScan(docs, probes, k = 3)
+      .orderBy("doc_id").collect()
+    val gotContam = spark.read
+      .parquet(s"$dst/documents_contamination_pump.parquet")
+      .orderBy("doc_id").collect()
+    assert(gotContam.toSeq == wantContam.toSeq && gotContam.nonEmpty)
+    // agreement: default labeler is the built-in langId over --text-col
+    val wantAgree = graft.ops.Agreement.classifierReport(docs, col("lang"),
+        graft.text.TextAnalysis.langId(col("text"),
+          graft.text.TextAnalysis.defaultProfiles)).collect()
+    val gotAgree = spark.read
+      .parquet(s"$dst/documents_agreement_pump.parquet")
+      .orderBy("cls").collect()
+    assert(gotAgree.toSeq == wantAgree.toSeq)
+    // a labeler PANEL has no pairwise census — refused loudly
+    val e = intercept[IllegalArgumentException] {
+      GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$dir",
+        s"--dst-dir=${Files.createTempDirectory("graft_apppanel")}",
+        "--src-tables=documents", "--agreement-pump",
+        "--agreement-pred=source,lang")))
+    }
+    assert(e.getMessage.contains("ONE labeler"), e.getMessage)
+  }
+
+  test("curation pump modes show up in --dry planning") {
+    val dst = Files.createTempDirectory("graft_apppumpdry").toString
+    val r = GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$dir",
+      s"--dst-dir=$dst", "--src-tables=documents", "--novelty-pump",
+      "--contamination-pump=/probes", "--agreement-pump", "--dry")))
+    assert(r.dryPlanned.exists(_.startsWith(
+      s"novelty-pump: documents -> $dst/documents_novelty_state")))
+    assert(r.dryPlanned.exists(_.startsWith(
+      s"contamination-pump: documents -> $dst/documents_contamination_state")))
+    assert(r.dryPlanned.exists(_.startsWith(
+      s"agreement-pump[lang vs langid(text)]: documents -> $dst/documents_agreement_state")))
+    assert(r.curations.isEmpty, "--dry must not start any pump")
+  }
 }
 
 /** `--converter-class` fixture: a no-arg classpath class implementing
