@@ -122,6 +122,29 @@ object SoakTextOps {
       text.GenerationEval.bleu2(cand.join(ref, Seq("pair_id")),
         "pair_id", "cand", "ref").count()
     }
+    // the q161 shape: ROUGE-L over adjacent pairs at the 40-token DP
+    // bound — the LCS expression is per-row O(40·40), so growth must
+    // be pair-linear (a super-linear jump means the bound broke or
+    // the projection fell out of codegen)
+    val (nRg, tRg) = timed {
+      val d = docs.select(col("doc_id"), col("text"))
+      val cand = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id").as("pair_id"), col("text").as("cand"))
+      val ref = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select((col("doc_id") - 1).as("pair_id"), col("text").as("ref"))
+      text.GenerationEval.rougeL(cand.join(ref, Seq("pair_id")),
+        "pair_id", "cand", "ref", maxTokens = 40).count()
+    }
+    // the q153/q162 shape: the classifier report's corpus-scaling
+    // term (ONE map-side-combined scan to confusion cells — also
+    // exactly what the agreement pump folds per micro-batch, since
+    // drain == batch through classifierReportFromCells); census math
+    // after it is class-sized, so growth must be corpus-linear
+    val (nAg, tAg) = timed {
+      ops.Agreement.classifierReport(docs, col("lang"),
+        text.TextAnalysis.langId(col("text"),
+          text.TextAnalysis.defaultProfiles)).count()
+    }
     println(s"""{"sfDir":"$sfDir","docs":$nDocs,"vecs":$nVecs,""" +
       s""""substr_rows":$nSub,"substr_sec":${f"$tSub%.2f"},""" +
       s""""backoff_rows":$nLm,"backoff_sec":${f"$tLm%.2f"},""" +
@@ -131,7 +154,9 @@ object SoakTextOps {
       s""""embcon_rows":$nEc,"embcon_sec":${f"$tEc%.2f"},""" +
       s""""embcon_fixed_rows":$nEcf,"embcon_fixed_sec":${f"$tEcf%.2f"},""" +
       s""""fleiss_rows":$nFk,"fleiss_sec":${f"$tFk%.2f"},""" +
-      s""""bleu_rows":$nBl,"bleu_sec":${f"$tBl%.2f"}}""")
+      s""""bleu_rows":$nBl,"bleu_sec":${f"$tBl%.2f"},""" +
+      s""""rouge_rows":$nRg,"rouge_sec":${f"$tRg%.2f"},""" +
+      s""""agree_rows":$nAg,"agree_sec":${f"$tAg%.2f"}}""")
     spark.stop()
   }
 }
