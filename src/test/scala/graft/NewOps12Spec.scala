@@ -166,4 +166,27 @@ class NewOps12Spec extends AnyFunSuite {
     assert(out.getLong(1) == 2L && out.getLong(2) == 2L &&
       out.getLong(3) == 2L && out.getDouble(6) == 1.0)
   }
+
+  test("rougeL plan: zero shuffle beyond the sink sort, LCS inside " +
+    "whole-stage codegen") {
+    val pairs = Seq((1L, "a b", "a c")).toDF("pair_id", "cand", "ref")
+    val plan = graft.text.GenerationEval
+      .rougeL(pairs, "pair_id", "cand", "ref").queryExecution.executedPlan
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val here = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          shuffles(a.executedPlan)
+        case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+          1 + shuffles(x.child)
+        case _ => 0
+      }
+      here + p.children.map(shuffles).sum
+    }
+    // the operator is a per-row projection: the ONLY exchange allowed
+    // is the final orderBy's range partitioning
+    assert(shuffles(plan) <= 1, s"rougeL must not shuffle the pairs:\n$plan")
+    // the DP expression must not knock the projection out of codegen
+    assert(plan.toString.contains("WholeStageCodegen"),
+      s"LCS projection fell out of whole-stage codegen:\n$plan")
+  }
 }
