@@ -122,6 +122,22 @@ object SoakTextOps {
       text.GenerationEval.bleu2(cand.join(ref, Seq("pair_id")),
         "pair_id", "cand", "ref").count()
     }
+    // the q163 shape: Krippendorff's alpha over the incomplete panel
+    // (parity rater covers only even ids) — same ONE cells shuffle as
+    // Fleiss plus a semi-join for the retained-item marginals; growth
+    // must be corpus-linear
+    val (nKa, tKa) = timed {
+      val heur = text.TextAnalysis.langId(col("text"),
+        text.TextAnalysis.defaultProfiles)
+      val parity = when(pmod(col("n_chars"), lit(2)) === 0, lit("en"))
+        .otherwise(lit("und"))
+      val ratings = docs.select(col("doc_id"), col("lang").as("cls"))
+        .unionByName(docs.select(col("doc_id"), heur.as("cls")))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("doc_id"), parity.as("cls")))
+      ops.Agreement.krippendorffAlpha(ratings, col("doc_id"), col("cls"))
+        .count()
+    }
     // the q161 shape: ROUGE-L over adjacent pairs at the 40-token DP
     // bound — the LCS expression is per-row O(40·40), so growth must
     // be pair-linear (a super-linear jump means the bound broke or
@@ -156,7 +172,8 @@ object SoakTextOps {
       s""""fleiss_rows":$nFk,"fleiss_sec":${f"$tFk%.2f"},""" +
       s""""bleu_rows":$nBl,"bleu_sec":${f"$tBl%.2f"},""" +
       s""""rouge_rows":$nRg,"rouge_sec":${f"$tRg%.2f"},""" +
-      s""""agree_rows":$nAg,"agree_sec":${f"$tAg%.2f"}}""")
+      s""""agree_rows":$nAg,"agree_sec":${f"$tAg%.2f"},""" +
+      s""""alpha_rows":$nKa,"alpha_sec":${f"$tKa%.2f"}}""")
     spark.stop()
   }
 }

@@ -197,6 +197,7 @@ object SparkEntry {
     "q160_retrieval_map"    -> PipelineQueries.retrievalMap _,
     "q161_generation_rouge" -> PipelineQueries.generationRouge _,
     "q162_stream_agreement" -> IngestQueries.streamAgreement _,
+    "q163_krippendorff"     -> PipelineQueries.raterAlpha _,
   )
 
   /** q153's oracle, shared verbatim by q162 (the streaming drain of
@@ -3139,6 +3140,38 @@ object SparkEntry {
         |  CASE WHEN lcs_len > 0 THEN CAST(2*lcs_len AS DOUBLE)/CAST(m + n AS DOUBLE)
         |       ELSE 0.0 END AS f1
         |FROM f ORDER BY pair_id""".stripMargin,
+    // q163: Krippendorff's alpha (nominal) over the incomplete panel
+    // q156's Fleiss refuses — the parity rater covers only even
+    // doc_ids. Per-item disagreement mass scaled by the exact
+    // integer 232792560 // (n_u - 1) (lcm(1..20), divisor always
+    // divides); alpha = 1 - double((n-1)*mass)/double(L*(n^2-Σc^2)),
+    // the same two-conversions-one-division order as the engine.
+    "q163_krippendorff" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang AS cls FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN len(list_filter(string_split(text,' '), x -> x='the' OR x='a')) >= 2
+        |                      THEN 'en' ELSE 'und' END FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN n_chars % 2 = 0 THEN 'en' ELSE 'und' END
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |cells AS (SELECT doc_id, cls, COUNT(*) AS n FROM r GROUP BY 1, 2),
+        |per AS (SELECT doc_id, SUM(n) AS tot,
+        |    SUM(CAST(n AS HUGEINT)*CAST(n AS HUGEINT)) AS sq
+        |  FROM cells GROUP BY 1 HAVING SUM(n) >= 2),
+        |g AS (SELECT SUM((CAST(tot AS HUGEINT)*CAST(tot AS HUGEINT) - sq) *
+        |    (232792560 // (tot - 1))) AS mass FROM per),
+        |ct AS (SELECT cls, SUM(cells.n) AS c
+        |  FROM cells JOIN per USING (doc_id) GROUP BY 1),
+        |tots AS (SELECT CAST(SUM(c) AS HUGEINT) AS n,
+        |    SUM(CAST(c AS HUGEINT)*CAST(c AS HUGEINT)) AS csq FROM ct)
+        |SELECT ct.cls, CAST(ct.c AS BIGINT) AS n_ratings,
+        |  CAST(ct.c AS DOUBLE)/CAST(tots.n AS DOUBLE) AS p_cat,
+        |  CASE WHEN tots.n*tots.n - tots.csq = 0 THEN 0.0
+        |       ELSE 1.0 - CAST((tots.n - 1) * g.mass AS DOUBLE) /
+        |            CAST(232792560 * (tots.n*tots.n - tots.csq) AS DOUBLE)
+        |  END AS alpha
+        |FROM ct, g, tots ORDER BY cls""".stripMargin,
   )
 
   /** Unrolled greedy-MMR rounds mirroring [[graft.vector.Mmr]]:

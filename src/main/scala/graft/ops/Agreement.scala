@@ -154,6 +154,88 @@ object Agreement {
     * projection all read it without re-scanning the corpus; the
     * global scalars collapse to one driver row.
     */
+  /** Krippendorff's alpha (nominal metric) — chance-corrected
+    * agreement for INCOMPLETE panels, the principled answer to
+    * [[fleissKappa]]'s constant-n refusal: real annotation rarely has
+    * every labeler rate every document (raters rotate, heuristics
+    * abstain, spot-checks sample), and Fleiss' formula simply does
+    * not apply there. Alpha weighs each item by the pairwise
+    * comparisons it actually carries: `alpha = 1 − D_o/D_e` with
+    * `D_o = (1/n)·Σ_u (n_u² − Σ_c n_uc²)/(n_u − 1)` and
+    * `D_e = (n² − Σ_c n_c²)/(n·(n−1))` (Krippendorff 2004, nominal
+    * data). Single-rated items carry no pair information and are
+    * DROPPED (the standard treatment); marginals count only the
+    * retained items.
+    *
+    * Returns one row per category: `(cls, n_ratings, p_cat, alpha)`
+    * with the global alpha repeated per row (flat schema, like
+    * [[fleissKappa]]).
+    *
+    * Determinism: the only per-item division is by `n_u − 1`, and
+    * with panel sizes capped at 21 raters every such divisor divides
+    * `L = lcm(1..20) = 232792560` exactly — so the observed-
+    * disagreement mass `Σ_u (n_u² − Σ n_uc²)·(L/(n_u−1))` is ONE
+    * exact integer (DECIMAL(38,0) en route, BigInt on the driver),
+    * and alpha is `1 − toDouble((n−1)·mass) / toDouble(L·(n² −
+    * Σ n_c²))` — two correctly-rounded int→double conversions and
+    * one division, bit-portable (the [[fleissKappa]] discipline).
+    * Panels wider than 21 raters are refused loudly rather than
+    * silently truncating the weight. A degenerate census (every
+    * rating one category, or no multi-rated items' pairs to expect
+    * disagreement in: D_e = 0) reports alpha 0.0, never NaN.
+    *
+    * Scale shape: ONE corpus shuffle to the (item, category) cells
+    * (map-side combined, id-and-count-sized), eagerly materialized;
+    * the per-item census, the per-category marginals, and the output
+    * projection all read it; the global scalars collapse to one
+    * driver row.
+    */
+  def krippendorffAlpha(ratings: DataFrame, item: Column,
+      category: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val L = 232792560L // lcm(1..20): exact for every n_u - 1 <= 20
+    val cells = ratings.select(item.as("item"), category.as("cls"))
+      .groupBy(col("item"), col("cls")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val per = cells.groupBy(col("item"))
+      .agg(sum(col("n")).as("tot"),
+        sum((col("n") * col("n")).cast(dec)).as("sq"))
+      .filter(col("tot") >= 2)
+      .localCheckpoint()
+    // L div (tot-1) is exact for every retained tot <= 21 (the
+    // divisor divides L); `div` keeps it integral end to end
+    val wOfTot = expr(s"${L}L div (tot - 1)").cast(dec)
+    val g = per.agg(count(lit(1)).as("items"), max(col("tot")).as("tmax"),
+        sum((col("tot").cast(dec) * col("tot").cast(dec) - col("sq")) *
+          wOfTot).as("mass"))
+      .head()
+    require(g.getLong(0) > 0,
+      "Krippendorff's alpha needs at least one item with >= 2 ratings " +
+        "(single-rated items carry no pairwise information)")
+    require(g.getLong(1) <= 21,
+      s"Krippendorff's alpha: an item carries ${g.getLong(1)} ratings; " +
+        "the exact-integer weight table covers panels up to 21 raters — " +
+        "wider panels would silently truncate lcm(1..20)/(n_u-1)")
+    val massO = BigInt(g.getDecimal(2).toBigInteger)
+    // marginals over the RETAINED (multi-rated) items only
+    val catTotals = cells.join(per.select(col("item")), Seq("item"),
+        "left_semi")
+      .groupBy(col("cls")).agg(sum(col("n")).as("c")).localCheckpoint()
+    val t = catTotals.agg(sum(col("c")).as("n"),
+      sum(col("c").cast(dec) * col("c").cast(dec)).as("csq")).head()
+    val n = BigInt(t.getLong(0))
+    val csq = BigInt(t.getDecimal(1).toBigInteger)
+    val dE = n * n - csq
+    val alpha =
+      if (dE == 0) 0.0
+      else 1.0 - ((n - 1) * massO).toDouble / (BigInt(L) * dE).toDouble
+    catTotals.select(col("cls"), col("c").as("n_ratings"),
+        (col("c").cast("double") / lit(n.toLong).cast("double"))
+          .as("p_cat"),
+        lit(alpha).as("alpha"))
+      .orderBy("cls")
+  }
+
   def fleissKappa(ratings: DataFrame, item: Column,
       category: Column): DataFrame = {
     val dec = "decimal(38,0)"

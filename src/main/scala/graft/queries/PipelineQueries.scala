@@ -1398,6 +1398,26 @@ object PipelineQueries {
       "pair_id", "cand", "ref")
   }
 
+  /** q163: Krippendorff's alpha over an INCOMPLETE 3-rater panel —
+    * gold `lang` and the q21 labeler rate every document, the
+    * length-parity pseudo-rater only the even half (raters rotating
+    * over a corpus is the normal annotation shape). This is exactly
+    * the panel q156's Fleiss refuses (heterogeneous rating counts);
+    * alpha weighs each item by the pairwise comparisons it actually
+    * carries.
+    */
+  def raterAlpha(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val heur = TextAnalysis.langId(col("text"), TextAnalysis.defaultProfiles)
+    val parity = when(pmod(col("n_chars"), lit(2)) === 0, lit("en"))
+      .otherwise(lit("und"))
+    val ratings = docs.select(col("doc_id"), col("lang").as("cls"))
+      .unionByName(docs.select(col("doc_id"), heur.as("cls")))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"), parity.as("cls")))
+    graft.ops.Agreement.krippendorffAlpha(ratings, col("doc_id"), col("cls"))
+  }
+
   /** q161: ROUGE-L over q158's adjacent document pairs, both sides
     * bounded to their first 40 tokens (the DP-cost bound a corpus
     * run would set anyway) — the order-sensitive complement of

@@ -100,6 +100,74 @@ class NewOps12Spec extends AnyFunSuite {
     intercept[IllegalArgumentException](Eval.mapAtK(r, n, 21))
   }
 
+  // --- Agreement.krippendorffAlpha --------------------------------------
+
+  test("krippendorffAlpha reproduces a hand-computed incomplete panel") {
+    // items: 1:[a,a] 2:[a,b] 3:[b,b,b] 4:[a,a,b] — n_u in {2,3}
+    // per-item (n_u^2 - Σ n_uc^2)/(n_u-1): 0, 2, 0, 2 -> D_o = 4/10
+    // n = 10, n_a = n_b = 5 -> D_e = (100-50)/90 = 5/9
+    // alpha = 1 - (9*4)/(100-50) = 1 - 36/50 = 0.28
+    val ratings = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "b"), (3L, "b"), (3L, "b"), (4L, "a"), (4L, "a"), (4L, "b"))
+      .toDF("item", "cls")
+    val out = graft.ops.Agreement
+      .krippendorffAlpha(ratings, col("item"), col("cls")).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(out.map(_.getLong(1)).toSeq == Seq(5L, 5L))
+    assert(out.forall(_.getDouble(2) == 0.5))
+    assert(out.forall(r => r.getDouble(3) == 1.0 - 36.0 / 50.0),
+      s"alpha must be 0.28, got ${out.head.getDouble(3)}")
+  }
+
+  test("krippendorffAlpha: perfect agreement is 1, single-category " +
+    "census is 0.0 (not NaN), single-rated items are dropped") {
+    val perfect = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"), (2L, "b"))
+      .toDF("item", "cls")
+    val p = graft.ops.Agreement
+      .krippendorffAlpha(perfect, col("item"), col("cls")).collect()
+    assert(p.forall(_.getDouble(3) == 1.0))
+    val constant = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a"))
+      .toDF("item", "cls")
+    val c = graft.ops.Agreement
+      .krippendorffAlpha(constant, col("item"), col("cls")).collect()
+    assert(c.length == 1 && c.head.getDouble(3) == 0.0)
+    // a single-rated item must not perturb alpha OR the marginals
+    val withSingle = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "b"), (3L, "b"), (3L, "b"), (4L, "a"), (4L, "a"), (4L, "b"),
+      (9L, "zzz"))
+      .toDF("item", "cls")
+    val s = graft.ops.Agreement
+      .krippendorffAlpha(withSingle, col("item"), col("cls")).collect()
+    assert(s.map(_.getString(0)).toSeq == Seq("a", "b"),
+      "the single-rated item's category must not appear in marginals")
+    assert(s.forall(r => r.getDouble(3) == 1.0 - 36.0 / 50.0))
+  }
+
+  test("krippendorffAlpha accepts the panel fleissKappa refuses, and " +
+    "refuses >21-rater items loudly") {
+    val uneven = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"), (2L, "a"))
+      .toDF("item", "cls")
+    intercept[IllegalArgumentException] {
+      graft.ops.Agreement.fleissKappa(uneven, col("item"), col("cls"))
+    }
+    // same panel is well-defined for alpha
+    val a = graft.ops.Agreement
+      .krippendorffAlpha(uneven, col("item"), col("cls")).collect()
+    assert(a.nonEmpty && !a.head.getDouble(3).isNaN)
+    // 22 ratings on one item would truncate lcm(1..20)/(n_u-1)
+    val wide = (1 to 22).map(i => (1L, if (i % 2 == 0) "a" else "b"))
+      .toDF("item", "cls")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Agreement.krippendorffAlpha(wide, col("item"), col("cls"))
+    }
+    assert(e.getMessage.contains("21"), e.getMessage)
+    // no multi-rated item at all
+    val singles = Seq((1L, "a"), (2L, "b")).toDF("item", "cls")
+    intercept[IllegalArgumentException] {
+      graft.ops.Agreement.krippendorffAlpha(singles, col("item"), col("cls"))
+    }
+  }
+
   // --- LcsLength / GenerationEval.rougeL --------------------------------
 
   test("LcsLength matches hand-computed subsequences (codegen and interpreted)") {
@@ -169,9 +237,16 @@ class NewOps12Spec extends AnyFunSuite {
 
   test("rougeL plan: zero shuffle beyond the sink sort, LCS inside " +
     "whole-stage codegen") {
-    val pairs = Seq((1L, "a b", "a c")).toDF("pair_id", "cand", "ref")
-    val plan = graft.text.GenerationEval
-      .rougeL(pairs, "pair_id", "cand", "ref").queryExecution.executedPlan
+    // range-backed so the projection cannot constant-fold to a
+    // LocalTableScan (a Seq fixture folds the whole DP on the driver)
+    val pairs = spark.range(8).select(col("id").as("pair_id"),
+      concat_ws(" ", lit("a"), col("id").cast("string"), lit("b"))
+        .as("cand"),
+      lit("a x b").as("ref"))
+    val df = graft.text.GenerationEval
+      .rougeL(pairs, "pair_id", "cand", "ref")
+    df.collect() // finalize AQE so codegen spans are visible
+    val plan = df.queryExecution.executedPlan
     def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
       val here = p match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
@@ -185,8 +260,10 @@ class NewOps12Spec extends AnyFunSuite {
     // the operator is a per-row projection: the ONLY exchange allowed
     // is the final orderBy's range partitioning
     assert(shuffles(plan) <= 1, s"rougeL must not shuffle the pairs:\n$plan")
-    // the DP expression must not knock the projection out of codegen
-    assert(plan.toString.contains("WholeStageCodegen"),
+    // the DP expression must not knock the projection out of codegen:
+    // the lcslength Project must carry the whole-stage marker `*(n)`
+    assert(plan.toString.linesIterator.exists(l =>
+        l.contains("lcslength") && l.trim.matches("""^[+\-:\s]*\*\(\d+\) Project .*""")),
       s"LCS projection fell out of whole-stage codegen:\n$plan")
   }
 }
