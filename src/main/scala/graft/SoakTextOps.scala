@@ -122,6 +122,18 @@ object SoakTextOps {
       text.GenerationEval.bleu2(cand.join(ref, Seq("pair_id")),
         "pair_id", "cand", "ref").count()
     }
+    // the q164 shape: chrF at orders 1..6 — the char-gram tagged
+    // explode is ~12x the text volume per pair; one (pair, n, gram)
+    // shuffle, so growth must be pair-linear
+    val (nCf, tCf) = timed {
+      val d = docs.select(col("doc_id"), col("text"))
+      val cand = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id").as("pair_id"), col("text").as("cand"))
+      val ref = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select((col("doc_id") - 1).as("pair_id"), col("text").as("ref"))
+      text.GenerationEval.chrF(cand.join(ref, Seq("pair_id")),
+        "pair_id", "cand", "ref").count()
+    }
     // the q163 shape: Krippendorff's alpha over the incomplete panel
     // (parity rater covers only even ids) — same ONE cells shuffle as
     // Fleiss plus a semi-join for the retained-item marginals; growth
@@ -173,7 +185,8 @@ object SoakTextOps {
       s""""bleu_rows":$nBl,"bleu_sec":${f"$tBl%.2f"},""" +
       s""""rouge_rows":$nRg,"rouge_sec":${f"$tRg%.2f"},""" +
       s""""agree_rows":$nAg,"agree_sec":${f"$tAg%.2f"},""" +
-      s""""alpha_rows":$nKa,"alpha_sec":${f"$tKa%.2f"}}""")
+      s""""alpha_rows":$nKa,"alpha_sec":${f"$tKa%.2f"},""" +
+      s""""chrf_rows":$nCf,"chrf_sec":${f"$tCf%.2f"}}""")
     spark.stop()
   }
 }

@@ -198,6 +198,7 @@ object SparkEntry {
     "q161_generation_rouge" -> PipelineQueries.generationRouge _,
     "q162_stream_agreement" -> IngestQueries.streamAgreement _,
     "q163_krippendorff"     -> PipelineQueries.raterAlpha _,
+    "q164_generation_chrf"  -> PipelineQueries.generationChrf _,
   )
 
   /** q153's oracle, shared verbatim by q162 (the streaming drain of
@@ -3172,7 +3173,55 @@ object SparkEntry {
         |            CAST(232792560 * (tots.n*tots.n - tots.csq) AS DOUBLE)
         |  END AS alpha
         |FROM ct, g, tots ORDER BY cls""".stripMargin,
+    // q164: chrF at orders 1..6, beta=2 — per-order CTE trios
+    // generated by chrfOracle (the mmr/k-core unrolling technique)
+    "q164_generation_chrf" -> chrfOracle(6),
   )
+
+  /** chrF oracle generator (the mmrOracle/kCoreOracle unrolling
+    * technique): one CTE trio per character-n-gram order — candidate
+    * counts, reference counts, clip/total rollups — then per-order
+    * F₂ and the fixed-denominator mean, mirroring
+    * [[graft.text.GenerationEval.chrF]]'s exact IEEE op order
+    * ((5·p)·r / (4·p + r), left-associated f-sum, one division by
+    * the order count).
+    */
+  private def chrfOracle(maxOrder: Int): String = {
+    val head =
+      """WITH p AS (SELECT a.doc_id AS pair_id,
+        |    replace(a.text, ' ', '') AS sc, replace(b.text, ' ', '') AS sr
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 2 = 0)""".stripMargin
+    val orders = (1 to maxOrder).map { n =>
+      s"""c$n AS (SELECT pair_id, g, COUNT(*) AS nc FROM
+         |    (SELECT pair_id, unnest([sc[i:i+${n - 1}] for i in range(1, len(sc)-${n}+2)]) AS g FROM p)
+         |  GROUP BY 1, 2),
+         |r$n AS (SELECT pair_id, g, COUNT(*) AS nr FROM
+         |    (SELECT pair_id, unnest([sr[i:i+${n - 1}] for i in range(1, len(sr)-${n}+2)]) AS g FROM p)
+         |  GROUP BY 1, 2),
+         |u$n AS (SELECT c$n.pair_id, SUM(c$n.nc) AS tc,
+         |    SUM(LEAST(c$n.nc, COALESCE(r$n.nr, 0))) AS clip
+         |  FROM c$n LEFT JOIN r$n ON c$n.pair_id = r$n.pair_id AND c$n.g = r$n.g
+         |  GROUP BY 1),
+         |v$n AS (SELECT pair_id, SUM(nr) AS tr FROM r$n GROUP BY 1)""".stripMargin
+    }
+    val joins = (1 to maxOrder).map(n =>
+      s"LEFT JOIN u$n USING (pair_id) LEFT JOIN v$n USING (pair_id)")
+      .mkString("\n")
+    val totals = (1 to maxOrder).map(n =>
+      s"""  CAST(COALESCE(u$n.tc, 0) AS BIGINT) AS total_c$n,
+         |  CAST(COALESCE(v$n.tr, 0) AS BIGINT) AS total_r$n,
+         |  CAST(COALESCE(u$n.clip, 0) AS BIGINT) AS clip$n,""".stripMargin)
+      .mkString("\n")
+    val fs = (1 to maxOrder).map { n =>
+      val pp = s"(CASE WHEN COALESCE(u$n.tc, 0) > 0 THEN CAST(COALESCE(u$n.clip, 0) AS DOUBLE)/CAST(u$n.tc AS DOUBLE) ELSE 0.0 END)"
+      val rr = s"(CASE WHEN COALESCE(v$n.tr, 0) > 0 THEN CAST(COALESCE(u$n.clip, 0) AS DOUBLE)/CAST(v$n.tr AS DOUBLE) ELSE 0.0 END)"
+      s"(CASE WHEN 4.0*$pp + $rr > 0.0 THEN 5.0*$pp*$rr/(4.0*$pp + $rr) ELSE 0.0 END)"
+    }
+    (Seq(head) ++ orders).mkString(",\n") +
+      s"\nSELECT p.pair_id,\n$totals\n  (${fs.mkString(" + ")}) / $maxOrder.0 AS chrf\n" +
+      s"FROM p\n$joins\nORDER BY p.pair_id"
+  }
 
   /** Unrolled greedy-MMR rounds mirroring [[graft.vector.Mmr]]:
     * quantize, centroid floor-mean, relevance dots, then per round a

@@ -1398,6 +1398,22 @@ object PipelineQueries {
       "pair_id", "cand", "ref")
   }
 
+  /** q164: chrF over q158's adjacent document pairs — character
+    * n-gram F-score at orders 1..6, β = 2 (the sub-word complement
+    * of BLEU's word n-grams: morphology variants and typos that zero
+    * a word n-gram still share most character n-grams).
+    */
+  def generationChrf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val cand = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id").as("pair_id"), col("text").as("cand"))
+    val ref = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select((col("doc_id") - 1).as("pair_id"), col("text").as("ref"))
+    graft.text.GenerationEval.chrF(cand.join(ref, Seq("pair_id")),
+      "pair_id", "cand", "ref")
+  }
+
   /** q163: Krippendorff's alpha over an INCOMPLETE 3-rater panel —
     * gold `lang` and the q21 labeler rate every document, the
     * length-parity pseudo-rater only the even half (raters rotating

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Reference-based text overlap metrics — the BLEU building blocks
@@ -95,6 +95,93 @@ object GenerationEval {
       .withColumn("p2", prec("clip2", "total2"))
       .withColumn("bleu2", sqrt(col("p1") * col("p2")))
       .orderBy("pair_id")
+  }
+
+  /** chrF report per pair (Popović 2015) — CHARACTER n-gram F-score,
+    * the sub-word complement of [[bleu2]]'s word n-grams: morphology
+    * variants, typos, and tokenization differences that zero a word
+    * n-gram still share most character n-grams, so chrF degrades
+    * gracefully where BLEU cliffs. Spaces are removed (the chrF
+    * convention) and grams run at orders 1..`maxOrder` (default 6);
+    * per order, `P_n = clip/total_cand`, `R_n = clip/total_ref`
+    * (clipped counts with multiplicity, exactly the BLEU clip), and
+    * `F_n = (1+β²)·P·R / (β²·P + R)` with β FIXED at 2 (recall-
+    * weighted, the standard); chrF is the arithmetic mean over the
+    * orders — per-order exact integer counts ship beside the score.
+    *
+    * Determinism: every count is an exact integer; each F_n is the
+    * FIXED IEEE sequence (5·P)·R / (4·P + R) over two exact
+    * divisions, and the mean is the left-associated sum of the
+    * per-order F's divided once — no accumulation-order ambiguity,
+    * bit-portable against any engine mirroring the same order.
+    * Zero-gram orders (candidate or reference shorter than n after
+    * space removal) score F_n = 0.0 and STILL divide by `maxOrder`
+    * (fixed denominator — a data-dependent effective-order count
+    * would make scores incomparable across pairs), never NULL/NaN.
+    *
+    * Scale shape: the [[bleu2]] single-scan discipline generalized —
+    * both sides' char grams at ALL orders explode in one tagged
+    * projection rides ONE (pair_id, n, gram)-keyed map-side-combined
+    * aggregate, and a conditional pair-keyed regroup pivots the
+    * orders into columns; a sentinel row keeps gram-less pairs in
+    * the report. Output pair-sized: `(pair_id, total_c<n>/total_r<n>/
+    * clip<n> per order, chrf)`.
+    */
+  def chrF(pairs: DataFrame, pairIdCol: String, candCol: String,
+      refCol: String, maxOrder: Int = 6): DataFrame = {
+    require(maxOrder >= 1 && maxOrder <= 8,
+      s"maxOrder must be in [1,8]: $maxOrder")
+    def grams(s: String, n: Int) =
+      // greatest(.., 1): sequence(1, 0) would DESCEND in Spark; the
+      // stub position's short gram is filtered by the length check
+      expr(s"filter(transform(sequence(1, greatest(length($s) - ${n - 1}, 1)), " +
+        s"i -> substring($s, i, $n)), g -> length(g) = $n)")
+    def tag(s: String, n: Int, cand: Boolean) =
+      transform(grams(s, n), g =>
+        struct(lit(n).as("n"), lit(if (cand) 1L else 0L).as("nc"),
+          lit(if (cand) 0L else 1L).as("nr"), g.as("g")))
+    val sentinel = array(struct(lit(0).as("n"), lit(0L).as("nc"),
+      lit(0L).as("nr"), lit("").as("g")))
+    val tagged = (1 to maxOrder).flatMap(n =>
+      Seq(tag("__sc", n, cand = true), tag("__sr", n, cand = false)))
+    // strip ONCE per side: inlining replace() into every per-order
+    // lambda would re-evaluate it 3·orders·2 times per row
+    val counts = pairs.select(col(pairIdCol).as("pair_id"),
+        expr(s"replace(`$candCol`, ' ', '')").as("__sc"),
+        expr(s"replace(`$refCol`, ' ', '')").as("__sr"))
+      .select(col("pair_id"),
+        explode(concat(sentinel +: tagged: _*)).as("r"))
+      .groupBy(col("pair_id"), col("r.n").as("n"), col("r.g").as("g"))
+      .agg(sum(col("r.nc")).as("nc"), sum(col("r.nr")).as("nr"))
+    def totalC(n: Int) =
+      sum(when(col("n") === n, col("nc")).otherwise(lit(0L)))
+    def totalR(n: Int) =
+      sum(when(col("n") === n, col("nr")).otherwise(lit(0L)))
+    def clipOf(n: Int) =
+      sum(when(col("n") === n, least(col("nc"), col("nr")))
+        .otherwise(lit(0L)))
+    val aggs = (1 to maxOrder).flatMap(n => Seq(
+      totalC(n).as(s"total_c$n"), totalR(n).as(s"total_r$n"),
+      clipOf(n).as(s"clip$n")))
+    def fOf(n: Int): Column = {
+      val p = when(col(s"total_c$n") > 0,
+        col(s"clip$n").cast("double") / col(s"total_c$n").cast("double"))
+        .otherwise(lit(0.0))
+      val r = when(col(s"total_r$n") > 0,
+        col(s"clip$n").cast("double") / col(s"total_r$n").cast("double"))
+        .otherwise(lit(0.0))
+      // beta = 2: (1+4)PR / (4P + R), the fixed IEEE sequence
+      when(lit(4.0) * p + r > 0.0,
+          lit(5.0) * p * r / (lit(4.0) * p + r))
+        .otherwise(lit(0.0))
+    }
+    val withF = counts.groupBy(col("pair_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("pair_id") +: (1 to maxOrder).flatMap(n => Seq(
+        col(s"total_c$n"), col(s"total_r$n"), col(s"clip$n"))) :+
+        (2 to maxOrder).map(fOf).foldLeft(fOf(1))(_ + _)
+          .divide(lit(maxOrder.toDouble)).as("chrf"): _*)
+    withF.orderBy("pair_id")
   }
 
   /** ROUGE-L report per pair (Lin 2004) — the ORDER-SENSITIVE

@@ -235,6 +235,55 @@ class NewOps12Spec extends AnyFunSuite {
       out.getLong(3) == 2L && out.getDouble(6) == 1.0)
   }
 
+  // --- GenerationEval.chrF ----------------------------------------------
+
+  test("chrF reproduces hand-computed character n-gram counts and F2") {
+    // cand "ab cd" -> "abcd", ref "abcd": identical after space
+    // removal -> every order's P=R=F=1 while grams exist; orders 5,6
+    // have no grams on a 4-char string -> F=0; chrf = 4/6
+    val pairs = Seq((1L, "ab cd", "abcd")).toDF("pair_id", "cand", "ref")
+    val out = graft.text.GenerationEval
+      .chrF(pairs, "pair_id", "cand", "ref").collect().head
+    // order 1: 4 grams each, clip 4; order 4: 1 gram, clip 1
+    assert(out.getLong(out.fieldIndex("total_c1")) == 4L &&
+      out.getLong(out.fieldIndex("clip1")) == 4L)
+    assert(out.getLong(out.fieldIndex("total_c4")) == 1L &&
+      out.getLong(out.fieldIndex("clip4")) == 1L)
+    assert(out.getLong(out.fieldIndex("total_c5")) == 0L &&
+      out.getLong(out.fieldIndex("clip5")) == 0L)
+    assert(out.getDouble(out.fieldIndex("chrf")) == 4.0 / 6.0)
+  }
+
+  test("chrF: multiplicity clips, disjoint texts score 0, and beta=2 " +
+    "weighs recall over precision") {
+    // cand "aaa" vs ref "aa": unigram nc=3, nr=2 -> clip 2
+    val pairs = Seq((1L, "aaa", "aa"), (2L, "xyz", "abc"))
+      .toDF("pair_id", "cand", "ref")
+    val out = graft.text.GenerationEval
+      .chrF(pairs, "pair_id", "cand", "ref", maxOrder = 2).collect()
+    val p1 = out(0)
+    assert(p1.getLong(p1.fieldIndex("total_c1")) == 3L &&
+      p1.getLong(p1.fieldIndex("total_r1")) == 2L &&
+      p1.getLong(p1.fieldIndex("clip1")) == 2L)
+    // order1: P=2/3, R=1 -> F2 = 5PR/(4P+R); order2: "aa","aa","aa"x?
+    // cand grams aa,aa nc=2; ref gram aa nr=1 -> clip 1, P=1/2, R=1
+    val pA = 2.0 / 3.0
+    val f1 = 5.0 * pA * 1.0 / (4.0 * pA + 1.0)
+    val pB = 1.0 / 2.0
+    val f2 = 5.0 * pB * 1.0 / (4.0 * pB + 1.0)
+    assert(p1.getDouble(p1.fieldIndex("chrf")) == (f1 + f2) / 2.0)
+    assert(out(1).getDouble(out(1).fieldIndex("chrf")) == 0.0)
+    // recall weighting: truncation (hurts recall) scores worse than
+    // padding (hurts precision) against the same reference
+    val asym = Seq((1L, "abcdefgh", "abcd"), (2L, "abcd", "abcdefgh"))
+      .toDF("pair_id", "cand", "ref")
+    val a = graft.text.GenerationEval
+      .chrF(asym, "pair_id", "cand", "ref").collect()
+    assert(a(0).getDouble(a(0).fieldIndex("chrf")) >
+      a(1).getDouble(a(1).fieldIndex("chrf")),
+      "beta=2 must punish missing reference mass more than extra mass")
+  }
+
   test("rougeL plan: zero shuffle beyond the sink sort, LCS inside " +
     "whole-stage codegen") {
     // range-backed so the projection cannot constant-fold to a
