@@ -131,26 +131,19 @@ object GenerationEval {
       refCol: String, maxOrder: Int = 6): DataFrame = {
     require(maxOrder >= 1 && maxOrder <= 8,
       s"maxOrder must be in [1,8]: $maxOrder")
-    def grams(s: String, n: Int) =
-      // greatest(.., 1): sequence(1, 0) would DESCEND in Spark; the
-      // stub position's short gram is filtered by the length check
-      expr(s"filter(transform(sequence(1, greatest(length($s) - ${n - 1}, 1)), " +
-        s"i -> substring($s, i, $n)), g -> length(g) = $n)")
-    def tag(s: String, n: Int, cand: Boolean) =
-      transform(grams(s, n), g =>
-        struct(lit(n).as("n"), lit(if (cand) 1L else 0L).as("nc"),
-          lit(if (cand) 0L else 1L).as("nr"), g.as("g")))
     val sentinel = array(struct(lit(0).as("n"), lit(0L).as("nc"),
       lit(0L).as("nr"), lit("").as("g")))
-    val tagged = (1 to maxOrder).flatMap(n =>
-      Seq(tag("__sc", n, cand = true), tag("__sr", n, cand = false)))
-    // strip ONCE per side: inlining replace() into every per-order
-    // lambda would re-evaluate it 3·orders·2 times per row
+    // native single-pass gram+tag generation (space-strip, boundary
+    // walk, and every order from one buffer) — the HOF composition
+    // (per-order filter/transform/sequence + struct transform + a
+    // 13-array concat) interprets ~5 nodes per gram, measured ~3x
+    // the whole query's cost at sf0.1
     val counts = pairs.select(col(pairIdCol).as("pair_id"),
-        expr(s"replace(`$candCol`, ' ', '')").as("__sc"),
-        expr(s"replace(`$refCol`, ' ', '')").as("__sr"))
-      .select(col("pair_id"),
-        explode(concat(sentinel +: tagged: _*)).as("r"))
+        explode(concat(sentinel,
+          graft.functions.CharGramTags.tags(col(candCol), maxOrder,
+            cand = true),
+          graft.functions.CharGramTags.tags(col(refCol), maxOrder,
+            cand = false))).as("r"))
       .groupBy(col("pair_id"), col("r.n").as("n"), col("r.g").as("g"))
       .agg(sum(col("r.nc")).as("nc"), sum(col("r.nr")).as("nr"))
     def totalC(n: Int) =
