@@ -173,6 +173,29 @@ object SoakTextOps {
         text.TextAnalysis.langId(col("text"),
           text.TextAnalysis.defaultProfiles)).count()
     }
+    // the q165 shape: ROC-AUC — one corpus scan to the score census,
+    // then PrefixSum over census rows; growth must be corpus-linear
+    // (the census itself is score-cardinality-bounded)
+    val (nAu, tAu) = timed {
+      val hits = size(filter(text.TextAnalysis.tokens(col("text")),
+        t => t === "the" || t === "a"))
+      ops.ScoreEval.rocAuc(docs, hits,
+        when(col("lang") === "en", lit(1L)).otherwise(lit(0L))).count()
+    }
+    // the q168 shape: Spearman — two value censuses + the join back
+    // to the corpus is the corpus-scaling term (AQE broadcasts the
+    // censuses); growth must be corpus-linear
+    val (nSp, tSp) = timed {
+      ops.ScoreEval.spearman(docs, col("n_chars"),
+        text.TextAnalysis.tokenCount(col("text"))).count()
+    }
+    // the q169 shape: distinct-n diversity — the (group, order, gram)
+    // census is the corpus-scaling term (map-side combined, no join);
+    // growth must be corpus-linear
+    val (nDv, tDv) = timed {
+      text.TextAnalysis.ngramDiversity(docs, col("source"), col("text"),
+        maxN = 2).count()
+    }
     println(s"""{"sfDir":"$sfDir","docs":$nDocs,"vecs":$nVecs,""" +
       s""""substr_rows":$nSub,"substr_sec":${f"$tSub%.2f"},""" +
       s""""backoff_rows":$nLm,"backoff_sec":${f"$tLm%.2f"},""" +
@@ -186,7 +209,10 @@ object SoakTextOps {
       s""""rouge_rows":$nRg,"rouge_sec":${f"$tRg%.2f"},""" +
       s""""agree_rows":$nAg,"agree_sec":${f"$tAg%.2f"},""" +
       s""""alpha_rows":$nKa,"alpha_sec":${f"$tKa%.2f"},""" +
-      s""""chrf_rows":$nCf,"chrf_sec":${f"$tCf%.2f"}}""")
+      s""""chrf_rows":$nCf,"chrf_sec":${f"$tCf%.2f"},""" +
+      s""""auc_rows":$nAu,"auc_sec":${f"$tAu%.2f"},""" +
+      s""""spearman_rows":$nSp,"spearman_sec":${f"$tSp%.2f"},""" +
+      s""""diversity_rows":$nDv,"diversity_sec":${f"$tDv%.2f"}}""")
     spark.stop()
   }
 }

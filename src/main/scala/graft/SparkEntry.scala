@@ -199,6 +199,11 @@ object SparkEntry {
     "q162_stream_agreement" -> IngestQueries.streamAgreement _,
     "q163_krippendorff"     -> PipelineQueries.raterAlpha _,
     "q164_generation_chrf"  -> PipelineQueries.generationChrf _,
+    "q165_roc_auc"          -> PipelineQueries.langScoreAuc _,
+    "q166_roc_curve"        -> PipelineQueries.langScoreRoc _,
+    "q167_calibration"      -> PipelineQueries.langScoreCalibration _,
+    "q168_spearman"         -> PipelineQueries.lengthTokenSpearman _,
+    "q169_ngram_diversity"  -> PipelineQueries.sourceDiversity _,
   )
 
   /** q153's oracle, shared verbatim by q162 (the streaming drain of
@@ -3176,6 +3181,129 @@ object SparkEntry {
     // q164: chrF at orders 1..6, beta=2 — per-order CTE trios
     // generated by chrfOracle (the mmr/k-core unrolling technique)
     "q164_generation_chrf" -> chrfOracle(6),
+    // q165: ROC-AUC of the marker-hit score vs gold lang='en' — the
+    // exact Mann–Whitney rank statistic with midrank ties over a
+    // per-score census: 2U = Σ_s pos(s)·(2·neg(<s)+neg(s)) in
+    // HUGEINT mirroring the engine's DECIMAL(38,0), one division
+    "q165_roc_auc" ->
+      """WITH d AS (SELECT
+        |    len(list_filter(string_split(text,' '), x -> x='the' OR x='a')) AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+        |c AS (SELECT s, SUM(y) AS pos, SUM(1 - y) AS neg FROM d GROUP BY 1),
+        |r AS (SELECT s, pos, neg, SUM(neg) OVER (ORDER BY s) AS cum_neg FROM c),
+        |g AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |    CAST(SUM(neg) AS BIGINT) AS n_neg,
+        |    SUM(CAST(pos AS HUGEINT) * (2*(cum_neg - neg) + neg)) AS m2 FROM r)
+        |SELECT n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0
+        |       THEN CAST(m2 AS DOUBLE) /
+        |            CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE)
+        |       ELSE 0.0 END AS auc
+        |FROM g""".stripMargin,
+    // q166: the full ROC operating-point table — per distinct score
+    // "predict en when hits >= thr": exact confusion counts off the
+    // same census cumulative, one correctly-rounded division per rate
+    "q166_roc_curve" ->
+      """WITH d AS (SELECT
+        |    len(list_filter(string_split(text,' '), x -> x='the' OR x='a')) AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+        |c AS (SELECT s, SUM(y) AS pos, SUM(1 - y) AS neg FROM d GROUP BY 1),
+        |r AS (SELECT s, pos, neg,
+        |    SUM(neg) OVER (ORDER BY s) AS cum_neg,
+        |    SUM(pos) OVER (ORDER BY s) AS cum_pos FROM c),
+        |g AS (SELECT SUM(pos) AS n_pos, SUM(neg) AS n_neg FROM c)
+        |SELECT s AS thr,
+        |  CAST(n_pos - (cum_pos - pos) AS BIGINT) AS tp,
+        |  CAST(n_neg - (cum_neg - neg) AS BIGINT) AS fp,
+        |  CAST(cum_pos - pos AS BIGINT) AS fn,
+        |  CAST(cum_neg - neg AS BIGINT) AS tn,
+        |  CASE WHEN n_pos > 0
+        |       THEN CAST(n_pos - (cum_pos - pos) AS DOUBLE) / CAST(n_pos AS DOUBLE)
+        |       ELSE 0.0 END AS tpr,
+        |  CASE WHEN n_neg > 0
+        |       THEN CAST(n_neg - (cum_neg - neg) AS DOUBLE) / CAST(n_neg AS DOUBLE)
+        |       ELSE 0.0 END AS fpr,
+        |  CAST(n_pos - (cum_pos - pos) AS DOUBLE) /
+        |    CAST((n_pos - (cum_pos - pos)) + (n_neg - (cum_neg - neg)) AS DOUBLE) AS prec
+        |FROM r, g ORDER BY thr""".stripMargin,
+    // q167: reliability diagram + ECE for the pseudo-confidence
+    // min(1000, 500 + 50·hits) vs decision-correct — per-bin gap
+    // |1000·correct − Σconf| exact in HUGEINT, ECE one division
+    "q167_calibration" ->
+      """WITH d AS (SELECT
+        |    len(list_filter(string_split(text,' '), x -> x='the' OR x='a')) AS hits,
+        |    lang FROM documents),
+        |p AS (SELECT LEAST(1000, 500 + 50*hits) AS conf,
+        |    CASE WHEN (CASE WHEN hits >= 2 THEN 'en' ELSE 'und' END) = lang
+        |         THEN 1 ELSE 0 END AS ok FROM d),
+        |cells AS (SELECT LEAST((conf * 10) // 1000, 9) AS bin,
+        |    COUNT(*) AS n, SUM(ok) AS n_correct, SUM(conf) AS conf_sum
+        |  FROM p GROUP BY 1),
+        |g AS (SELECT SUM(n) AS nn,
+        |    SUM(ABS(1000*CAST(n_correct AS HUGEINT) - conf_sum)) AS mass
+        |  FROM cells)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+        |  CAST(n_correct AS BIGINT) AS n_correct,
+        |  CAST(conf_sum AS BIGINT) AS conf_sum_milli,
+        |  CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+        |  CAST(conf_sum AS DOUBLE) / CAST(1000*n AS DOUBLE) AS conf_mean,
+        |  CASE WHEN g.nn > 0
+        |       THEN CAST(g.mass AS DOUBLE) / CAST(1000*g.nn AS DOUBLE)
+        |       ELSE 0.0 END AS ece
+        |FROM cells, g ORDER BY bin""".stripMargin,
+    // q168: tie-corrected Spearman in doubled-midrank units —
+    // midrank2 = 2·RANK() + ties − 1 per side, Σd² and Σ(t³−t) in
+    // HUGEINT, S4 = (n³−n−T)/3 exact, rho in the engine's fixed IEEE
+    // order num/(2·sqrt(s4x)·sqrt(s4y))
+    "q168_spearman" ->
+      """WITH b AS (SELECT n_chars AS x,
+        |    len(string_split(text,' ')) AS y FROM documents),
+        |m AS (SELECT
+        |    2*RANK() OVER (ORDER BY x) + COUNT(*) OVER (PARTITION BY x) - 1 AS rx,
+        |    2*RANK() OVER (ORDER BY y) + COUNT(*) OVER (PARTITION BY y) - 1 AS ry
+        |  FROM b),
+        |dd AS (SELECT COUNT(*) AS n,
+        |    SUM(CAST(rx - ry AS HUGEINT) * CAST(rx - ry AS HUGEINT)) AS d2
+        |  FROM m),
+        |tx AS (SELECT COALESCE(SUM(CAST(t AS HUGEINT)*t*t - t), 0) AS tie
+        |  FROM (SELECT COUNT(*) AS t FROM b GROUP BY x)),
+        |ty AS (SELECT COALESCE(SUM(CAST(t AS HUGEINT)*t*t - t), 0) AS tie
+        |  FROM (SELECT COUNT(*) AS t FROM b GROUP BY y)),
+        |s AS (SELECT CAST(n AS BIGINT) AS n,
+        |    (CAST(n AS HUGEINT)*n*n - n - tx.tie) // 3 AS s4x,
+        |    (CAST(n AS HUGEINT)*n*n - n - ty.tie) // 3 AS s4y,
+        |    d2 FROM dd, tx, ty)
+        |SELECT n,
+        |  CASE WHEN s4x = 0 OR s4y = 0 THEN 0.0
+        |       ELSE CAST(s4x + s4y - d2 AS DOUBLE) /
+        |            (2 * sqrt(CAST(s4x AS DOUBLE)) * sqrt(CAST(s4y AS DOUBLE)))
+        |  END AS rho
+        |FROM s""".stripMargin,
+    // q169: distinct-1/distinct-2 diversity per source — exact gram
+    // censuses (q150's slice convention for the bigrams), each ratio
+    // one division; zero-gram orders report 0.0
+    "q169_ngram_diversity" ->
+      """WITH t AS (SELECT source, string_split(text,' ') AS toks FROM documents),
+        |g1 AS (SELECT source, unnest(toks) AS g FROM t),
+        |c1 AS (SELECT source, COUNT(*) AS total_1,
+        |    COUNT(DISTINCT g) AS distinct_1 FROM g1 GROUP BY 1),
+        |g2 AS (SELECT source,
+        |    unnest([array_to_string(toks[i:i+1],' ') for i in range(1, len(toks))]) AS g
+        |  FROM t),
+        |c2 AS (SELECT source, COUNT(*) AS total_2,
+        |    COUNT(DISTINCT g) AS distinct_2 FROM g2 GROUP BY 1)
+        |SELECT c1.source AS grp,
+        |  CAST(total_1 AS BIGINT) AS total_1,
+        |  CAST(distinct_1 AS BIGINT) AS distinct_1,
+        |  CASE WHEN total_1 > 0
+        |       THEN CAST(distinct_1 AS DOUBLE) / CAST(total_1 AS DOUBLE)
+        |       ELSE 0.0 END AS ratio_1,
+        |  CAST(COALESCE(total_2, 0) AS BIGINT) AS total_2,
+        |  CAST(COALESCE(distinct_2, 0) AS BIGINT) AS distinct_2,
+        |  CASE WHEN COALESCE(total_2, 0) > 0
+        |       THEN CAST(distinct_2 AS DOUBLE) / CAST(total_2 AS DOUBLE)
+        |       ELSE 0.0 END AS ratio_2
+        |FROM c1 LEFT JOIN c2 USING (source) ORDER BY grp""".stripMargin,
   )
 
   /** chrF oracle generator (the mmrOracle/kCoreOracle unrolling

@@ -1,0 +1,259 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Threshold-free evaluation of SCORING classifiers — the gap left
+  * open by [[Agreement]]: classifierReport/kappa grade a labeler's
+  * hard DECISIONS against gold, but the pipeline's quality gates
+  * (q20 qualityScore, q21 langId's marker-hit vote, q118 NB, q127
+  * DSIR) are all built on an underlying SCORE that someone then
+  * thresholds. Before fixing a threshold for a 100 TB curation run,
+  * the score itself needs grading: does it RANK positives above
+  * negatives (ROC-AUC), what does each candidate cutoff trade
+  * (rocCurve), and when the score claims to be a probability, is it
+  * honest (calibration / ECE)?
+  *
+  * Input contract (the repo-wide quantization discipline): `score`
+  * is an INTEGRAL column — quantize floats to the resolution you
+  * can distinguish (milli-units etc.) before calling; ties at the
+  * chosen resolution are handled exactly (midrank / trapezoid
+  * semantics). `label` must be 0/1 — anything else raises.
+  *
+  * Determinism: everything is exact integer mass until one final
+  * correctly-rounded IEEE division per output metric (the
+  * [[Agreement]] convention); pair products go through
+  * DECIMAL(38,0) (n_pos·n_neg reaches ~1e24 at 1e12-row corpora —
+  * far past BIGINT, comfortably inside 38 digits).
+  *
+  * Scale shape: ONE map-side-combined corpus scan to the per-score
+  * census `(s, pos, neg)` — sized by the score column's distinct
+  * quantized values, NOT the corpus; cumulatives over the census go
+  * through [[PrefixSum.withRunningTotal]] (two-phase scan), so even
+  * a micro-quantized score with 1e6+ distinct values never hits the
+  * single-partition-window trap.
+  */
+object ScoreEval {
+
+  /** 0/1 guard: pass the label through or raise with the offending
+    * value — a silent cast would count every nonzero as its integer
+    * value and quietly corrupt the census.
+    */
+  private def binary(label: Column, what: String): Column = {
+    val l = label.cast("long")
+    when(l === 0L || l === 1L, l)
+      .otherwise(raise_error(concat(
+        lit(s"ScoreEval: $what must be 0 or 1, got "), l.cast("string"))))
+  }
+
+  /** The per-score census: one row per distinct score value with
+    * exact positive/negative counts. One corpus scan, map-side
+    * combined.
+    */
+  private def scoreCensus(df: DataFrame, score: Column,
+      label: Column): DataFrame = {
+    val y = binary(label, "label")
+    df.select(score.cast("long").as("s"), y.as("y"))
+      .groupBy(col("s"))
+      .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
+  }
+
+  /** ROC-AUC by the exact rank statistic (Mann–Whitney U with
+    * midrank ties): AUC = P(s_pos > s_neg) + ½·P(s_pos = s_neg)
+    * over all positive×negative pairs. Over the score census the
+    * doubled pair mass is
+    *
+    *   2U = Σ_s pos(s) · (2·neg(<s) + neg(s))
+    *
+    * — one exact DECIMAL(38,0) integer — and
+    * `auc = 2U / (2·n_pos·n_neg)` is ONE correctly-rounded IEEE
+    * division of exact integers, bit-portable. A single-class input
+    * (no pairs to rank) reports 0.0, never NaN, with the class
+    * counts visible beside it.
+    *
+    * Returns one row: `(n_pos, n_neg, auc)`.
+    */
+  def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cum = PrefixSum.withRunningTotal(scoreCensus(df, score, label),
+      Seq(col("s")), col("neg"), "cum_neg")
+    cum.agg(
+        coalesce(sum(col("pos")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("neg")), lit(0L)).as("n_neg"),
+        coalesce(sum(col("pos").cast(dec) *
+            (lit(2L) * (col("cum_neg") - col("neg")) + col("neg")).cast(dec)),
+          lit(0L).cast(dec)).as("m2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+            col("m2").cast("double") /
+              (lit(2L).cast(dec) * col("n_pos").cast(dec) *
+                col("n_neg").cast(dec)).cast("double"))
+          .otherwise(lit(0.0)).as("auc"))
+  }
+
+  /** The full threshold sweep behind [[rocAuc]]'s single number: one
+    * row per distinct score value `thr`, grading the rule "predict
+    * positive when score ≥ thr" — the operating-point table a
+    * curation run reads to PICK its cutoff (q21's minHits=2 is
+    * exactly such a row). Confusion counts are exact integers; each
+    * rate is one correctly-rounded division (tpr/fpr of an absent
+    * class report 0.0). `prec` never divides by zero: at an observed
+    * threshold at least that score's own rows are predicted
+    * positive.
+    *
+    * Returns `(thr, tp, fp, fn, tn, tpr, fpr, prec)` ordered by
+    * `thr`. Census-sized output — score quantization bounds it.
+    */
+  def rocCurve(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val c1 = PrefixSum.withRunningTotal(scoreCensus(df, score, label),
+      Seq(col("s")), col("neg"), "cum_neg")
+    val cum = PrefixSum.withRunningTotal(c1,
+      Seq(col("s")), col("pos"), "cum_pos")
+    // one global row; broadcast to every census row
+    val globals = cum.agg(
+      coalesce(sum(col("pos")), lit(0L)).as("n_pos"),
+      coalesce(sum(col("neg")), lit(0L)).as("n_neg"))
+    cum.crossJoin(broadcast(globals))
+      .select(col("s").as("thr"),
+        (col("n_pos") - (col("cum_pos") - col("pos"))).as("tp"),
+        (col("n_neg") - (col("cum_neg") - col("neg"))).as("fp"),
+        (col("cum_pos") - col("pos")).as("fn"),
+        (col("cum_neg") - col("neg")).as("tn"),
+        col("n_pos"), col("n_neg"))
+      .select(col("thr"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("n_pos") > 0,
+            col("tp").cast("double") / col("n_pos").cast("double"))
+          .otherwise(lit(0.0)).as("tpr"),
+        when(col("n_neg") > 0,
+            col("fp").cast("double") / col("n_neg").cast("double"))
+          .otherwise(lit(0.0)).as("fpr"),
+        (col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .as("prec"))
+      .orderBy("thr")
+  }
+
+  /** Reliability diagram + expected calibration error (ECE, Guo et
+    * al. 2017) for a score that CLAIMS to be a probability:
+    * `confMilli` (0..1000 integer milli-units — out-of-range
+    * raises) is bucketed into `bins` equal-width confidence bins;
+    * per bin the claimed mean confidence is compared with the
+    * realized accuracy, and ECE is the corpus-weighted mean absolute
+    * gap:
+    *
+    *   ECE = Σ_b |1000·correct_b − Σconf_b| / (1000·N)
+    *
+    * — the numerator one exact DECIMAL(38,0) integer per bin, ECE
+    * one correctly-rounded division. A labeler can have high AUC and
+    * terrible calibration (or vice versa); mixture-weighting by
+    * classifier confidence (the q117 DSIR shape) is only sound when
+    * this gap is small.
+    *
+    * Returns one row per non-empty bin: `(bin, n, n_correct,
+    * conf_sum_milli, acc, conf_mean, ece)` with the global ECE
+    * repeated per row (flat schema, like classifierReport), ordered
+    * by `bin`. Scale shape: one corpus scan to a bins-sized census.
+    */
+  def calibration(df: DataFrame, confMilli: Column, correct: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1 && bins <= 1000, s"bins must be in [1,1000]: $bins")
+    val dec = "decimal(38,0)"
+    val c = confMilli.cast("long")
+    val conf = when(c >= 0L && c <= 1000L, c)
+      .otherwise(raise_error(concat(
+        lit("ScoreEval: confMilli must be in [0,1000], got "),
+        c.cast("string"))))
+    // conf 1000 folds into the top bin (the standard half-open
+    // binning with the last bin closed)
+    val bin = least(expr(s"(__conf * $bins) div 1000"), lit(bins - 1L))
+    val cells = df.select(conf.as("__conf"),
+        binary(correct, "correct").as("__ok"))
+      .select(bin.as("bin"), col("__conf"), col("__ok"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__ok")).as("n_correct"),
+        sum(col("__conf")).as("conf_sum_milli"))
+    val globals = cells.agg(
+        coalesce(sum(col("n")), lit(0L)).cast(dec).as("nn"),
+        coalesce(sum(abs(lit(1000L).cast(dec) * col("n_correct").cast(dec) -
+            col("conf_sum_milli").cast(dec))), lit(0L).cast(dec)).as("mass"))
+      .select(when(col("nn") > 0,
+          col("mass").cast("double") /
+            (lit(1000L).cast(dec) * col("nn")).cast("double"))
+        .otherwise(lit(0.0)).as("ece"))
+    cells
+      .select(col("bin"), col("n"), col("n_correct"), col("conf_sum_milli"),
+        (col("n_correct").cast("double") / col("n").cast("double")).as("acc"),
+        (col("conf_sum_milli").cast("double") /
+          (lit(1000L) * col("n")).cast("double")).as("conf_mean"))
+      .crossJoin(broadcast(globals))
+      .orderBy("bin")
+  }
+
+  /** Tie-corrected Spearman rank correlation between two INTEGRAL
+    * score columns — "do these two quality signals agree on the
+    * ORDERING of the corpus?", the question behind every rank-fusion
+    * weight (q125) and signal-redundancy audit; Pearson (q91)
+    * answers linearity, not ordering, and [[graft.vector.Eval]]'s
+    * RBO only grades top-k lists, not full-corpus scores.
+    *
+    * Formula (doubled-midrank units so every quantity is an exact
+    * integer): with per-value tie terms `T_x = Σ(t³−t)` off the x
+    * census,
+    *
+    *   S4x = (n³ − n − T_x)/3   (exact: both terms divide by 3)
+    *   rho = (S4x + S4y − Σd²) / (2·√S4x·√S4y),  d = rx2 − ry2
+    *
+    * where rx2 = 2·midrank(x). Determinism: Σd² and the tie terms
+    * are exact DECIMAL(38,0)/BigInt integers; rho is the FIXED IEEE
+    * sequence num.toDouble / (2·sqrt(S4x.toDouble)·sqrt(S4y.toDouble))
+    * — mirrored op-for-op by the oracle. A constant column (zero
+    * rank variance) reports 0.0, never NaN. n ≤ ~1.2e9 keeps n³
+    * inside 38 digits — quantized-score evaluations past that should
+    * sample first (documented contract, enforced loudly).
+    *
+    * Scale shape: two census group-bys (distinct-value-sized), each
+    * midranked via [[PrefixSum.withRunningTotal]] (no
+    * single-partition window at ANY score cardinality), joined back
+    * to the corpus by value (AQE broadcasts small censuses), one
+    * corpus aggregate; the finisher is BigInt driver math on four
+    * scalars. Returns one row: `(n, rho)`.
+    */
+  def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.select(x.cast("long").as("x"), y.cast("long").as("y"))
+
+    def midranks(valCol: String): (DataFrame, BigInt) = {
+      val census = base.groupBy(col(valCol))
+        .agg(count(lit(1)).as("t")).localCheckpoint()
+      val tie = census.agg(coalesce(sum(
+          (col("t").cast(dec) * col("t").cast(dec) * col("t").cast(dec) -
+            col("t").cast(dec))), lit(0L).cast(dec)).as("tie"))
+        .head().getDecimal(0)
+      val ranked = PrefixSum.withRunningTotal(census, Seq(col(valCol)),
+          col("t"), "cum")
+        .select(col(valCol),
+          (lit(2L) * col("cum") - col("t") + lit(1L)).as(s"r$valCol"))
+      (ranked, BigInt(tie.toBigInteger))
+    }
+
+    val (rx, tieX) = midranks("x")
+    val (ry, tieY) = midranks("y")
+    val g = base.join(rx, Seq("x")).join(ry, Seq("y"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(((col("rx") - col("ry")) * (col("rx") - col("ry")))
+          .cast(dec)), lit(0L).cast(dec)).as("d2"))
+      .head()
+    val n = BigInt(g.getLong(0))
+    require(n <= BigInt("1200000000"),
+      s"spearman: n=$n exceeds the exact-integer bound (~1.2e9, n^3 must " +
+        "fit DECIMAL(38,0)) — sample the corpus first")
+    val d2 = BigInt(g.getDecimal(1).toBigInteger)
+    val s4x = (n * n * n - n - tieX) / 3
+    val s4y = (n * n * n - n - tieY) / 3
+    val rho =
+      if (s4x == 0 || s4y == 0) 0.0
+      else (s4x + s4y - d2).toDouble /
+        (2.0 * math.sqrt(s4x.toDouble) * math.sqrt(s4y.toDouble))
+    df.sparkSession.range(1)
+      .select(lit(n.toLong).as("n"), lit(rho).as("rho"))
+  }
+}

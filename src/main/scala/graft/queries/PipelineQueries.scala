@@ -1480,4 +1480,71 @@ object PipelineQueries {
       ranked.select(col("query_id"), col("rnk"), col("rel")),
       nRel.select(col("query_id"), col("n_rel")), k = 10)
   }
+
+  /** The q21 labeler's underlying SCORE: its English marker-token
+    * hit count — the integer the minHits=2 threshold cuts. The
+    * ScoreEval family grades this score itself (ranking power,
+    * operating points) instead of the thresholded decision q153
+    * grades.
+    */
+  private def markerHits = size(filter(TextAnalysis.tokens(col("text")),
+    t => t === "the" || t === "a"))
+
+  /** q165: ROC-AUC of the marker-hit score against gold
+    * `lang = 'en'` — the threshold-FREE grade of the q21 labeler:
+    * does the score RANK English documents above the rest at all,
+    * independent of where minHits lands? Exact Mann–Whitney with
+    * midrank ties, one corpus scan to a score census.
+    */
+  def langScoreAuc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    graft.ops.ScoreEval.rocAuc(docs, markerHits,
+      when(col("lang") === "en", lit(1L)).otherwise(lit(0L)))
+  }
+
+  /** q166: the full ROC operating-point table for the same score —
+    * one row per candidate threshold "predict en when hits ≥ thr",
+    * exact confusion counts and rates. The table that justifies (or
+    * indicts) q21's minHits=2.
+    */
+  def langScoreRoc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    graft.ops.ScoreEval.rocCurve(docs, markerHits,
+      when(col("lang") === "en", lit(1L)).otherwise(lit(0L)))
+  }
+
+  /** q167: calibration of a pseudo-confidence for the q21 labeler —
+    * conf_milli = min(1000, 500 + 50·hits) (a deterministic fixture
+    * mapping, the q156 parity-rater precedent), graded against
+    * whether the labeler's DECISION matched gold. The reliability
+    * diagram + ECE any confidence-weighted mixture (q117 DSIR shape)
+    * should clear before its weights are trusted.
+    */
+  def langScoreCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val pred = TextAnalysis.langId(col("text"), TextAnalysis.defaultProfiles)
+    val conf = least(lit(1000L), lit(500L) + lit(50L) * markerHits)
+    graft.ops.ScoreEval.calibration(docs, conf,
+      when(pred === col("lang"), lit(1L)).otherwise(lit(0L)), bins = 10)
+  }
+
+  /** q168: tie-corrected Spearman rank correlation between document
+    * length (n_chars) and token count — the signal-redundancy audit:
+    * two quality features this correlated in RANK carry one signal,
+    * and rank-fusion weights (q125) should know it.
+    */
+  def lengthTokenSpearman(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    graft.ops.ScoreEval.spearman(docs, col("n_chars"),
+      TextAnalysis.tokenCount(col("text")))
+  }
+
+  /** q169: distinct-1/distinct-2 diversity per source — the
+    * cross-document template-spam gauge: a source whose distinct-2
+    * ratio craters is pasting boilerplate even when every individual
+    * page passes the per-document repetition filters (q44).
+    */
+  def sourceDiversity(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramDiversity(Tables.load(spark, dir, "documents"),
+      col("source"), col("text"), maxN = 2)
 }

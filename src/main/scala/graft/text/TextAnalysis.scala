@@ -599,4 +599,57 @@ object TextAnalysis {
         (sum(col("contrib")).cast("double") /
           max(col("n")).cast("double") / lit(1e6)).as("entropy"))
   }
+
+  /** Distinct-n diversity (Li et al. 2016) per group: for each
+    * n-gram order 1..maxN, the group's distinct grams over its total
+    * gram occurrences — the standard mode-collapse / template-spam
+    * gauge. A source whose distinct-2 craters is pasting the same
+    * boilerplate (or a generator is looping); the repetition filters
+    * (q44 topNgramCount) catch it WITHIN a document, this catches it
+    * ACROSS documents where every individual page looks clean.
+    *
+    * Determinism: counts are exact integers; each ratio is one
+    * correctly-rounded division (0.0 for a group with no grams at
+    * that order — docs shorter than n contribute none).
+    *
+    * Scale shape: ONE corpus scan — every order's grams explode in
+    * the same pass, order-tagged (the [[graft.ops.Agreement]]
+    * tagged-explode technique), into a (group, order, gram)-keyed
+    * map-side-combined census, then a groups-sized rollup. No joins,
+    * no window.
+    *
+    * Returns one row per group:
+    * `(grp, total_1, distinct_1, ratio_1, …, total_maxN, …)`.
+    */
+  def ngramDiversity(df: DataFrame, group: Column, text: Column,
+      maxN: Int = 2): DataFrame = {
+    require(maxN >= 1 && maxN <= 6, s"maxN must be in [1,6]: $maxN")
+    val tagged = (1 to maxN).map { n =>
+      val grams = if (n == 1) tokens(text) else shingles(text, n)
+      transform(grams, g => struct(lit(n).as("n"), g.as("g")))
+    }
+    val flat = (1 to maxN).flatMap { n =>
+      Seq(coalesce(sum(when(col("n") === n, col("n_total"))), lit(0L))
+          .as(s"total_$n"),
+        coalesce(sum(when(col("n") === n, col("n_distinct"))), lit(0L))
+          .as(s"distinct_$n"))
+    }
+    val ratios = (1 to maxN).map { n =>
+      when(col(s"total_$n") > 0,
+          col(s"distinct_$n").cast("double") /
+            col(s"total_$n").cast("double"))
+        .otherwise(lit(0.0)).as(s"ratio_$n")
+    }
+    df.select(group.as("grp"),
+        explode(concat(tagged: _*)).as("r"))
+      .groupBy(col("grp"), col("r.n").as("n"), col("r.g").as("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("grp"), col("n"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("cnt")).as("n_total"))
+      .groupBy(col("grp"))
+      .agg(flat.head, flat.tail: _*)
+      .select((col("grp") +: (1 to maxN).flatMap(n =>
+        Seq(col(s"total_$n"), col(s"distinct_$n"), ratios(n - 1)))): _*)
+      .orderBy("grp")
+  }
 }

@@ -1,0 +1,247 @@
+package graft
+
+import graft.ops.ScoreEval
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the round-12 extension batch: threshold-free
+  * score evaluation (ROC-AUC, the ROC operating-point table,
+  * calibration/ECE), tie-corrected Spearman rank correlation, and
+  * distinct-n corpus diversity.
+  */
+class NewOps13Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // --- ScoreEval.rocAuc -----------------------------------------------
+
+  test("rocAuc reproduces the hand-computed Mann–Whitney value with ties") {
+    // pos scores {3,2}, neg scores {1,2}: pairs (3,1)> (3,2)> (2,1)>
+    // (2,2)= -> U = 3.5 of 4, AUC = 0.875
+    val df = Seq((3L, 1L), (2L, 1L), (1L, 0L), (2L, 0L)).toDF("s", "y")
+    val r = ScoreEval.rocAuc(df, col("s"), col("y")).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.875)
+  }
+
+  test("rocAuc: perfect separation is 1.0, reversed is 0.0, single class 0.0") {
+    val perfect = Seq((10L, 1L), (9L, 1L), (2L, 0L), (1L, 0L)).toDF("s", "y")
+    assert(ScoreEval.rocAuc(perfect, col("s"), col("y"))
+      .collect().head.getDouble(2) == 1.0)
+    val reversed = Seq((1L, 1L), (2L, 0L)).toDF("s", "y")
+    assert(ScoreEval.rocAuc(reversed, col("s"), col("y"))
+      .collect().head.getDouble(2) == 0.0)
+    val onlyPos = Seq((1L, 1L), (2L, 1L)).toDF("s", "y")
+    val r = ScoreEval.rocAuc(onlyPos, col("s"), col("y")).collect().head
+    assert(r.getLong(1) == 0L && r.getDouble(2) == 0.0)
+  }
+
+  test("rocAuc refuses a non-binary label loudly") {
+    val df = Seq((1L, 2L)).toDF("s", "y")
+    val e = intercept[Exception] {
+      ScoreEval.rocAuc(df, col("s"), col("y")).collect()
+    }
+    assert(e.getMessage.contains("must be 0 or 1"),
+      s"expected the 0/1 guard, got: ${e.getMessage}")
+  }
+
+  // --- ScoreEval.rocCurve ---------------------------------------------
+
+  test("rocCurve reproduces the hand-computed operating-point table") {
+    val df = Seq((3L, 1L), (2L, 1L), (1L, 0L), (2L, 0L)).toDF("s", "y")
+    val rows = ScoreEval.rocCurve(df, col("s"), col("y")).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // thr=1: everything predicted positive
+    val t1 = rows(0)
+    assert(t1.getLong(1) == 2L && t1.getLong(2) == 2L &&
+      t1.getLong(3) == 0L && t1.getLong(4) == 0L)
+    assert(t1.getDouble(5) == 1.0 && t1.getDouble(6) == 1.0 &&
+      t1.getDouble(7) == 0.5)
+    // thr=2: loses the s=1 negative
+    val t2 = rows(1)
+    assert(t2.getLong(1) == 2L && t2.getLong(2) == 1L)
+    assert(t2.getDouble(5) == 1.0 && t2.getDouble(6) == 0.5 &&
+      t2.getDouble(7) == 2.0 / 3.0)
+    // thr=3: only the top positive stays
+    val t3 = rows(2)
+    assert(t3.getLong(1) == 1L && t3.getLong(2) == 0L &&
+      t3.getLong(3) == 1L && t3.getLong(4) == 2L)
+    assert(t3.getDouble(5) == 0.5 && t3.getDouble(6) == 0.0 &&
+      t3.getDouble(7) == 1.0)
+  }
+
+  test("rocCurve trapezoid area equals rocAuc (the sweep IS the curve)") {
+    val df = Seq((5L, 1L), (4L, 0L), (4L, 1L), (3L, 1L), (2L, 0L),
+      (1L, 0L), (1L, 1L)).toDF("s", "y")
+    val curve = ScoreEval.rocCurve(df, col("s"), col("y"))
+      .orderBy(desc("thr")).collect()
+    // walk thresholds from strictest down, trapezoid between points,
+    // starting at (0,0) and ending at (1,1)
+    var (pf, pt, area) = (0.0, 0.0, 0.0)
+    for (r <- curve) {
+      val (f, t) = (r.getDouble(6), r.getDouble(5))
+      area += (f - pf) * (t + pt) / 2.0
+      pf = f; pt = t
+    }
+    area += (1.0 - pf) * (1.0 + pt) / 2.0
+    val auc = ScoreEval.rocAuc(df, col("s"), col("y"))
+      .collect().head.getDouble(2)
+    assert(math.abs(area - auc) < 1e-12, s"trapezoid $area vs rank $auc")
+  }
+
+  // --- ScoreEval.calibration ------------------------------------------
+
+  test("calibration reproduces a hand-computed reliability diagram") {
+    val df = Seq((400L, 0L), (400L, 1L), (900L, 1L), (1000L, 1L))
+      .toDF("conf", "ok")
+    val rows = ScoreEval.calibration(df, col("conf"), col("ok"), bins = 2)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    val b0 = rows(0)
+    assert(b0.getLong(1) == 2L && b0.getLong(2) == 1L &&
+      b0.getLong(3) == 800L)
+    assert(b0.getDouble(4) == 0.5 && b0.getDouble(5) == 0.4)
+    val b1 = rows(1)
+    assert(b1.getLong(1) == 2L && b1.getLong(2) == 2L &&
+      b1.getLong(3) == 1900L)
+    assert(b1.getDouble(4) == 1.0 && b1.getDouble(5) == 0.95)
+    // ECE = (|1000-800| + |2000-1900|) / 4000
+    assert(b0.getDouble(6) == 300.0 / 4000.0)
+    assert(b1.getDouble(6) == b0.getDouble(6))
+  }
+
+  test("calibration: perfectly calibrated input has ECE 0; guards fire") {
+    val df = Seq((500L, 1L), (500L, 0L)).toDF("conf", "ok")
+    val r = ScoreEval.calibration(df, col("conf"), col("ok"), bins = 4)
+      .collect().head
+    assert(r.getDouble(6) == 0.0)
+    val bad = Seq((1001L, 1L)).toDF("conf", "ok")
+    val e = intercept[Exception] {
+      ScoreEval.calibration(bad, col("conf"), col("ok")).collect()
+    }
+    assert(e.getMessage.contains("[0,1000]"))
+    assertThrows[IllegalArgumentException] {
+      ScoreEval.calibration(df, col("conf"), col("ok"), bins = 0)
+    }
+  }
+
+  // --- ScoreEval.spearman ---------------------------------------------
+
+  /** The operator's documented fixed IEEE sequence — sqrt(S4)² is
+    * NOT exactly S4, so the pin is on the exact op order the oracle
+    * mirrors, with a tolerance check on the mathematical value.
+    */
+  private def rhoIeee(s4x: Long, s4y: Long, d2: Long): Double =
+    (s4x + s4y - d2).toDouble /
+      (2.0 * math.sqrt(s4x.toDouble) * math.sqrt(s4y.toDouble))
+
+  test("spearman: monotone is 1.0, reversed is -1.0, constant is 0.0") {
+    // no ties, n=3: S4 = (27-3)/3 = 8 each side; monotone d2 = 0,
+    // reversed d2 = 32
+    val up = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("x", "y")
+    val ru = ScoreEval.spearman(up, col("x"), col("y"))
+      .collect().head.getDouble(1)
+    assert(ru == rhoIeee(8, 8, 0) && math.abs(ru - 1.0) < 1e-12)
+    val down = Seq((1L, 30L), (2L, 20L), (3L, 10L)).toDF("x", "y")
+    val rd = ScoreEval.spearman(down, col("x"), col("y"))
+      .collect().head.getDouble(1)
+    assert(rd == rhoIeee(8, 8, 32) && math.abs(rd + 1.0) < 1e-12)
+    val const = Seq((5L, 1L), (5L, 2L), (5L, 3L)).toDF("x", "y")
+    assert(ScoreEval.spearman(const, col("x"), col("y"))
+      .collect().head.getDouble(1) == 0.0)
+  }
+
+  test("spearman handles ties by midrank (hand-computed)") {
+    // x=(1,1,2), y=(1,2,2): doubled midranks x->(3,3,6), y->(2,5,5);
+    // d2 = 1+4+1 = 6; T = 6 each side; S4 = (24-6)/3 = 6;
+    // rho = (6+6-6)/(2*sqrt(6)*sqrt(6)) = 0.5
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 2L)).toDF("x", "y")
+    val r = ScoreEval.spearman(df, col("x"), col("y")).collect().head
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == rhoIeee(6, 6, 6) &&
+      math.abs(r.getDouble(1) - 0.5) < 1e-12)
+  }
+
+  test("spearman is invariant under monotone rescaling of either side") {
+    val a = Seq((1L, 7L), (4L, 2L), (9L, 5L), (16L, 11L)).toDF("x", "y")
+    val b = a.select((col("x") * 1000L).as("x"),
+      (col("y") + 100L).as("y"))
+    val ra = ScoreEval.spearman(a, col("x"), col("y"))
+      .collect().head.getDouble(1)
+    val rb = ScoreEval.spearman(b, col("x"), col("y"))
+      .collect().head.getDouble(1)
+    assert(ra == rb)
+  }
+
+  // --- TextAnalysis.ngramDiversity ------------------------------------
+
+  test("ngramDiversity reproduces hand counts per group and order") {
+    val docs = Seq(("A", "a b a"), ("A", "a b"), ("B", "x"))
+      .toDF("source", "text")
+    val rows = TextAnalysis.ngramDiversity(docs, col("source"),
+      col("text"), maxN = 2).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("A", "B"))
+    val a = rows(0)
+    // tokens: a b a | a b -> 5 total, {a,b} distinct
+    assert(a.getLong(1) == 5L && a.getLong(2) == 2L &&
+      a.getDouble(3) == 0.4)
+    // bigrams: "a b","b a" | "a b" -> 3 total, 2 distinct
+    assert(a.getLong(4) == 3L && a.getLong(5) == 2L &&
+      a.getDouble(6) == 2.0 / 3.0)
+    val b = rows(1)
+    // one token, no bigrams -> ratio_2 reports 0.0, never NaN
+    assert(b.getLong(1) == 1L && b.getDouble(3) == 1.0)
+    assert(b.getLong(4) == 0L && b.getLong(5) == 0L &&
+      b.getDouble(6) == 0.0)
+  }
+
+  test("ngramDiversity flags the boilerplate source the per-doc filter misses") {
+    // every spam doc is internally clean (no repeated bigram inside a
+    // doc), but the SOURCE repeats one template
+    val spam = (1 to 20).map(_ => ("spam", "buy cheap pills now"))
+    val fresh = Seq(("fresh", "alpha beta gamma delta"),
+      ("fresh", "epsilon zeta eta theta"),
+      ("fresh", "iota kappa lambda mu"))
+    val docs = (spam ++ fresh).toDF("source", "text")
+    val out = TextAnalysis.ngramDiversity(docs, col("source"),
+      col("text"), maxN = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(6)).toMap
+    assert(out("fresh") == 1.0)
+    assert(out("spam") == 3.0 / 60.0)
+  }
+
+  // --- plan pins --------------------------------------------------------
+
+  private def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val here = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        nodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        nodes(q.plan)
+      case _ => Seq(p)
+    }
+    here ++ p.children.flatMap(nodes) ++ p.subqueries.flatMap(nodes)
+  }
+
+  test("ngramDiversity plan: every order rides ONE corpus scan, no join") {
+    val docs = Seq(("A", "a b c"), ("B", "d e")).toDF("source", "text")
+    val df = TextAnalysis.ngramDiversity(docs, col("source"), col("text"), 2)
+    df.collect()
+    val ns = nodes(df.queryExecution.executedPlan)
+    val scans = ns.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec])
+    assert(scans == 1, s"expected one corpus scan, found $scans")
+    assert(!ns.exists(_.nodeName.toLowerCase.contains("join")),
+      "the tagged-explode census needs no join")
+  }
+
+  test("rocAuc plan: census-shaped, no cartesian/nested-loop anywhere") {
+    val df = Seq((3L, 1L), (2L, 0L), (1L, 0L)).toDF("s", "y")
+    val plan = ScoreEval.rocAuc(df, col("s"), col("y"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      s"rocAuc must stay census-aggregate shaped:\n$plan")
+  }
+}
