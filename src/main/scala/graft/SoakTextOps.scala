@@ -196,6 +196,13 @@ object SoakTextOps {
       text.TextAnalysis.ngramDiversity(docs, col("source"), col("text"),
         maxN = 2).count()
     }
+    // the q172 shape: per-source JSD from the mixture — the (group,
+    // token) census is the corpus-scaling term; the token-totals join
+    // is census×census; growth must be corpus-linear
+    val (nJs, tJs) = timed {
+      text.Divergence.jsdFromMixture(docs, col("source"), col("text"))
+        .count()
+    }
     println(s"""{"sfDir":"$sfDir","docs":$nDocs,"vecs":$nVecs,""" +
       s""""substr_rows":$nSub,"substr_sec":${f"$tSub%.2f"},""" +
       s""""backoff_rows":$nLm,"backoff_sec":${f"$tLm%.2f"},""" +
@@ -212,7 +219,8 @@ object SoakTextOps {
       s""""chrf_rows":$nCf,"chrf_sec":${f"$tCf%.2f"},""" +
       s""""auc_rows":$nAu,"auc_sec":${f"$tAu%.2f"},""" +
       s""""spearman_rows":$nSp,"spearman_sec":${f"$tSp%.2f"},""" +
-      s""""diversity_rows":$nDv,"diversity_sec":${f"$tDv%.2f"}}""")
+      s""""diversity_rows":$nDv,"diversity_sec":${f"$tDv%.2f"},""" +
+      s""""jsd_rows":$nJs,"jsd_sec":${f"$tJs%.2f"}}""")
     spark.stop()
   }
 }

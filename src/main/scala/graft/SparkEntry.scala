@@ -204,6 +204,9 @@ object SparkEntry {
     "q167_calibration"      -> PipelineQueries.langScoreCalibration _,
     "q168_spearman"         -> PipelineQueries.lengthTokenSpearman _,
     "q169_ngram_diversity"  -> PipelineQueries.sourceDiversity _,
+    "q170_avg_precision"    -> PipelineQueries.langScoreAp _,
+    "q171_brier"            -> PipelineQueries.langScoreBrier _,
+    "q172_source_jsd"       -> PipelineQueries.sourceJsd _,
   )
 
   /** q153's oracle, shared verbatim by q162 (the streaming drain of
@@ -3304,6 +3307,84 @@ object SparkEntry {
         |       THEN CAST(distinct_2 AS DOUBLE) / CAST(total_2 AS DOUBLE)
         |       ELSE 0.0 END AS ratio_2
         |FROM c1 LEFT JOIN c2 USING (source) ORDER BY grp""".stripMargin,
+    // q170: average precision (step form) — per-threshold precision
+    // rounded ONCE to micro-units via exact integral division
+    // floor(1e6·p/q + ½) = (2e6·p + q) // (2q), AP mass in HUGEINT
+    "q170_avg_precision" ->
+      """WITH d AS (SELECT
+        |    len(list_filter(string_split(text,' '), x -> x='the' OR x='a')) AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+        |c AS (SELECT s, SUM(y) AS pos, SUM(1 - y) AS neg FROM d GROUP BY 1),
+        |r AS (SELECT s, pos, neg,
+        |    SUM(neg) OVER (ORDER BY s) AS cum_neg,
+        |    SUM(pos) OVER (ORDER BY s) AS cum_pos FROM c),
+        |g AS (SELECT SUM(pos) AS n_pos, SUM(neg) AS n_neg FROM c),
+        |t AS (SELECT pos,
+        |    CAST(n_pos - (cum_pos - pos) AS HUGEINT) AS p_ge,
+        |    CAST((n_pos - (cum_pos - pos)) + (n_neg - (cum_neg - neg))
+        |      AS HUGEINT) AS n_ge
+        |  FROM r, g),
+        |m AS (SELECT SUM(CAST(pos AS HUGEINT) *
+        |    ((2000000*p_ge + n_ge) // (2*n_ge))) AS mass FROM t)
+        |SELECT CAST(g.n_pos AS BIGINT) AS n_pos,
+        |  CAST(g.n_neg AS BIGINT) AS n_neg,
+        |  CASE WHEN g.n_pos > 0
+        |       THEN CAST(m.mass AS DOUBLE) /
+        |            CAST(1000000 * CAST(g.n_pos AS HUGEINT) AS DOUBLE)
+        |       ELSE 0.0 END AS ap
+        |FROM g, m""".stripMargin,
+    // q171: Brier score of the q167 pseudo-confidence — the proper
+    // scoring rule beside the binned ECE; Σ(conf−1000·y)² in HUGEINT
+    "q171_brier" ->
+      """WITH d AS (SELECT
+        |    len(list_filter(string_split(text,' '), x -> x='the' OR x='a')) AS hits,
+        |    lang FROM documents),
+        |p AS (SELECT LEAST(1000, 500 + 50*hits) AS conf,
+        |    CASE WHEN (CASE WHEN hits >= 2 THEN 'en' ELSE 'und' END) = lang
+        |         THEN 1 ELSE 0 END AS ok FROM d),
+        |g AS (SELECT COUNT(*) AS n,
+        |    SUM(CAST(conf - 1000*ok AS HUGEINT) *
+        |        CAST(conf - 1000*ok AS HUGEINT)) AS mass FROM p)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n > 0
+        |       THEN CAST(mass AS DOUBLE) /
+        |            CAST(1000000 * CAST(n AS HUGEINT) AS DOUBLE)
+        |       ELSE 0.0 END AS brier
+        |FROM g""".stripMargin,
+    // q172: per-source JSD from the corpus mixture — each present
+    // token's two log terms rounded ONCE to micro-nats (the log
+    // argument is one double division of exact integers, mirrored
+    // op-for-op), masses in HUGEINT, the absent-token mixture mass
+    // collapsed to (N − Σ_{t∈g} C)·693147
+    "q172_source_jsd" ->
+      """WITH cells AS (SELECT source AS grp,
+        |    unnest(string_split(text,' ')) AS tok FROM documents),
+        |c AS (SELECT grp, tok, COUNT(*) AS c FROM cells GROUP BY 1, 2),
+        |gt AS (SELECT grp, SUM(c) AS n FROM c GROUP BY 1),
+        |tt AS (SELECT tok, SUM(c) AS big_c FROM c GROUP BY 1),
+        |tot AS (SELECT SUM(c) AS nn FROM c),
+        |j AS (SELECT c.grp, c.c, tt.big_c, gt.n, tot.nn,
+        |    CAST(c.c AS DOUBLE) * CAST(tot.nn AS DOUBLE) AS cnd,
+        |    CAST(tt.big_c AS DOUBLE) * CAST(gt.n AS DOUBLE) AS cgd
+        |  FROM c JOIN tt USING (tok) JOIN gt USING (grp), tot),
+        |w AS (SELECT grp, n, nn, big_c,
+        |    CAST(c AS HUGEINT) *
+        |      CAST(FLOOR(ln(2.0 * cnd / (cnd + cgd)) * 1000000.0 + 0.5)
+        |        AS HUGEINT) AS map,
+        |    CAST(big_c AS HUGEINT) *
+        |      CAST(FLOOR(ln(2.0 * cgd / (cnd + cgd)) * 1000000.0 + 0.5)
+        |        AS HUGEINT) AS mbp
+        |  FROM j),
+        |g AS (SELECT grp, MAX(n) AS n_tokens, COUNT(*) AS n_vocab,
+        |    SUM(map) AS ma, SUM(mbp) AS mb,
+        |    SUM(CAST(big_c AS HUGEINT)) AS sum_cg, MAX(nn) AS nn
+        |  FROM w GROUP BY 1)
+        |SELECT grp, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_vocab AS BIGINT) AS n_vocab,
+        |  (CAST(ma AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |   + CAST(mb + (CAST(nn AS HUGEINT) - sum_cg) * 693147 AS DOUBLE)
+        |     / CAST(nn AS DOUBLE)) / 2000000.0 AS jsd_nats
+        |FROM g ORDER BY grp""".stripMargin,
   )
 
   /** chrF oracle generator (the mmrOracle/kCoreOracle unrolling

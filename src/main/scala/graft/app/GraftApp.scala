@@ -109,7 +109,15 @@ object GraftApp {
                                             // over --text-col (q153)
       noveltyPump: Boolean = false,         // --novelty-pump
       contaminationPump: Option[String] = None, // --contamination-pump=<dir>
-      agreementPump: Boolean = false)       // --agreement-pump
+      agreementPump: Boolean = false,       // --agreement-pump
+      scoreReport: Boolean = false,         // --score-report
+      scoreCol: Option[String] = None,      // --score-col=<integral col>;
+                                            // default: built-in marker-hit
+                                            // count over --text-col (the
+                                            // score q21's minHits cuts)
+      scoreLabel: Option[String] = None,    // --score-label=<0/1 col>;
+                                            // default: gold==--score-positive
+      scorePositive: String = "en")         // --score-positive=<value>
 
   final case class Result(
       ddl: Seq[String] = Nil,
@@ -377,7 +385,9 @@ object GraftApp {
         c.contaminationPump.isDefined ->
           s"contamination-pump: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_contamination_state").mkString(", ")}",
         c.agreementPump ->
-          s"agreement-pump[${c.agreementGold} vs ${c.agreementPred.getOrElse("langid(" + c.textCol + ")")}]: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_agreement_state").mkString(", ")}"
+          s"agreement-pump[${c.agreementGold} vs ${c.agreementPred.getOrElse("langid(" + c.textCol + ")")}]: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_agreement_state").mkString(", ")}",
+        c.scoreReport ->
+          s"score-report[${c.scoreCol.getOrElse("marker_hits(" + c.textCol + ")")} vs ${c.scoreLabel.getOrElse(c.agreementGold + "=" + c.scorePositive)}]: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_roc.parquet + _score_summary.parquet").mkString(", ")}"
       ).collect { case (true, s) => s }
       return Result(ddl = ddl, templates = templates,
         jsonTemplates = jsonTemplates, dryPlanned = planned)
@@ -733,9 +743,51 @@ object GraftApp {
             obs.get("src_rows").asInstanceOf[Long],
             spark.read.parquet(out).count(), out)
         }
+      // --score-report (q165/q166/q170 through the CLI face):
+      // threshold-FREE grading of the score a quality gate
+      // thresholds — the ROC operating-point table (the rows a
+      // cutoff is picked from) plus a one-row summary (ROC-AUC and
+      // average precision). Default score is the built-in English
+      // marker-hit count over --text-col (exactly what q21's
+      // minHits=2 cuts); --score-col names a stored integral column
+      // instead. Default label is gold == --score-positive over
+      // --agreement-gold; --score-label names a stored 0/1 column.
+      val scoreRuns =
+        if (!c.scoreReport) Nil
+        else tables.map { t =>
+          val obs = org.apache.spark.sql.Observation()
+          val docs0 = Migrator.transformed(spark, c.srcDir, t, spec)
+          // the observed copy rides ONLY the curve write (the
+          // agreement-panel precedent: one observed plan per metric)
+          val observed = docs0.observe(obs,
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("src_rows"))
+          val score = c.scoreCol.map(col).getOrElse(
+            org.apache.spark.sql.functions.size(
+              org.apache.spark.sql.functions.filter(
+                graft.text.TextAnalysis.tokens(col(c.textCol)),
+                tok => tok === "the" || tok === "a")))
+          val label = c.scoreLabel.map(col).getOrElse(
+            org.apache.spark.sql.functions.when(
+              col(c.agreementGold) === c.scorePositive,
+              org.apache.spark.sql.functions.lit(1L))
+              .otherwise(org.apache.spark.sql.functions.lit(0L)))
+          val curve = graft.ops.ScoreEval.rocCurve(observed, score, label)
+          val outCurve = s"${c.dstDir}/${dstNameFor(t)}_roc.parquet"
+          curve.write.mode("overwrite").parquet(outCurve)
+          val summary = graft.ops.ScoreEval.rocAuc(docs0, score, label)
+            .crossJoin(org.apache.spark.sql.functions.broadcast(
+              graft.ops.ScoreEval.averagePrecision(docs0, score, label)
+                .select(col("ap"))))
+          val outSum = s"${c.dstDir}/${dstNameFor(t)}_score_summary.parquet"
+          summary.write.mode("overwrite").parquet(outSum)
+          Curation(t, "score-report",
+            obs.get("src_rows").asInstanceOf[Long],
+            spark.read.parquet(outCurve).count(), outCurve)
+        }
       scd2Runs ++ pplRuns ++ dedupRuns ++ contaminationRuns ++
         semdedupRuns ++ embedContaminationRuns ++ annRecallRuns ++
-        overlapRuns ++ noveltyRuns ++ agreementRuns
+        overlapRuns ++ noveltyRuns ++ agreementRuns ++ scoreRuns
     }
 
     // RESIDENT curation pumps (the q154/q155/q162 production faces on
@@ -974,7 +1026,8 @@ object GraftApp {
     "embed-contamination", "embed-contamination-cos",
     "ann-recall", "ann-k", "ann-queries",
     "vec-id-col", "embedding-col", "overlap-group-col",
-    "agreement-gold", "agreement-pred", "contamination-pump")
+    "agreement-gold", "agreement-pred", "contamination-pump",
+    "score-col", "score-label", "score-positive")
   private val KnownFlags = Set("create-table-sql",
     "create-table-sql-template", "create-table-json-template",
     "dst-create-table", "migrate-table",
@@ -982,7 +1035,7 @@ object GraftApp {
     "install", "dry", "state-versions", "with-create-database",
     "scd2", "ppl-filter", "dedup", "semdedup",
     "overlap-report", "novelty-report", "remigrate", "agreement-report",
-    "novelty-pump", "agreement-pump")
+    "novelty-pump", "agreement-pump", "score-report")
 
   /** `--column-default-value=t.col=v` values: numeric if they parse,
     * else the literal string (na.fill applies them type-matched).
@@ -1215,7 +1268,11 @@ object GraftApp {
       agreementPred = kv.get("agreement-pred"),
       noveltyPump = flags("novelty-pump"),
       contaminationPump = kv.get("contamination-pump"),
-      agreementPump = flags("agreement-pump"))
+      agreementPump = flags("agreement-pump"),
+      scoreReport = flags("score-report"),
+      scoreCol = kv.get("score-col"),
+      scoreLabel = kv.get("score-label"),
+      scorePositive = kv.getOrElse("score-positive", "en"))
   }
 
   private val AnnRecallVariants = Set("int8", "ivf", "pq", "lsh")

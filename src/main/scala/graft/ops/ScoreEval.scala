@@ -132,6 +132,100 @@ object ScoreEval {
       .orderBy("thr")
   }
 
+  /** Average precision (the area under the precision-recall curve in
+    * its standard step form): walking thresholds from the strictest
+    * down, each threshold's positives contribute the precision AT
+    * that operating point —
+    *
+    *   AP = Σ_s pos(s) · prec(≥s) / n_pos,  prec(≥s) = cumPos/cumN
+    *
+    * — [[rocAuc]]'s class-imbalance-robust complement: with 1e9
+    * negatives per positive, ROC-AUC barely moves when false
+    * positives double, PR-AUC halves. The grade that matters when
+    * the positive class is the rare one (contamination hits, PII,
+    * toxic spans).
+    *
+    * Determinism (the q102 micro-unit discipline): each threshold's
+    * precision is rounded ONCE to integer micro-units via exact
+    * integer division — `prec_micro = (2e6·cumPos + cumN) div
+    * (2·cumN)` is floor(1e6·p/q + ½) computed without any float —
+    * after which the AP numerator `Σ pos(s)·prec_micro` is ONE exact
+    * DECIMAL(38,0) integer and `ap = mass / (1e6·n_pos)` ONE
+    * correctly-rounded division. No-positive input reports 0.0.
+    *
+    * Returns one row: `(n_pos, n_neg, ap)`. Scale shape: identical
+    * to [[rocAuc]] — one corpus scan to the score census, census
+    * cumulatives via the two-phase prefix sum.
+    */
+  def averagePrecision(df: DataFrame, score: Column,
+      label: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val c1 = PrefixSum.withRunningTotal(scoreCensus(df, score, label),
+      Seq(col("s")), col("neg"), "cum_neg")
+    val cum = PrefixSum.withRunningTotal(c1,
+      Seq(col("s")), col("pos"), "cum_pos")
+    val globals = cum.agg(
+      coalesce(sum(col("pos")), lit(0L)).as("n_pos"),
+      coalesce(sum(col("neg")), lit(0L)).as("n_neg"))
+    cum.crossJoin(broadcast(globals))
+      // counts at-or-above s off the ascending running totals
+      .withColumn("p_ge", col("n_pos") - (col("cum_pos") - col("pos")))
+      .withColumn("n_ge", col("p_ge") +
+        (col("n_neg") - (col("cum_neg") - col("neg"))))
+      // floor(1e6·p/q + ½) as exact integral division (DECIMAL
+      // operands, `div` returns LONG); n_ge ≥ pos(s) ≥ 1 per census
+      // row, so the divisor is never zero
+      .withColumn("prec_micro", expr(
+        "(CAST(2000000 AS DECIMAL(38,0)) * CAST(p_ge AS DECIMAL(38,0)) +" +
+          " CAST(n_ge AS DECIMAL(38,0))) div" +
+          " (CAST(2 AS DECIMAL(38,0)) * CAST(n_ge AS DECIMAL(38,0)))"))
+      .agg(max(col("n_pos")).as("n_pos"), max(col("n_neg")).as("n_neg"),
+        coalesce(sum(col("pos").cast(dec) * col("prec_micro").cast(dec)),
+          lit(0L).cast(dec)).as("mass"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0,
+            col("mass").cast("double") /
+              (lit(1000000L).cast(dec) * col("n_pos").cast(dec))
+                .cast("double"))
+          .otherwise(lit(0.0)).as("ap"))
+  }
+
+  /** Brier score — the mean squared gap between a claimed
+    * probability and the 0/1 outcome, `Σ(conf/1000 − y)²/N`: the
+    * single proper scoring rule complement of [[calibration]]'s
+    * binned diagram (ECE can be gamed by a constant base-rate
+    * predictor; the Brier score penalizes exactly the
+    * sharpness-without-honesty and honesty-without-sharpness a
+    * mixture-weighting confidence must have). Same input contract as
+    * [[calibration]]: integer milli-unit confidence (out-of-range
+    * raises), 0/1 outcome.
+    *
+    * Determinism: `Σ(conf − 1000·y)²` is ONE exact DECIMAL(38,0)
+    * integer; the score is one correctly-rounded division by 1e6·N.
+    * Empty input reports 0.0. Scale shape: one map-side-combined
+    * corpus aggregate — no census, no join.
+    *
+    * Returns one row: `(n, brier)`.
+    */
+  def brier(df: DataFrame, confMilli: Column, correct: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val c = confMilli.cast("long")
+    val conf = when(c >= 0L && c <= 1000L, c)
+      .otherwise(raise_error(concat(
+        lit("ScoreEval: confMilli must be in [0,1000], got "),
+        c.cast("string"))))
+    val gap = conf - lit(1000L) * binary(correct, "correct")
+    df.select(gap.as("g"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum((col("g") * col("g")).cast(dec)), lit(0L).cast(dec))
+          .as("mass"))
+      .select(col("n"),
+        when(col("n") > 0,
+            col("mass").cast("double") /
+              (lit(1000000L).cast(dec) * col("n").cast(dec)).cast("double"))
+          .otherwise(lit(0.0)).as("brier"))
+  }
+
   /** Reliability diagram + expected calibration error (ECE, Guo et
     * al. 2017) for a score that CLAIMS to be a probability:
     * `confMilli` (0..1000 integer milli-units — out-of-range

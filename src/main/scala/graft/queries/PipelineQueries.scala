@@ -1547,4 +1547,41 @@ object PipelineQueries {
   def sourceDiversity(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.ngramDiversity(Tables.load(spark, dir, "documents"),
       col("source"), col("text"), maxN = 2)
+
+  /** q170: average precision (PR-AUC) of the marker-hit score —
+    * q165's class-imbalance-robust complement: ROC-AUC barely moves
+    * when false positives double against a huge negative class;
+    * PR-AUC halves. Per-threshold precisions rounded ONCE to exact
+    * integer micro-units, the AP numerator one integer mass.
+    */
+  def langScoreAp(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    graft.ops.ScoreEval.averagePrecision(docs, markerHits,
+      when(col("lang") === "en", lit(1L)).otherwise(lit(0L)))
+  }
+
+  /** q171: Brier score of the q167 pseudo-confidence — the proper
+    * scoring rule beside the binned ECE diagram: ECE can be gamed by
+    * a constant base-rate predictor; the Brier score penalizes
+    * exactly that, Σ(conf − 1000·y)² one exact integer.
+    */
+  def langScoreBrier(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val pred = TextAnalysis.langId(col("text"), TextAnalysis.defaultProfiles)
+    val conf = least(lit(1000L), lit(500L) + lit(50L) * markerHits)
+    graft.ops.ScoreEval.brier(docs, conf,
+      when(pred === col("lang"), lit(1L)).otherwise(lit(0L)))
+  }
+
+  /** q172: Jensen–Shannon divergence of each source's unigram
+    * distribution from the corpus mixture — the distributional drift
+    * detector beside q152's set-overlap matrix: a source can share
+    * almost no exact shingles and still be distributionally
+    * identical (or vice versa); mixture re-weighting needs both
+    * views. Source-vs-mixture, not pairwise — no |pairs|×|vocab|
+    * blowup.
+    */
+  def sourceJsd(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Divergence.jsdFromMixture(
+      Tables.load(spark, dir, "documents"), col("source"), col("text"))
 }

@@ -1009,6 +1009,56 @@ class GraftAppSpec extends AnyFunSuite {
       "panel srcRows is the table row count, not 3x the union")
   }
 
+  test("score-report mode equals the library calls, honors --score-col " +
+      "and --score-positive") {
+    val dst = Files.createTempDirectory("graft_appscore").toString
+    // default: marker-hit score vs gold lang == 'en'
+    val r = GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$dir",
+      s"--dst-dir=$dst", "--src-tables=documents", "--score-report")))
+    assert(r.curations.map(_.mode) == Seq("score-report"))
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val hits = size(filter(graft.text.TextAnalysis.tokens(col("text")),
+      t => t === "the" || t === "a"))
+    val label = when(col("lang") === "en", lit(1L)).otherwise(lit(0L))
+    val wantCurve = graft.ops.ScoreEval.rocCurve(docs, hits, label)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(5), x.getDouble(7))).toMap
+    val gotCurve = spark.read.parquet(s"$dst/documents_roc.parquet")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(5), x.getDouble(7))).toMap
+    assert(gotCurve == wantCurve && wantCurve.nonEmpty)
+    val wantAuc = graft.ops.ScoreEval.rocAuc(docs, hits, label)
+      .collect().head.getDouble(2)
+    val wantAp = graft.ops.ScoreEval.averagePrecision(docs, hits, label)
+      .collect().head.getDouble(2)
+    val sum = spark.read.parquet(s"$dst/documents_score_summary.parquet")
+      .collect().head
+    assert(sum.getAs[Double]("auc") == wantAuc &&
+      sum.getAs[Double]("ap") == wantAp)
+    assert(r.curations.head.srcRows == docs.count() &&
+      r.curations.head.outRows == wantCurve.size)
+    // stored score column + a different positive class
+    val r2 = GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$dir",
+      s"--dst-dir=$dst", "--src-tables=documents", "--score-report",
+      "--score-col=n_chars", "--score-positive=de")))
+    val labelDe = when(col("lang") === "de", lit(1L)).otherwise(lit(0L))
+    val want2 = graft.ops.ScoreEval.rocAuc(docs, col("n_chars"), labelDe)
+      .collect().head.getDouble(2)
+    val got2 = spark.read.parquet(s"$dst/documents_score_summary.parquet")
+      .collect().head.getAs[Double]("auc")
+    assert(got2 == want2 && r2.curations.head.mode == "score-report")
+    // --dry plans the artifacts, executes nothing
+    val dst3 = Files.createTempDirectory("graft_appscore_dry").toString + "/o"
+    val r3 = GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$dir",
+      s"--dst-dir=$dst3", "--src-tables=documents", "--score-report",
+      "--dry")))
+    assert(r3.curations.isEmpty)
+    assert(r3.dryPlanned.exists(_.startsWith(
+      s"score-report[marker_hits(text) vs lang=en]: documents -> " +
+        s"$dst3/documents_roc.parquet")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dst3)))
+  }
+
   test("remigrate mode evolves drift and merges by PK through the CLI surface") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_appremig_src").toString

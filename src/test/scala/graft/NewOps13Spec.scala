@@ -90,6 +90,73 @@ class NewOps13Spec extends AnyFunSuite {
     assert(math.abs(area - auc) < 1e-12, s"trapezoid $area vs rank $auc")
   }
 
+  // --- ScoreEval.averagePrecision ---------------------------------------
+
+  test("averagePrecision reproduces the hand-computed step AP with ties") {
+    // thresholds desc: s=3 -> prec 1/1 (micro 1000000), 1 positive;
+    // s=2 -> prec 2/3 (micro 666667), 1 positive; s=1 -> no positive.
+    // mass = 1666667, ap = 1666667 / 2e6
+    val df = Seq((3L, 1L), (2L, 1L), (1L, 0L), (2L, 0L)).toDF("s", "y")
+    val r = ScoreEval.averagePrecision(df, col("s"), col("y"))
+      .collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 1666667.0 / 2000000.0)
+  }
+
+  test("averagePrecision: perfect separation 1.0; no positives 0.0; " +
+      "imbalance sensitivity vs ROC-AUC") {
+    val perfect = Seq((10L, 1L), (9L, 1L), (2L, 0L)).toDF("s", "y")
+    assert(ScoreEval.averagePrecision(perfect, col("s"), col("y"))
+      .collect().head.getDouble(2) == 1.0)
+    val nopos = Seq((1L, 0L), (2L, 0L)).toDF("s", "y")
+    assert(ScoreEval.averagePrecision(nopos, col("s"), col("y"))
+      .collect().head.getDouble(2) == 0.0)
+    // same ranking mistakes, 10x the negatives: ROC-AUC unchanged,
+    // AP must drop — the imbalance property AP exists for
+    val fewNeg = Seq((3L, 1L), (2L, 0L), (1L, 1L)).toDF("s", "y")
+    val manyNeg = (Seq((3L, 1L), (1L, 1L)) ++
+      (1 to 10).map(_ => (2L, 0L))).toDF("s", "y")
+    val apFew = ScoreEval.averagePrecision(fewNeg, col("s"), col("y"))
+      .collect().head.getDouble(2)
+    val apMany = ScoreEval.averagePrecision(manyNeg, col("s"), col("y"))
+      .collect().head.getDouble(2)
+    assert(apMany < apFew, s"AP must degrade with imbalance: $apMany vs $apFew")
+    val aucFew = ScoreEval.rocAuc(fewNeg, col("s"), col("y"))
+      .collect().head.getDouble(2)
+    val aucMany = ScoreEval.rocAuc(manyNeg, col("s"), col("y"))
+      .collect().head.getDouble(2)
+    assert(aucFew == aucMany, "ROC-AUC is imbalance-blind by construction")
+  }
+
+  // --- ScoreEval.brier --------------------------------------------------
+
+  test("brier reproduces hand values and bounds") {
+    val sure = Seq((1000L, 1L), (0L, 0L)).toDF("conf", "ok")
+    assert(ScoreEval.brier(sure, col("conf"), col("ok"))
+      .collect().head.getDouble(1) == 0.0)
+    val wrong = Seq((1000L, 0L), (0L, 1L)).toDF("conf", "ok")
+    assert(ScoreEval.brier(wrong, col("conf"), col("ok"))
+      .collect().head.getDouble(1) == 1.0)
+    // gaps -300, 300, -500 -> (9e4+9e4+25e4)/3e6
+    val mixed = Seq((700L, 1L), (300L, 0L), (500L, 1L)).toDF("conf", "ok")
+    val r = ScoreEval.brier(mixed, col("conf"), col("ok")).collect().head
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == 430000.0 / 3000000.0)
+  }
+
+  test("brier guards: out-of-range confidence and non-binary outcome raise") {
+    val badConf = Seq((1001L, 1L)).toDF("conf", "ok")
+    val e1 = intercept[Exception] {
+      ScoreEval.brier(badConf, col("conf"), col("ok")).collect()
+    }
+    assert(e1.getMessage.contains("[0,1000]"))
+    val badOk = Seq((500L, 5L)).toDF("conf", "ok")
+    val e2 = intercept[Exception] {
+      ScoreEval.brier(badOk, col("conf"), col("ok")).collect()
+    }
+    assert(e2.getMessage.contains("must be 0 or 1"))
+  }
+
   // --- ScoreEval.calibration ------------------------------------------
 
   test("calibration reproduces a hand-computed reliability diagram") {
@@ -209,6 +276,56 @@ class NewOps13Spec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(6)).toMap
     assert(out("fresh") == 1.0)
     assert(out("spam") == 3.0 / 60.0)
+  }
+
+  // --- Divergence.jsdFromMixture ----------------------------------------
+
+  test("jsdFromMixture reproduces the hand micro-nat value on disjoint " +
+      "sources and is symmetric") {
+    // A: "x x", B: "y y" -> corpus mixture {x:.5, y:.5}; closed form
+    // JSD(p_A, q) = 3/4·ln(4/3). Micro-nat mass: wp = floor(ln(4/3)
+    // ·1e6+.5) = 287682 (x for A: c=2,n=2,C=2,N=4), wq = floor(
+    // ln(2/3)·1e6+.5) = -405465, absent mass (4-2)·693147 ->
+    // jsd = (287682 + (-810930 + 1386294)/4) / 2e6
+    val docs = Seq(("A", "x x"), ("B", "y y")).toDF("source", "text")
+    val out = graft.text.Divergence.jsdFromMixture(docs, col("source"),
+      col("text")).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("A", "B"))
+    val expected = (2.0 * 287682 / 2.0 +
+      (2.0 * -405465 + 2.0 * 693147) / 4.0) / 2e6
+    assert(out(0).getDouble(3) == expected)
+    assert(out(1).getDouble(3) == out(0).getDouble(3),
+      "mirror-image sources must diverge equally from the mixture")
+    assert(math.abs(out(0).getDouble(3) - 0.75 * math.log(4.0 / 3.0)) < 1e-5,
+      "micro-nat value must sit on the closed form")
+    assert(out(0).getLong(1) == 2L && out(0).getLong(2) == 1L)
+  }
+
+  test("jsdFromMixture: identical distributions and single source are 0.0") {
+    val same = Seq(("A", "x y"), ("B", "x y")).toDF("source", "text")
+    val outSame = graft.text.Divergence.jsdFromMixture(same, col("source"),
+      col("text")).collect()
+    assert(outSame.forall(_.getDouble(3) == 0.0),
+      "a source matching the mixture exactly has zero divergence")
+    val single = Seq(("A", "x y z x")).toDF("source", "text")
+    val outSingle = graft.text.Divergence.jsdFromMixture(single,
+      col("source"), col("text")).collect()
+    assert(outSingle.head.getDouble(3) == 0.0)
+    assert(outSingle.head.getLong(1) == 4L && outSingle.head.getLong(2) == 3L)
+  }
+
+  test("jsdFromMixture orders drift correctly and stays within (0, ln 2)") {
+    // C drifts mildly (shared vocab, skewed), D is alien vocabulary
+    val docs = Seq(
+      ("base", "a b c d a b c d a b"),
+      ("mild", "a a a a b b c d a a"),
+      ("alien", "q r s t q r s t q r")).toDF("source", "text")
+    val out = graft.text.Divergence.jsdFromMixture(docs, col("source"),
+      col("text")).collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("alien") > out("mild"),
+      s"alien vocabulary must out-diverge a skew: $out")
+    assert(out.values.forall(v => v > 0.0 && v < math.log(2.0) + 1e-9),
+      s"JSD is bounded by ln 2: $out")
   }
 
   // --- plan pins --------------------------------------------------------
