@@ -207,6 +207,9 @@ object SparkEntry {
     "q170_avg_precision"    -> PipelineQueries.langScoreAp _,
     "q171_brier"            -> PipelineQueries.langScoreBrier _,
     "q172_source_jsd"       -> PipelineQueries.sourceJsd _,
+    "q173_ks_drift"         -> PipelineQueries.sourceLengthKs _,
+    "q174_mcc"              -> PipelineQueries.langIdMcc _,
+    "q175_vocab_coverage"   -> PipelineQueries.sourceVocabCoverage _,
   )
 
   /** q153's oracle, shared verbatim by q162 (the streaming drain of
@@ -3385,6 +3388,73 @@ object SparkEntry {
         |   + CAST(mb + (CAST(nn AS HUGEINT) - sum_cg) * 693147 AS DOUBLE)
         |     / CAST(nn AS DOUBLE)) / 2000000.0 AS jsd_nats
         |FROM g ORDER BY grp""".stripMargin,
+    // q173: two-sample KS on n_chars, src0 vs the rest — the sup-CDF
+    // gap over the merged score census on the common denominator
+    // n_a·n_b, so the sup is an integer max (ties toward smallest s)
+    // and d one division of exact integers
+    "q173_ks_drift" ->
+      """WITH d AS (SELECT n_chars AS s,
+        |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS g FROM documents),
+        |c AS (SELECT s, SUM(1 - g) AS a, SUM(g) AS b FROM d GROUP BY 1),
+        |r AS (SELECT s, SUM(a) OVER (ORDER BY s) AS cum_a,
+        |    SUM(b) OVER (ORDER BY s) AS cum_b FROM c),
+        |t AS (SELECT CAST(SUM(a) AS BIGINT) AS n_a,
+        |    CAST(SUM(b) AS BIGINT) AS n_b FROM c),
+        |m AS (SELECT s, ABS(CAST(cum_a AS HUGEINT) * t.n_b -
+        |    CAST(cum_b AS HUGEINT) * t.n_a) AS mass FROM r, t),
+        |best AS (SELECT s, mass FROM m ORDER BY mass DESC, s ASC LIMIT 1)
+        |SELECT t.n_a, t.n_b,
+        |  CASE WHEN t.n_a > 0 AND t.n_b > 0
+        |       THEN CAST(best.mass AS DOUBLE) /
+        |            CAST(CAST(t.n_a AS HUGEINT) * t.n_b AS DOUBLE)
+        |       ELSE 0.0 END AS d,
+        |  best.s AS d_at
+        |FROM t, best""".stripMargin,
+    // q174: multiclass Matthews correlation (Gorodkin R_K) of the q21
+    // labeler — marginals over the UNION class set, numerator and
+    // both radicands exact HUGEINT, finisher num/(sqrt(dx)·sqrt(dy))
+    // in the engine's fixed IEEE order
+    "q174_mcc" ->
+      """WITH p AS (SELECT lang AS gold,
+        |    CASE WHEN len(list_filter(string_split(text,' '), x -> x='the' OR x='a')) >= 2
+        |         THEN 'en' ELSE 'und' END AS pred
+        |  FROM documents),
+        |cm AS (SELECT gold, pred, COUNT(*) AS n FROM p GROUP BY 1, 2),
+        |gm AS (SELECT gold AS cls, CAST(SUM(n) AS HUGEINT) AS ng FROM cm GROUP BY 1),
+        |pm AS (SELECT pred AS cls, CAST(SUM(n) AS HUGEINT) AS np FROM cm GROUP BY 1),
+        |cls AS (SELECT cls FROM gm UNION SELECT cls FROM pm),
+        |j AS (SELECT cls.cls, COALESCE(gm.ng, 0) AS ng, COALESCE(pm.np, 0) AS np
+        |  FROM cls LEFT JOIN gm USING (cls) LEFT JOIN pm USING (cls)),
+        |t AS (SELECT SUM(ng) AS nn, SUM(ng * np) AS rc,
+        |    SUM(np * np) AS sp, SUM(ng * ng) AS sg FROM j),
+        |a AS (SELECT CAST(COALESCE(SUM(CASE WHEN gold = pred THEN n END), 0)
+        |    AS HUGEINT) AS agree FROM cm)
+        |SELECT CAST(t.nn AS BIGINT) AS n,
+        |  CASE WHEN t.nn * t.nn - t.sp > 0 AND t.nn * t.nn - t.sg > 0
+        |       THEN CAST(t.nn * a.agree - t.rc AS DOUBLE) /
+        |            (sqrt(CAST(t.nn * t.nn - t.sp AS DOUBLE)) *
+        |             sqrt(CAST(t.nn * t.nn - t.sg AS DOUBLE)))
+        |       ELSE 0.0 END AS mcc
+        |FROM t, a""".stripMargin,
+    // q175: per-source vocabulary coverage — Good–Turing seen mass
+    // (N−n1)/N one division, Chao1 V + n1(n1−1)/(2(n2+1)) the
+    // engine's fixed IEEE sequence off exact integer counts
+    "q175_vocab_coverage" ->
+      """WITH t AS (SELECT source AS grp,
+        |    unnest(string_split(text,' ')) AS token FROM documents),
+        |c AS (SELECT grp, token, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        |a AS (SELECT grp, COUNT(*) AS v_types, SUM(c) AS n_tokens,
+        |    SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n2
+        |  FROM c GROUP BY 1)
+        |SELECT grp, CAST(v_types AS BIGINT) AS v_types,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(n_tokens - n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS coverage,
+        |  CAST(v_types AS DOUBLE) +
+        |    CAST(CAST(n1 AS HUGEINT) * (n1 - 1) AS DOUBLE) /
+        |    CAST(2 * (CAST(n2 AS HUGEINT) + 1) AS DOUBLE) AS chao1
+        |FROM a ORDER BY grp""".stripMargin,
   )
 
   /** chrF oracle generator (the mmrOracle/kCoreOracle unrolling

@@ -276,4 +276,66 @@ object Agreement {
         lit(pBar).as("p_bar"), lit(kappa).as("kappa"))
       .orderBy("cls")
   }
+
+  /** Multiclass Matthews correlation coefficient (Gorodkin 2004's
+    * R_K, the K-category generalization of binary MCC) — the one
+    * single-number grade that stays honest under CLASS IMBALANCE:
+    * accuracy and even Cohen's kappa flatter a labeler that just
+    * predicts the majority class, while R_K is the correlation
+    * between the gold and predicted assignments,
+    *
+    *   R_K = (N·Σ_k C_kk − Σ_k t_k·p_k)
+    *         / (√(N² − Σ_k p_k²) · √(N² − Σ_k t_k²))
+    *
+    * with t/p the gold/predicted marginals. For two classes this IS
+    * textbook MCC `(tp·tn − fp·fn)/√((tp+fp)(tp+fn)(tn+fp)(tn+fn))`
+    * (unit-pinned). Reads the SAME confusion census as
+    * [[classifierReport]], so the batch face and the streaming
+    * agreement pump's durable cells grade through one code path.
+    *
+    * Determinism: numerator and both radicands are exact
+    * DECIMAL(38,0) integers off the census (N² caps at 1e24 for a
+    * 1e12-row corpus — inside 38 digits); the finisher is the FIXED
+    * IEEE sequence `num / (sqrt(dx) · sqrt(dy))` — one division, two
+    * square roots, mirrored op-for-op by the oracle. (Two roots, not
+    * one √(dx·dy): the product can reach 1e48 and overflow
+    * DECIMAL(38,0); the price is that a PERFECT labeler whose
+    * radicands aren't exact squares reads 1.0 ± 1 ulp —
+    * bit-portable, unit-pinned.) A constant labeler or constant gold
+    * column (a zero radicand) reports 0.0, the standard convention,
+    * never NaN.
+    *
+    * Scale shape: one corpus scan to the class-squared-sized cell
+    * census, then class-sized aggregates. Returns one row:
+    * `(n, mcc)`.
+    */
+  def matthewsCorrelation(df: DataFrame, gold: Column,
+      pred: Column): DataFrame =
+    matthewsFromCells(confusionCells(df, gold, pred))
+
+  /** [[matthewsCorrelation]] over a pre-built `(gold, pred, n)` cell
+    * census — the streaming-pump-state face. */
+  def matthewsFromCells(cells: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    perClassStatsFromCells(cells)
+      .agg(coalesce(sum(col("n_gold")), lit(0L)).as("n"),
+        coalesce(sum(col("tp")), lit(0L)).cast(dec).as("agree"),
+        coalesce(sum(col("n_gold").cast(dec) * col("n_pred").cast(dec)),
+          lit(0L).cast(dec)).as("rc"),
+        coalesce(sum(col("n_pred").cast(dec) * col("n_pred").cast(dec)),
+          lit(0L).cast(dec)).as("sp"),
+        coalesce(sum(col("n_gold").cast(dec) * col("n_gold").cast(dec)),
+          lit(0L).cast(dec)).as("sg"))
+      .select(col("n"),
+        when(col("n").cast(dec) * col("n").cast(dec) - col("sp") >
+              lit(0L).cast(dec) &&
+            col("n").cast(dec) * col("n").cast(dec) - col("sg") >
+              lit(0L).cast(dec),
+            (col("n").cast(dec) * col("agree") - col("rc")).cast("double") /
+              (sqrt((col("n").cast(dec) * col("n").cast(dec) - col("sp"))
+                  .cast("double")) *
+                sqrt((col("n").cast(dec) * col("n").cast(dec) - col("sg"))
+                  .cast("double"))))
+          .otherwise(lit(0.0)).as("mcc"))
+  }
 }

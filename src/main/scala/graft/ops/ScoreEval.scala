@@ -48,9 +48,11 @@ object ScoreEval {
 
   /** The per-score census: one row per distinct score value with
     * exact positive/negative counts. One corpus scan, map-side
-    * combined.
+    * combined. Exposed package-private so the streaming score pump
+    * can fold per-batch censuses into durable state (counts are
+    * additive, so drain == batch).
     */
-  private def scoreCensus(df: DataFrame, score: Column,
+  private[graft] def scoreCensus(df: DataFrame, score: Column,
       label: Column): DataFrame = {
     val y = binary(label, "label")
     df.select(score.cast("long").as("s"), y.as("y"))
@@ -73,9 +75,18 @@ object ScoreEval {
     *
     * Returns one row: `(n_pos, n_neg, auc)`.
     */
-  def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
+  def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame =
+    rocAucFromCensus(scoreCensus(df, score, label))
+
+  /** [[rocAuc]] over a pre-built `(s, pos, neg)` score census — the
+    * face the streaming score pump's durable state feeds (per-score
+    * counts are additive and commutative, so the drained census must
+    * grade identically to the batch scan). Same mass, same single
+    * division, one code path.
+    */
+  def rocAucFromCensus(census: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
-    val cum = PrefixSum.withRunningTotal(scoreCensus(df, score, label),
+    val cum = PrefixSum.withRunningTotal(census,
       Seq(col("s")), col("neg"), "cum_neg")
     cum.agg(
         coalesce(sum(col("pos")), lit(0L)).as("n_pos"),
@@ -349,5 +360,65 @@ object ScoreEval {
         (2.0 * math.sqrt(s4x.toDouble) * math.sqrt(s4y.toDouble))
     df.sparkSession.range(1)
       .select(lit(n.toLong).as("n"), lit(rho).as("rho"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between the score
+    * distributions of two populations — the sup-norm CDF gap
+    * `D = max_s |F_a(s) − F_b(s)|`: the distribution-DRIFT view of a
+    * score that [[rocAuc]] cannot give (AUC asks "does the score
+    * separate the classes"; KS asks "did the score's SHAPE move
+    * between two slices" — new crawl vs old, one source vs the rest,
+    * this week vs last). Complements q172's token-level JSD with a
+    * score-level, binning-free answer.
+    *
+    * `group` must be 0/1 (population a / population b — anything
+    * else raises, the [[binary]] guard). Determinism: over the
+    * merged score census the gap at s is
+    *
+    *   mass(s) = |cumA(s)·n_b − cumB(s)·n_a|
+    *
+    * — ONE exact DECIMAL(38,0) integer per census row (common
+    * denominator n_a·n_b, so the sup is an integer max, no float
+    * compare) — and `d = max_mass / (n_a·n_b)` ONE correctly-rounded
+    * IEEE division. `d_at` is the score value attaining the sup
+    * (ties broken toward the SMALLEST s — deterministic); a
+    * single-population input reports d = 0.0 with d_at still the
+    * deterministic argmax (all masses zero → smallest s), and an
+    * empty input reports (0, 0, 0.0, null).
+    *
+    * Scale shape: ONE map-side-combined corpus scan to the score
+    * census, census cumulatives via [[PrefixSum.withRunningTotal]]
+    * (no single-partition window at any score cardinality), the sup
+    * one census-sized aggregate. Returns one row:
+    * `(n_a, n_b, d, d_at)`.
+    */
+  def ksTest(df: DataFrame, score: Column, group: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = binary(group, "group")
+    val census = df.select(score.cast("long").as("s"), g.as("g"))
+      .groupBy(col("s"))
+      .agg(sum(lit(1L) - col("g")).as("a"), sum(col("g")).as("b"))
+    val c1 = PrefixSum.withRunningTotal(census, Seq(col("s")),
+      col("a"), "cum_a")
+    val cum = PrefixSum.withRunningTotal(c1, Seq(col("s")),
+      col("b"), "cum_b")
+    val globals = cum.agg(
+      coalesce(sum(col("a")), lit(0L)).as("n_a"),
+      coalesce(sum(col("b")), lit(0L)).as("n_b"))
+    cum.crossJoin(broadcast(globals))
+      .select(col("n_a"), col("n_b"),
+        abs(col("cum_a").cast(dec) * col("n_b").cast(dec) -
+          col("cum_b").cast(dec) * col("n_a").cast(dec)).as("mass"),
+        col("s"))
+      // integer max of (mass, −s): max mass first, then smallest s
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(struct(col("mass"), (-col("s")).as("neg_s"))).as("best"))
+      .select(coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+            col("best.mass").cast("double") /
+              (col("n_a").cast(dec) * col("n_b").cast(dec)).cast("double"))
+          .otherwise(lit(0.0)).as("d"),
+        (-col("best.neg_s")).as("d_at"))
   }
 }

@@ -1584,4 +1584,37 @@ object PipelineQueries {
   def sourceJsd(spark: SparkSession, dir: String): DataFrame =
     graft.text.Divergence.jsdFromMixture(
       Tables.load(spark, dir, "documents"), col("source"), col("text"))
+
+  /** q173: two-sample Kolmogorov–Smirnov on document length —
+    * src0's n_chars distribution vs the rest of the corpus: the
+    * score-level drift gauge beside q172's token-level JSD. A new
+    * crawl slice whose length CDF has moved (truncation, boilerplate
+    * bloat) shows up here before any quality gate fires.
+    */
+  def sourceLengthKs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    graft.ops.ScoreEval.ksTest(docs, col("n_chars"),
+      when(col("source") === "src0", lit(1L)).otherwise(lit(0L)))
+  }
+
+  /** q174: multiclass Matthews correlation (Gorodkin R_K) of the q21
+    * labeler against gold — the imbalance-honest single number
+    * beside q153's accuracy/kappa report: a labeler that just
+    * predicts the majority class keeps respectable accuracy and
+    * nonzero kappa, but its R_K collapses toward 0.
+    */
+  def langIdMcc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    graft.ops.Agreement.matthewsCorrelation(docs, col("lang"),
+      TextAnalysis.langId(col("text"), TextAnalysis.defaultProfiles))
+  }
+
+  /** q175: vocabulary-coverage census per source — Good–Turing seen
+    * mass and the Chao1 vocabulary-size lower bound: "is this source
+    * saturated, or does its tail keep paying?" — the question before
+    * spending another crawl pass on it.
+    */
+  def sourceVocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Vocab.vocabCoverage(
+      Tables.load(spark, dir, "documents"), col("source"))
 }

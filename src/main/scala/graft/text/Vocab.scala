@@ -83,4 +83,57 @@ object Vocab {
         sum(when(col("pos").isNotNull && col("id").isNull, 1L)
           .otherwise(0L)).as("n_oov"))
   }
+
+  /** Vocabulary-coverage census per group — "how much of this
+    * source's vocabulary have we actually SEEN?", the question
+    * behind sizing a tokenizer ([[buildVocab]]'s `v`) and deciding
+    * whether a crawl slice is saturated before spending another
+    * 10 TB on it. Per group, off the token-frequency census:
+    *
+    *   - `v_types` observed distinct tokens, `n_tokens` total mass
+    *   - `n1`/`n2` singleton/doubleton type counts
+    *   - `coverage` — the Good–Turing estimate of the probability
+    *     the NEXT token is already known: `(N − n1)/N` (Good 1953;
+    *     the unseen-mass estimate is `n1/N`)
+    *   - `chao1` — the Chao1 lower-bound estimate of the TRUE
+    *     vocabulary size, bias-corrected form
+    *     `V + n1·(n1−1)/(2·(n2+1))` (Chao 1984): how far the
+    *     tokenizer's long tail actually extends past what we've seen
+    *
+    * Determinism: all counts are exact integers off one census;
+    * `coverage` is ONE correctly-rounded division of exact longs,
+    * `chao1` the FIXED IEEE sequence `V + n1·(n1−1) / (2·(n2+1))`
+    * (one division, one add — the n1² product rides DECIMAL(38,0)
+    * so a 1e9-singleton vocabulary never overflows; the divisor is
+    * never zero by construction). An empty group cannot occur (a
+    * group exists only via its tokens); a group whose every token is
+    * a singleton reports coverage 0.0 honestly.
+    *
+    * Scale shape: one corpus explode → (group, token) census
+    * (map-side combined — THE shuffle), then a group-sized
+    * aggregate; nothing corpus-sized moves after the census.
+    * Returns one row per group: `(grp, v_types, n_tokens, n1, n2,
+    * coverage, chao1)`, ordered by grp.
+    */
+  def vocabCoverage(df: DataFrame, by: Column,
+      textCol: String = "text"): DataFrame = {
+    val dec = "decimal(38,0)"
+    df.select(by.as("grp"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("grp"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("v_types"), sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("n2"))
+      .select(col("grp"), col("v_types"), col("n_tokens"), col("n1"),
+        col("n2"),
+        ((col("n_tokens") - col("n1")).cast("double") /
+          col("n_tokens").cast("double")).as("coverage"),
+        (col("v_types").cast("double") +
+          (col("n1").cast(dec) * (col("n1") - lit(1L)).cast(dec))
+            .cast("double") /
+          (lit(2L).cast(dec) * (col("n2") + lit(1L)).cast(dec))
+            .cast("double")).as("chao1"))
+      .orderBy("grp")
+  }
 }

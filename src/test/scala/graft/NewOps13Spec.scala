@@ -361,4 +361,130 @@ class NewOps13Spec extends AnyFunSuite {
     assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
       s"rocAuc must stay census-aggregate shaped:\n$plan")
   }
+
+  // --- ScoreEval.ksTest -------------------------------------------------
+
+  test("ksTest reproduces the hand-computed sup-CDF gap and its location") {
+    // a = {1,2,3}, b = {3,4}: masses over n_a·n_b = 6 are
+    // s=1: 2, s=2: 4, s=3: |6−3| = 3, s=4: 0 → D = 4/6 at s = 2
+    val df = Seq((1L, 0L), (2L, 0L), (3L, 0L), (3L, 1L), (4L, 1L))
+      .toDF("s", "g")
+    val r = ScoreEval.ksTest(df, col("s"), col("g")).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 4.0 / 6.0)
+    assert(r.getLong(3) == 2L)
+  }
+
+  test("ksTest: identical distributions give d = 0 at the smallest score") {
+    val df = Seq((1L, 0L), (2L, 0L), (1L, 1L), (2L, 1L)).toDF("s", "g")
+    val r = ScoreEval.ksTest(df, col("s"), col("g")).collect().head
+    assert(r.getDouble(2) == 0.0 && r.getLong(3) == 1L)
+  }
+
+  test("ksTest: disjoint supports give d = 1.0; single population 0.0") {
+    val disjoint = Seq((1L, 0L), (2L, 0L), (5L, 1L), (6L, 1L)).toDF("s", "g")
+    val r = ScoreEval.ksTest(disjoint, col("s"), col("g")).collect().head
+    assert(r.getDouble(2) == 1.0 && r.getLong(3) == 2L)
+    val single = Seq((1L, 0L), (2L, 0L)).toDF("s", "g")
+    val s = ScoreEval.ksTest(single, col("s"), col("g")).collect().head
+    assert(s.getLong(0) == 2L && s.getLong(1) == 0L && s.getDouble(2) == 0.0)
+  }
+
+  test("ksTest refuses a non-binary group loudly") {
+    val df = Seq((1L, 2L)).toDF("s", "g")
+    val e = intercept[Exception] {
+      ScoreEval.ksTest(df, col("s"), col("g")).collect()
+    }
+    assert(e.getMessage.contains("must be 0 or 1"))
+  }
+
+  // --- Agreement.matthewsCorrelation ------------------------------------
+
+  test("matthewsCorrelation: binary case equals textbook MCC") {
+    // tp=4 fn=1 fp=2 tn=3 → MCC = (4·3 − 2·1)/√(6·5·5·4) = 10/√600;
+    // the engine's Gorodkin form: num=20, dx=48, dy=50 — same value
+    val rows = Seq.fill(4)(("p", "p")) ++ Seq.fill(1)(("p", "n")) ++
+      Seq.fill(2)(("n", "p")) ++ Seq.fill(3)(("n", "n"))
+    val df = rows.toDF("gold", "pred")
+    val r = graft.ops.Agreement.matthewsCorrelation(df, col("gold"),
+      col("pred")).collect().head
+    assert(r.getLong(0) == 10L)
+    assert(r.getDouble(1) == 20.0 / (math.sqrt(48.0) * math.sqrt(50.0)))
+  }
+
+  test("matthewsCorrelation: perfect 1.0, constant labeler 0.0, multiclass") {
+    // class sizes (1,2,2): radicands 25−9 = 16 — an exact square, so
+    // the fixed √·√ sequence lands on 1.0 exactly. (With inexact-root
+    // radicands a perfect labeler reads 1±1ulp — the documented price
+    // of the bit-portable op order.)
+    val perfect = Seq(("a", "a"), ("b", "b"), ("b", "b"), ("c", "c"),
+      ("c", "c")).toDF("gold", "pred")
+    assert(graft.ops.Agreement.matthewsCorrelation(perfect, col("gold"),
+      col("pred")).collect().head.getDouble(1) == 1.0)
+    // the 1-ulp case, pinned to the exact fixed sequence
+    val p3 = Seq(("a", "a"), ("b", "b"), ("c", "c")).toDF("gold", "pred")
+    assert(graft.ops.Agreement.matthewsCorrelation(p3, col("gold"),
+        col("pred")).collect().head.getDouble(1) ==
+      6.0 / (math.sqrt(6.0) * math.sqrt(6.0)))
+    // constant pred → zero pred-marginal radicand → 0.0, never NaN
+    val const = Seq(("a", "a"), ("b", "a"), ("c", "a")).toDF("gold", "pred")
+    assert(graft.ops.Agreement.matthewsCorrelation(const, col("gold"),
+      col("pred")).collect().head.getDouble(1) == 0.0)
+    // 3-class with one confusion: trace=5, N=6, t=(2,2,2), p=(3,2,1)
+    // → num=18, dx=22, dy=24
+    val m = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"),
+      ("c", "c"), ("c", "a")).toDF("gold", "pred")
+    assert(graft.ops.Agreement.matthewsCorrelation(m, col("gold"),
+        col("pred")).collect().head.getDouble(1) ==
+      18.0 / (math.sqrt(22.0) * math.sqrt(24.0)))
+  }
+
+  test("matthewsCorrelation flags majority-class gaming that kappa softens") {
+    // 9 of 10 gold 'a': predicting all-'a' scores 90% accuracy but
+    // carries zero correlation
+    val rows = Seq.fill(9)(("a", "a")) :+ (("b", "a"))
+    val r = graft.ops.Agreement.matthewsCorrelation(rows.toDF("gold", "pred"),
+      col("gold"), col("pred")).collect().head
+    assert(r.getDouble(1) == 0.0)
+  }
+
+  // --- Vocab.vocabCoverage ------------------------------------------------
+
+  test("vocabCoverage reproduces hand counts, Good–Turing, and Chao1") {
+    val docs = Seq(("g1", "a a b c"), ("g1", "a d"), ("g2", "x x"))
+      .toDF("source", "text")
+    val rows = graft.text.Vocab.vocabCoverage(docs, col("source")).collect()
+    assert(rows.length == 2)
+    val g1 = rows(0)
+    // g1: a×3, b/c/d singletons → V=4, N=6, n1=3, n2=0
+    assert(g1.getString(0) == "g1" && g1.getLong(1) == 4L &&
+      g1.getLong(2) == 6L && g1.getLong(3) == 3L && g1.getLong(4) == 0L)
+    assert(g1.getDouble(5) == 0.5)           // (6−3)/6
+    assert(g1.getDouble(6) == 4.0 + 6.0 / 2.0) // V + n1(n1−1)/(2(n2+1))
+    val g2 = rows(1)
+    // g2: x doubleton → full coverage, Chao1 = V
+    assert(g2.getLong(1) == 1L && g2.getLong(4) == 1L)
+    assert(g2.getDouble(5) == 1.0 && g2.getDouble(6) == 1.0)
+  }
+
+  test("vocabCoverage: an all-singleton group reports coverage 0.0") {
+    val docs = Seq(("g", "a b c")).toDF("source", "text")
+    val r = graft.text.Vocab.vocabCoverage(docs, col("source"))
+      .collect().head
+    assert(r.getDouble(5) == 0.0)
+    // bias-corrected Chao1 stays finite with n2 = 0: 3 + 3·2/2 = 6
+    assert(r.getDouble(6) == 6.0)
+  }
+
+  test("ksTest plan: no cartesian; the only nested loop is the 1-row " +
+      "broadcast of the global counts") {
+    val df = Seq((1L, 0L), (2L, 1L)).toDF("s", "g")
+    val plan = ScoreEval.ksTest(df, col("s"), col("g"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"ksTest must stay census-aggregate shaped:\n$plan")
+    assert(!plan.replace("BroadcastNestedLoopJoin", "")
+        .contains("NestedLoopJoin"),
+      s"any nested loop must be the broadcast-globals one:\n$plan")
+  }
 }
