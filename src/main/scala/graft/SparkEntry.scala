@@ -210,6 +210,7 @@ object SparkEntry {
     "q173_ks_drift"         -> PipelineQueries.sourceLengthKs _,
     "q174_mcc"              -> PipelineQueries.langIdMcc _,
     "q175_vocab_coverage"   -> PipelineQueries.sourceVocabCoverage _,
+    "q176_stream_score"     -> IngestQueries.streamScore _,
   )
 
   /** q153's oracle, shared verbatim by q162 (the streaming drain of
@@ -258,6 +259,29 @@ object SparkEntry {
       |FROM cls LEFT JOIN gm USING (cls) LEFT JOIN pm USING (cls)
       |LEFT JOIN dg USING (cls) CROSS JOIN tot CROSS JOIN rc
       |ORDER BY cls.cls""".stripMargin
+
+  /** q165's oracle, shared verbatim by q176 (the streaming drain of
+    * the same grade: per-score (pos, neg) counts are additive and
+    * commutative, so the score pump's durable census must yield
+    * bit-identical ROC-AUC): the marker-hit score's exact
+    * Mann–Whitney AUC against gold lang='en', census cumulative in
+    * a window, pair mass in HUGEINT.
+    */
+  private val LangScoreAucSql: String =
+    """WITH d AS (SELECT
+      |    len(list_filter(string_split(text,' '), x -> x='the' OR x='a')) AS s,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+      |c AS (SELECT s, SUM(y) AS pos, SUM(1 - y) AS neg FROM d GROUP BY 1),
+      |r AS (SELECT s, pos, neg, SUM(neg) OVER (ORDER BY s) AS cum_neg FROM c),
+      |g AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |    CAST(SUM(neg) AS BIGINT) AS n_neg,
+      |    SUM(CAST(pos AS HUGEINT) * (2*(cum_neg - neg) + neg)) AS m2 FROM r)
+      |SELECT n_pos, n_neg,
+      |  CASE WHEN n_pos > 0 AND n_neg > 0
+      |       THEN CAST(m2 AS DOUBLE) /
+      |            CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE)
+      |       ELSE 0.0 END AS auc
+      |FROM g""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -3191,21 +3215,10 @@ object SparkEntry {
     // exact Mann–Whitney rank statistic with midrank ties over a
     // per-score census: 2U = Σ_s pos(s)·(2·neg(<s)+neg(s)) in
     // HUGEINT mirroring the engine's DECIMAL(38,0), one division
-    "q165_roc_auc" ->
-      """WITH d AS (SELECT
-        |    len(list_filter(string_split(text,' '), x -> x='the' OR x='a')) AS s,
-        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
-        |c AS (SELECT s, SUM(y) AS pos, SUM(1 - y) AS neg FROM d GROUP BY 1),
-        |r AS (SELECT s, pos, neg, SUM(neg) OVER (ORDER BY s) AS cum_neg FROM c),
-        |g AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
-        |    CAST(SUM(neg) AS BIGINT) AS n_neg,
-        |    SUM(CAST(pos AS HUGEINT) * (2*(cum_neg - neg) + neg)) AS m2 FROM r)
-        |SELECT n_pos, n_neg,
-        |  CASE WHEN n_pos > 0 AND n_neg > 0
-        |       THEN CAST(m2 AS DOUBLE) /
-        |            CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE)
-        |       ELSE 0.0 END AS auc
-        |FROM g""".stripMargin,
+    "q165_roc_auc" -> LangScoreAucSql,
+    // q176: the production score pump drained over the same corpus —
+    // the oracle is q165's VERBATIM (drain == batch: additive census)
+    "q176_stream_score" -> LangScoreAucSql,
     // q166: the full ROC operating-point table — per distinct score
     // "predict en when hits >= thr": exact confusion counts off the
     // same census cumulative, one correctly-rounded division per rate

@@ -117,7 +117,8 @@ object GraftApp {
                                             // score q21's minHits cuts)
       scoreLabel: Option[String] = None,    // --score-label=<0/1 col>;
                                             // default: gold==--score-positive
-      scorePositive: String = "en")         // --score-positive=<value>
+      scorePositive: String = "en",         // --score-positive=<value>
+      scorePump: Boolean = false)           // --score-pump
 
   final case class Result(
       ddl: Seq[String] = Nil,
@@ -387,7 +388,9 @@ object GraftApp {
         c.agreementPump ->
           s"agreement-pump[${c.agreementGold} vs ${c.agreementPred.getOrElse("langid(" + c.textCol + ")")}]: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_agreement_state").mkString(", ")}",
         c.scoreReport ->
-          s"score-report[${c.scoreCol.getOrElse("marker_hits(" + c.textCol + ")")} vs ${c.scoreLabel.getOrElse(c.agreementGold + "=" + c.scorePositive)}]: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_roc.parquet + _score_summary.parquet").mkString(", ")}"
+          s"score-report[${c.scoreCol.getOrElse("marker_hits(" + c.textCol + ")")} vs ${c.scoreLabel.getOrElse(c.agreementGold + "=" + c.scorePositive)}]: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_roc.parquet + _score_summary.parquet").mkString(", ")}",
+        c.scorePump ->
+          s"score-pump[${c.scoreCol.getOrElse("marker_hits(" + c.textCol + ")")} vs ${c.scoreLabel.getOrElse(c.agreementGold + "=" + c.scorePositive)}]: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_score_state").mkString(", ")}"
       ).collect { case (true, s) => s }
       return Result(ddl = ddl, templates = templates,
         jsonTemplates = jsonTemplates, dryPlanned = planned)
@@ -886,7 +889,36 @@ object GraftApp {
               s"${c.dstDir}/${dstNameFor(t)}_agreement_pump.parquet")
           }
         }
-      noveltyPumpRuns ++ contaminationPumpRuns ++ agreementPumpRuns
+      // --score-pump: the resident face of --score-report — each
+      // arriving document's (quantized score, 0/1 label) folds into
+      // a durable per-score census, and the drained ROC-AUC must
+      // equal the batch scan's (additive counts; q176's contract).
+      // Same score/label defaults as --score-report.
+      val scorePumpRuns =
+        if (!c.scorePump) Nil
+        else {
+          val score = c.scoreCol.map(col).getOrElse(
+            org.apache.spark.sql.functions.size(
+              org.apache.spark.sql.functions.filter(
+                graft.text.TextAnalysis.tokens(col(c.textCol)),
+                tok => tok === "the" || tok === "a")))
+          val label = c.scoreLabel.map(col).getOrElse(
+            org.apache.spark.sql.functions.when(
+              col(c.agreementGold) === c.scorePositive,
+              org.apache.spark.sql.functions.lit(1L))
+              .otherwise(org.apache.spark.sql.functions.lit(0L)))
+          tables.map { t =>
+            val stateDir = s"${c.dstDir}/${dstNameFor(t)}_score_state"
+            val q = CurationPumps.startScorePump(tableStream(t),
+              stateDir, s"${c.dstDir}/_ckpt_score_$t",
+              score = score, label = label, processingTime = cadence)
+            drainAndReport(t, "score-pump", stateDir, q,
+              () => CurationPumps.scoreAuc(spark, stateDir),
+              s"${c.dstDir}/${dstNameFor(t)}_score_pump.parquet")
+          }
+        }
+      noveltyPumpRuns ++ contaminationPumpRuns ++ agreementPumpRuns ++
+        scorePumpRuns
     }
 
     val pumped =
@@ -1035,7 +1067,7 @@ object GraftApp {
     "install", "dry", "state-versions", "with-create-database",
     "scd2", "ppl-filter", "dedup", "semdedup",
     "overlap-report", "novelty-report", "remigrate", "agreement-report",
-    "novelty-pump", "agreement-pump", "score-report")
+    "novelty-pump", "agreement-pump", "score-report", "score-pump")
 
   /** `--column-default-value=t.col=v` values: numeric if they parse,
     * else the literal string (na.fill applies them type-matched).
@@ -1272,7 +1304,8 @@ object GraftApp {
       scoreReport = flags("score-report"),
       scoreCol = kv.get("score-col"),
       scoreLabel = kv.get("score-label"),
-      scorePositive = kv.getOrElse("score-positive", "en"))
+      scorePositive = kv.getOrElse("score-positive", "en"),
+      scorePump = flags("score-pump"))
   }
 
   private val AnnRecallVariants = Set("int8", "ivf", "pq", "lsh")

@@ -770,4 +770,33 @@ object IngestQueries {
       .awaitTermination()
     graft.streaming.CurationPumps.agreementReport(spark, s"$root/state")
   }
+
+  /** q176: the PRODUCTION score pump drained over the documents
+    * table and graded against q165's batch oracle VERBATIM — the
+    * drain-equals-batch contract for the threshold-free score grade:
+    * per-score (pos, neg) counts are additive and commutative, so
+    * the durable census a resident `--score-pump` maintains must
+    * yield bit-identical ROC-AUC to the batch scan, in any arrival
+    * order (the two feed files land upper half first). The streaming
+    * face of the ScoreEval family, q162's precedent applied to score
+    * censuses.
+    */
+  def streamScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val root = tmpDir("graft_stream_score")
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$root/docs")
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append")
+      .parquet(s"$root/docs")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/docs")
+    graft.streaming.CurationPumps.startScorePump(
+        stream, s"$root/state", s"$root/ckpt",
+        score = size(filter(graft.text.TextAnalysis.tokens(col("text")),
+          t => t === "the" || t === "a")),
+        label = when(col("lang") === "en", lit(1L)).otherwise(lit(0L)))
+      .awaitTermination()
+    graft.streaming.CurationPumps.scoreAuc(spark, s"$root/state")
+  }
 }

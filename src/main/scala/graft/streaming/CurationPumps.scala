@@ -245,4 +245,72 @@ object CurationPumps {
   def agreementReport(spark: SparkSession, stateDir: String): DataFrame =
     graft.ops.Agreement.classifierReportFromCells(
       agreementCells(spark, stateDir))
+
+  /** Persisted per-score census schema for the score pump: one row
+    * per distinct quantized score value with running positive /
+    * negative counts — score-cardinality-sized, orders of magnitude
+    * narrower than the scored documents.
+    */
+  val ScoreSchema: StructType = StructType(Seq(
+    StructField("s", LongType, nullable = true),
+    StructField("pos", LongType, nullable = true),
+    StructField("neg", LongType, nullable = true)))
+
+  /** Fold one batch's per-score census into the store. Additive
+    * count merge — commutative (drain == batch) but NOT idempotent,
+    * so the batch-id fence is LOAD-BEARING (the [[mergeAgreementBatch]]
+    * regime): without it a crash-replayed batch would double-count
+    * its score cells.
+    */
+  private[graft] def mergeScoreBatch(batch: DataFrame,
+      score: org.apache.spark.sql.Column,
+      label: org.apache.spark.sql.Column,
+      stateDir: String, numBuckets: Int, batchId: Option[Long]): Unit = {
+    val cells = graft.ops.ScoreEval.scoreCensus(batch, score, label)
+    val template = emptyOf(batch.sparkSession, ScoreSchema)
+    BucketStateStore.merge(cells, stateDir, Seq("s"), template,
+      numBuckets, batchId) { (state, b) =>
+      state.unionByName(b)
+        .groupBy(col("s"))
+        .agg(sum(col("pos")).as("pos"), sum(col("neg")).as("neg"))
+    }
+  }
+
+  /** Start the score-grading pump: each arriving document's
+    * (quantized score, 0/1 label) folds into the durable per-score
+    * census at `stateDir`, so the threshold-free grade of the score
+    * over everything ingested so far — ROC-AUC, the operating-point
+    * table, PR-AUC — is readable at any time without re-scanning the
+    * corpus, and survives the pump (kill it, restart on the same
+    * checkpoint, the census continues exactly). The live view of the
+    * q165 family: "is this quality score still ranking the classes
+    * apart on THIS week's crawl?"
+    */
+  def startScorePump(docsStream: DataFrame, stateDir: String,
+      checkpointDir: String, score: org.apache.spark.sql.Column,
+      label: org.apache.spark.sql.Column,
+      numBuckets: Int = BucketStateStore.DefaultNumBuckets,
+      processingTime: Option[String] = None): StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(triggerOf(processingTime))
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        mergeScoreBatch(batch, score, label, stateDir, numBuckets,
+          Some(bid))
+      }
+      .start()
+
+  /** The persisted score census, as
+    * [[graft.ops.ScoreEval.rocAucFromCensus]] input. */
+  def scoreCensusState(spark: SparkSession, stateDir: String): DataFrame =
+    BucketStateStore.currentState(spark, stateDir,
+      emptyOf(spark, ScoreSchema))
+
+  /** ROC-AUC derived from the PERSISTED census — row-identical to
+    * batch [[graft.ops.ScoreEval.rocAuc]] over the drained corpus
+    * (per-score counts are additive and commutative, and both faces
+    * grade the same census frame through one code path).
+    */
+  def scoreAuc(spark: SparkSession, stateDir: String): DataFrame =
+    graft.ops.ScoreEval.rocAucFromCensus(scoreCensusState(spark, stateDir))
 }

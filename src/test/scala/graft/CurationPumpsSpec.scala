@@ -171,4 +171,58 @@ class CurationPumpsSpec extends AnyFunSuite {
       .agg(sum(col("n"))).collect().head.getLong(0)
     assert(n == agreeDocs.count(), "census mass == documents rated once")
   }
+
+  private def markerScore = size(filter(
+    graft.text.TextAnalysis.tokens(col("text")),
+    t => t === "the" || t === "a"))
+
+  private def enLabel = when(col("lang") === "en", lit(1L))
+    .otherwise(lit(0L))
+
+  test("score pump: persisted census grades to the batch rocAuc " +
+    "across a crash-restart") {
+    val root = Files.createTempDirectory("graft_scorepump").toString
+    // phase 1: odd half only; drain and "crash"
+    writeSlices(s"$root/feed", Seq(agreeDocs.filter(col("doc_id") % 2 === 1)))
+    CurationPumps.startScorePump(agreeStream(s"$root/feed"),
+      s"$root/state", s"$root/ckpt", score = markerScore, label = enLabel)
+      .awaitTermination()
+    val half = CurationPumps.scoreAuc(spark, s"$root/state").collect()
+    val wantHalf = graft.ops.ScoreEval.rocAuc(
+        agreeDocs.filter(col("doc_id") % 2 === 1), markerScore, enLabel)
+      .collect()
+    assert(half.toSeq == wantHalf.toSeq, "mid-crash census grades the half")
+    // the rest arrives while the pump is down; restart on the SAME ckpt
+    writeSlices(s"$root/feed", Seq(agreeDocs.filter(col("doc_id") % 2 === 0)))
+    CurationPumps.startScorePump(agreeStream(s"$root/feed"),
+      s"$root/state", s"$root/ckpt", score = markerScore, label = enLabel)
+      .awaitTermination()
+    val got = CurationPumps.scoreAuc(spark, s"$root/state").collect()
+    val want = graft.ops.ScoreEval.rocAuc(agreeDocs, markerScore, enLabel)
+      .collect()
+    assert(got.toSeq == want.toSeq,
+      "resumed pump must grade to the full batch ROC-AUC")
+    assert(got.head.getDouble(2) > 0.0, "fixture must separate the classes")
+  }
+
+  test("score pump: replayed batch is fenced — additive score counts " +
+    "would double without it") {
+    val root = Files.createTempDirectory("graft_scorefence").toString
+    writeSlices(s"$root/feed", Seq(agreeDocs))
+    CurationPumps.startScorePump(agreeStream(s"$root/feed"),
+      s"$root/state", s"$root/ckpt", score = markerScore, label = enLabel)
+      .awaitTermination()
+    val cells = CurationPumps.scoreCensusState(spark, s"$root/state")
+      .orderBy("s").collect()
+    CurationPumps.mergeScoreBatch(agreeDocs, markerScore, enLabel,
+      s"$root/state",
+      graft.streaming.BucketStateStore.DefaultNumBuckets, Some(0L))
+    val after = CurationPumps.scoreCensusState(spark, s"$root/state")
+      .orderBy("s").collect()
+    assert(after.toSeq == cells.toSeq,
+      "fenced replay must not inflate the counts")
+    val mass = CurationPumps.scoreCensusState(spark, s"$root/state")
+      .agg(sum(col("pos") + col("neg"))).collect().head.getLong(0)
+    assert(mass == agreeDocs.count(), "census mass == documents scored once")
+  }
 }

@@ -1470,14 +1470,35 @@ class GraftAppSpec extends AnyFunSuite {
     val dst = Files.createTempDirectory("graft_apppumpdry").toString
     val r = GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$dir",
       s"--dst-dir=$dst", "--src-tables=documents", "--novelty-pump",
-      "--contamination-pump=/probes", "--agreement-pump", "--dry")))
+      "--contamination-pump=/probes", "--agreement-pump", "--score-pump",
+      "--dry")))
     assert(r.dryPlanned.exists(_.startsWith(
       s"novelty-pump: documents -> $dst/documents_novelty_state")))
     assert(r.dryPlanned.exists(_.startsWith(
       s"contamination-pump: documents -> $dst/documents_contamination_state")))
     assert(r.dryPlanned.exists(_.startsWith(
       s"agreement-pump[lang vs langid(text)]: documents -> $dst/documents_agreement_state")))
+    assert(r.dryPlanned.exists(_.startsWith(
+      s"score-pump[marker_hits(text) vs lang=en]: documents -> $dst/documents_score_state")))
     assert(r.curations.isEmpty, "--dry must not start any pump")
+  }
+
+  test("score-pump mode equals the batch rocAuc through the CLI surface") {
+    val dst = Files.createTempDirectory("graft_appscorepump").toString
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val r = GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$dir",
+      s"--dst-dir=$dst", "--src-tables=documents", "--score-pump")))
+    assert(r.curations.map(_.mode) == Seq("score-pump"))
+    // default score/label: built-in marker hits vs gold lang == 'en' —
+    // the same defaults --score-report grades in batch
+    val score = size(filter(graft.text.TextAnalysis.tokens(col("text")),
+      t => t === "the" || t === "a"))
+    val label = when(col("lang") === "en", lit(1L)).otherwise(lit(0L))
+    val want = graft.ops.ScoreEval.rocAuc(docs, score, label).collect()
+    val got = spark.read.parquet(s"$dst/documents_score_pump.parquet")
+      .collect()
+    assert(got.toSeq == want.toSeq)
+    assert(got.head.getDouble(2) > 0.0, "fixture must separate the classes")
   }
 }
 
