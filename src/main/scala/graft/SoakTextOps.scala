@@ -203,6 +203,28 @@ object SoakTextOps {
       text.Divergence.jsdFromMixture(docs, col("source"), col("text"))
         .count()
     }
+    // the q173 shape: two-sample KS — one corpus scan to the merged
+    // score census, PrefixSum cumulatives, one census max; growth
+    // must be corpus-linear (the census is score-cardinality-bounded)
+    val (nKs, tKs) = timed {
+      ops.ScoreEval.ksTest(docs, col("n_chars"),
+        when(col("source") === "src0", lit(1L)).otherwise(lit(0L)))
+        .count()
+    }
+    // the q174 shape: multiclass MCC — the same one-scan confusion
+    // census as the agreement report, class-sized math after it;
+    // growth must be corpus-linear
+    val (nMc, tMc) = timed {
+      ops.Agreement.matthewsCorrelation(docs, col("lang"),
+        text.TextAnalysis.langId(col("text"),
+          text.TextAnalysis.defaultProfiles)).count()
+    }
+    // the q175 shape: vocabulary coverage — the (group, token) census
+    // is the corpus-scaling term (map-side combined), the
+    // freq-of-freq rollup group-sized; growth must be corpus-linear
+    val (nVc, tVc) = timed {
+      text.Vocab.vocabCoverage(docs, col("source")).count()
+    }
     println(s"""{"sfDir":"$sfDir","docs":$nDocs,"vecs":$nVecs,""" +
       s""""substr_rows":$nSub,"substr_sec":${f"$tSub%.2f"},""" +
       s""""backoff_rows":$nLm,"backoff_sec":${f"$tLm%.2f"},""" +
@@ -220,7 +242,10 @@ object SoakTextOps {
       s""""auc_rows":$nAu,"auc_sec":${f"$tAu%.2f"},""" +
       s""""spearman_rows":$nSp,"spearman_sec":${f"$tSp%.2f"},""" +
       s""""diversity_rows":$nDv,"diversity_sec":${f"$tDv%.2f"},""" +
-      s""""jsd_rows":$nJs,"jsd_sec":${f"$tJs%.2f"}}""")
+      s""""jsd_rows":$nJs,"jsd_sec":${f"$tJs%.2f"},""" +
+      s""""ks_rows":$nKs,"ks_sec":${f"$tKs%.2f"},""" +
+      s""""mcc_rows":$nMc,"mcc_sec":${f"$tMc%.2f"},""" +
+      s""""vocabcov_rows":$nVc,"vocabcov_sec":${f"$tVc%.2f"}}""")
     spark.stop()
   }
 }

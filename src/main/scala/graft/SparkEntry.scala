@@ -31,7 +31,7 @@ object SparkEntry {
     "q94_custom_state_sessions", "q140_redelivery_dedup",
     "q147_xml_roundtrip", "q151_remigrate_drift",
     "q154_stream_novelty", "q155_stream_contamination",
-    "q162_stream_agreement")
+    "q162_stream_agreement", "q176_stream_score")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -118,7 +118,13 @@ object GraftApp {
       scoreLabel: Option[String] = None,    // --score-label=<0/1 col>;
                                             // default: gold==--score-positive
       scorePositive: String = "en",         // --score-positive=<value>
-      scorePump: Boolean = false)           // --score-pump
+      scorePump: Boolean = false,           // --score-pump
+      vocabReport: Boolean = false,         // --vocab-report
+      driftReport: Boolean = false,         // --drift-report
+      driftCol: String = "n_chars",         // --drift-col=<integral col>
+      driftGroupVal: String = "src0")       // --drift-group-val=<value>;
+                                            // the --overlap-group-col slice
+                                            // KS-compared against the rest
 
   final case class Result(
       ddl: Seq[String] = Nil,
@@ -390,7 +396,11 @@ object GraftApp {
         c.scoreReport ->
           s"score-report[${c.scoreCol.getOrElse("marker_hits(" + c.textCol + ")")} vs ${c.scoreLabel.getOrElse(c.agreementGold + "=" + c.scorePositive)}]: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_roc.parquet + _score_summary.parquet").mkString(", ")}",
         c.scorePump ->
-          s"score-pump[${c.scoreCol.getOrElse("marker_hits(" + c.textCol + ")")} vs ${c.scoreLabel.getOrElse(c.agreementGold + "=" + c.scorePositive)}]: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_score_state").mkString(", ")}"
+          s"score-pump[${c.scoreCol.getOrElse("marker_hits(" + c.textCol + ")")} vs ${c.scoreLabel.getOrElse(c.agreementGold + "=" + c.scorePositive)}]: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_score_state").mkString(", ")}",
+        c.vocabReport ->
+          s"vocab-report[${c.overlapGroupCol}]: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_vocab.parquet").mkString(", ")}",
+        c.driftReport ->
+          s"drift-report[${c.driftCol}, ${c.overlapGroupCol}=${c.driftGroupVal} vs rest]: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_drift.parquet").mkString(", ")}"
       ).collect { case (true, s) => s }
       return Result(ddl = ddl, templates = templates,
         jsonTemplates = jsonTemplates, dryPlanned = planned)
@@ -788,9 +798,52 @@ object GraftApp {
             obs.get("src_rows").asInstanceOf[Long],
             spark.read.parquet(outCurve).count(), outCurve)
         }
+      // --vocab-report (q175 through the CLI face): per-group
+      // vocabulary coverage — Good–Turing seen mass + the Chao1
+      // vocabulary lower bound — over --overlap-group-col: the
+      // crawl-saturation gauge beside --novelty-report's curve.
+      val vocabRuns =
+        if (!c.vocabReport) Nil
+        else tables.map { t =>
+          val obs = org.apache.spark.sql.Observation()
+          val docs = Migrator.transformed(spark, c.srcDir, t, spec)
+            .observe(obs, org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("src_rows"))
+          val report = graft.text.Vocab.vocabCoverage(docs,
+            col(c.overlapGroupCol), textCol = c.textCol)
+          val out = s"${c.dstDir}/${dstNameFor(t)}_vocab.parquet"
+          report.write.mode("overwrite").parquet(out)
+          Curation(t, "vocab-report",
+            obs.get("src_rows").asInstanceOf[Long],
+            spark.read.parquet(out).count(), out)
+        }
+      // --drift-report (q173 through the CLI face): two-sample KS of
+      // --drift-col between the --drift-group-val slice of
+      // --overlap-group-col and the rest of the table — "did this
+      // slice's score distribution move?" before any gate fires.
+      val driftRuns =
+        if (!c.driftReport) Nil
+        else tables.map { t =>
+          val obs = org.apache.spark.sql.Observation()
+          val docs = Migrator.transformed(spark, c.srcDir, t, spec)
+            .observe(obs, org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("src_rows"))
+          val group = org.apache.spark.sql.functions.when(
+            col(c.overlapGroupCol) === c.driftGroupVal,
+            org.apache.spark.sql.functions.lit(1L))
+            .otherwise(org.apache.spark.sql.functions.lit(0L))
+          val report = graft.ops.ScoreEval.ksTest(docs, col(c.driftCol),
+            group)
+          val out = s"${c.dstDir}/${dstNameFor(t)}_drift.parquet"
+          report.write.mode("overwrite").parquet(out)
+          Curation(t, "drift-report",
+            obs.get("src_rows").asInstanceOf[Long],
+            spark.read.parquet(out).count(), out)
+        }
       scd2Runs ++ pplRuns ++ dedupRuns ++ contaminationRuns ++
         semdedupRuns ++ embedContaminationRuns ++ annRecallRuns ++
-        overlapRuns ++ noveltyRuns ++ agreementRuns ++ scoreRuns
+        overlapRuns ++ noveltyRuns ++ agreementRuns ++ scoreRuns ++
+        vocabRuns ++ driftRuns
     }
 
     // RESIDENT curation pumps (the q154/q155/q162 production faces on
@@ -1059,7 +1112,8 @@ object GraftApp {
     "ann-recall", "ann-k", "ann-queries",
     "vec-id-col", "embedding-col", "overlap-group-col",
     "agreement-gold", "agreement-pred", "contamination-pump",
-    "score-col", "score-label", "score-positive")
+    "score-col", "score-label", "score-positive",
+    "drift-col", "drift-group-val")
   private val KnownFlags = Set("create-table-sql",
     "create-table-sql-template", "create-table-json-template",
     "dst-create-table", "migrate-table",
@@ -1067,7 +1121,8 @@ object GraftApp {
     "install", "dry", "state-versions", "with-create-database",
     "scd2", "ppl-filter", "dedup", "semdedup",
     "overlap-report", "novelty-report", "remigrate", "agreement-report",
-    "novelty-pump", "agreement-pump", "score-report", "score-pump")
+    "novelty-pump", "agreement-pump", "score-report", "score-pump",
+    "vocab-report", "drift-report")
 
   /** `--column-default-value=t.col=v` values: numeric if they parse,
     * else the literal string (na.fill applies them type-matched).
@@ -1305,7 +1360,11 @@ object GraftApp {
       scoreCol = kv.get("score-col"),
       scoreLabel = kv.get("score-label"),
       scorePositive = kv.getOrElse("score-positive", "en"),
-      scorePump = flags("score-pump"))
+      scorePump = flags("score-pump"),
+      vocabReport = flags("vocab-report"),
+      driftReport = flags("drift-report"),
+      driftCol = kv.getOrElse("drift-col", "n_chars"),
+      driftGroupVal = kv.getOrElse("drift-group-val", "src0"))
   }
 
   private val AnnRecallVariants = Set("int8", "ivf", "pq", "lsh")

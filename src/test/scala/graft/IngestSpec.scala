@@ -1483,6 +1483,49 @@ class GraftAppSpec extends AnyFunSuite {
     assert(r.curations.isEmpty, "--dry must not start any pump")
   }
 
+  test("vocab-report and drift-report modes equal their library calls " +
+    "and honor their option dials") {
+    val dst = Files.createTempDirectory("graft_appvocabdrift").toString
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val r = GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$dir",
+      s"--dst-dir=$dst", "--src-tables=documents",
+      "--vocab-report", "--drift-report")))
+    assert(r.curations.map(_.mode).sorted ==
+      Seq("drift-report", "vocab-report"))
+    val wantVocab = graft.text.Vocab.vocabCoverage(docs, col("source"))
+      .collect()
+    val gotVocab = spark.read.parquet(s"$dst/documents_vocab.parquet")
+      .orderBy("grp").collect()
+    assert(gotVocab.toSeq == wantVocab.toSeq && gotVocab.nonEmpty)
+    // default drift split: n_chars, source='src0' vs the rest
+    val wantDrift = graft.ops.ScoreEval.ksTest(docs, col("n_chars"),
+      when(col("source") === "src0", lit(1L)).otherwise(lit(0L))).collect()
+    val gotDrift = spark.read.parquet(s"$dst/documents_drift.parquet")
+      .collect()
+    assert(gotDrift.toSeq == wantDrift.toSeq)
+    // dials: --drift-col and --drift-group-val move the split
+    val dst2 = Files.createTempDirectory("graft_appdrift2").toString
+    GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$dir",
+      s"--dst-dir=$dst2", "--src-tables=documents", "--drift-report",
+      "--drift-col=doc_id", "--drift-group-val=src1")))
+    val want2 = graft.ops.ScoreEval.ksTest(docs, col("doc_id"),
+      when(col("source") === "src1", lit(1L)).otherwise(lit(0L))).collect()
+    val got2 = spark.read.parquet(s"$dst2/documents_drift.parquet")
+      .collect()
+    assert(got2.toSeq == want2.toSeq)
+    // --dry plans both and executes nothing
+    val dst3 = Files.createTempDirectory("graft_appvddry").toString
+    val r3 = GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$dir",
+      s"--dst-dir=$dst3", "--src-tables=documents",
+      "--vocab-report", "--drift-report", "--dry")))
+    assert(r3.dryPlanned.exists(_.startsWith(
+      s"vocab-report[source]: documents -> $dst3/documents_vocab.parquet")))
+    assert(r3.dryPlanned.exists(_.startsWith(
+      s"drift-report[n_chars, source=src0 vs rest]: documents -> " +
+        s"$dst3/documents_drift.parquet")))
+    assert(r3.curations.isEmpty)
+  }
+
   test("score-pump mode equals the batch rocAuc through the CLI surface") {
     val dst = Files.createTempDirectory("graft_appscorepump").toString
     val docs = graft.Tables.load(spark, dir, "documents")
