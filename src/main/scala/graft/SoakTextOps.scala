@@ -225,6 +225,12 @@ object SoakTextOps {
     val (nVc, tVc) = timed {
       text.Vocab.vocabCoverage(docs, col("source")).count()
     }
+    // the q177 shape: embedding drift — one posexplode to the
+    // (group, dim) component-sum census is the corpus-scaling term;
+    // growth must be corpus-linear (everything after is census-sized)
+    val (nDr, tDr) = timed {
+      vector.VectorSearch.embeddingDrift(emb).count()
+    }
     println(s"""{"sfDir":"$sfDir","docs":$nDocs,"vecs":$nVecs,""" +
       s""""substr_rows":$nSub,"substr_sec":${f"$tSub%.2f"},""" +
       s""""backoff_rows":$nLm,"backoff_sec":${f"$tLm%.2f"},""" +
@@ -245,7 +251,8 @@ object SoakTextOps {
       s""""jsd_rows":$nJs,"jsd_sec":${f"$tJs%.2f"},""" +
       s""""ks_rows":$nKs,"ks_sec":${f"$tKs%.2f"},""" +
       s""""mcc_rows":$nMc,"mcc_sec":${f"$tMc%.2f"},""" +
-      s""""vocabcov_rows":$nVc,"vocabcov_sec":${f"$tVc%.2f"}}""")
+      s""""vocabcov_rows":$nVc,"vocabcov_sec":${f"$tVc%.2f"},""" +
+      s""""embdrift_rows":$nDr,"embdrift_sec":${f"$tDr%.2f"}}""")
     spark.stop()
   }
 }

@@ -211,6 +211,7 @@ object SparkEntry {
     "q174_mcc"              -> PipelineQueries.langIdMcc _,
     "q175_vocab_coverage"   -> PipelineQueries.sourceVocabCoverage _,
     "q176_stream_score"     -> IngestQueries.streamScore _,
+    "q177_embedding_drift"  -> PipelineQueries.labelEmbeddingDrift _,
   )
 
   /** q153's oracle, shared verbatim by q162 (the streaming drain of
@@ -3468,6 +3469,29 @@ object SparkEntry {
         |    CAST(CAST(n1 AS HUGEINT) * (n1 - 1) AS DOUBLE) /
         |    CAST(2 * (CAST(n2 AS HUGEINT) + 1) AS DOUBLE) AS chao1
         |FROM a ORDER BY grp""".stripMargin,
+    // q177: per-label centroid-vs-rest cosine — per-dimension exact
+    // component sums off the zipped unnest, rest = total − s
+    // (census-derived, no second corpus pass), dot/norms HUGEINT,
+    // finisher dot/(sqrt(n2)·sqrt(r2)) in the engine's IEEE order
+    "q177_embedding_drift" ->
+      """WITH e AS (SELECT label AS grp,
+        |    [CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) for x in embedding] AS q
+        |  FROM embeddings),
+        |u AS (SELECT grp, unnest(range(1, len(q)+1)) AS i, unnest(q) AS v FROM e),
+        |cells AS (SELECT grp, i, SUM(v) AS s, COUNT(*) AS cnt
+        |  FROM u GROUP BY 1, 2),
+        |tot AS (SELECT i, SUM(s) AS tot FROM cells GROUP BY 1),
+        |g AS (SELECT grp, MAX(cnt) AS n_vecs,
+        |    SUM(CAST(s AS HUGEINT) * (tot - s)) AS dot,
+        |    SUM(CAST(s AS HUGEINT) * s) AS n2,
+        |    SUM(CAST(tot - s AS HUGEINT) * (tot - s)) AS r2
+        |  FROM cells JOIN tot USING (i) GROUP BY 1)
+        |SELECT grp, CAST(n_vecs AS BIGINT) AS n_vecs,
+        |  CASE WHEN n2 > 0 AND r2 > 0
+        |       THEN CAST(dot AS DOUBLE) /
+        |            (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(r2 AS DOUBLE)))
+        |       ELSE 0.0 END AS cos_rest
+        |FROM g ORDER BY grp""".stripMargin,
   )
 
   /** chrF oracle generator (the mmrOracle/kCoreOracle unrolling

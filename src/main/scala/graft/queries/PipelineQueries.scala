@@ -1617,4 +1617,14 @@ object PipelineQueries {
   def sourceVocabCoverage(spark: SparkSession, dir: String): DataFrame =
     graft.text.Vocab.vocabCoverage(
       Tables.load(spark, dir, "documents"), col("source"))
+
+  /** q177: embedding-space drift per label — each label's centroid
+    * direction against the rest of the corpus: the embedding-level
+    * drift gauge completing the triad with q173 (score KS) and q172
+    * (token JSD). A slice that passes every token gate but embeds
+    * somewhere new reads low here.
+    */
+  def labelEmbeddingDrift(spark: SparkSession, dir: String): DataFrame =
+    VectorSearch.embeddingDrift(Tables.load(spark, dir, "embeddings"),
+      groupCol = "label")
 }

@@ -884,4 +884,59 @@ object VectorSearch {
           (count(lit(1)).cast("double") * lit(1e9))).as("avg_cos"))
       .select(col("label"), col("n_members"), graft.text.TextAnalysis.round6(col("avg_cos")).as("avg_cos"))
   }
+
+  /** Embedding-space drift: per group, the cosine between the
+    * group's centroid direction and the REST of the corpus's — the
+    * embedding-level member of the drift triad (score-level KS
+    * q173, token-level JSD q172): a crawl slice whose documents
+    * still pass every token gate but EMBED somewhere new shows up
+    * here first. cos ≈ 1 means the slice points where the corpus
+    * points; low or negative means a divergent cluster.
+    * [[labelCentroidStats]] answers the complementary within-group
+    * question (cohesion); this one is between group and corpus.
+    *
+    * Determinism: per-dimension component sums S(grp, pos) are exact
+    * longs (≤ 1e6·n — fits at any corpus size), rest sums are
+    * census-derived (total − S, never a second corpus pass), and
+    * dot/norms are exact DECIMAL(38,0) sums of decimal(19,0)²
+    * products (≤ 64·1e12·n² — inside 38 digits to n ~ 1e12); the
+    * finisher is the FIXED IEEE sequence `dot / (√n2 · √r2)` (the
+    * matthewsCorrelation convention, same 1-ulp caveat). A single
+    * group (rest is empty → zero radicand) reports 0.0, never NaN.
+    *
+    * Scale shape: ONE corpus scan → posexplode → (grp, pos)
+    * map-side-combined census (groups × dim rows — the ONLY
+    * corpus-sized shuffle), totals and everything after are
+    * census-sized. Returns one row per group:
+    * `(grp, n_vecs, cos_rest)`, ordered by grp.
+    */
+  def embeddingDrift(embeddings: DataFrame, groupCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    val d19 = "decimal(19,0)"
+    // materialized: feeds BOTH the per-dimension totals and the join
+    // back (the labelCentroidStats precedent)
+    val cells = embeddings.select(col(groupCol).as("grp"),
+        posexplode(quantize(col(vecCol))).as(Seq("pos", "v")))
+      .groupBy(col("grp"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val totals = cells.groupBy(col("pos")).agg(sum(col("s")).as("tot"))
+    cells.join(broadcast(totals), Seq("pos"))
+      .select(col("grp"), col("cnt"),
+        (col("s").cast(d19) * (col("tot") - col("s")).cast(d19)).as("xy"),
+        (col("s").cast(d19) * col("s").cast(d19)).as("xx"),
+        ((col("tot") - col("s")).cast(d19) *
+          (col("tot") - col("s")).cast(d19)).as("yy"))
+      .groupBy(col("grp"))
+      // cnt is n_grp at EVERY pos (fixed-dim arrays) — max is exact
+      .agg(max(col("cnt")).as("n_vecs"), sum(col("xy")).as("dot"),
+        sum(col("xx")).as("n2"), sum(col("yy")).as("r2"))
+      .select(col("grp"), col("n_vecs"),
+        when(col("n2") > 0 && col("r2") > 0,
+            col("dot").cast("double") /
+              (sqrt(col("n2").cast("double")) *
+                sqrt(col("r2").cast("double"))))
+          .otherwise(lit(0.0)).as("cos_rest"))
+      .orderBy("grp")
+  }
 }

@@ -476,6 +476,50 @@ class NewOps13Spec extends AnyFunSuite {
     assert(r.getDouble(6) == 6.0)
   }
 
+  // --- VectorSearch.embeddingDrift ---------------------------------------
+
+  test("embeddingDrift: orthogonal, opposite, aligned, and lone groups") {
+    import graft.vector.VectorSearch
+    // orthogonal slices: g1 along e1, g2 along e2 → cos_rest = 0 both
+    val ortho = Seq((1, Seq(1.0f, 0.0f)), (2, Seq(0.0f, 1.0f)))
+      .toDF("label", "embedding")
+    val o = VectorSearch.embeddingDrift(ortho).collect()
+    assert(o.map(_.getDouble(2)).toSeq == Seq(0.0, 0.0))
+    assert(o.map(_.getLong(1)).toSeq == Seq(1L, 1L))
+    // opposite directions → exactly −1.0 (1e12 radicands are exact
+    // squares of exact doubles)
+    val opp = Seq((1, Seq(1.0f, 0.0f)), (2, Seq(-1.0f, 0.0f)))
+      .toDF("label", "embedding")
+    assert(VectorSearch.embeddingDrift(opp).collect()
+      .map(_.getDouble(2)).toSeq == Seq(-1.0, -1.0))
+    // same direction, different mass → exactly 1.0
+    val same = Seq((1, Seq(1.0f, 0.0f)), (2, Seq(1.0f, 0.0f)),
+      (2, Seq(1.0f, 0.0f))).toDF("label", "embedding")
+    val s = VectorSearch.embeddingDrift(same).collect()
+    assert(s.map(_.getDouble(2)).toSeq == Seq(1.0, 1.0))
+    assert(s.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    // a single group has an empty rest → 0.0, never NaN
+    val lone = Seq((1, Seq(1.0f, 2.0f))).toDF("label", "embedding")
+    assert(VectorSearch.embeddingDrift(lone).collect()
+      .head.getDouble(2) == 0.0)
+  }
+
+  test("embeddingDrift flags the divergent slice a cohesion stat misses") {
+    import graft.vector.VectorSearch
+    // three mainstream groups share a direction; the fourth points
+    // elsewhere — drift must single it out
+    val emb = Seq(
+      (1, Seq(1.0f, 0.1f)), (1, Seq(1.0f, 0.2f)),
+      (2, Seq(0.9f, 0.1f)), (3, Seq(1.0f, 0.0f)),
+      (4, Seq(-0.1f, 1.0f)), (4, Seq(0.0f, 1.0f))
+    ).toDF("label", "embedding")
+    val r = VectorSearch.embeddingDrift(emb).collect()
+      .map(x => x.getInt(0) -> x.getDouble(2)).toMap
+    assert(Seq(1, 2, 3).forall(g => r(g) > 0.5),
+      s"mainstream groups must align with the rest: $r")
+    assert(r(4) < 0.5, s"the divergent slice must read low: $r")
+  }
+
   test("ksTest plan: no cartesian; the only nested loop is the 1-row " +
       "broadcast of the global counts") {
     val df = Seq((1L, 0L), (2L, 1L)).toDF("s", "g")
