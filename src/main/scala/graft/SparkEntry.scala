@@ -31,7 +31,7 @@ object SparkEntry {
     "q94_custom_state_sessions", "q140_redelivery_dedup",
     "q147_xml_roundtrip", "q151_remigrate_drift",
     "q154_stream_novelty", "q155_stream_contamination",
-    "q162_stream_agreement", "q176_stream_score")
+    "q162_stream_agreement", "q176_stream_score", "q179_stream_drift")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -212,6 +212,8 @@ object SparkEntry {
     "q175_vocab_coverage"   -> PipelineQueries.sourceVocabCoverage _,
     "q176_stream_score"     -> IngestQueries.streamScore _,
     "q177_embedding_drift"  -> PipelineQueries.labelEmbeddingDrift _,
+    "q178_log_loss"         -> PipelineQueries.langScoreLogLoss _,
+    "q179_stream_drift"     -> IngestQueries.streamDrift _,
   )
 
   /** q153's oracle, shared verbatim by q162 (the streaming drain of
@@ -283,6 +285,31 @@ object SparkEntry {
       |            CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE)
       |       ELSE 0.0 END AS auc
       |FROM g""".stripMargin
+
+  /** q173's oracle, shared verbatim by q179 (the streaming drain of
+    * the same gauge: the two-population census is additive, so the
+    * drift pump's durable state must yield a bit-identical sup-CDF
+    * gap): two-sample KS of n_chars, src0 vs the rest — integer
+    * masses on the common denominator, argmax by (mass DESC, s ASC).
+    */
+  private val SourceLengthKsSql: String =
+    """WITH d AS (SELECT n_chars AS s,
+      |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS g FROM documents),
+      |c AS (SELECT s, SUM(1 - g) AS a, SUM(g) AS b FROM d GROUP BY 1),
+      |r AS (SELECT s, SUM(a) OVER (ORDER BY s) AS cum_a,
+      |    SUM(b) OVER (ORDER BY s) AS cum_b FROM c),
+      |t AS (SELECT CAST(SUM(a) AS BIGINT) AS n_a,
+      |    CAST(SUM(b) AS BIGINT) AS n_b FROM c),
+      |m AS (SELECT s, ABS(CAST(cum_a AS HUGEINT) * t.n_b -
+      |    CAST(cum_b AS HUGEINT) * t.n_a) AS mass FROM r, t),
+      |best AS (SELECT s, mass FROM m ORDER BY mass DESC, s ASC LIMIT 1)
+      |SELECT t.n_a, t.n_b,
+      |  CASE WHEN t.n_a > 0 AND t.n_b > 0
+      |       THEN CAST(best.mass AS DOUBLE) /
+      |            CAST(CAST(t.n_a AS HUGEINT) * t.n_b AS DOUBLE)
+      |       ELSE 0.0 END AS d,
+      |  best.s AS d_at
+      |FROM t, best""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -3406,24 +3433,31 @@ object SparkEntry {
     // gap over the merged score census on the common denominator
     // n_a·n_b, so the sup is an integer max (ties toward smallest s)
     // and d one division of exact integers
-    "q173_ks_drift" ->
-      """WITH d AS (SELECT n_chars AS s,
-        |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS g FROM documents),
-        |c AS (SELECT s, SUM(1 - g) AS a, SUM(g) AS b FROM d GROUP BY 1),
-        |r AS (SELECT s, SUM(a) OVER (ORDER BY s) AS cum_a,
-        |    SUM(b) OVER (ORDER BY s) AS cum_b FROM c),
-        |t AS (SELECT CAST(SUM(a) AS BIGINT) AS n_a,
-        |    CAST(SUM(b) AS BIGINT) AS n_b FROM c),
-        |m AS (SELECT s, ABS(CAST(cum_a AS HUGEINT) * t.n_b -
-        |    CAST(cum_b AS HUGEINT) * t.n_a) AS mass FROM r, t),
-        |best AS (SELECT s, mass FROM m ORDER BY mass DESC, s ASC LIMIT 1)
-        |SELECT t.n_a, t.n_b,
-        |  CASE WHEN t.n_a > 0 AND t.n_b > 0
-        |       THEN CAST(best.mass AS DOUBLE) /
-        |            CAST(CAST(t.n_a AS HUGEINT) * t.n_b AS DOUBLE)
-        |       ELSE 0.0 END AS d,
-        |  best.s AS d_at
-        |FROM t, best""".stripMargin,
+    "q173_ks_drift" -> SourceLengthKsSql,
+    // q179: the production drift pump drained over the same corpus —
+    // the oracle is q173's VERBATIM (drain == batch: additive census)
+    "q179_stream_drift" -> SourceLengthKsSql,
+    // q178: binary log-loss of the capped q167 pseudo-confidence —
+    // per-cell micro-nat loss rounded ONCE off the (conf, y) census,
+    // mass in HUGEINT, one final division
+    "q178_log_loss" ->
+      """WITH d AS (SELECT
+        |    len(list_filter(string_split(text,' '), x -> x='the' OR x='a')) AS hits,
+        |    lang FROM documents),
+        |p AS (SELECT LEAST(999, 500 + 50*hits) AS conf,
+        |    CASE WHEN (CASE WHEN hits >= 2 THEN 'en' ELSE 'und' END) = lang
+        |         THEN 1 ELSE 0 END AS y FROM d),
+        |cells AS (SELECT conf, y, COUNT(*) AS n FROM p GROUP BY 1, 2),
+        |m AS (SELECT n, CAST(FLOOR(
+        |    -ln(CAST(CASE WHEN y = 1 THEN conf ELSE 1000 - conf END AS DOUBLE)
+        |        / 1000.0) * 1000000.0 + 0.5) AS HUGEINT) AS mm FROM cells),
+        |g AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+        |    SUM(CAST(n AS HUGEINT) * mm) AS mass FROM m)
+        |SELECT n,
+        |  CASE WHEN n > 0
+        |       THEN CAST(mass AS DOUBLE) / CAST(1000000 * CAST(n AS HUGEINT) AS DOUBLE)
+        |       ELSE 0.0 END AS logloss_nats
+        |FROM g""".stripMargin,
     // q174: multiclass Matthews correlation (Gorodkin R_K) of the q21
     // labeler — marginals over the UNION class set, numerator and
     // both radicands exact HUGEINT, finisher num/(sqrt(dx)·sqrt(dy))

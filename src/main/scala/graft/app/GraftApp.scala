@@ -121,6 +121,7 @@ object GraftApp {
       scorePump: Boolean = false,           // --score-pump
       vocabReport: Boolean = false,         // --vocab-report
       driftReport: Boolean = false,         // --drift-report
+      driftPump: Boolean = false,           // --drift-pump
       driftCol: String = "n_chars",         // --drift-col=<integral col>
       driftGroupVal: String = "src0")       // --drift-group-val=<value>;
                                             // the --overlap-group-col slice
@@ -400,7 +401,9 @@ object GraftApp {
         c.vocabReport ->
           s"vocab-report[${c.overlapGroupCol}]: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_vocab.parquet").mkString(", ")}",
         c.driftReport ->
-          s"drift-report[${c.driftCol}, ${c.overlapGroupCol}=${c.driftGroupVal} vs rest]: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_drift.parquet").mkString(", ")}"
+          s"drift-report[${c.driftCol}, ${c.overlapGroupCol}=${c.driftGroupVal} vs rest]: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_drift.parquet").mkString(", ")}",
+        c.driftPump ->
+          s"drift-pump[${c.driftCol}, ${c.overlapGroupCol}=${c.driftGroupVal} vs rest]: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_drift_state").mkString(", ")}"
       ).collect { case (true, s) => s }
       return Result(ddl = ddl, templates = templates,
         jsonTemplates = jsonTemplates, dryPlanned = planned)
@@ -970,8 +973,29 @@ object GraftApp {
               s"${c.dstDir}/${dstNameFor(t)}_score_pump.parquet")
           }
         }
+      // --drift-pump: the resident face of --drift-report — each
+      // arriving document's (quantized --drift-col, slice membership)
+      // folds into a durable two-population census; the drained KS
+      // must equal the batch scan's (additive census; q179's
+      // contract). Same split defaults as --drift-report.
+      val driftPumpRuns =
+        if (!c.driftPump) Nil
+        else tables.map { t =>
+          val group = org.apache.spark.sql.functions.when(
+            col(c.overlapGroupCol) === c.driftGroupVal,
+            org.apache.spark.sql.functions.lit(1L))
+            .otherwise(org.apache.spark.sql.functions.lit(0L))
+          val stateDir = s"${c.dstDir}/${dstNameFor(t)}_drift_state"
+          val q = CurationPumps.startDriftPump(tableStream(t),
+            stateDir, s"${c.dstDir}/_ckpt_drift_$t",
+            score = col(c.driftCol), group = group,
+            processingTime = cadence)
+          drainAndReport(t, "drift-pump", stateDir, q,
+            () => CurationPumps.driftKs(spark, stateDir),
+            s"${c.dstDir}/${dstNameFor(t)}_drift_pump.parquet")
+        }
       noveltyPumpRuns ++ contaminationPumpRuns ++ agreementPumpRuns ++
-        scorePumpRuns
+        scorePumpRuns ++ driftPumpRuns
     }
 
     val pumped =
@@ -1122,7 +1146,7 @@ object GraftApp {
     "scd2", "ppl-filter", "dedup", "semdedup",
     "overlap-report", "novelty-report", "remigrate", "agreement-report",
     "novelty-pump", "agreement-pump", "score-report", "score-pump",
-    "vocab-report", "drift-report")
+    "vocab-report", "drift-report", "drift-pump")
 
   /** `--column-default-value=t.col=v` values: numeric if they parse,
     * else the literal string (na.fill applies them type-matched).
@@ -1363,6 +1387,7 @@ object GraftApp {
       scorePump = flags("score-pump"),
       vocabReport = flags("vocab-report"),
       driftReport = flags("drift-report"),
+      driftPump = flags("drift-pump"),
       driftCol = kv.getOrElse("drift-col", "n_chars"),
       driftGroupVal = kv.getOrElse("drift-group-val", "src0"))
   }

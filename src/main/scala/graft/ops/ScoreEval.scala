@@ -362,6 +362,57 @@ object ScoreEval {
       .select(lit(n.toLong).as("n"), lit(rho).as("rho"))
   }
 
+  /** Binary log-loss (cross-entropy) — the OTHER proper scoring rule
+    * beside [[brier]]: both penalize dishonest confidence, but
+    * log-loss diverges as a confident claim approaches certain-and-
+    * wrong, which is exactly the failure mode that matters when the
+    * confidence WEIGHTS a mixture (one certain-wrong document costs
+    * unboundedly, not quadratically). `confMilli` is the claimed
+    * probability of the POSITIVE outcome in integer milli-units and
+    * must lie in [1, 999]: 0 and 1000 claim certainty, whose loss on
+    * a miss is infinite — refused loudly rather than silently
+    * clipped (quantize with a clamp FIRST if the upstream score can
+    * saturate).
+    *
+    * Determinism (the q102/q172 micro-nat discipline): the per-cell
+    * loss `m = floor(−ln(p_true/1000) · 1e6 + 0.5)` is computed ONCE
+    * per distinct (conf, y) census cell — at most 2·999 cells, so at
+    * most that many libm calls anywhere, each on the same exact
+    * rational argument in any engine — and the corpus mass
+    * `Σ n_cell · m_cell` is ONE exact DECIMAL(38,0) integer;
+    * `logloss = mass / (1e6·N)` is one correctly-rounded division.
+    * Empty input reports 0.0.
+    *
+    * Scale shape: one map-side-combined corpus scan to the
+    * (conf, y) census; everything after is census-sized. Returns one
+    * row: `(n, logloss_nats)`.
+    */
+  def logLoss(df: DataFrame, confMilli: Column,
+      correct: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val c = confMilli.cast("long")
+    val conf = when(c >= 1L && c <= 999L, c)
+      .otherwise(raise_error(concat(
+        lit("ScoreEval: confMilli must be in [1,999] (0 and 1000 claim " +
+          "certainty — infinite loss on a miss), got "),
+        c.cast("string"))))
+    val cells = df.select(conf.as("conf"), binary(correct, "y").as("y"))
+      .groupBy(col("conf"), col("y")).agg(count(lit(1)).as("n"))
+    val pTrue = when(col("y") === 1L, col("conf"))
+      .otherwise(lit(1000L) - col("conf"))
+    val m = floor(-log(pTrue.cast("double") / lit(1000.0)) * lit(1e6) +
+      lit(0.5)).cast("long")
+    cells
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("n").cast(dec) * m.cast(dec)), lit(0L).cast(dec))
+          .as("mass"))
+      .select(col("n"),
+        when(col("n") > 0,
+            col("mass").cast("double") /
+              (lit(1000000L).cast(dec) * col("n").cast(dec)).cast("double"))
+          .otherwise(lit(0.0)).as("logloss_nats"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic between the score
     * distributions of two populations — the sup-norm CDF gap
     * `D = max_s |F_a(s) − F_b(s)|`: the distribution-DRIFT view of a
@@ -392,12 +443,28 @@ object ScoreEval {
     * one census-sized aggregate. Returns one row:
     * `(n_a, n_b, d, d_at)`.
     */
-  def ksTest(df: DataFrame, score: Column, group: Column): DataFrame = {
-    val dec = "decimal(38,0)"
+  def ksTest(df: DataFrame, score: Column, group: Column): DataFrame =
+    ksFromCensus(ksCensus(df, score, group))
+
+  /** The two-population score census `(s, a, b)` behind [[ksTest]] —
+    * exposed package-private so the streaming drift pump can fold
+    * per-batch censuses into durable state (counts are additive, so
+    * drain == batch).
+    */
+  private[graft] def ksCensus(df: DataFrame, score: Column,
+      group: Column): DataFrame = {
     val g = binary(group, "group")
-    val census = df.select(score.cast("long").as("s"), g.as("g"))
+    df.select(score.cast("long").as("s"), g.as("g"))
       .groupBy(col("s"))
       .agg(sum(lit(1L) - col("g")).as("a"), sum(col("g")).as("b"))
+  }
+
+  /** [[ksTest]] over a pre-built `(s, a, b)` census — the streaming
+    * drift pump's durable-state face. Same integer sup, same single
+    * division, one code path.
+    */
+  def ksFromCensus(census: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
     val c1 = PrefixSum.withRunningTotal(census, Seq(col("s")),
       col("a"), "cum_a")
     val cum = PrefixSum.withRunningTotal(c1, Seq(col("s")),

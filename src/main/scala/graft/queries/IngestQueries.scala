@@ -799,4 +799,29 @@ object IngestQueries {
       .awaitTermination()
     graft.streaming.CurationPumps.scoreAuc(spark, s"$root/state")
   }
+
+  /** q179: the PRODUCTION drift pump drained over the documents
+    * table and graded against q173's batch oracle VERBATIM — the
+    * drain-equals-batch contract for the KS drift gauge: the
+    * two-population census is additive, so the durable state a
+    * resident `--drift-pump` maintains must yield a bit-identical
+    * sup-CDF gap to the batch scan, in any arrival order.
+    */
+  def streamDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), col("source"))
+    val root = tmpDir("graft_stream_drift")
+    docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$root/docs")
+    docs.filter(col("doc_id") % 2 === 0).write.mode("append")
+      .parquet(s"$root/docs")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/docs")
+    graft.streaming.CurationPumps.startDriftPump(
+        stream, s"$root/state", s"$root/ckpt",
+        score = col("n_chars"),
+        group = when(col("source") === "src0", lit(1L)).otherwise(lit(0L)))
+      .awaitTermination()
+    graft.streaming.CurationPumps.driftKs(spark, s"$root/state")
+  }
 }

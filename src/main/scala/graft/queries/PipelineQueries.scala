@@ -1618,6 +1618,21 @@ object PipelineQueries {
     graft.text.Vocab.vocabCoverage(
       Tables.load(spark, dir, "documents"), col("source"))
 
+  /** q178: binary log-loss of the q167 pseudo-confidence (capped at
+    * 999: log-loss refuses claimed certainty) against
+    * decision-correct — the proper scoring rule that DIVERGES on
+    * certain-and-wrong, the failure mode that costs most when the
+    * confidence weights a mixture; Brier (q171) only penalizes it
+    * quadratically.
+    */
+  def langScoreLogLoss(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val pred = TextAnalysis.langId(col("text"), TextAnalysis.defaultProfiles)
+    val conf = least(lit(999L), lit(500L) + lit(50L) * markerHits)
+    graft.ops.ScoreEval.logLoss(docs, conf,
+      when(pred === col("lang"), lit(1L)).otherwise(lit(0L)))
+  }
+
   /** q177: embedding-space drift per label — each label's centroid
     * direction against the rest of the corpus: the embedding-level
     * drift gauge completing the triad with q173 (score KS) and q172

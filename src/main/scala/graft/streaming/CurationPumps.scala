@@ -313,4 +313,67 @@ object CurationPumps {
     */
   def scoreAuc(spark: SparkSession, stateDir: String): DataFrame =
     graft.ops.ScoreEval.rocAucFromCensus(scoreCensusState(spark, stateDir))
+
+  /** Persisted two-population score census for the drift pump: one
+    * row per distinct quantized score with running counts for the
+    * watched slice (`b`) and the rest (`a`).
+    */
+  val DriftSchema: StructType = StructType(Seq(
+    StructField("s", LongType, nullable = true),
+    StructField("a", LongType, nullable = true),
+    StructField("b", LongType, nullable = true)))
+
+  /** Fold one batch's two-population census into the store —
+    * additive, commutative, NOT idempotent: the batch-id fence is
+    * load-bearing (the [[mergeScoreBatch]] regime).
+    */
+  private[graft] def mergeDriftBatch(batch: DataFrame,
+      score: org.apache.spark.sql.Column,
+      group: org.apache.spark.sql.Column,
+      stateDir: String, numBuckets: Int, batchId: Option[Long]): Unit = {
+    val cells = graft.ops.ScoreEval.ksCensus(batch, score, group)
+    val template = emptyOf(batch.sparkSession, DriftSchema)
+    BucketStateStore.merge(cells, stateDir, Seq("s"), template,
+      numBuckets, batchId) { (state, b) =>
+      state.unionByName(b)
+        .groupBy(col("s"))
+        .agg(sum(col("a")).as("a"), sum(col("b")).as("b"))
+    }
+  }
+
+  /** Start the drift pump: each arriving document's (quantized
+    * score, 0/1 slice membership) folds into the durable
+    * two-population census, so the KS statistic between the watched
+    * slice and the rest — over everything ingested so far — is
+    * readable at any time and survives kill/restart. The resident
+    * face of the q173 drift gauge: "has THIS source's score
+    * distribution moved away from the corpus since the pump
+    * started?"
+    */
+  def startDriftPump(docsStream: DataFrame, stateDir: String,
+      checkpointDir: String, score: org.apache.spark.sql.Column,
+      group: org.apache.spark.sql.Column,
+      numBuckets: Int = BucketStateStore.DefaultNumBuckets,
+      processingTime: Option[String] = None): StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(triggerOf(processingTime))
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        mergeDriftBatch(batch, score, group, stateDir, numBuckets,
+          Some(bid))
+      }
+      .start()
+
+  /** The persisted two-population census, as
+    * [[graft.ops.ScoreEval.ksFromCensus]] input. */
+  def driftCensusState(spark: SparkSession, stateDir: String): DataFrame =
+    BucketStateStore.currentState(spark, stateDir,
+      emptyOf(spark, DriftSchema))
+
+  /** KS statistic derived from the PERSISTED census — row-identical
+    * to batch [[graft.ops.ScoreEval.ksTest]] over the drained corpus
+    * (additive counts, one code path through ksFromCensus).
+    */
+  def driftKs(spark: SparkSession, stateDir: String): DataFrame =
+    graft.ops.ScoreEval.ksFromCensus(driftCensusState(spark, stateDir))
 }

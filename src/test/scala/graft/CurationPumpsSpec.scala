@@ -225,4 +225,58 @@ class CurationPumpsSpec extends AnyFunSuite {
       .agg(sum(col("pos") + col("neg"))).collect().head.getLong(0)
     assert(mass == agreeDocs.count(), "census mass == documents scored once")
   }
+
+  private def driftDocs = Tables.load(spark, dir, "documents")
+    .select(col("doc_id"), col("n_chars"), col("source"))
+
+  private def src0Group = when(col("source") === "src0", lit(1L))
+    .otherwise(lit(0L))
+
+  private def driftStream(feedDir: String) =
+    spark.readStream.schema(driftDocs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feedDir)
+
+  test("drift pump: persisted census grades to the batch ksTest " +
+    "across a crash-restart") {
+    val root = Files.createTempDirectory("graft_driftpump").toString
+    writeSlices(s"$root/feed", Seq(driftDocs.filter(col("doc_id") % 2 === 1)))
+    CurationPumps.startDriftPump(driftStream(s"$root/feed"),
+      s"$root/state", s"$root/ckpt", score = col("n_chars"),
+      group = src0Group).awaitTermination()
+    val half = CurationPumps.driftKs(spark, s"$root/state").collect()
+    val wantHalf = graft.ops.ScoreEval.ksTest(
+        driftDocs.filter(col("doc_id") % 2 === 1), col("n_chars"),
+        src0Group).collect()
+    assert(half.toSeq == wantHalf.toSeq, "mid-crash census grades the half")
+    writeSlices(s"$root/feed", Seq(driftDocs.filter(col("doc_id") % 2 === 0)))
+    CurationPumps.startDriftPump(driftStream(s"$root/feed"),
+      s"$root/state", s"$root/ckpt", score = col("n_chars"),
+      group = src0Group).awaitTermination()
+    val got = CurationPumps.driftKs(spark, s"$root/state").collect()
+    val want = graft.ops.ScoreEval.ksTest(driftDocs, col("n_chars"),
+      src0Group).collect()
+    assert(got.toSeq == want.toSeq,
+      "resumed pump must grade to the full batch KS")
+    assert(got.head.getDouble(2) > 0.0, "fixture must show a nonzero gap")
+  }
+
+  test("drift pump: replayed batch is fenced") {
+    val root = Files.createTempDirectory("graft_driftfence").toString
+    writeSlices(s"$root/feed", Seq(driftDocs))
+    CurationPumps.startDriftPump(driftStream(s"$root/feed"),
+      s"$root/state", s"$root/ckpt", score = col("n_chars"),
+      group = src0Group).awaitTermination()
+    val cells = CurationPumps.driftCensusState(spark, s"$root/state")
+      .orderBy("s").collect()
+    CurationPumps.mergeDriftBatch(driftDocs, col("n_chars"), src0Group,
+      s"$root/state",
+      graft.streaming.BucketStateStore.DefaultNumBuckets, Some(0L))
+    val after = CurationPumps.driftCensusState(spark, s"$root/state")
+      .orderBy("s").collect()
+    assert(after.toSeq == cells.toSeq,
+      "fenced replay must not inflate the counts")
+    val mass = CurationPumps.driftCensusState(spark, s"$root/state")
+      .agg(sum(col("a") + col("b"))).collect().head.getLong(0)
+    assert(mass == driftDocs.count(), "census mass == documents seen once")
+  }
 }

@@ -1526,6 +1526,28 @@ class GraftAppSpec extends AnyFunSuite {
     assert(r3.curations.isEmpty)
   }
 
+  test("drift-pump mode equals the batch ksTest through the CLI surface") {
+    val dst = Files.createTempDirectory("graft_appdriftpump").toString
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val r = GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$dir",
+      s"--dst-dir=$dst", "--src-tables=documents", "--drift-pump")))
+    assert(r.curations.map(_.mode) == Seq("drift-pump"))
+    val want = graft.ops.ScoreEval.ksTest(docs, col("n_chars"),
+      when(col("source") === "src0", lit(1L)).otherwise(lit(0L))).collect()
+    val got = spark.read.parquet(s"$dst/documents_drift_pump.parquet")
+      .collect()
+    assert(got.toSeq == want.toSeq)
+    // --dry plans the state dir and starts nothing
+    val dst2 = Files.createTempDirectory("graft_appdriftpumpdry").toString
+    val r2 = GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$dir",
+      s"--dst-dir=$dst2", "--src-tables=documents", "--drift-pump",
+      "--dry")))
+    assert(r2.dryPlanned.exists(_.startsWith(
+      s"drift-pump[n_chars, source=src0 vs rest]: documents -> " +
+        s"$dst2/documents_drift_state")))
+    assert(r2.curations.isEmpty)
+  }
+
   test("score-pump mode equals the batch rocAuc through the CLI surface") {
     val dst = Files.createTempDirectory("graft_appscorepump").toString
     val docs = graft.Tables.load(spark, dir, "documents")

@@ -476,6 +476,47 @@ class NewOps13Spec extends AnyFunSuite {
     assert(r.getDouble(6) == 6.0)
   }
 
+  // --- ScoreEval.logLoss --------------------------------------------------
+
+  test("logLoss reproduces hand micro-nat values and the census mean") {
+    // conf 500 on a hit: −ln(0.5) → 693147 micro-nats exactly
+    val half = Seq((500L, 1L)).toDF("conf", "y")
+    assert(ScoreEval.logLoss(half, col("conf"), col("y"))
+      .collect().head.getDouble(1) == 693147.0 / 1e6)
+    // mixed census: (500, hit) + (250, miss → p_true = 750)
+    // → (693147 + 287682) / 2e6
+    val mixed = Seq((500L, 1L), (250L, 0L)).toDF("conf", "y")
+    assert(ScoreEval.logLoss(mixed, col("conf"), col("y"))
+      .collect().head.getDouble(1) == (693147.0 + 287682.0) / 2e6)
+  }
+
+  test("logLoss diverges on certain-and-wrong where Brier saturates") {
+    // conf 999 wrong: p_true = 1 milli → ~6.91 nats, vs Brier's cap
+    // at ~1.0 — the unbounded penalty is the point of the rule
+    val cw = Seq((999L, 0L)).toDF("conf", "y")
+    val ll = ScoreEval.logLoss(cw, col("conf"), col("y"))
+      .collect().head.getDouble(1)
+    assert(ll == 6907755.0 / 1e6)
+    val br = ScoreEval.brier(cw, col("conf"), col("y"))
+      .collect().head.getDouble(1)
+    assert(ll > 5.0 && br < 1.0)
+  }
+
+  test("logLoss refuses claimed certainty and non-binary outcomes") {
+    for (bad <- Seq(0L, 1000L)) {
+      val e = intercept[Exception] {
+        ScoreEval.logLoss(Seq((bad, 1L)).toDF("conf", "y"),
+          col("conf"), col("y")).collect()
+      }
+      assert(e.getMessage.contains("[1,999]"), e.getMessage)
+    }
+    val e2 = intercept[Exception] {
+      ScoreEval.logLoss(Seq((500L, 2L)).toDF("conf", "y"),
+        col("conf"), col("y")).collect()
+    }
+    assert(e2.getMessage.contains("must be 0 or 1"))
+  }
+
   // --- VectorSearch.embeddingDrift ---------------------------------------
 
   test("embeddingDrift: orthogonal, opposite, aligned, and lone groups") {
