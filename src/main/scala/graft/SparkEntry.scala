@@ -221,8 +221,10 @@ object SparkEntry {
     * commutative, so the pump's durable census must grade
     * identically): q21's labeler graded against gold labels —
     * per-class P/R/F1 from the confusion matrix, global accuracy,
-    * and Cohen's kappa (agree·N − Σ n_gold·n_pred)/(N² − Σ
-    * n_gold·n_pred) in HUGEINT mirroring the engine's DECIMAL(38,0).
+    * Cohen's kappa (agree·N − Σ n_gold·n_pred)/(N² − Σ
+    * n_gold·n_pred) in HUGEINT mirroring the engine's DECIMAL(38,0),
+    * and the multiclass Matthews R_K off the same marginals
+    * (num/(√(N²−Σp²)·√(N²−Σg²)), the engine's two-root IEEE order).
     */
   private val LangIdEvalSql: String =
     """WITH p AS (SELECT lang AS gold,
@@ -239,6 +241,9 @@ object SparkEntry {
       |rc AS (SELECT CAST(COALESCE(SUM(CAST(COALESCE(gm.n_gold, 0) AS HUGEINT) *
       |      CAST(COALESCE(pm.n_pred, 0) AS HUGEINT)), 0) AS HUGEINT) AS s
       |  FROM cls LEFT JOIN gm USING (cls) LEFT JOIN pm USING (cls)),
+      |sq AS (SELECT
+      |    (SELECT CAST(COALESCE(SUM(CAST(n_pred AS HUGEINT) * CAST(n_pred AS HUGEINT)), 0) AS HUGEINT) FROM pm) AS sp,
+      |    (SELECT CAST(COALESCE(SUM(CAST(n_gold AS HUGEINT) * CAST(n_gold AS HUGEINT)), 0) AS HUGEINT) FROM gm) AS sg),
       |dg AS (SELECT gold AS cls, n AS tp0 FROM cm WHERE gold = pred)
       |SELECT cls.cls,
       |  CAST(COALESCE(dg.tp0, 0) AS BIGINT) AS tp,
@@ -258,9 +263,14 @@ object SparkEntry {
       |  CAST(tot.agree AS DOUBLE)/CAST(tot.nn AS DOUBLE) AS accuracy,
       |  CASE WHEN tot.nn*tot.nn - rc.s != 0
       |       THEN CAST(tot.agree*tot.nn - rc.s AS DOUBLE)/CAST(tot.nn*tot.nn - rc.s AS DOUBLE)
-      |       ELSE 0.0 END AS kappa
+      |       ELSE 0.0 END AS kappa,
+      |  CASE WHEN tot.nn*tot.nn - sq.sp > 0 AND tot.nn*tot.nn - sq.sg > 0
+      |       THEN CAST(tot.nn*tot.agree - rc.s AS DOUBLE) /
+      |            (sqrt(CAST(tot.nn*tot.nn - sq.sp AS DOUBLE)) *
+      |             sqrt(CAST(tot.nn*tot.nn - sq.sg AS DOUBLE)))
+      |       ELSE 0.0 END AS mcc
       |FROM cls LEFT JOIN gm USING (cls) LEFT JOIN pm USING (cls)
-      |LEFT JOIN dg USING (cls) CROSS JOIN tot CROSS JOIN rc
+      |LEFT JOIN dg USING (cls) CROSS JOIN tot CROSS JOIN rc CROSS JOIN sq
       |ORDER BY cls.cls""".stripMargin
 
   /** q165's oracle, shared verbatim by q176 (the streaming drain of
@@ -3250,6 +3260,7 @@ object SparkEntry {
     // q166: the full ROC operating-point table — per distinct score
     // "predict en when hits >= thr": exact confusion counts off the
     // same census cumulative, one correctly-rounded division per rate
+    // (rec = tp/(tp+fn) and f1 = 2tp/(2tp+fp+fn) ride the same row)
     "q166_roc_curve" ->
       """WITH d AS (SELECT
         |    len(list_filter(string_split(text,' '), x -> x='the' OR x='a')) AS s,
@@ -3271,7 +3282,15 @@ object SparkEntry {
         |       THEN CAST(n_neg - (cum_neg - neg) AS DOUBLE) / CAST(n_neg AS DOUBLE)
         |       ELSE 0.0 END AS fpr,
         |  CAST(n_pos - (cum_pos - pos) AS DOUBLE) /
-        |    CAST((n_pos - (cum_pos - pos)) + (n_neg - (cum_neg - neg)) AS DOUBLE) AS prec
+        |    CAST((n_pos - (cum_pos - pos)) + (n_neg - (cum_neg - neg)) AS DOUBLE) AS prec,
+        |  CASE WHEN (n_pos - (cum_pos - pos)) + (cum_pos - pos) > 0
+        |       THEN CAST(n_pos - (cum_pos - pos) AS DOUBLE) /
+        |            CAST((n_pos - (cum_pos - pos)) + (cum_pos - pos) AS DOUBLE)
+        |       ELSE 0.0 END AS rec,
+        |  CASE WHEN 2*(n_pos - (cum_pos - pos)) + (n_neg - (cum_neg - neg)) + (cum_pos - pos) > 0
+        |       THEN CAST(2*(n_pos - (cum_pos - pos)) AS DOUBLE) /
+        |            CAST(2*(n_pos - (cum_pos - pos)) + (n_neg - (cum_neg - neg)) + (cum_pos - pos) AS DOUBLE)
+        |       ELSE 0.0 END AS f1
         |FROM r, g ORDER BY thr""".stripMargin,
     // q167: reliability diagram + ECE for the pseudo-confidence
     // min(1000, 500 + 50·hits) vs decision-correct — per-bin gap

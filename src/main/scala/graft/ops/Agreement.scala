@@ -69,10 +69,31 @@ object Agreement {
         sum(col("r.ng")).as("n_gold"),
         sum(col("r.np")).as("n_pred"))
 
+  /** The Gorodkin R_K finisher — exact-integer numerator over the
+    * two-root denominator, the FIXED IEEE sequence documented on
+    * [[matthewsCorrelation]]. Shared by [[matthewsFromCells]] and
+    * [[classifierReportFromCells]] so the report's `mcc` column and
+    * the standalone metric are ONE code path (a zero radicand —
+    * constant labeler or constant gold — reports 0.0).
+    */
+  private def mccExpr(n: Column, agree: Column, rc: Column, sp: Column,
+      sg: Column): Column = {
+    val dec = "decimal(38,0)"
+    when(n.cast(dec) * n.cast(dec) - sp > lit(0L).cast(dec) &&
+        n.cast(dec) * n.cast(dec) - sg > lit(0L).cast(dec),
+        (n.cast(dec) * agree - rc).cast("double") /
+          (sqrt((n.cast(dec) * n.cast(dec) - sp).cast("double")) *
+            sqrt((n.cast(dec) * n.cast(dec) - sg).cast("double"))))
+      .otherwise(lit(0.0))
+  }
+
   /** One row per class: `(cls, tp, fp, fn, prec, rec, f1, accuracy,
-    * kappa)` — accuracy and kappa are global, repeated per row for a
-    * flat schema. Zero-denominator metrics (class never predicted /
-    * never gold / constant labeler) are 0.0, not null.
+    * kappa, mcc)` — accuracy, kappa, and the multiclass Matthews
+    * correlation (Gorodkin R_K, via the [[matthewsFromCells]]
+    * finisher — the imbalance-honest number kappa alone is not) are
+    * global, repeated per row for a flat schema. Zero-denominator
+    * metrics (class never predicted / never gold / constant labeler)
+    * are 0.0, not null.
     */
   def classifierReport(df: DataFrame, gold: Column, pred: Column)
       : DataFrame =
@@ -88,20 +109,27 @@ object Agreement {
     val perClass = perClassStatsFromCells(cells).localCheckpoint()
 
     val dec = "decimal(38,0)"
-    // N = Σ n_gold, agree = Σ tp, chance cross term Σ n_gold·n_pred —
+    // N = Σ n_gold, agree = Σ tp, chance cross term Σ n_gold·n_pred,
+    // marginal squares Σ n_pred² / Σ n_gold² (the R_K radicands) —
     // all exact integers off the census
     val globals = perClass.agg(
         sum(col("n_gold")).cast(dec).as("nn"),
         sum(col("tp")).cast(dec).as("agree"),
         coalesce(sum(col("n_gold").cast(dec) * col("n_pred").cast(dec)),
-          lit(0L).cast(dec)).as("rc"))
+          lit(0L).cast(dec)).as("rc"),
+        coalesce(sum(col("n_pred").cast(dec) * col("n_pred").cast(dec)),
+          lit(0L).cast(dec)).as("sp"),
+        coalesce(sum(col("n_gold").cast(dec) * col("n_gold").cast(dec)),
+          lit(0L).cast(dec)).as("sg"))
       .select(
         (col("agree").cast("double") / col("nn").cast("double"))
           .as("accuracy"),
         when(col("nn") * col("nn") - col("rc") =!= lit(0L).cast(dec),
             (col("agree") * col("nn") - col("rc")).cast("double") /
               (col("nn") * col("nn") - col("rc")).cast("double"))
-          .otherwise(lit(0.0)).as("kappa"))
+          .otherwise(lit(0.0)).as("kappa"),
+        mccExpr(col("nn"), col("agree"), col("rc"), col("sp"), col("sg"))
+          .as("mcc"))
 
     perClass
       .select(col("cls"), col("tp"),
@@ -327,15 +355,7 @@ object Agreement {
         coalesce(sum(col("n_gold").cast(dec) * col("n_gold").cast(dec)),
           lit(0L).cast(dec)).as("sg"))
       .select(col("n"),
-        when(col("n").cast(dec) * col("n").cast(dec) - col("sp") >
-              lit(0L).cast(dec) &&
-            col("n").cast(dec) * col("n").cast(dec) - col("sg") >
-              lit(0L).cast(dec),
-            (col("n").cast(dec) * col("agree") - col("rc")).cast("double") /
-              (sqrt((col("n").cast(dec) * col("n").cast(dec) - col("sp"))
-                  .cast("double")) *
-                sqrt((col("n").cast(dec) * col("n").cast(dec) - col("sg"))
-                  .cast("double"))))
-          .otherwise(lit(0.0)).as("mcc"))
+        mccExpr(col("n"), col("agree"), col("rc"), col("sp"), col("sg"))
+          .as("mcc"))
   }
 }

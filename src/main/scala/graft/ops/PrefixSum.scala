@@ -40,31 +40,55 @@ object PrefixSum {
     * the cast — cast-and-scale first if fractional values matter.
     */
   def withRunningTotal(df: DataFrame, order: Seq[Column], value: Column,
-      outCol: String = "running_total"): DataFrame = {
+      outCol: String = "running_total"): DataFrame =
+    withRunningTotals(df, order, Seq(value -> outCol))
+
+  /** [[withRunningTotal]] for SEVERAL value columns over the SAME
+    * order, in ONE two-phase pass: one range repartition, one
+    * materialization, one per-partition window (all running sums
+    * share the window spec, so Catalyst plans a single Window op),
+    * one driver-side offsets collect of ≤ #partitions rows. Chaining
+    * single-column calls instead doubles the repartition-by-range +
+    * localCheckpoint + offsets collect per extra column — the
+    * ScoreEval census cumulatives (cum_pos AND cum_neg, cum_a AND
+    * cum_b) all need exactly this pairing on every run and every
+    * drift-pump drain.
+    */
+  def withRunningTotals(df: DataFrame, order: Seq[Column],
+      values: Seq[(Column, String)]): DataFrame = {
+    require(values.nonEmpty, "withRunningTotals needs at least one value")
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val v = value.cast("long")
+    val vs = values.map { case (v, out) => v.cast("long") -> out }
     // materialized: the per-partition frame feeds both the offsets
     // collect and the final projection; and partition ids must not
     // be re-rolled between the two uses
-    val local = df.repartitionByRange(parts, order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__run",
-        sum(v).over(Window.partitionBy("__pid").orderBy(order: _*)))
+    val w = Window.partitionBy("__pid").orderBy(order: _*)
+    val local = vs.zipWithIndex.foldLeft(
+        df.repartitionByRange(parts, order: _*)
+          .withColumn("__pid", spark_partition_id())) {
+        case (d, ((v, _), i)) => d.withColumn(s"__run$i", sum(v).over(w))
+      }
       .localCheckpoint()
     // driver-sized by construction: one row per partition; coalesce
     // guards the all-NULL-partition case (sum of no non-null rows)
+    val sums = vs.zipWithIndex.map { case ((v, _), i) =>
+      coalesce(sum(v), lit(0L)).as(s"t$i")
+    }
     val totals = local.groupBy("__pid")
-      .agg(coalesce(sum(v), lit(0L)).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    // offset of pid = sum of totals of all partitions before it
-    val offsetFor: Map[Int, Long] = totals.map(_._1)
-      .zip(totals.map(_._2).scanLeft(0L)(_ + _).init).toMap
-    local
-      .withColumn(outCol,
-        col("__run") + coalesce(
-          element_at(typedlit(offsetFor), col("__pid")), lit(0L)))
-      .drop("__pid", "__run")
+      .agg(sums.head, sums.tail: _*)
+      .collect()
+      .map(r => r.getInt(0) -> vs.indices.map(i => r.getLong(i + 1)))
+      .sortBy(_._1)
+    vs.zipWithIndex.foldLeft(local) { case (d, ((_, out), i)) =>
+      // offset of pid = sum of totals of all partitions before it
+      val offsetFor: Map[Int, Long] = totals.map(_._1)
+        .zip(totals.map(_._2(i)).scanLeft(0L)(_ + _).init).toMap
+      d.withColumn(out,
+          col(s"__run$i") + coalesce(
+            element_at(typedlit(offsetFor), col("__pid")), lit(0L)))
+        .drop(s"__run$i")
+    }.drop("__pid")
   }
 
   /** Keep rows while the running total of `value` (in `order`) stays

@@ -37,13 +37,17 @@ object ScoreEval {
 
   /** 0/1 guard: pass the label through or raise with the offending
     * value — a silent cast would count every nonzero as its integer
-    * value and quietly corrupt the census.
+    * value and quietly corrupt the census. A NULL label raises too
+    * (both comparisons are null → `otherwise` fires), with the value
+    * spelled "null" — an un-coalesced interpolation would make
+    * `concat` return NULL and raise_error lose the diagnostic.
     */
   private def binary(label: Column, what: String): Column = {
     val l = label.cast("long")
     when(l === 0L || l === 1L, l)
       .otherwise(raise_error(concat(
-        lit(s"ScoreEval: $what must be 0 or 1, got "), l.cast("string"))))
+        lit(s"ScoreEval: $what must be 0 or 1, got "),
+        coalesce(l.cast("string"), lit("null")))))
   }
 
   /** The per-score census: one row per distinct score value with
@@ -51,11 +55,20 @@ object ScoreEval {
     * combined. Exposed package-private so the streaming score pump
     * can fold per-batch censuses into durable state (counts are
     * additive, so drain == batch).
+    *
+    * NULL scores are EXCLUDED (and `n_pos`/`n_neg` count the
+    * remaining rows): a null score carries no rank information, and
+    * keeping it as a census row would make the cumulative CDF
+    * engine-dependent — Spark's ascending sort places nulls FIRST
+    * while DuckDB's ORDER BY defaults to NULLS LAST. A null LABEL
+    * still raises (that is an upstream bug, not a missing
+    * measurement).
     */
   private[graft] def scoreCensus(df: DataFrame, score: Column,
       label: Column): DataFrame = {
     val y = binary(label, "label")
     df.select(score.cast("long").as("s"), y.as("y"))
+      .filter(col("s").isNotNull)
       .groupBy(col("s"))
       .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
   }
@@ -112,14 +125,17 @@ object ScoreEval {
     * threshold at least that score's own rows are predicted
     * positive.
     *
-    * Returns `(thr, tp, fp, fn, tn, tpr, fpr, prec)` ordered by
-    * `thr`. Census-sized output — score quantization bounds it.
+    * Returns `(thr, tp, fp, fn, tn, tpr, fpr, prec, rec, f1)` ordered
+    * by `thr` — `rec` (= tp/(tp+fn), numerically the tpr column, kept
+    * under the name an operating-table reader greps for beside
+    * `prec`) and `f1 = 2·tp/(2·tp+fp+fn)` are each one more exact
+    * division off the same census row (a degenerate threshold with
+    * no gold positives and no predicted positives reports 0.0).
+    * Census-sized output — score quantization bounds it.
     */
   def rocCurve(df: DataFrame, score: Column, label: Column): DataFrame = {
-    val c1 = PrefixSum.withRunningTotal(scoreCensus(df, score, label),
-      Seq(col("s")), col("neg"), "cum_neg")
-    val cum = PrefixSum.withRunningTotal(c1,
-      Seq(col("s")), col("pos"), "cum_pos")
+    val cum = PrefixSum.withRunningTotals(scoreCensus(df, score, label),
+      Seq(col("s")), Seq(col("neg") -> "cum_neg", col("pos") -> "cum_pos"))
     // one global row; broadcast to every census row
     val globals = cum.agg(
       coalesce(sum(col("pos")), lit(0L)).as("n_pos"),
@@ -139,7 +155,14 @@ object ScoreEval {
             col("fp").cast("double") / col("n_neg").cast("double"))
           .otherwise(lit(0.0)).as("fpr"),
         (col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
-          .as("prec"))
+          .as("prec"),
+        when(col("tp") + col("fn") > 0,
+            col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+          .otherwise(lit(0.0)).as("rec"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+            (lit(2L) * col("tp")).cast("double") /
+              (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"))
+          .otherwise(lit(0.0)).as("f1"))
       .orderBy("thr")
   }
 
@@ -171,10 +194,8 @@ object ScoreEval {
   def averagePrecision(df: DataFrame, score: Column,
       label: Column): DataFrame = {
     val dec = "decimal(38,0)"
-    val c1 = PrefixSum.withRunningTotal(scoreCensus(df, score, label),
-      Seq(col("s")), col("neg"), "cum_neg")
-    val cum = PrefixSum.withRunningTotal(c1,
-      Seq(col("s")), col("pos"), "cum_pos")
+    val cum = PrefixSum.withRunningTotals(scoreCensus(df, score, label),
+      Seq(col("s")), Seq(col("neg") -> "cum_neg", col("pos") -> "cum_pos"))
     val globals = cum.agg(
       coalesce(sum(col("pos")), lit(0L)).as("n_pos"),
       coalesce(sum(col("neg")), lit(0L)).as("n_neg"))
@@ -224,7 +245,7 @@ object ScoreEval {
     val conf = when(c >= 0L && c <= 1000L, c)
       .otherwise(raise_error(concat(
         lit("ScoreEval: confMilli must be in [0,1000], got "),
-        c.cast("string"))))
+        coalesce(c.cast("string"), lit("null")))))
     val gap = conf - lit(1000L) * binary(correct, "correct")
     df.select(gap.as("g"))
       .agg(count(lit(1)).as("n"),
@@ -266,7 +287,7 @@ object ScoreEval {
     val conf = when(c >= 0L && c <= 1000L, c)
       .otherwise(raise_error(concat(
         lit("ScoreEval: confMilli must be in [0,1000], got "),
-        c.cast("string"))))
+        coalesce(c.cast("string"), lit("null")))))
     // conf 1000 folds into the top bin (the standard half-open
     // binning with the last bin closed)
     val bin = least(expr(s"(__conf * $bins) div 1000"), lit(bins - 1L))
@@ -395,7 +416,7 @@ object ScoreEval {
       .otherwise(raise_error(concat(
         lit("ScoreEval: confMilli must be in [1,999] (0 and 1000 claim " +
           "certainty — infinite loss on a miss), got "),
-        c.cast("string"))))
+        coalesce(c.cast("string"), lit("null")))))
     val cells = df.select(conf.as("conf"), binary(correct, "y").as("y"))
       .groupBy(col("conf"), col("y")).agg(count(lit(1)).as("n"))
     val pTrue = when(col("y") === 1L, col("conf"))
@@ -449,26 +470,31 @@ object ScoreEval {
   /** The two-population score census `(s, a, b)` behind [[ksTest]] —
     * exposed package-private so the streaming drift pump can fold
     * per-batch censuses into durable state (counts are additive, so
-    * drain == batch).
+    * drain == batch). NULL scores are EXCLUDED, the [[scoreCensus]]
+    * contract: a null score carries no CDF position, and a null
+    * census row would put the cumulative at the mercy of the
+    * engine's null sort order (Spark NULLS FIRST vs SQL NULLS LAST).
+    * A null GROUP still raises — population membership is never a
+    * missing measurement.
     */
   private[graft] def ksCensus(df: DataFrame, score: Column,
       group: Column): DataFrame = {
     val g = binary(group, "group")
     df.select(score.cast("long").as("s"), g.as("g"))
+      .filter(col("s").isNotNull)
       .groupBy(col("s"))
       .agg(sum(lit(1L) - col("g")).as("a"), sum(col("g")).as("b"))
   }
 
   /** [[ksTest]] over a pre-built `(s, a, b)` census — the streaming
     * drift pump's durable-state face. Same integer sup, same single
-    * division, one code path.
+    * division, one code path; both cumulatives ride ONE two-phase
+    * prefix pass (this runs on every drift-pump drain).
     */
   def ksFromCensus(census: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
-    val c1 = PrefixSum.withRunningTotal(census, Seq(col("s")),
-      col("a"), "cum_a")
-    val cum = PrefixSum.withRunningTotal(c1, Seq(col("s")),
-      col("b"), "cum_b")
+    val cum = PrefixSum.withRunningTotals(census, Seq(col("s")),
+      Seq(col("a") -> "cum_a", col("b") -> "cum_b"))
     val globals = cum.agg(
       coalesce(sum(col("a")), lit(0L)).as("n_a"),
       coalesce(sum(col("b")), lit(0L)).as("n_b"))
