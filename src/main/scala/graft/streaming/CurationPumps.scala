@@ -376,4 +376,204 @@ object CurationPumps {
     */
   def driftKs(spark: SparkSession, stateDir: String): DataFrame =
     graft.ops.ScoreEval.ksFromCensus(driftCensusState(spark, stateDir))
+
+  // ------------------------------------------------------------------
+  // Token-JSD and embedding-drift censuses — the two drift-triad legs
+  // that were batch-only: both censuses are additive and commutative
+  // ((group, token) counts; (grp, dim) component sums), exactly the
+  // drain-equals-batch shape of the score/drift pumps.
+  // ------------------------------------------------------------------
+
+  /** Fallback schema for a never-merged JSD store (the persisted
+    * schema is normally inferred from the stored parquet, so any
+    * group type round-trips — this is only the empty-state shape).
+    */
+  val JsdSchema: StructType = StructType(Seq(
+    StructField("grp", StringType, nullable = true),
+    StructField("tok", StringType, nullable = true),
+    StructField("c", LongType, nullable = true)))
+
+  /** Fallback schema for a never-merged embedding-drift store. */
+  val EmbeddingDriftSchema: StructType = StructType(Seq(
+    StructField("grp", IntegerType, nullable = true),
+    StructField("pos", IntegerType, nullable = false),
+    StructField("s", LongType, nullable = true),
+    StructField("cnt", LongType, nullable = true)))
+
+  /** Current state with the schema the store itself persisted —
+    * group columns keep whatever type the source carried (string
+    * sources, int labels) without the caller re-declaring it; the
+    * fallback only shapes a never-merged (empty) store.
+    */
+  private def stateInferred(spark: SparkSession, stateDir: String,
+      fallback: StructType): DataFrame =
+    BucketStateStore.persistedSchema(spark, stateDir) match {
+      case Some(sch) =>
+        BucketStateStore.currentState(spark, stateDir, emptyOf(spark, sch))
+      case None => emptyOf(spark, fallback)
+    }
+
+  /** Fold one document batch's (grp, tok, c) token census into the
+    * store — additive, commutative (drain == batch), NOT idempotent:
+    * the batch-id fence is load-bearing (the [[mergeScoreBatch]]
+    * regime).
+    */
+  private[graft] def mergeJsdBatch(batch: DataFrame,
+      group: org.apache.spark.sql.Column, text: org.apache.spark.sql.Column,
+      stateDir: String, numBuckets: Int, batchId: Option[Long]): Unit = {
+    val cells = graft.text.Divergence.jsdCensus(batch, group, text)
+    BucketStateStore.merge(cells, stateDir, Seq("grp", "tok"),
+      cells.limit(0), numBuckets, batchId) { (state, b) =>
+      state.unionByName(b)
+        .groupBy(col("grp"), col("tok"))
+        .agg(sum(col("c")).as("c"))
+    }
+  }
+
+  /** The persisted (grp, tok, c) token census, as
+    * [[graft.text.Divergence.jsdFromCells]] input. */
+  def jsdCells(spark: SparkSession, stateDir: String): DataFrame =
+    stateInferred(spark, stateDir, JsdSchema)
+
+  /** Source-vs-mixture JSD derived from the PERSISTED census —
+    * row-identical to batch [[graft.text.Divergence.jsdFromMixture]]
+    * over the drained corpus (additive token counts, one code path
+    * through jsdFromCells).
+    */
+  def jsdReport(spark: SparkSession, stateDir: String): DataFrame =
+    graft.text.Divergence.jsdFromCells(jsdCells(spark, stateDir))
+
+  /** Fold one embedding batch's (grp, pos, s, cnt) component-sum
+    * census into the store — additive, commutative (drain == batch),
+    * NOT idempotent: the batch-id fence is load-bearing.
+    */
+  private[graft] def mergeEmbeddingDriftBatch(batch: DataFrame,
+      groupCol: String, vecCol: String, stateDir: String,
+      numBuckets: Int, batchId: Option[Long]): Unit = {
+    val cells = graft.vector.VectorSearch
+      .embeddingDriftCensus(batch, groupCol, vecCol)
+    BucketStateStore.merge(cells, stateDir, Seq("grp", "pos"),
+      cells.limit(0), numBuckets, batchId) { (state, b) =>
+      state.unionByName(b)
+        .groupBy(col("grp"), col("pos"))
+        .agg(sum(col("s")).as("s"), sum(col("cnt")).as("cnt"))
+    }
+  }
+
+  /** The persisted (grp, pos, s, cnt) census, as
+    * [[graft.vector.VectorSearch.embeddingDriftFromCells]] input. */
+  def embeddingDriftCells(spark: SparkSession, stateDir: String): DataFrame =
+    stateInferred(spark, stateDir, EmbeddingDriftSchema)
+
+  /** Centroid-vs-rest cosine per group derived from the PERSISTED
+    * census — row-identical to batch
+    * [[graft.vector.VectorSearch.embeddingDrift]] over the drained
+    * corpus (additive component sums, one code path through
+    * embeddingDriftFromCells).
+    */
+  def embeddingDriftReport(spark: SparkSession,
+      stateDir: String): DataFrame =
+    graft.vector.VectorSearch.embeddingDriftFromCells(
+      embeddingDriftCells(spark, stateDir))
+
+  // ------------------------------------------------------------------
+  // The unified monitor pump: one resident stream, one checkpoint,
+  // one foreachBatch folding EVERY enabled census from ONE pass over
+  // each arriving file — where N standalone pumps over the same
+  // source directory mean N readers, N checkpoints, and N× ingest
+  // I/O re-scanning every file.
+  // ------------------------------------------------------------------
+
+  /** One census leg of the unified monitor: a name (unique within a
+    * monitor, used for state-dir layout and diagnostics) and the
+    * per-batch fold. The fold receives the micro-batch ALREADY
+    * materialized (the monitor localCheckpoints it once for all
+    * legs) and the streaming batch id for the per-leg fence.
+    */
+  final case class MonitorLeg(name: String,
+      merge: (DataFrame, Option[Long]) => Unit)
+
+  def noveltyLeg(stateDir: String, k: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text",
+      numBuckets: Int = BucketStateStore.DefaultNumBuckets): MonitorLeg =
+    MonitorLeg("novelty", (b, bid) =>
+      mergeNoveltyBatch(b, stateDir, k, idCol, textCol, numBuckets, bid))
+
+  /** The probe shingle set is built and materialized ONCE here (it
+    * feeds every micro-batch — the [[startContaminationPump]]
+    * discipline).
+    */
+  def contaminationLeg(probes: DataFrame, stateDir: String, k: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      numBuckets: Int = BucketStateStore.DefaultNumBuckets): MonitorLeg = {
+    val probeShingles = Dedup.shingleRows(probes, k, idCol, textCol)
+      .select("shingle").distinct().localCheckpoint()
+    MonitorLeg("contamination", (b, bid) =>
+      mergeContaminationBatch(b, probeShingles, stateDir, k, idCol,
+        textCol, numBuckets, bid))
+  }
+
+  def agreementLeg(stateDir: String, gold: org.apache.spark.sql.Column,
+      pred: org.apache.spark.sql.Column,
+      numBuckets: Int = BucketStateStore.DefaultNumBuckets): MonitorLeg =
+    MonitorLeg("agreement", (b, bid) =>
+      mergeAgreementBatch(b, gold, pred, stateDir, numBuckets, bid))
+
+  def scoreLeg(stateDir: String, score: org.apache.spark.sql.Column,
+      label: org.apache.spark.sql.Column,
+      numBuckets: Int = BucketStateStore.DefaultNumBuckets): MonitorLeg =
+    MonitorLeg("score", (b, bid) =>
+      mergeScoreBatch(b, score, label, stateDir, numBuckets, bid))
+
+  def driftLeg(stateDir: String, score: org.apache.spark.sql.Column,
+      group: org.apache.spark.sql.Column,
+      numBuckets: Int = BucketStateStore.DefaultNumBuckets): MonitorLeg =
+    MonitorLeg("drift", (b, bid) =>
+      mergeDriftBatch(b, score, group, stateDir, numBuckets, bid))
+
+  def jsdLeg(stateDir: String, group: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column,
+      numBuckets: Int = BucketStateStore.DefaultNumBuckets): MonitorLeg =
+    MonitorLeg("jsd", (b, bid) =>
+      mergeJsdBatch(b, group, text, stateDir, numBuckets, bid))
+
+  def embeddingDriftLeg(stateDir: String, groupCol: String = "label",
+      vecCol: String = "embedding",
+      numBuckets: Int = BucketStateStore.DefaultNumBuckets): MonitorLeg =
+    MonitorLeg("embedding", (b, bid) =>
+      mergeEmbeddingDriftBatch(b, groupCol, vecCol, stateDir,
+        numBuckets, bid))
+
+  /** Start the unified monitor: ONE reader over `docsStream`, one
+    * checkpoint, one foreachBatch that materializes each arriving
+    * micro-batch ONCE (localCheckpoint — every leg's merge runs
+    * several actions, and unmaterialized each would re-read the
+    * arriving files) and folds it through every leg in order.
+    *
+    * Exactly-once per leg under crash replay: each leg keeps its OWN
+    * BucketStateStore (own state dir, own batch-id fence). A crash
+    * BETWEEN two legs' merges replays the batch on restart — legs
+    * that already folded it skip on their fence (or no-op on their
+    * idempotent combine), legs that hadn't fold it now; no census is
+    * double-counted and none is skipped. That per-leg fencing is what
+    * makes one shared reader safe: the streaming offset commit is a
+    * single all-legs-done barrier, but the merges themselves need no
+    * cross-leg atomicity.
+    */
+  def startMonitorPump(docsStream: DataFrame, checkpointDir: String,
+      legs: Seq[MonitorLeg],
+      processingTime: Option[String] = None): StreamingQuery = {
+    require(legs.nonEmpty, "monitor pump needs at least one census leg")
+    require(legs.map(_.name).distinct.size == legs.size,
+      s"monitor legs must have distinct names: ${legs.map(_.name)}")
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(triggerOf(processingTime))
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        // ONE materialization of the arriving files feeds every leg
+        val pinned = batch.localCheckpoint()
+        legs.foreach(_.merge(pinned, Some(bid)))
+      }
+      .start()
+  }
 }

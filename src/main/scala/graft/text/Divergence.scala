@@ -48,15 +48,33 @@ import org.apache.spark.sql.functions._
   */
 object Divergence {
 
-  def jsdFromMixture(df: DataFrame, group: Column, text: Column): DataFrame = {
-    val dec = "decimal(38,0)"
-    val ln2Micro = 693147L // floor(1e6*ln(2) + 0.5)
-    // (group, token) census — the only corpus-sized shuffle
-    val cells = df
-      .select(group.as("grp"),
+  /** The (grp, tok, c) token census behind [[jsdFromMixture]] — ONE
+    * map-side-combined corpus scan, the only corpus-sized shuffle.
+    * Exposed package-private so the streaming JSD pump can fold
+    * per-batch censuses into durable state (token counts are additive
+    * and commutative, so drain == batch).
+    */
+  private[graft] def jsdCensus(df: DataFrame, group: Column,
+      text: Column): DataFrame =
+    df.select(group.as("grp"),
         explode(TextAnalysis.tokens(text)).as("tok"))
       .groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("c"))
-      .localCheckpoint() // feeds totals AND the join — one census build
+
+  def jsdFromMixture(df: DataFrame, group: Column, text: Column): DataFrame =
+    // materialized: the census feeds totals AND the join — one build
+    jsdFromCells(jsdCensus(df, group, text).localCheckpoint())
+
+  /** [[jsdFromMixture]] over a pre-built `(grp, tok, c)` census — the
+    * face the streaming JSD pump's durable state feeds (the
+    * rocAucFromCensus pattern). Same micro-nat weights, same masses,
+    * one code path. The caller materializes or persists `cells` (the
+    * batch face checkpoints; the pump face reads parquet state) —
+    * this function reads it three times (group totals, the global
+    * total, the join).
+    */
+  def jsdFromCells(cells: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ln2Micro = 693147L // floor(1e6*ln(2) + 0.5)
     // per-group totals and global token totals, both census-derived
     val groupTotals = cells.groupBy(col("grp"))
       .agg(sum(col("c")).as("n"))

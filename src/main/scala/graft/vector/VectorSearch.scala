@@ -911,15 +911,36 @@ object VectorSearch {
     * `(grp, n_vecs, cos_rest)`, ordered by grp.
     */
   def embeddingDrift(embeddings: DataFrame, groupCol: String = "label",
-      vecCol: String = "embedding"): DataFrame = {
-    val d19 = "decimal(19,0)"
+      vecCol: String = "embedding"): DataFrame =
     // materialized: feeds BOTH the per-dimension totals and the join
     // back (the labelCentroidStats precedent)
-    val cells = embeddings.select(col(groupCol).as("grp"),
+    embeddingDriftFromCells(
+      embeddingDriftCensus(embeddings, groupCol, vecCol).localCheckpoint())
+
+  /** The (grp, pos, s, cnt) per-dimension component-sum census behind
+    * [[embeddingDrift]] — ONE corpus scan → posexplode → map-side-
+    * combined aggregate (groups × dim rows, the only corpus-sized
+    * shuffle). Exposed package-private so the streaming embedding-
+    * drift pump can fold per-batch censuses into durable state
+    * (component sums and counts are additive and commutative, so
+    * drain == batch).
+    */
+  private[graft] def embeddingDriftCensus(embeddings: DataFrame,
+      groupCol: String, vecCol: String): DataFrame =
+    embeddings.select(col(groupCol).as("grp"),
         posexplode(quantize(col(vecCol))).as(Seq("pos", "v")))
       .groupBy(col("grp"), col("pos"))
       .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
-      .localCheckpoint()
+
+  /** [[embeddingDrift]] over a pre-built `(grp, pos, s, cnt)` census —
+    * the face the streaming embedding-drift pump's durable state
+    * feeds (the rocAucFromCensus pattern). Same exact integer
+    * dot/norm masses, same two-root finisher, one code path. The
+    * caller materializes or persists `cells` — this reads it twice
+    * (the per-dimension totals and the join back).
+    */
+  def embeddingDriftFromCells(cells: DataFrame): DataFrame = {
+    val d19 = "decimal(19,0)"
     val totals = cells.groupBy(col("pos")).agg(sum(col("s")).as("tot"))
     cells.join(broadcast(totals), Seq("pos"))
       .select(col("grp"), col("cnt"),

@@ -260,6 +260,191 @@ class CurationPumpsSpec extends AnyFunSuite {
     assert(got.head.getDouble(2) > 0.0, "fixture must show a nonzero gap")
   }
 
+  test("jsd pump (single-leg monitor): persisted token census grades to " +
+    "the batch jsdFromMixture across a crash-restart") {
+    val jsdDocs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    def jsdStream(feedDir: String) =
+      spark.readStream.schema(jsdDocs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+    val root = Files.createTempDirectory("graft_jsdpump").toString
+    writeSlices(s"$root/feed", Seq(jsdDocs.filter(col("doc_id") % 2 === 1)))
+    CurationPumps.startMonitorPump(jsdStream(s"$root/feed"), s"$root/ckpt",
+        Seq(CurationPumps.jsdLeg(s"$root/state", col("source"), col("text"))))
+      .awaitTermination()
+    val half = CurationPumps.jsdReport(spark, s"$root/state").collect()
+    val wantHalf = graft.text.Divergence.jsdFromMixture(
+        jsdDocs.filter(col("doc_id") % 2 === 1), col("source"), col("text"))
+      .collect()
+    assert(half.toSeq == wantHalf.toSeq, "mid-crash census grades the half")
+    writeSlices(s"$root/feed", Seq(jsdDocs.filter(col("doc_id") % 2 === 0)))
+    CurationPumps.startMonitorPump(jsdStream(s"$root/feed"), s"$root/ckpt",
+        Seq(CurationPumps.jsdLeg(s"$root/state", col("source"), col("text"))))
+      .awaitTermination()
+    val got = CurationPumps.jsdReport(spark, s"$root/state").collect()
+    val want = graft.text.Divergence.jsdFromMixture(jsdDocs,
+      col("source"), col("text")).collect()
+    assert(got.toSeq == want.toSeq,
+      "resumed pump must grade to the full batch JSD")
+    assert(got.nonEmpty && got.exists(_.getAs[Double]("jsd_nats") > 0.0))
+  }
+
+  test("jsd census: replayed batch is fenced — additive token counts " +
+    "would double without it") {
+    val jsdDocs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val root = Files.createTempDirectory("graft_jsdfence").toString
+    CurationPumps.mergeJsdBatch(jsdDocs, col("source"), col("text"),
+      s"$root/state", graft.streaming.BucketStateStore.DefaultNumBuckets,
+      Some(0L))
+    val cells = CurationPumps.jsdCells(spark, s"$root/state")
+      .orderBy("grp", "tok").collect()
+    CurationPumps.mergeJsdBatch(jsdDocs, col("source"), col("text"),
+      s"$root/state", graft.streaming.BucketStateStore.DefaultNumBuckets,
+      Some(0L))
+    val after = CurationPumps.jsdCells(spark, s"$root/state")
+      .orderBy("grp", "tok").collect()
+    assert(after.toSeq == cells.toSeq,
+      "fenced replay must not inflate the token counts")
+  }
+
+  test("embedding-drift pump: persisted component-sum census grades to " +
+    "the batch embeddingDrift across a crash-restart") {
+    val embs = Tables.load(spark, dir, "embeddings")
+    def embStream(feedDir: String) =
+      spark.readStream.schema(embs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+    val root = Files.createTempDirectory("graft_embpump").toString
+    writeSlices(s"$root/feed", Seq(embs.filter(col("vec_id") % 2 === 1)))
+    CurationPumps.startMonitorPump(embStream(s"$root/feed"), s"$root/ckpt",
+        Seq(CurationPumps.embeddingDriftLeg(s"$root/state")))
+      .awaitTermination()
+    val half = CurationPumps.embeddingDriftReport(spark, s"$root/state")
+      .collect()
+    val wantHalf = graft.vector.VectorSearch.embeddingDrift(
+      embs.filter(col("vec_id") % 2 === 1)).collect()
+    assert(half.toSeq == wantHalf.toSeq, "mid-crash census grades the half")
+    writeSlices(s"$root/feed", Seq(embs.filter(col("vec_id") % 2 === 0)))
+    CurationPumps.startMonitorPump(embStream(s"$root/feed"), s"$root/ckpt",
+        Seq(CurationPumps.embeddingDriftLeg(s"$root/state")))
+      .awaitTermination()
+    val got = CurationPumps.embeddingDriftReport(spark, s"$root/state")
+      .collect()
+    val want = graft.vector.VectorSearch.embeddingDrift(embs).collect()
+    assert(got.toSeq == want.toSeq,
+      "resumed pump must grade to the full batch embedding drift")
+    assert(got.nonEmpty)
+  }
+
+  test("monitor pump: ONE stream folds every enabled census; each leg's " +
+    "drain equals its batch answer across a kill-restart") {
+    val full = Tables.load(spark, dir, "documents")
+    def fullStream(feedDir: String) =
+      spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feedDir)
+    val root = Files.createTempDirectory("graft_monitor").toString
+    val probes = docs.filter(col("doc_id") % 100 === 0)
+    def legs = Seq(
+      CurationPumps.noveltyLeg(s"$root/state/novelty", k = 3),
+      CurationPumps.contaminationLeg(probes,
+        s"$root/state/contamination", k = 3),
+      CurationPumps.agreementLeg(s"$root/state/agreement",
+        gold = col("lang"), pred = langPred),
+      CurationPumps.scoreLeg(s"$root/state/score",
+        score = markerScore, label = enLabel),
+      CurationPumps.driftLeg(s"$root/state/drift",
+        score = col("n_chars"), group = src0Group),
+      CurationPumps.jsdLeg(s"$root/state/jsd",
+        group = col("source"), text = col("text")))
+    // phase 1: odd half, drain, "crash" (query object gone)
+    writeSlices(s"$root/feed", Seq(full.filter(col("doc_id") % 2 === 1)))
+    CurationPumps.startMonitorPump(fullStream(s"$root/feed"),
+      s"$root/ckpt", legs).awaitTermination()
+    // phase 2: the rest arrives; new query, SAME checkpoint
+    writeSlices(s"$root/feed", Seq(full.filter(col("doc_id") % 2 === 0)))
+    CurationPumps.startMonitorPump(fullStream(s"$root/feed"),
+      s"$root/ckpt", legs).awaitTermination()
+    // every leg's durable census grades to its batch twin
+    assert(CurationPumps.noveltyReport(spark, s"$root/state/novelty",
+        docs, k = 3).collect().toSeq ==
+      Dedup.ngramNovelty(docs, k = 3).orderBy("doc_id").collect().toSeq)
+    assert(CurationPumps.contaminationVerdicts(spark,
+        s"$root/state/contamination").collect().toSeq ==
+      Dedup.contaminationScan(docs, probes, k = 3).orderBy("doc_id")
+        .collect().toSeq)
+    assert(CurationPumps.agreementReport(spark, s"$root/state/agreement")
+        .collect().toSeq ==
+      graft.ops.Agreement.classifierReport(full, col("lang"), langPred)
+        .collect().toSeq)
+    assert(CurationPumps.scoreAuc(spark, s"$root/state/score")
+        .collect().toSeq ==
+      graft.ops.ScoreEval.rocAuc(full, markerScore, enLabel)
+        .collect().toSeq)
+    assert(CurationPumps.driftKs(spark, s"$root/state/drift")
+        .collect().toSeq ==
+      graft.ops.ScoreEval.ksTest(full, col("n_chars"), src0Group)
+        .collect().toSeq)
+    assert(CurationPumps.jsdReport(spark, s"$root/state/jsd")
+        .collect().toSeq ==
+      graft.text.Divergence.jsdFromMixture(full, col("source"),
+        col("text")).collect().toSeq)
+  }
+
+  test("monitor pump: a crash BETWEEN two legs' merges double-counts " +
+    "nothing on replay — per-leg fences make the shared reader safe") {
+    val full = Tables.load(spark, dir, "documents")
+    val root = Files.createTempDirectory("graft_moncrash").toString
+    val batch0 = full.filter(col("doc_id") % 2 === 1)
+    val batch1 = full.filter(col("doc_id") % 2 === 0)
+    val nb = graft.streaming.BucketStateStore.DefaultNumBuckets
+    // batch 0 arrives: the agreement leg folds it, then the process
+    // dies BEFORE the score leg's merge (both additive and fenced)
+    CurationPumps.mergeAgreementBatch(batch0, col("lang"), langPred,
+      s"$root/state/agreement", nb, Some(0L))
+    // restart: the unacknowledged batch 0 is REPLAYED through every
+    // leg — agreement skips on its fence, score folds it now
+    CurationPumps.mergeAgreementBatch(batch0, col("lang"), langPred,
+      s"$root/state/agreement", nb, Some(0L))
+    CurationPumps.mergeScoreBatch(batch0, markerScore, enLabel,
+      s"$root/state/score", nb, Some(0L))
+    // batch 1 flows through both legs normally
+    CurationPumps.mergeAgreementBatch(batch1, col("lang"), langPred,
+      s"$root/state/agreement", nb, Some(1L))
+    CurationPumps.mergeScoreBatch(batch1, markerScore, enLabel,
+      s"$root/state/score", nb, Some(1L))
+    // both censuses are exact: nothing double-counted, nothing skipped
+    val nAgree = CurationPumps.agreementCells(spark, s"$root/state/agreement")
+      .agg(sum(col("n"))).collect().head.getLong(0)
+    assert(nAgree == full.count(), "agreement census rated each doc once")
+    val nScore = CurationPumps.scoreCensusState(spark, s"$root/state/score")
+      .agg(sum(col("pos") + col("neg"))).collect().head.getLong(0)
+    assert(nScore == full.count(), "score census graded each doc once")
+    assert(CurationPumps.agreementReport(spark, s"$root/state/agreement")
+        .collect().toSeq ==
+      graft.ops.Agreement.classifierReport(full, col("lang"), langPred)
+        .collect().toSeq)
+    assert(CurationPumps.scoreAuc(spark, s"$root/state/score")
+        .collect().toSeq ==
+      graft.ops.ScoreEval.rocAuc(full, markerScore, enLabel)
+        .collect().toSeq)
+  }
+
+  test("monitor pump refuses an empty or name-colliding leg list") {
+    val full = Tables.load(spark, dir, "documents")
+    val root = Files.createTempDirectory("graft_monguard").toString
+    writeSlices(s"$root/feed", Seq(full))
+    val s = spark.readStream.schema(full.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/feed")
+    intercept[IllegalArgumentException] {
+      CurationPumps.startMonitorPump(s, s"$root/ckpt", Nil)
+    }
+    intercept[IllegalArgumentException] {
+      CurationPumps.startMonitorPump(s, s"$root/ckpt2", Seq(
+        CurationPumps.scoreLeg(s"$root/a", markerScore, enLabel),
+        CurationPumps.scoreLeg(s"$root/b", markerScore, enLabel)))
+    }
+  }
+
   test("drift pump: replayed batch is fenced") {
     val root = Files.createTempDirectory("graft_driftfence").toString
     writeSlices(s"$root/feed", Seq(driftDocs))
