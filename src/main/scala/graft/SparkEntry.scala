@@ -31,7 +31,10 @@ object SparkEntry {
     "q94_custom_state_sessions", "q140_redelivery_dedup",
     "q147_xml_roundtrip", "q151_remigrate_drift",
     "q154_stream_novelty", "q155_stream_contamination",
-    "q162_stream_agreement", "q176_stream_score", "q179_stream_drift")
+    "q162_stream_agreement", "q176_stream_score", "q179_stream_drift",
+    "q180_monitor_novelty", "q181_monitor_contamination",
+    "q182_monitor_agreement", "q183_monitor_score", "q184_monitor_drift",
+    "q185_monitor_jsd", "q186_stream_embedding_drift")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -214,6 +217,13 @@ object SparkEntry {
     "q177_embedding_drift"  -> PipelineQueries.labelEmbeddingDrift _,
     "q178_log_loss"         -> PipelineQueries.langScoreLogLoss _,
     "q179_stream_drift"     -> IngestQueries.streamDrift _,
+    "q180_monitor_novelty"  -> IngestQueries.monitorNovelty _,
+    "q181_monitor_contamination" -> IngestQueries.monitorContamination _,
+    "q182_monitor_agreement" -> IngestQueries.monitorAgreement _,
+    "q183_monitor_score"    -> IngestQueries.monitorScore _,
+    "q184_monitor_drift"    -> IngestQueries.monitorDrift _,
+    "q185_monitor_jsd"      -> IngestQueries.monitorJsd _,
+    "q186_stream_embedding_drift" -> IngestQueries.streamEmbeddingDrift _,
   )
 
   /** q153's oracle, shared verbatim by q162 (the streaming drain of
@@ -320,6 +330,98 @@ object SparkEntry {
       |       ELSE 0.0 END AS d,
       |  best.s AS d_at
       |FROM t, best""".stripMargin
+
+  /** q150's oracle at k=3, shared verbatim by q154 (the standalone
+    * novelty pump's drain) and q180 (the unified monitor's novelty
+    * leg): min first-occurrence is commutative AND idempotent, so any
+    * arrival order folds to the batch dictionary.
+    */
+  private val StreamNoveltySql: String =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id,
+      |    unnest(list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1, len(toks)-1)])) AS s
+      |  FROM t),
+      |pd AS (SELECT doc_id, COUNT(*) AS n_grams FROM sh GROUP BY 1),
+      |fo AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+      |nv AS (SELECT first_doc, COUNT(*) AS novel FROM fo GROUP BY 1)
+      |SELECT pd.doc_id, pd.n_grams,
+      |  CAST(COALESCE(nv.novel, 0) AS BIGINT) AS novel,
+      |  CAST(COALESCE(nv.novel, 0) AS DOUBLE)/CAST(pd.n_grams AS DOUBLE) AS novelty
+      |FROM pd LEFT JOIN nv ON pd.doc_id = nv.first_doc
+      |ORDER BY pd.doc_id""".stripMargin
+
+  /** q48's split as the oracle shared verbatim by q155 (standalone
+    * contamination pump) and q181 (the monitor's contamination leg):
+    * per-doc probe-hit verdicts are micro-batch-local facts.
+    */
+  private val StreamContaminationSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id,
+      |         unnest(list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1, len(toks)-1)])) AS s
+      |       FROM t),
+      |probe AS (SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 0)
+      |SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      |FROM sh JOIN probe ON sh.s = probe.s
+      |WHERE sh.doc_id % 100 <> 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q172's oracle, shared verbatim by q185 (the monitor's token-JSD
+    * leg: the (group, token) census is additive, so the durable
+    * state must yield the bit-identical source-vs-mixture JSD).
+    */
+  private val SourceJsdSql: String =
+    """WITH cells AS (SELECT source AS grp,
+      |    unnest(string_split(text,' ')) AS tok FROM documents),
+      |c AS (SELECT grp, tok, COUNT(*) AS c FROM cells GROUP BY 1, 2),
+      |gt AS (SELECT grp, SUM(c) AS n FROM c GROUP BY 1),
+      |tt AS (SELECT tok, SUM(c) AS big_c FROM c GROUP BY 1),
+      |tot AS (SELECT SUM(c) AS nn FROM c),
+      |j AS (SELECT c.grp, c.c, tt.big_c, gt.n, tot.nn,
+      |    CAST(c.c AS DOUBLE) * CAST(tot.nn AS DOUBLE) AS cnd,
+      |    CAST(tt.big_c AS DOUBLE) * CAST(gt.n AS DOUBLE) AS cgd
+      |  FROM c JOIN tt USING (tok) JOIN gt USING (grp), tot),
+      |w AS (SELECT grp, n, nn, big_c,
+      |    CAST(c AS HUGEINT) *
+      |      CAST(FLOOR(ln(2.0 * cnd / (cnd + cgd)) * 1000000.0 + 0.5)
+      |        AS HUGEINT) AS map,
+      |    CAST(big_c AS HUGEINT) *
+      |      CAST(FLOOR(ln(2.0 * cgd / (cnd + cgd)) * 1000000.0 + 0.5)
+      |        AS HUGEINT) AS mbp
+      |  FROM j),
+      |g AS (SELECT grp, MAX(n) AS n_tokens, COUNT(*) AS n_vocab,
+      |    SUM(map) AS ma, SUM(mbp) AS mb,
+      |    SUM(CAST(big_c AS HUGEINT)) AS sum_cg, MAX(nn) AS nn
+      |  FROM w GROUP BY 1)
+      |SELECT grp, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(n_vocab AS BIGINT) AS n_vocab,
+      |  (CAST(ma AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      |   + CAST(mb + (CAST(nn AS HUGEINT) - sum_cg) * 693147 AS DOUBLE)
+      |     / CAST(nn AS DOUBLE)) / 2000000.0 AS jsd_nats
+      |FROM g ORDER BY grp""".stripMargin
+
+  /** q177's oracle, shared verbatim by q186 (the resident embedding-
+    * drift pump: per-(grp, dim) component sums are additive, so the
+    * drained centroid-vs-rest cosine equals the batch scan).
+    */
+  private val EmbeddingDriftSql: String =
+    """WITH e AS (SELECT label AS grp,
+      |    [CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) for x in embedding] AS q
+      |  FROM embeddings),
+      |u AS (SELECT grp, unnest(range(1, len(q)+1)) AS i, unnest(q) AS v FROM e),
+      |cells AS (SELECT grp, i, SUM(v) AS s, COUNT(*) AS cnt
+      |  FROM u GROUP BY 1, 2),
+      |tot AS (SELECT i, SUM(s) AS tot FROM cells GROUP BY 1),
+      |g AS (SELECT grp, MAX(cnt) AS n_vecs,
+      |    SUM(CAST(s AS HUGEINT) * (tot - s)) AS dot,
+      |    SUM(CAST(s AS HUGEINT) * s) AS n2,
+      |    SUM(CAST(tot - s AS HUGEINT) * (tot - s)) AS r2
+      |  FROM cells JOIN tot USING (i) GROUP BY 1)
+      |SELECT grp, CAST(n_vecs AS BIGINT) AS n_vecs,
+      |  CASE WHEN n2 > 0 AND r2 > 0
+      |       THEN CAST(dot AS DOUBLE) /
+      |            (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(r2 AS DOUBLE)))
+      |       ELSE 0.0 END AS cos_rest
+      |FROM g ORDER BY grp""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2951,31 +3053,10 @@ object SparkEntry {
     // q154: the streaming drain of q150 must produce the identical
     // batch answer (min first-occurrence is commutative), so the
     // oracle is q150's verbatim
-    "q154_stream_novelty" ->
-      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-        |sh AS (SELECT doc_id,
-        |    unnest(list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1, len(toks)-1)])) AS s
-        |  FROM t),
-        |pd AS (SELECT doc_id, COUNT(*) AS n_grams FROM sh GROUP BY 1),
-        |fo AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
-        |nv AS (SELECT first_doc, COUNT(*) AS novel FROM fo GROUP BY 1)
-        |SELECT pd.doc_id, pd.n_grams,
-        |  CAST(COALESCE(nv.novel, 0) AS BIGINT) AS novel,
-        |  CAST(COALESCE(nv.novel, 0) AS DOUBLE)/CAST(pd.n_grams AS DOUBLE) AS novelty
-        |FROM pd LEFT JOIN nv ON pd.doc_id = nv.first_doc
-        |ORDER BY pd.doc_id""".stripMargin,
+    "q154_stream_novelty" -> StreamNoveltySql,
     // q155: the streaming drain of q48 — per-doc probe-hit counts are
     // micro-batch-local facts, so the stream must equal the batch scan
-    "q155_stream_contamination" ->
-      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-        |sh AS (SELECT doc_id,
-        |         unnest(list_distinct([array_to_string(toks[i:i+2],' ') for i in range(1, len(toks)-1)])) AS s
-        |       FROM t),
-        |probe AS (SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 0)
-        |SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
-        |FROM sh JOIN probe ON sh.s = probe.s
-        |WHERE sh.doc_id % 100 <> 0
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q155_stream_contamination" -> StreamContaminationSql,
     // q156: Fleiss' kappa over the 3-rater panel (gold lang, the q21
     // labeler, length parity). Every sum exact in HUGEINT; p_bar/p_e
     // are single cast-then-divide ops and kappa the same fixed IEEE
@@ -3419,35 +3500,7 @@ object SparkEntry {
     // argument is one double division of exact integers, mirrored
     // op-for-op), masses in HUGEINT, the absent-token mixture mass
     // collapsed to (N − Σ_{t∈g} C)·693147
-    "q172_source_jsd" ->
-      """WITH cells AS (SELECT source AS grp,
-        |    unnest(string_split(text,' ')) AS tok FROM documents),
-        |c AS (SELECT grp, tok, COUNT(*) AS c FROM cells GROUP BY 1, 2),
-        |gt AS (SELECT grp, SUM(c) AS n FROM c GROUP BY 1),
-        |tt AS (SELECT tok, SUM(c) AS big_c FROM c GROUP BY 1),
-        |tot AS (SELECT SUM(c) AS nn FROM c),
-        |j AS (SELECT c.grp, c.c, tt.big_c, gt.n, tot.nn,
-        |    CAST(c.c AS DOUBLE) * CAST(tot.nn AS DOUBLE) AS cnd,
-        |    CAST(tt.big_c AS DOUBLE) * CAST(gt.n AS DOUBLE) AS cgd
-        |  FROM c JOIN tt USING (tok) JOIN gt USING (grp), tot),
-        |w AS (SELECT grp, n, nn, big_c,
-        |    CAST(c AS HUGEINT) *
-        |      CAST(FLOOR(ln(2.0 * cnd / (cnd + cgd)) * 1000000.0 + 0.5)
-        |        AS HUGEINT) AS map,
-        |    CAST(big_c AS HUGEINT) *
-        |      CAST(FLOOR(ln(2.0 * cgd / (cnd + cgd)) * 1000000.0 + 0.5)
-        |        AS HUGEINT) AS mbp
-        |  FROM j),
-        |g AS (SELECT grp, MAX(n) AS n_tokens, COUNT(*) AS n_vocab,
-        |    SUM(map) AS ma, SUM(mbp) AS mb,
-        |    SUM(CAST(big_c AS HUGEINT)) AS sum_cg, MAX(nn) AS nn
-        |  FROM w GROUP BY 1)
-        |SELECT grp, CAST(n_tokens AS BIGINT) AS n_tokens,
-        |  CAST(n_vocab AS BIGINT) AS n_vocab,
-        |  (CAST(ma AS DOUBLE) / CAST(n_tokens AS DOUBLE)
-        |   + CAST(mb + (CAST(nn AS HUGEINT) - sum_cg) * 693147 AS DOUBLE)
-        |     / CAST(nn AS DOUBLE)) / 2000000.0 AS jsd_nats
-        |FROM g ORDER BY grp""".stripMargin,
+    "q172_source_jsd" -> SourceJsdSql,
     // q173: two-sample KS on n_chars, src0 vs the rest — the sup-CDF
     // gap over the merged score census on the common denominator
     // n_a·n_b, so the sup is an integer max (ties toward smallest s)
@@ -3526,25 +3579,20 @@ object SparkEntry {
     // component sums off the zipped unnest, rest = total − s
     // (census-derived, no second corpus pass), dot/norms HUGEINT,
     // finisher dot/(sqrt(n2)·sqrt(r2)) in the engine's IEEE order
-    "q177_embedding_drift" ->
-      """WITH e AS (SELECT label AS grp,
-        |    [CAST(round(CAST(x AS DOUBLE)*1000000.0) AS BIGINT) for x in embedding] AS q
-        |  FROM embeddings),
-        |u AS (SELECT grp, unnest(range(1, len(q)+1)) AS i, unnest(q) AS v FROM e),
-        |cells AS (SELECT grp, i, SUM(v) AS s, COUNT(*) AS cnt
-        |  FROM u GROUP BY 1, 2),
-        |tot AS (SELECT i, SUM(s) AS tot FROM cells GROUP BY 1),
-        |g AS (SELECT grp, MAX(cnt) AS n_vecs,
-        |    SUM(CAST(s AS HUGEINT) * (tot - s)) AS dot,
-        |    SUM(CAST(s AS HUGEINT) * s) AS n2,
-        |    SUM(CAST(tot - s AS HUGEINT) * (tot - s)) AS r2
-        |  FROM cells JOIN tot USING (i) GROUP BY 1)
-        |SELECT grp, CAST(n_vecs AS BIGINT) AS n_vecs,
-        |  CASE WHEN n2 > 0 AND r2 > 0
-        |       THEN CAST(dot AS DOUBLE) /
-        |            (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(r2 AS DOUBLE)))
-        |       ELSE 0.0 END AS cos_rest
-        |FROM g ORDER BY grp""".stripMargin,
+    "q177_embedding_drift" -> EmbeddingDriftSql,
+    // q180-q185: the UNIFIED monitor — one reader, one foreachBatch,
+    // every census folded from ONE pass over each arriving file. Each
+    // leg's durable state must grade to its batch twin, so each
+    // oracle is the batch query's VERBATIM (shared constant).
+    "q180_monitor_novelty" -> StreamNoveltySql,
+    "q181_monitor_contamination" -> StreamContaminationSql,
+    "q182_monitor_agreement" -> LangIdEvalSql,
+    "q183_monitor_score" -> LangScoreAucSql,
+    "q184_monitor_drift" -> SourceLengthKsSql,
+    "q185_monitor_jsd" -> SourceJsdSql,
+    // q186: the resident embedding-drift pump — additive component
+    // sums, drain == batch, so q177's oracle verbatim
+    "q186_stream_embedding_drift" -> EmbeddingDriftSql,
   )
 
   /** chrF oracle generator (the mmrOracle/kCoreOracle unrolling
