@@ -123,9 +123,16 @@ object GraftApp {
       driftReport: Boolean = false,         // --drift-report
       driftPump: Boolean = false,           // --drift-pump
       driftCol: String = "n_chars",         // --drift-col=<integral col>
-      driftGroupVal: String = "src0")       // --drift-group-val=<value>;
+      driftGroupVal: String = "src0",       // --drift-group-val=<value>;
                                             // the --overlap-group-col slice
                                             // KS-compared against the rest
+      pumps: Seq[String] = Nil,             // --pumps=novelty,score,... —
+                                            // the UNIFIED monitor: one
+                                            // reader folds every listed
+                                            // census per arriving file
+      probeDir: Option[String] = None)      // --probe-dir=<parquet dir>;
+                                            // probes for the monitor's
+                                            // contamination leg
 
   final case class Result(
       ddl: Seq[String] = Nil,
@@ -403,7 +410,9 @@ object GraftApp {
         c.driftReport ->
           s"drift-report[${c.driftCol}, ${c.overlapGroupCol}=${c.driftGroupVal} vs rest]: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_drift.parquet").mkString(", ")}",
         c.driftPump ->
-          s"drift-pump[${c.driftCol}, ${c.overlapGroupCol}=${c.driftGroupVal} vs rest]: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_drift_state").mkString(", ")}"
+          s"drift-pump[${c.driftCol}, ${c.overlapGroupCol}=${c.driftGroupVal} vs rest]: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_drift_state").mkString(", ")}",
+        c.pumps.nonEmpty ->
+          s"monitor-pump[${c.pumps.mkString(",")}]: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_monitor_state/{${c.pumps.mkString(",")}} (one reader, one checkpoint)").mkString(", ")}"
       ).collect { case (true, s) => s }
       return Result(ddl = ddl, templates = templates,
         jsonTemplates = jsonTemplates, dryPlanned = planned)
@@ -994,8 +1003,113 @@ object GraftApp {
             () => CurationPumps.driftKs(spark, stateDir),
             s"${c.dstDir}/${dstNameFor(t)}_drift_pump.parquet")
         }
+      // --pumps=<leg,...>: the UNIFIED monitor — ONE reader over the
+      // table's directory, ONE checkpoint, one foreachBatch folding
+      // every listed census from a single pass over each arriving
+      // file (the standalone --*-pump flags each run their own
+      // reader: N pumps on one feed = N readers + N× ingest I/O; the
+      // monitor is what a deployment watching several censuses runs).
+      // Legs reuse the standalone pumps' dials: --dedup-k /
+      // --contamination-k / --agreement-gold / --agreement-pred /
+      // --score-col / --score-label / --drift-col /
+      // --overlap-group-col; the contamination leg grades against
+      // --probe-dir, and the embedding leg reads --embedding-col
+      // grouped by --overlap-group-col (for an embeddings-style
+      // table). Per-leg state dirs live under one _monitor_state
+      // root; each leg keeps its own batch-id fence, so a crash
+      // between two legs' merges replays safely (CurationPumpsSpec).
+      val monitorLegNames = Set("novelty", "contamination", "agreement",
+        "score", "drift", "jsd", "embedding")
+      val monitorRuns =
+        if (c.pumps.isEmpty) Nil
+        else {
+          val bad = c.pumps.filterNot(monitorLegNames)
+          require(bad.isEmpty, s"--pumps: unknown census legs " +
+            s"${bad.mkString(",")} (known: " +
+            s"${monitorLegNames.toSeq.sorted.mkString(",")})")
+          require(c.pumps.distinct.size == c.pumps.size,
+            s"--pumps: duplicate legs in ${c.pumps.mkString(",")}")
+          require(!c.pumps.contains("contamination") || c.probeDir.isDefined,
+            "--pumps=contamination needs --probe-dir=<parquet dir of " +
+              "probe documents>")
+          val preds = c.agreementPred
+            .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+          require(!c.pumps.contains("agreement") || preds.sizeIs <= 1,
+            "the monitor's agreement leg grades ONE labeler against " +
+              "gold — use batch --agreement-report for a panel")
+          val pred = preds.headOption.map(col).getOrElse(
+            graft.text.TextAnalysis.langId(col(c.textCol),
+              graft.text.TextAnalysis.defaultProfiles))
+          val score = c.scoreCol.map(col).getOrElse(
+            org.apache.spark.sql.functions.size(
+              org.apache.spark.sql.functions.filter(
+                graft.text.TextAnalysis.tokens(col(c.textCol)),
+                tok => tok === "the" || tok === "a")))
+          val label = c.scoreLabel.map(col).getOrElse(
+            org.apache.spark.sql.functions.when(
+              col(c.agreementGold) === c.scorePositive,
+              org.apache.spark.sql.functions.lit(1L))
+              .otherwise(org.apache.spark.sql.functions.lit(0L)))
+          val driftGroup = org.apache.spark.sql.functions.when(
+            col(c.overlapGroupCol) === c.driftGroupVal,
+            org.apache.spark.sql.functions.lit(1L))
+            .otherwise(org.apache.spark.sql.functions.lit(0L))
+          tables.flatMap { t =>
+            val stateRoot = s"${c.dstDir}/${dstNameFor(t)}_monitor_state"
+            val legs = c.pumps.map {
+              case "novelty" => CurationPumps.noveltyLeg(
+                s"$stateRoot/novelty", k = c.dedupK, idCol = c.docIdCol,
+                textCol = c.textCol)
+              case "contamination" => CurationPumps.contaminationLeg(
+                spark.read.parquet(c.probeDir.get),
+                s"$stateRoot/contamination", k = c.contaminationK,
+                idCol = c.docIdCol, textCol = c.textCol)
+              case "agreement" => CurationPumps.agreementLeg(
+                s"$stateRoot/agreement", gold = col(c.agreementGold),
+                pred = pred)
+              case "score" => CurationPumps.scoreLeg(
+                s"$stateRoot/score", score = score, label = label)
+              case "drift" => CurationPumps.driftLeg(
+                s"$stateRoot/drift", score = col(c.driftCol),
+                group = driftGroup)
+              case "jsd" => CurationPumps.jsdLeg(
+                s"$stateRoot/jsd", group = col(c.overlapGroupCol),
+                text = col(c.textCol))
+              case "embedding" => CurationPumps.embeddingDriftLeg(
+                s"$stateRoot/embedding", groupCol = c.overlapGroupCol,
+                vecCol = c.embeddingCol)
+            }
+            CurationPumps.startMonitorPump(tableStream(t),
+              s"${c.dstDir}/_ckpt_monitor_$t", legs,
+              processingTime = cadence).awaitTermination()
+            c.pumps.map { leg =>
+              val stateDir = s"$stateRoot/$leg"
+              val report = leg match {
+                case "novelty" => CurationPumps.noveltyReport(spark,
+                  stateDir, Tables.load(spark, c.srcDir, t),
+                  k = c.dedupK, idCol = c.docIdCol, textCol = c.textCol)
+                case "contamination" =>
+                  CurationPumps.contaminationVerdicts(spark, stateDir)
+                case "agreement" =>
+                  CurationPumps.agreementReport(spark, stateDir)
+                case "score" => CurationPumps.scoreAuc(spark, stateDir)
+                case "drift" => CurationPumps.driftKs(spark, stateDir)
+                case "jsd" => CurationPumps.jsdReport(spark, stateDir)
+                case "embedding" =>
+                  CurationPumps.embeddingDriftReport(spark, stateDir)
+              }
+              val out = s"${c.dstDir}/${dstNameFor(t)}_monitor_$leg.parquet"
+              report.write.mode("overwrite").parquet(out)
+              val stateRows = BucketStateStore.currentVersion(spark, stateDir)
+                .map(v => BucketStateStore.stateAtInferred(spark, stateDir, v)
+                  .count()).getOrElse(0L)
+              Curation(t, s"monitor-$leg", stateRows,
+                spark.read.parquet(out).count(), out)
+            }
+          }
+        }
       noveltyPumpRuns ++ contaminationPumpRuns ++ agreementPumpRuns ++
-        scorePumpRuns ++ driftPumpRuns
+        scorePumpRuns ++ driftPumpRuns ++ monitorRuns
     }
 
     val pumped =
@@ -1137,7 +1251,7 @@ object GraftApp {
     "vec-id-col", "embedding-col", "overlap-group-col",
     "agreement-gold", "agreement-pred", "contamination-pump",
     "score-col", "score-label", "score-positive",
-    "drift-col", "drift-group-val")
+    "drift-col", "drift-group-val", "pumps", "probe-dir")
   private val KnownFlags = Set("create-table-sql",
     "create-table-sql-template", "create-table-json-template",
     "dst-create-table", "migrate-table",
@@ -1389,7 +1503,9 @@ object GraftApp {
       driftReport = flags("drift-report"),
       driftPump = flags("drift-pump"),
       driftCol = kv.getOrElse("drift-col", "n_chars"),
-      driftGroupVal = kv.getOrElse("drift-group-val", "src0"))
+      driftGroupVal = kv.getOrElse("drift-group-val", "src0"),
+      pumps = list("pumps"),
+      probeDir = kv.get("probe-dir"))
   }
 
   private val AnnRecallVariants = Set("int8", "ivf", "pq", "lsh")

@@ -1565,6 +1565,124 @@ class GraftAppSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
     assert(got.head.getDouble(2) > 0.0, "fixture must separate the classes")
   }
+
+  test("--pumps monitor: ONE invocation folds every listed census and " +
+    "each drained report equals its batch library twin") {
+    val dst = Files.createTempDirectory("graft_appmonitor").toString
+    val probeDir = Files.createTempDirectory("graft_appmonitor_probe")
+      .toString
+    val docs = graft.Tables.load(spark, dir, "documents")
+    docs.filter(col("doc_id") % 100 === 0).write.mode("overwrite")
+      .parquet(probeDir)
+    val r = GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$dir",
+      s"--dst-dir=$dst", "--src-tables=documents",
+      "--pumps=novelty,contamination,agreement,score,drift,jsd",
+      s"--probe-dir=$probeDir")))
+    assert(r.curations.map(_.mode) == Seq("monitor-novelty",
+      "monitor-contamination", "monitor-agreement", "monitor-score",
+      "monitor-drift", "monitor-jsd"))
+    assert(spark.read.parquet(s"$dst/documents_monitor_novelty.parquet")
+        .orderBy("doc_id").collect().toSeq ==
+      graft.dedup.Dedup.ngramNovelty(
+          docs.select(col("doc_id"), col("text")), k = 3)
+        .orderBy("doc_id").collect().toSeq)
+    assert(spark.read
+        .parquet(s"$dst/documents_monitor_contamination.parquet")
+        .orderBy("doc_id").collect().toSeq ==
+      graft.dedup.Dedup.contaminationScan(docs,
+          docs.filter(col("doc_id") % 100 === 0), k = 3)
+        .orderBy("doc_id").collect().toSeq)
+    val gotAgree = spark.read
+      .parquet(s"$dst/documents_monitor_agreement.parquet")
+      .orderBy("cls").collect()
+    val langPred = graft.text.TextAnalysis.langId(col("text"),
+      graft.text.TextAnalysis.defaultProfiles)
+    assert(gotAgree.toSeq == graft.ops.Agreement.classifierReport(docs,
+      col("lang"), langPred).collect().toSeq)
+    // the report's R_K column equals the standalone metric on BOTH
+    // faces: the pump's durable census here, the batch face below
+    val wantMcc = graft.ops.Agreement.matthewsCorrelation(docs,
+      col("lang"), langPred).collect().head.getAs[Double]("mcc")
+    gotAgree.foreach(x => assert(x.getAs[Double]("mcc") == wantMcc))
+    val score = size(filter(graft.text.TextAnalysis.tokens(col("text")),
+      t => t === "the" || t === "a"))
+    val label = when(col("lang") === "en", lit(1L)).otherwise(lit(0L))
+    assert(spark.read.parquet(s"$dst/documents_monitor_score.parquet")
+        .collect().toSeq ==
+      graft.ops.ScoreEval.rocAuc(docs, score, label).collect().toSeq)
+    assert(spark.read.parquet(s"$dst/documents_monitor_drift.parquet")
+        .collect().toSeq ==
+      graft.ops.ScoreEval.ksTest(docs, col("n_chars"),
+        when(col("source") === "src0", lit(1L)).otherwise(lit(0L)))
+        .collect().toSeq)
+    assert(spark.read.parquet(s"$dst/documents_monitor_jsd.parquet")
+        .orderBy("grp").collect().toSeq ==
+      graft.text.Divergence.jsdFromMixture(docs, col("source"),
+        col("text")).collect().toSeq)
+    // ONE checkpoint and ONE state root on disk — not six of each
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dst/_ckpt_monitor_documents")))
+    assert(java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$dst/documents_monitor_state"))
+      .count() == 6)
+  }
+
+  test("--pumps monitor: embedding leg over an embeddings table") {
+    val dst = Files.createTempDirectory("graft_appmonemb").toString
+    val embs = graft.Tables.load(spark, dir, "embeddings")
+    val r = GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$dir",
+      s"--dst-dir=$dst", "--src-tables=embeddings", "--pumps=embedding",
+      "--overlap-group-col=label")))
+    assert(r.curations.map(_.mode) == Seq("monitor-embedding"))
+    assert(spark.read
+        .parquet(s"$dst/embeddings_monitor_embedding.parquet")
+        .orderBy("grp").collect().toSeq ==
+      graft.vector.VectorSearch.embeddingDrift(embs).collect().toSeq)
+  }
+
+  test("--pumps monitor: guards and --dry planning") {
+    val dst = Files.createTempDirectory("graft_appmonguard").toString
+    val e1 = intercept[IllegalArgumentException] {
+      GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$dir",
+        s"--dst-dir=$dst", "--src-tables=documents", "--pumps=bogus")))
+    }
+    assert(e1.getMessage.contains("unknown census legs"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$dir",
+        s"--dst-dir=$dst", "--src-tables=documents",
+        "--pumps=contamination")))
+    }
+    assert(e2.getMessage.contains("--probe-dir"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$dir",
+        s"--dst-dir=$dst", "--src-tables=documents",
+        "--pumps=score,score")))
+    }
+    assert(e3.getMessage.contains("duplicate"), e3.getMessage)
+    val r = GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$dir",
+      s"--dst-dir=$dst", "--src-tables=documents",
+      "--pumps=score,drift", "--dry")))
+    assert(r.dryPlanned.exists(_.startsWith(
+      s"monitor-pump[score,drift]: documents -> " +
+        s"$dst/documents_monitor_state/{score,drift}")))
+    assert(r.curations.isEmpty, "--dry must not start the monitor")
+  }
+
+  test("agreement-report batch face carries the same R_K as the " +
+    "standalone matthewsCorrelation") {
+    val dst = Files.createTempDirectory("graft_appmcc").toString
+    val docs = graft.Tables.load(spark, dir, "documents")
+    GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$dir",
+      s"--dst-dir=$dst", "--src-tables=documents", "--agreement-report",
+      "--agreement-gold=lang", "--agreement-pred=source")))
+    val want = graft.ops.Agreement.matthewsCorrelation(docs, col("lang"),
+      col("source")).collect().head.getAs[Double]("mcc")
+    val got = spark.read.parquet(s"$dst/documents_agreement.parquet")
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach(x => assert(x.getAs[Double]("mcc") == want,
+      "batch --agreement-report must surface the standalone R_K"))
+  }
 }
 
 /** `--converter-class` fixture: a no-arg classpath class implementing
