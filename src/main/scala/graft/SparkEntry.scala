@@ -224,6 +224,8 @@ object SparkEntry {
     "q184_monitor_drift"    -> IngestQueries.monitorDrift _,
     "q185_monitor_jsd"      -> IngestQueries.monitorJsd _,
     "q186_stream_embedding_drift" -> IngestQueries.streamEmbeddingDrift _,
+    "q187_kendall_tau"      -> PipelineQueries.markerLengthKendall _,
+    "q188_multiclass_logloss" -> PipelineQueries.multiclassLogLoss _,
   )
 
   /** q153's oracle, shared verbatim by q162 (the streaming drain of
@@ -3593,6 +3595,53 @@ object SparkEntry {
     // q186: the resident embedding-drift pump — additive component
     // sums, drain == batch, so q177's oracle verbatim
     "q186_stream_embedding_drift" -> EmbeddingDriftSql,
+    // q187: Kendall's tau-b off the joint (score, length-bucket)
+    // census — C/D pair masses exact HUGEINT over the grid-squared
+    // join (grid-bounded, never corpus-squared), doubled tie-pair
+    // denominators, finisher 2(C−D)/(√D1·√D2) in the engine's fixed
+    // two-root IEEE order
+    "q187_kendall_tau" ->
+      """WITH d AS (SELECT
+        |    len(list_filter(string_split(text,' '), x -> x='the' OR x='a')) AS x,
+        |    n_chars // 100 AS y FROM documents),
+        |c AS (SELECT x, y, COUNT(*) AS n FROM d GROUP BY 1, 2),
+        |xm AS (SELECT CAST(COALESCE(SUM(CAST(t AS HUGEINT) * (t - 1)), 0) AS HUGEINT) AS tx
+        |  FROM (SELECT x, SUM(n) AS t FROM c GROUP BY 1)),
+        |ym AS (SELECT CAST(COALESCE(SUM(CAST(t AS HUGEINT) * (t - 1)), 0) AS HUGEINT) AS ty
+        |  FROM (SELECT y, SUM(n) AS t FROM c GROUP BY 1)),
+        |g AS (SELECT CAST(SUM(n) AS HUGEINT) AS nn FROM c),
+        |p AS (SELECT
+        |    CAST(COALESCE(SUM(CASE WHEN a.y < b.y THEN CAST(a.n AS HUGEINT) * b.n END), 0) AS HUGEINT) AS cm,
+        |    CAST(COALESCE(SUM(CASE WHEN a.y > b.y THEN CAST(a.n AS HUGEINT) * b.n END), 0) AS HUGEINT) AS dm
+        |  FROM c a JOIN c b ON a.x < b.x)
+        |SELECT CAST(g.nn AS BIGINT) AS n,
+        |  CASE WHEN g.nn * (g.nn - 1) - xm.tx > 0 AND g.nn * (g.nn - 1) - ym.ty > 0
+        |       THEN CAST(2 * (p.cm - p.dm) AS DOUBLE) /
+        |            (sqrt(CAST(g.nn * (g.nn - 1) - xm.tx AS DOUBLE)) *
+        |             sqrt(CAST(g.nn * (g.nn - 1) - ym.ty AS DOUBLE)))
+        |       ELSE 0.0 END AS tau_b
+        |FROM g, xm, ym, p""".stripMargin,
+    // q188: multiclass log-loss — the census reads the GOLD class's
+    // claimed milli-probability per row; per-cell micro-nat loss
+    // rounded once (≤999 libm calls), mass HUGEINT, one division
+    "q188_multiclass_logloss" ->
+      """WITH d AS (SELECT
+        |    CASE n_chars % 3
+        |      WHEN 0 THEN 1 + (doc_id * 7) % 500
+        |      WHEN 1 THEN 1 + (doc_id * 13) % 400
+        |      ELSE 1000 - (1 + (doc_id * 7) % 500) - (1 + (doc_id * 13) % 400)
+        |    END AS p FROM documents),
+        |cells AS (SELECT p, COUNT(*) AS n FROM d GROUP BY 1),
+        |m AS (SELECT n, CAST(FLOOR(
+        |    -ln(CAST(p AS DOUBLE) / 1000.0) * 1000000.0 + 0.5) AS HUGEINT) AS mm
+        |  FROM cells),
+        |g AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+        |    SUM(CAST(n AS HUGEINT) * mm) AS mass FROM m)
+        |SELECT n,
+        |  CASE WHEN n > 0
+        |       THEN CAST(mass AS DOUBLE) / CAST(1000000 * CAST(n AS HUGEINT) AS DOUBLE)
+        |       ELSE 0.0 END AS logloss_nats
+        |FROM g""".stripMargin,
   )
 
   /** chrF oracle generator (the mmrOracle/kCoreOracle unrolling

@@ -434,6 +434,134 @@ object ScoreEval {
           .otherwise(lit(0.0)).as("logloss_nats"))
   }
 
+  /** Kendall's tau-b rank correlation between two INTEGRAL score
+    * columns — [[spearman]]'s pair-counting sibling: Spearman asks
+    * "are the rank VECTORS linearly related", tau-b asks "of all
+    * score pairs, how many does each signal order the same way",
+    * which is the number a rank-fusion weight (q125) actually acts
+    * on, and the more robust of the two under heavy quantization
+    * (few distinct values, massive ties — exactly the repo's
+    * quantized-score regime, which tau-b's tie terms correct for).
+    *
+    *   tau_b = (C − D) / √((n₀−n₁)(n₀−n₂))
+    *
+    * with C/D the concordant/discordant pair masses and n₁/n₂ the
+    * marginal tie-pair masses. NULL scores on either side are
+    * EXCLUDED (the [[scoreCensus]] contract — no rank information).
+    *
+    * Determinism: everything is an exact integer — C and D are
+    * DECIMAL(38,0) masses off the joint census, the doubled
+    * denominators D₁ = n(n−1) − Σt(t−1) are driver BigInts — and
+    * `tau = 2·(C−D) / (√D₁·√D₂)` is the FIXED two-root IEEE sequence
+    * (the matthewsCorrelation convention), mirrored op-for-op by the
+    * oracle. A constant column (zero radicand) reports 0.0, never
+    * NaN.
+    *
+    * Scale shape: ONE corpus scan to the joint (x, y) census
+    * (map-side combined); pair counting is a non-equi join of the
+    * census with ITSELF (x₁ < x₂) — grid-squared, NOT corpus-squared:
+    * bounded by the quantization, not the data, and refused loudly
+    * past 32768 joint cells (the Spearman n³ precedent: quantize
+    * coarser or sample first — at the cap the pair frame is ~5·10⁸
+    * rows, a bounded shuffle at any corpus size). Returns one row:
+    * `(n, tau_b)`.
+    */
+  def kendallTauB(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df.select(x.cast("long").as("x"), y.cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val nCells = cells.count()
+    require(nCells <= 32768,
+      s"kendallTauB: $nCells joint (x, y) census cells exceed the " +
+        "pair-join bound (32768) — quantize the scores coarser or " +
+        "sample the corpus first")
+
+    def tiePairs(c: String): BigInt = BigInt(cells.groupBy(col(c))
+      .agg(sum(col("n")).as("t"))
+      .agg(coalesce(sum(col("t").cast(dec) * (col("t") - lit(1L)).cast(dec)),
+        lit(0L).cast(dec)))
+      .head().getDecimal(0).toBigInteger)
+
+    val n = BigInt(cells.agg(coalesce(sum(col("n")), lit(0L)))
+      .head().getLong(0))
+    val (tx, ty) = (tiePairs("x"), tiePairs("y"))
+    // each unordered pair with distinct x counted exactly once; equal
+    // x (and equal x AND y) pairs are ties, outside both C and D
+    val a = cells.select(col("x").as("x1"), col("y").as("y1"),
+      col("n").as("n1"))
+    val b = cells.select(col("x").as("x2"), col("y").as("y2"),
+      col("n").as("n2"))
+    val cd = a.join(b, col("x1") < col("x2"))
+      .agg(
+        coalesce(sum(when(col("y1") < col("y2"),
+          col("n1").cast(dec) * col("n2").cast(dec))), lit(0L).cast(dec))
+          .as("c"),
+        coalesce(sum(when(col("y1") > col("y2"),
+          col("n1").cast(dec) * col("n2").cast(dec))), lit(0L).cast(dec))
+          .as("d"))
+      .head()
+    val cMinusD = BigInt(cd.getDecimal(0).toBigInteger) -
+      BigInt(cd.getDecimal(1).toBigInteger)
+    val d1 = n * (n - 1) - tx
+    val d2 = n * (n - 1) - ty
+    val tau =
+      if (d1 <= 0 || d2 <= 0) 0.0
+      else (2 * cMinusD).toDouble /
+        (math.sqrt(d1.toDouble) * math.sqrt(d2.toDouble))
+    df.sparkSession.range(1)
+      .select(lit(n.toLong).as("n"), lit(tau).as("tau_b"))
+  }
+
+  /** Multiclass log-loss — [[logLoss]] for a labeler that claims a
+    * FULL per-class probability vector (the q118 Naive-Bayes shape):
+    * per document the loss reads the claimed probability of the GOLD
+    * class, `−ln(p_gold/1000)`. `confMilliByClass` is a
+    * `map<class, milli-units>`; the claims must sum to EXACTLY 1000
+    * (quantize with largest-remainder upstream — a silently
+    * unnormalized vector would make the "loss" meaningless) and the
+    * gold class's claim must lie in [1, 999]: an absent gold class or
+    * a claimed-zero gold is certainty-wrong with infinite loss,
+    * refused loudly rather than clipped (the [[logLoss]] stance).
+    *
+    * Determinism: identical to binary — the per-cell micro-nat loss
+    * is computed ONCE per distinct p_gold value (≤ 999 census cells,
+    * so ≤ 999 libm calls anywhere), the corpus mass is ONE exact
+    * DECIMAL(38,0) integer, the result one correctly-rounded
+    * division. Empty input reports 0.0. Scale shape: one map-side-
+    * combined corpus scan to the p_gold census. Returns one row:
+    * `(n, logloss_nats)`.
+    */
+  def logLossMulti(df: DataFrame, confMilliByClass: Column,
+      gold: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val total = aggregate(map_values(confMilliByClass), lit(0L),
+      (acc, v) => acc + v.cast("long"))
+    val p0 = element_at(confMilliByClass, gold).cast("long")
+    val p = when(total === 1000L && p0.isNotNull && p0 >= 1L && p0 <= 999L,
+        p0)
+      .otherwise(raise_error(concat(
+        lit("ScoreEval: multiclass confMilli must sum to exactly 1000 " +
+          "with the gold class claimed in [1,999]; got sum="),
+        coalesce(total.cast("string"), lit("null")),
+        lit(", gold claim="),
+        coalesce(p0.cast("string"), lit("null")))))
+    val cells = df.select(p.as("p")).groupBy(col("p"))
+      .agg(count(lit(1)).as("n"))
+    val m = floor(-log(col("p").cast("double") / lit(1000.0)) * lit(1e6) +
+      lit(0.5)).cast("long")
+    cells
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("n").cast(dec) * m.cast(dec)), lit(0L).cast(dec))
+          .as("mass"))
+      .select(col("n"),
+        when(col("n") > 0,
+            col("mass").cast("double") /
+              (lit(1000000L).cast(dec) * col("n").cast(dec)).cast("double"))
+          .otherwise(lit(0.0)).as("logloss_nats"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic between the score
     * distributions of two populations — the sup-norm CDF gap
     * `D = max_s |F_a(s) − F_b(s)|`: the distribution-DRIFT view of a

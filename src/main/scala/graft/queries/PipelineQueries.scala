@@ -1642,4 +1642,31 @@ object PipelineQueries {
   def labelEmbeddingDrift(spark: SparkSession, dir: String): DataFrame =
     VectorSearch.embeddingDrift(Tables.load(spark, dir, "embeddings"),
       groupCol = "label")
+
+  /** q187: Kendall's tau-b between the marker-hit quality score and
+    * the coarse length bucket — "of all document pairs, how often do
+    * the two signals order them the same way?", the pair-level
+    * redundancy check beside q168's Spearman (tau-b's tie correction
+    * is what keeps the number honest on heavily quantized scores).
+    */
+  def markerLengthKendall(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    graft.ops.ScoreEval.kendallTauB(docs, markerHits,
+      expr("n_chars div 100"))
+  }
+
+  /** q188: multiclass log-loss of a deterministic 3-class confidence
+    * vector (milli-units summing to exactly 1000) against a synthetic
+    * 3-class gold — the q178 proper-scoring-rule discipline for the
+    * labelers that claim a FULL distribution (the q118 NB shape).
+    */
+  def multiclassLogLoss(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val p0 = lit(1L) + pmod(col("doc_id") * 7, lit(500L))
+    val p1 = lit(1L) + pmod(col("doc_id") * 13, lit(400L))
+    val p2 = lit(1000L) - p0 - p1
+    val conf = map(lit("c0"), p0, lit("c1"), p1, lit("c2"), p2)
+    val gold = concat(lit("c"), pmod(col("n_chars"), lit(3L)).cast("string"))
+    graft.ops.ScoreEval.logLossMulti(docs, conf, gold)
+  }
 }

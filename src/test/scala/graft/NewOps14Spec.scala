@@ -148,4 +148,94 @@ class NewOps14Spec extends AnyFunSuite {
     Agreement.classifierReport(df, col("g"), col("p")).collect()
       .foreach(r => assert(r.getAs[Double]("mcc") == 0.0))
   }
+
+  // --- ScoreEval.kendallTauB ----------------------------------------------
+
+  test("kendallTauB: perfect orders, hand-computed tie case, zero case") {
+    // the two-root denominator carries the documented ±1-ulp caveat
+    // (√6·√6 ≠ 6 exactly) — assert the FIXED IEEE sequence, the same
+    // bit-portable value the oracle mirrors
+    val perfect = 6.0 / (math.sqrt(6.0) * math.sqrt(6.0))
+    val conc = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")
+    assert(ScoreEval.kendallTauB(conc, col("x"), col("y"))
+      .collect().head.getDouble(1) == perfect)
+    val disc = Seq((1L, 3L), (2L, 2L), (3L, 1L)).toDF("x", "y")
+    assert(ScoreEval.kendallTauB(disc, col("x"), col("y"))
+      .collect().head.getDouble(1) == -perfect)
+    // C=1 D=1 with two y-ties and one x-tie -> exactly 0
+    val bal = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)).toDF("x", "y")
+    val r = ScoreEval.kendallTauB(bal, col("x"), col("y")).collect().head
+    assert(r.getLong(0) == 4L && r.getDouble(1) == 0.0)
+  }
+
+  test("kendallTauB: tie-corrected value matches the hand formula") {
+    // x=[1,2,2,3], y=[1,3,2,4]: C=5, D=0, x-ties 1 pair, no y-ties
+    // tau_b = 2*5 / (sqrt(4*3-2) * sqrt(4*3)) = 10/sqrt(120)
+    val df = Seq((1L, 1L), (2L, 3L), (2L, 2L), (3L, 4L)).toDF("x", "y")
+    val r = ScoreEval.kendallTauB(df, col("x"), col("y")).collect().head
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 10.0 / (math.sqrt(10.0) * math.sqrt(12.0)))
+  }
+
+  test("kendallTauB: constant column reports 0.0; null pairs are excluded") {
+    val const = Seq((1L, 5L), (1L, 7L), (1L, 9L)).toDF("x", "y")
+    assert(ScoreEval.kendallTauB(const, col("x"), col("y"))
+      .collect().head.getDouble(1) == 0.0)
+    val withNulls = Seq((Some(1L), Some(1L)), (None, Some(2L)),
+      (Some(2L), None), (Some(2L), Some(2L)), (Some(3L), Some(3L)))
+      .toDF("x", "y")
+    val dense = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")
+    assert(ScoreEval.kendallTauB(withNulls, col("x"), col("y"))
+        .collect().head ==
+      ScoreEval.kendallTauB(dense, col("x"), col("y")).collect().head)
+  }
+
+  // --- ScoreEval.logLossMulti ---------------------------------------------
+
+  test("logLossMulti reproduces the hand-computed micro-nat masses") {
+    val rows = Seq(
+      ("a", Map("a" -> 500L, "b" -> 300L, "c" -> 200L)),
+      ("b", Map("a" -> 100L, "b" -> 800L, "c" -> 100L)))
+    val df = rows.toDF("gold", "conf")
+    val r = ScoreEval.logLossMulti(df, col("conf"), col("gold"))
+      .collect().head
+    // m(500) = floor(-ln(0.5)*1e6+0.5) = 693147; m(800) = 223144
+    assert(r.getLong(0) == 2L)
+    assert(r.getDouble(1) == (693147.0 + 223144.0) / 2e6)
+  }
+
+  test("logLossMulti refuses unnormalized vectors, absent gold, and " +
+    "claimed certainty — loudly, with the values spelled") {
+    val bad1 = Seq(("a", Map("a" -> 500L, "b" -> 400L))).toDF("gold", "conf")
+    val e1 = intercept[Exception] {
+      ScoreEval.logLossMulti(bad1, col("conf"), col("gold")).collect()
+    }
+    assert(e1.getMessage.contains("sum=900"), e1.getMessage)
+    val bad2 = Seq(("z", Map("a" -> 500L, "b" -> 500L))).toDF("gold", "conf")
+    val e2 = intercept[Exception] {
+      ScoreEval.logLossMulti(bad2, col("conf"), col("gold")).collect()
+    }
+    assert(e2.getMessage.contains("gold claim=null"), e2.getMessage)
+    val bad3 = Seq(("a", Map("a" -> 1000L))).toDF("gold", "conf")
+    val e3 = intercept[Exception] {
+      ScoreEval.logLossMulti(bad3, col("conf"), col("gold")).collect()
+    }
+    assert(e3.getMessage.contains("gold claim=1000"), e3.getMessage)
+  }
+
+  test("logLossMulti agrees with binary logLoss on a two-class vector") {
+    // binary logLoss(conf, y): claimed P(positive) = conf; multiclass
+    // with map(pos -> conf, neg -> 1000-conf) and gold in {pos, neg}
+    // reads the same p_true per row
+    val rows = Seq((700L, 1L), (700L, 0L), (250L, 1L), (999L, 1L))
+    val bin = rows.toDF("conf", "y")
+    val want = ScoreEval.logLoss(bin, col("conf"), col("y"))
+      .collect().head
+    val multi = rows.map { case (c, yy) =>
+      (if (yy == 1L) "pos" else "neg", Map("pos" -> c, "neg" -> (1000L - c)))
+    }.toDF("gold", "conf")
+    val got = ScoreEval.logLossMulti(multi, col("conf"), col("gold"))
+      .collect().head
+    assert(got == want)
+  }
 }
