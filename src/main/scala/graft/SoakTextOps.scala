@@ -231,6 +231,27 @@ object SoakTextOps {
     val (nDr, tDr) = timed {
       vector.VectorSearch.embeddingDrift(emb).count()
     }
+    // the q187 shape: Kendall tau-b — the joint (x, y) census build
+    // is the corpus-scaling term; the pair join is GRID-squared
+    // (quantization-bounded, corpus-independent), so growth must be
+    // corpus-linear
+    val (nKd, tKd) = timed {
+      val hits = size(filter(text.TextAnalysis.tokens(col("text")),
+        t => t === "the" || t === "a"))
+      ops.ScoreEval.kendallTauB(docs, hits, expr("n_chars div 100"))
+        .count()
+    }
+    // the q188 shape: multiclass log-loss — one corpus scan to the
+    // p_gold census (≤999 cells); growth must be corpus-linear
+    val (nMl, tMl) = timed {
+      val p0 = lit(1L) + pmod(col("doc_id") * 7, lit(500L))
+      val p1 = lit(1L) + pmod(col("doc_id") * 13, lit(400L))
+      val conf = map(lit("c0"), p0, lit("c1"), p1,
+        lit("c2"), lit(1000L) - p0 - p1)
+      val gold = concat(lit("c"), pmod(col("n_chars"), lit(3L))
+        .cast("string"))
+      ops.ScoreEval.logLossMulti(docs, conf, gold).count()
+    }
     println(s"""{"sfDir":"$sfDir","docs":$nDocs,"vecs":$nVecs,""" +
       s""""substr_rows":$nSub,"substr_sec":${f"$tSub%.2f"},""" +
       s""""backoff_rows":$nLm,"backoff_sec":${f"$tLm%.2f"},""" +
@@ -252,7 +273,9 @@ object SoakTextOps {
       s""""ks_rows":$nKs,"ks_sec":${f"$tKs%.2f"},""" +
       s""""mcc_rows":$nMc,"mcc_sec":${f"$tMc%.2f"},""" +
       s""""vocabcov_rows":$nVc,"vocabcov_sec":${f"$tVc%.2f"},""" +
-      s""""embdrift_rows":$nDr,"embdrift_sec":${f"$tDr%.2f"}}""")
+      s""""embdrift_rows":$nDr,"embdrift_sec":${f"$tDr%.2f"},""" +
+      s""""kendall_rows":$nKd,"kendall_sec":${f"$tKd%.2f"},""" +
+      s""""mlogloss_rows":$nMl,"mlogloss_sec":${f"$tMl%.2f"}}""")
     spark.stop()
   }
 }

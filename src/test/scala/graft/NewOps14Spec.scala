@@ -190,6 +190,14 @@ class NewOps14Spec extends AnyFunSuite {
       ScoreEval.kendallTauB(dense, col("x"), col("y")).collect().head)
   }
 
+  test("kendallTauB refuses a joint census past the pair-join bound") {
+    val big = spark.range(40000).selectExpr("id AS x", "id AS y")
+    val e = intercept[IllegalArgumentException] {
+      ScoreEval.kendallTauB(big, col("x"), col("y")).collect()
+    }
+    assert(e.getMessage.contains("quantize"), e.getMessage)
+  }
+
   // --- ScoreEval.logLossMulti ---------------------------------------------
 
   test("logLossMulti reproduces the hand-computed micro-nat masses") {
