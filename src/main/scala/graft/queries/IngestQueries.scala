@@ -865,7 +865,8 @@ object IngestQueries {
         val nb = graft.streaming.BucketStateStore.DefaultNumBuckets
         val legs = Seq(
           CurationPumps.noveltyLeg(s"$root/state/novelty", k = 3),
-          CurationPumps.MonitorLeg("contamination", (b, bid) =>
+          CurationPumps.MonitorLeg("contamination",
+            s"$root/state/contamination", (b, bid) =>
             CurationPumps.mergeContaminationBatch(
               b.filter(col("doc_id") % 100 =!= 0), probeShingles,
               s"$root/state/contamination", 3, "doc_id", "text", nb, bid)),

@@ -485,18 +485,19 @@ object CurationPumps {
   // ------------------------------------------------------------------
 
   /** One census leg of the unified monitor: a name (unique within a
-    * monitor, used for state-dir layout and diagnostics) and the
-    * per-batch fold. The fold receives the micro-batch ALREADY
-    * materialized (the monitor localCheckpoints it once for all
-    * legs) and the streaming batch id for the per-leg fence.
+    * monitor, used for diagnostics), the leg's OWN state dir (per-leg
+    * fence + the vacuum target), and the per-batch fold. The fold
+    * receives the micro-batch ALREADY materialized (the monitor
+    * localCheckpoints it once for all legs) and the streaming batch
+    * id for the per-leg fence.
     */
-  final case class MonitorLeg(name: String,
+  final case class MonitorLeg(name: String, stateDir: String,
       merge: (DataFrame, Option[Long]) => Unit)
 
   def noveltyLeg(stateDir: String, k: Int = 3, idCol: String = "doc_id",
       textCol: String = "text",
       numBuckets: Int = BucketStateStore.DefaultNumBuckets): MonitorLeg =
-    MonitorLeg("novelty", (b, bid) =>
+    MonitorLeg("novelty", stateDir, (b, bid) =>
       mergeNoveltyBatch(b, stateDir, k, idCol, textCol, numBuckets, bid))
 
   /** The probe shingle set is built and materialized ONCE here (it
@@ -508,7 +509,7 @@ object CurationPumps {
       numBuckets: Int = BucketStateStore.DefaultNumBuckets): MonitorLeg = {
     val probeShingles = Dedup.shingleRows(probes, k, idCol, textCol)
       .select("shingle").distinct().localCheckpoint()
-    MonitorLeg("contamination", (b, bid) =>
+    MonitorLeg("contamination", stateDir, (b, bid) =>
       mergeContaminationBatch(b, probeShingles, stateDir, k, idCol,
         textCol, numBuckets, bid))
   }
@@ -516,31 +517,31 @@ object CurationPumps {
   def agreementLeg(stateDir: String, gold: org.apache.spark.sql.Column,
       pred: org.apache.spark.sql.Column,
       numBuckets: Int = BucketStateStore.DefaultNumBuckets): MonitorLeg =
-    MonitorLeg("agreement", (b, bid) =>
+    MonitorLeg("agreement", stateDir, (b, bid) =>
       mergeAgreementBatch(b, gold, pred, stateDir, numBuckets, bid))
 
   def scoreLeg(stateDir: String, score: org.apache.spark.sql.Column,
       label: org.apache.spark.sql.Column,
       numBuckets: Int = BucketStateStore.DefaultNumBuckets): MonitorLeg =
-    MonitorLeg("score", (b, bid) =>
+    MonitorLeg("score", stateDir, (b, bid) =>
       mergeScoreBatch(b, score, label, stateDir, numBuckets, bid))
 
   def driftLeg(stateDir: String, score: org.apache.spark.sql.Column,
       group: org.apache.spark.sql.Column,
       numBuckets: Int = BucketStateStore.DefaultNumBuckets): MonitorLeg =
-    MonitorLeg("drift", (b, bid) =>
+    MonitorLeg("drift", stateDir, (b, bid) =>
       mergeDriftBatch(b, score, group, stateDir, numBuckets, bid))
 
   def jsdLeg(stateDir: String, group: org.apache.spark.sql.Column,
       text: org.apache.spark.sql.Column,
       numBuckets: Int = BucketStateStore.DefaultNumBuckets): MonitorLeg =
-    MonitorLeg("jsd", (b, bid) =>
+    MonitorLeg("jsd", stateDir, (b, bid) =>
       mergeJsdBatch(b, group, text, stateDir, numBuckets, bid))
 
   def embeddingDriftLeg(stateDir: String, groupCol: String = "label",
       vecCol: String = "embedding",
       numBuckets: Int = BucketStateStore.DefaultNumBuckets): MonitorLeg =
-    MonitorLeg("embedding", (b, bid) =>
+    MonitorLeg("embedding", stateDir, (b, bid) =>
       mergeEmbeddingDriftBatch(b, groupCol, vecCol, stateDir,
         numBuckets, bid))
 
@@ -559,10 +560,18 @@ object CurationPumps {
     * makes one shared reader safe: the streaming offset commit is a
     * single all-legs-done barrier, but the merges themselves need no
     * cross-leg atomicity.
+    *
+    * `vacuumEvery > 0` retires each leg's old state versions every N
+    * batches (the [[StreamingCdc.start]] hygiene: a long-running
+    * copy-on-write pump without vacuum accumulates dead bucket copies
+    * without bound — a RESIDENT monitor folds every leg every batch,
+    * so the version count grows legs × batches). `vacuumKeep` is the
+    * per-leg readable-history retention.
     */
   def startMonitorPump(docsStream: DataFrame, checkpointDir: String,
       legs: Seq[MonitorLeg],
-      processingTime: Option[String] = None): StreamingQuery = {
+      processingTime: Option[String] = None,
+      vacuumEvery: Int = 0, vacuumKeep: Int = 4): StreamingQuery = {
     require(legs.nonEmpty, "monitor pump needs at least one census leg")
     require(legs.map(_.name).distinct.size == legs.size,
       s"monitor legs must have distinct names: ${legs.map(_.name)}")
@@ -573,6 +582,10 @@ object CurationPumps {
         // ONE materialization of the arriving files feeds every leg
         val pinned = batch.localCheckpoint()
         legs.foreach(_.merge(pinned, Some(bid)))
+        if (vacuumEvery > 0 && bid > 0 && bid % vacuumEvery == 0)
+          legs.foreach(l =>
+            BucketStateStore.vacuum(batch.sparkSession, l.stateDir,
+              vacuumKeep))
       }
       .start()
   }

@@ -429,6 +429,43 @@ class CurationPumpsSpec extends AnyFunSuite {
         .collect().toSeq)
   }
 
+  test("monitor pump vacuums each leg's dead state versions on the " +
+    "batch cadence without touching the current answer") {
+    val full = Tables.load(spark, dir, "documents")
+    val root = Files.createTempDirectory("graft_monvac").toString
+    // four files = four micro-batches; vacuumEvery=2 fires twice
+    writeSlices(s"$root/feed", (0 to 3).map(i =>
+      full.filter(col("doc_id") % 4 === i)))
+    val legs = Seq(
+      CurationPumps.scoreLeg(s"$root/state/score",
+        score = markerScore, label = enLabel),
+      CurationPumps.driftLeg(s"$root/state/drift",
+        score = col("n_chars"), group = src0Group))
+    CurationPumps.startMonitorPump(
+        spark.readStream.schema(full.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/feed"),
+        s"$root/ckpt", legs, vacuumEvery = 2, vacuumKeep = 2)
+      .awaitTermination()
+    // four merges land v0..v3; the vacuum at batch 2 (keep=2) retires
+    // v0 on both legs — the batch after it then extends history by
+    // one, so the floor is what the cadence guarantees, not the cap
+    Seq("score", "drift").foreach { leg =>
+      val versions = graft.streaming.BucketStateStore
+        .availableVersions(spark, s"$root/state/$leg")
+      assert(versions.nonEmpty && versions.head >= 1 && versions.size <= 3,
+        s"$leg: vacuum must retire pre-retention history, kept $versions")
+    }
+    // and the drained answers are untouched
+    assert(CurationPumps.scoreAuc(spark, s"$root/state/score")
+        .collect().toSeq ==
+      graft.ops.ScoreEval.rocAuc(full, markerScore, enLabel)
+        .collect().toSeq)
+    assert(CurationPumps.driftKs(spark, s"$root/state/drift")
+        .collect().toSeq ==
+      graft.ops.ScoreEval.ksTest(full, col("n_chars"), src0Group)
+        .collect().toSeq)
+  }
+
   test("monitor pump refuses an empty or name-colliding leg list") {
     val full = Tables.load(spark, dir, "documents")
     val root = Files.createTempDirectory("graft_monguard").toString
