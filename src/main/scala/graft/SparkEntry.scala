@@ -34,7 +34,44 @@ object SparkEntry {
     "q162_stream_agreement", "q176_stream_score", "q179_stream_drift",
     "q180_monitor_novelty", "q181_monitor_contamination",
     "q182_monitor_agreement", "q183_monitor_score", "q184_monitor_drift",
-    "q185_monitor_jsd", "q186_stream_embedding_drift")
+    "q185_monitor_jsd", "q186_stream_embedding_drift",
+    "q192_monitor_ks_matrix", "q193_monitor_vocab")
+
+  /** The per-round bench tier: the data-touching shapes whose
+    * isolated timing measures QUERY work. Selection rule (from the
+    * committed round-13 pair): every timed query whose median was
+    * >= 1.5 s in EITHER sweep — below that line the isolated-child
+    * protocol mostly measures JVM+session startup (the ~90 census-
+    * shaped sub-second metrics), and 60+ such children were exactly
+    * what pushed the full sweep past the driver's wall-clock window.
+    * The full set still runs under SPARK_GRAFT_BENCH_TIER=full when
+    * a sweep touches it; new sub-core queries are measured standalone
+    * via SPARK_GRAFT_BENCH_ONLY on introduction.
+    */
+  def benchCore: Set[String] = Set(
+    "q01_pricing_summary", "q03_join_revenue", "q04_broadcast_dim_join",
+    "q13_rollup", "q24_ngram_jaccard", "q25_minhash_dedup",
+    "q26_simhash_dedup", "q28_knn_ivf", "q29_label_centroid",
+    "q35_embedding_neardup", "q41_dup_clusters", "q45_percentiles",
+    "q46_pipeline", "q47_token_budget", "q49_cube", "q64_skew_join",
+    "q65_funnel", "q72_contamination_bloom", "q82_tfidf_terms",
+    "q85_value_anomalies", "q86_vocab_encode", "q91_exact_corr",
+    "q92_copurchase_rank", "q93_orders_diff", "q96_video_decode",
+    "q98_leakage_split", "q100_incremental_dedup", "q101_zorder_layout",
+    "q102_perplexity", "q103_bpe_merges", "q104_bpe_encode",
+    "q106_triangles", "q107_semantic_dedup", "q110_url_dedup",
+    "q111_dup_spans", "q113_substr_dedup", "q114_gopher_rules",
+    "q115_ppl_buckets", "q116_backoff_ppl", "q117_dsir_weights",
+    "q118_nb_langid", "q119_hits", "q120_neighbor_jaccard",
+    "q121_winsorized", "q123_contamination_attr", "q126_components_star",
+    "q128_containment", "q129_kcore", "q132_mmr_select", "q133_seed_rank",
+    "q138_label_prop", "q142_ann_recall", "q144_ann_recall_ivf",
+    "q145_ann_recall_pq", "q146_ann_recall_rplsh", "q149_retrieval_eval",
+    "q152_source_overlap", "q158_generation_bleu", "q160_retrieval_map",
+    "q161_generation_rouge", "q163_krippendorff", "q164_generation_chrf",
+    "q166_roc_curve", "q167_calibration", "q168_spearman",
+    "q169_ngram_diversity", "q170_avg_precision", "q172_source_jsd",
+    "q177_embedding_drift")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -226,6 +263,12 @@ object SparkEntry {
     "q186_stream_embedding_drift" -> IngestQueries.streamEmbeddingDrift _,
     "q187_kendall_tau"      -> PipelineQueries.markerLengthKendall _,
     "q188_multiclass_logloss" -> PipelineQueries.multiclassLogLoss _,
+    "q189_ks_matrix"        -> PipelineQueries.sourceLengthKsMatrix _,
+    "q190_multiclass_calibration" -> PipelineQueries.multiclassCalibration _,
+    "q191_class_pr_auc"     -> PipelineQueries.multiclassAp _,
+    "q192_monitor_ks_matrix" -> IngestQueries.monitorKsMatrix _,
+    "q193_monitor_vocab"    -> IngestQueries.monitorVocab _,
+    "q194_null_score_auc"   -> PipelineQueries.nullScoreAuc _,
   )
 
   /** q153's oracle, shared verbatim by q162 (the streaming drain of
@@ -296,7 +339,8 @@ object SparkEntry {
     """WITH d AS (SELECT
       |    len(list_filter(string_split(text,' '), x -> x='the' OR x='a')) AS s,
       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
-      |c AS (SELECT s, SUM(y) AS pos, SUM(1 - y) AS neg FROM d GROUP BY 1),
+      |c AS (SELECT s, SUM(y) AS pos, SUM(1 - y) AS neg FROM d
+      |      WHERE s IS NOT NULL GROUP BY 1),
       |r AS (SELECT s, pos, neg, SUM(neg) OVER (ORDER BY s) AS cum_neg FROM c),
       |g AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
       |    CAST(SUM(neg) AS BIGINT) AS n_neg,
@@ -317,7 +361,8 @@ object SparkEntry {
   private val SourceLengthKsSql: String =
     """WITH d AS (SELECT n_chars AS s,
       |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS g FROM documents),
-      |c AS (SELECT s, SUM(1 - g) AS a, SUM(g) AS b FROM d GROUP BY 1),
+      |c AS (SELECT s, SUM(1 - g) AS a, SUM(g) AS b FROM d
+      |      WHERE s IS NOT NULL GROUP BY 1),
       |r AS (SELECT s, SUM(a) OVER (ORDER BY s) AS cum_a,
       |    SUM(b) OVER (ORDER BY s) AS cum_b FROM c),
       |t AS (SELECT CAST(SUM(a) AS BIGINT) AS n_a,
@@ -400,6 +445,66 @@ object SparkEntry {
       |   + CAST(mb + (CAST(nn AS HUGEINT) - sum_cg) * 693147 AS DOUBLE)
       |     / CAST(nn AS DOUBLE)) / 2000000.0 AS jsd_nats
       |FROM g ORDER BY grp""".stripMargin
+
+  /** q189's oracle, shared verbatim by q192 (the monitor's
+    * drift-matrix leg: the (grp, s) census is additive, so the
+    * durable state must yield a bit-identical every-source-vs-rest
+    * KS matrix): sup over the full group×score grid — a group
+    * missing a score still steps there — masses exact HUGEINTs on
+    * the common denominator n_g·(N − n_g), argmax by
+    * (mass DESC, s ASC).
+    */
+  private val SourceKsMatrixSql: String =
+    """WITH d AS (SELECT source AS grp, n_chars AS s FROM documents),
+      |c AS (SELECT grp, s, COUNT(*) AS c FROM d
+      |      WHERE s IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT s, SUM(c) AS t FROM c GROUP BY 1),
+      |g AS (SELECT grp, SUM(c) AS n_g FROM c GROUP BY 1),
+      |nn AS (SELECT SUM(c) AS n FROM c),
+      |grid AS (SELECT g.grp, g.n_g, tot.s, tot.t FROM g CROSS JOIN tot),
+      |j AS (SELECT grid.grp, grid.n_g, grid.s, grid.t,
+      |    COALESCE(c.c, 0) AS c
+      |  FROM grid LEFT JOIN c ON grid.grp = c.grp AND grid.s = c.s),
+      |r AS (SELECT grp, n_g, s,
+      |    SUM(c) OVER (PARTITION BY grp ORDER BY s) AS cum_g,
+      |    SUM(t) OVER (PARTITION BY grp ORDER BY s) AS cum_t FROM j),
+      |m AS (SELECT grp, n_g, s,
+      |    ABS(CAST(cum_g AS HUGEINT) * (nn.n - n_g) -
+      |        CAST(cum_t - cum_g AS HUGEINT) * n_g) AS mass
+      |  FROM r, nn),
+      |best AS (SELECT grp, n_g, mass, s,
+      |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY mass DESC, s ASC)
+      |      AS rk FROM m)
+      |SELECT best.grp, CAST(n_g AS BIGINT) AS n_g,
+      |  CAST(nn.n - n_g AS BIGINT) AS n_rest,
+      |  CASE WHEN n_g > 0 AND nn.n - n_g > 0
+      |       THEN CAST(mass AS DOUBLE) /
+      |            CAST(CAST(n_g AS HUGEINT) * (nn.n - n_g) AS DOUBLE)
+      |       ELSE 0.0 END AS d,
+      |  best.s AS d_at
+      |FROM best, nn WHERE rk = 1 ORDER BY best.grp""".stripMargin
+
+  /** q175's oracle, shared verbatim by q193 (vocabulary coverage as
+    * a second FACE of the monitor's token-JSD state: the (grp, tok,
+    * c) census the JSD leg maintains is exactly vocabCoverage's
+    * input — one leg, two reports).
+    */
+  private val SourceVocabSql: String =
+    """WITH t AS (SELECT source AS grp,
+      |    unnest(string_split(text,' ')) AS token FROM documents),
+      |c AS (SELECT grp, token, COUNT(*) AS c FROM t GROUP BY 1, 2),
+      |a AS (SELECT grp, COUNT(*) AS v_types, SUM(c) AS n_tokens,
+      |    SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1,
+      |    SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n2
+      |  FROM c GROUP BY 1)
+      |SELECT grp, CAST(v_types AS BIGINT) AS v_types,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST(n_tokens - n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS coverage,
+      |  CAST(v_types AS DOUBLE) +
+      |    CAST(CAST(n1 AS HUGEINT) * (n1 - 1) AS DOUBLE) /
+      |    CAST(2 * (CAST(n2 AS HUGEINT) + 1) AS DOUBLE) AS chao1
+      |FROM a ORDER BY grp""".stripMargin
 
   /** q177's oracle, shared verbatim by q186 (the resident embedding-
     * drift pump: per-(grp, dim) component sums are additive, so the
@@ -3348,7 +3453,8 @@ object SparkEntry {
       """WITH d AS (SELECT
         |    len(list_filter(string_split(text,' '), x -> x='the' OR x='a')) AS s,
         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
-        |c AS (SELECT s, SUM(y) AS pos, SUM(1 - y) AS neg FROM d GROUP BY 1),
+        |c AS (SELECT s, SUM(y) AS pos, SUM(1 - y) AS neg FROM d
+        |      WHERE s IS NOT NULL GROUP BY 1),
         |r AS (SELECT s, pos, neg,
         |    SUM(neg) OVER (ORDER BY s) AS cum_neg,
         |    SUM(pos) OVER (ORDER BY s) AS cum_pos FROM c),
@@ -3460,7 +3566,8 @@ object SparkEntry {
       """WITH d AS (SELECT
         |    len(list_filter(string_split(text,' '), x -> x='the' OR x='a')) AS s,
         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
-        |c AS (SELECT s, SUM(y) AS pos, SUM(1 - y) AS neg FROM d GROUP BY 1),
+        |c AS (SELECT s, SUM(y) AS pos, SUM(1 - y) AS neg FROM d
+        |      WHERE s IS NOT NULL GROUP BY 1),
         |r AS (SELECT s, pos, neg,
         |    SUM(neg) OVER (ORDER BY s) AS cum_neg,
         |    SUM(pos) OVER (ORDER BY s) AS cum_pos FROM c),
@@ -3561,22 +3668,7 @@ object SparkEntry {
     // q175: per-source vocabulary coverage — Good–Turing seen mass
     // (N−n1)/N one division, Chao1 V + n1(n1−1)/(2(n2+1)) the
     // engine's fixed IEEE sequence off exact integer counts
-    "q175_vocab_coverage" ->
-      """WITH t AS (SELECT source AS grp,
-        |    unnest(string_split(text,' ')) AS token FROM documents),
-        |c AS (SELECT grp, token, COUNT(*) AS c FROM t GROUP BY 1, 2),
-        |a AS (SELECT grp, COUNT(*) AS v_types, SUM(c) AS n_tokens,
-        |    SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n1,
-        |    SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS n2
-        |  FROM c GROUP BY 1)
-        |SELECT grp, CAST(v_types AS BIGINT) AS v_types,
-        |  CAST(n_tokens AS BIGINT) AS n_tokens,
-        |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
-        |  CAST(n_tokens - n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS coverage,
-        |  CAST(v_types AS DOUBLE) +
-        |    CAST(CAST(n1 AS HUGEINT) * (n1 - 1) AS DOUBLE) /
-        |    CAST(2 * (CAST(n2 AS HUGEINT) + 1) AS DOUBLE) AS chao1
-        |FROM a ORDER BY grp""".stripMargin,
+    "q175_vocab_coverage" -> SourceVocabSql,
     // q177: per-label centroid-vs-rest cosine — per-dimension exact
     // component sums off the zipped unnest, rest = total − s
     // (census-derived, no second corpus pass), dot/norms HUGEINT,
@@ -3641,6 +3733,104 @@ object SparkEntry {
         |  CASE WHEN n > 0
         |       THEN CAST(mass AS DOUBLE) / CAST(1000000 * CAST(n AS HUGEINT) AS DOUBLE)
         |       ELSE 0.0 END AS logloss_nats
+        |FROM g""".stripMargin,
+    // q189: every-source-vs-rest KS matrix on n_chars — sup over the
+    // full group×score grid, integer masses, argmax (mass DESC, s ASC)
+    "q189_ks_matrix" -> SourceKsMatrixSql,
+    // q192: the monitor's drift-matrix leg drained over the same
+    // corpus — q189's oracle VERBATIM (drain == batch: additive census)
+    "q192_monitor_ks_matrix" -> SourceKsMatrixSql,
+    // q193: vocabulary coverage read off the monitor's token-JSD
+    // state — q175's oracle VERBATIM (same census, second face)
+    "q193_monitor_vocab" -> SourceVocabSql,
+    // q190: per-class reliability + per-class ECE of the q188 3-class
+    // vector — per-(cls, bin) gap |1000·correct − Σconf| in HUGEINT,
+    // per-class ECE one division (the q167 discipline, per class)
+    "q190_multiclass_calibration" ->
+      """WITH d AS (SELECT 1 + (doc_id * 7) % 500 AS p0,
+        |    1 + (doc_id * 13) % 400 AS p1,
+        |    1000 - (1 + (doc_id * 7) % 500) - (1 + (doc_id * 13) % 400) AS p2,
+        |    'c' || CAST(n_chars % 3 AS VARCHAR) AS gold FROM documents),
+        |e AS (
+        |  SELECT 'c0' AS cls, p0 AS conf,
+        |    CASE WHEN gold = 'c0' THEN 1 ELSE 0 END AS ok FROM d
+        |  UNION ALL SELECT 'c1', p1,
+        |    CASE WHEN gold = 'c1' THEN 1 ELSE 0 END FROM d
+        |  UNION ALL SELECT 'c2', p2,
+        |    CASE WHEN gold = 'c2' THEN 1 ELSE 0 END FROM d),
+        |cells AS (SELECT cls, LEAST((conf * 10) // 1000, 9) AS bin,
+        |    COUNT(*) AS n, SUM(ok) AS n_correct, SUM(conf) AS conf_sum
+        |  FROM e GROUP BY 1, 2),
+        |g AS (SELECT cls, SUM(n) AS nn,
+        |    SUM(ABS(1000*CAST(n_correct AS HUGEINT) - conf_sum)) AS mass
+        |  FROM cells GROUP BY 1)
+        |SELECT cells.cls, CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+        |  CAST(n_correct AS BIGINT) AS n_correct,
+        |  CAST(conf_sum AS BIGINT) AS conf_sum_milli,
+        |  CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+        |  CAST(conf_sum AS DOUBLE) / CAST(1000*n AS DOUBLE) AS conf_mean,
+        |  CASE WHEN g.nn > 0
+        |       THEN CAST(g.mass AS DOUBLE) / CAST(1000*g.nn AS DOUBLE)
+        |       ELSE 0.0 END AS ece
+        |FROM cells JOIN g ON cells.cls = g.cls
+        |ORDER BY cells.cls, bin""".stripMargin,
+    // q191: per-class average precision of the same vector — the q170
+    // micro-unit discipline per class (PARTITION BY cls cumulatives
+    // over the census, floor(1e6·p/q + ½) as exact integral division)
+    "q191_class_pr_auc" ->
+      """WITH d AS (SELECT 1 + (doc_id * 7) % 500 AS p0,
+        |    1 + (doc_id * 13) % 400 AS p1,
+        |    1000 - (1 + (doc_id * 7) % 500) - (1 + (doc_id * 13) % 400) AS p2,
+        |    'c' || CAST(n_chars % 3 AS VARCHAR) AS gold FROM documents),
+        |e AS (
+        |  SELECT 'c0' AS cls, p0 AS s,
+        |    CASE WHEN gold = 'c0' THEN 1 ELSE 0 END AS y FROM d
+        |  UNION ALL SELECT 'c1', p1,
+        |    CASE WHEN gold = 'c1' THEN 1 ELSE 0 END FROM d
+        |  UNION ALL SELECT 'c2', p2,
+        |    CASE WHEN gold = 'c2' THEN 1 ELSE 0 END FROM d),
+        |c AS (SELECT cls, s, SUM(y) AS pos, SUM(1 - y) AS neg
+        |  FROM e GROUP BY 1, 2),
+        |r AS (SELECT cls, s, pos, neg,
+        |    SUM(neg) OVER (PARTITION BY cls ORDER BY s) AS cum_neg,
+        |    SUM(pos) OVER (PARTITION BY cls ORDER BY s) AS cum_pos FROM c),
+        |g AS (SELECT cls, SUM(pos) AS n_pos, SUM(neg) AS n_neg
+        |  FROM c GROUP BY 1),
+        |t AS (SELECT r.cls, pos,
+        |    CAST(n_pos - (cum_pos - pos) AS HUGEINT) AS p_ge,
+        |    CAST((n_pos - (cum_pos - pos)) + (n_neg - (cum_neg - neg))
+        |      AS HUGEINT) AS n_ge
+        |  FROM r JOIN g ON r.cls = g.cls),
+        |m AS (SELECT cls, SUM(CAST(pos AS HUGEINT) *
+        |    ((2000000*p_ge + n_ge) // (2*n_ge))) AS mass
+        |  FROM t GROUP BY 1)
+        |SELECT g.cls, CAST(g.n_pos AS BIGINT) AS n_pos,
+        |  CAST(g.n_neg AS BIGINT) AS n_neg,
+        |  CASE WHEN g.n_pos > 0
+        |       THEN CAST(m.mass AS DOUBLE) /
+        |            CAST(1000000 * CAST(g.n_pos AS HUGEINT) AS DOUBLE)
+        |       ELSE 0.0 END AS ap
+        |FROM g JOIN m ON g.cls = m.cls ORDER BY g.cls""".stripMargin,
+    // q194: the NULL-score exclusion contract pinned against the
+    // oracle — every 7th score is NULL; both engines must grade
+    // exactly the remaining rows (the census WHERE s IS NOT NULL)
+    "q194_null_score_auc" ->
+      """WITH d AS (SELECT
+        |    CASE WHEN doc_id % 7 = 0 THEN NULL
+        |         ELSE len(list_filter(string_split(text,' '),
+        |                x -> x='the' OR x='a')) END AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+        |c AS (SELECT s, SUM(y) AS pos, SUM(1 - y) AS neg FROM d
+        |      WHERE s IS NOT NULL GROUP BY 1),
+        |r AS (SELECT s, pos, neg, SUM(neg) OVER (ORDER BY s) AS cum_neg FROM c),
+        |g AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |    CAST(SUM(neg) AS BIGINT) AS n_neg,
+        |    SUM(CAST(pos AS HUGEINT) * (2*(cum_neg - neg) + neg)) AS m2 FROM r)
+        |SELECT n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0
+        |       THEN CAST(m2 AS DOUBLE) /
+        |            CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE)
+        |       ELSE 0.0 END AS auc
         |FROM g""".stripMargin,
   )
 

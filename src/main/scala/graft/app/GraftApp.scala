@@ -130,9 +130,16 @@ object GraftApp {
                                             // the UNIFIED monitor: one
                                             // reader folds every listed
                                             // census per arriving file
-      probeDir: Option[String] = None)      // --probe-dir=<parquet dir>;
+      probeDir: Option[String] = None,      // --probe-dir=<parquet dir>;
                                             // probes for the monitor's
                                             // contamination leg
+      vacuumEvery: Option[Int] = None,      // --vacuum-every=N batches
+                                            // (0 = off); default 50 for
+                                            // resident runs (--daemon/
+                                            // --src-wait), off for
+                                            // drain-and-exit runs
+      vacuumKeep: Int = 4)                  // --vacuum-keep=N readable
+                                            // state versions retained
 
   final case class Result(
       ddl: Seq[String] = Nil,
@@ -237,6 +244,16 @@ object GraftApp {
     * spark-submit / systemd (the generated unit file), not the app.
     */
   private[graft] def stayUp(c: Config): Boolean = c.srcWait || c.daemon
+
+  /** Effective state-vacuum cadence (batches between vacuums, 0 =
+    * never). An explicit `--vacuum-every` always wins; otherwise
+    * RESIDENT runs (`--daemon`/`--src-wait` — exactly the deployments
+    * whose copy-on-write pumps fold state every batch, forever)
+    * default to every 50 batches, and drain-and-exit runs skip the
+    * vacuum (their version count is bounded by the drain).
+    */
+  private[graft] def vacuumCadence(c: Config): Int =
+    c.vacuumEvery.getOrElse(if (stayUp(c)) 50 else 0)
 
   /** `--install` analog (main.py:57-95): the reference copies its
     * init.d script + example config into /etc; under Spark the
@@ -890,6 +907,7 @@ object GraftApp {
           .parquet(c.srcDir)
       }
       val cadence = if (stayUp(c)) Some(c.nicePause) else None
+      val vacEvery = vacuumCadence(c)
       def drainAndReport(t: String, mode: String, stateDir: String,
           q: org.apache.spark.sql.streaming.StreamingQuery,
           report: () => org.apache.spark.sql.DataFrame,
@@ -908,7 +926,8 @@ object GraftApp {
           val q = CurationPumps.startNoveltyPump(tableStream(t), stateDir,
             s"${c.dstDir}/_ckpt_novelty_$t", k = c.dedupK,
             idCol = c.docIdCol, textCol = c.textCol,
-            processingTime = cadence)
+            processingTime = cadence,
+            vacuumEvery = vacEvery, vacuumKeep = c.vacuumKeep)
           drainAndReport(t, "novelty-pump", stateDir, q,
             () => CurationPumps.noveltyReport(spark, stateDir,
               Tables.load(spark, c.srcDir, t), k = c.dedupK,
@@ -924,7 +943,8 @@ object GraftApp {
             val q = CurationPumps.startContaminationPump(tableStream(t),
               probes, stateDir, s"${c.dstDir}/_ckpt_contamination_$t",
               k = c.contaminationK, idCol = c.docIdCol, textCol = c.textCol,
-              processingTime = cadence)
+              processingTime = cadence,
+              vacuumEvery = vacEvery, vacuumKeep = c.vacuumKeep)
             drainAndReport(t, "contamination-pump", stateDir, q,
               () => CurationPumps.contaminationVerdicts(spark, stateDir),
               s"${c.dstDir}/${dstNameFor(t)}_contamination_pump.parquet")
@@ -948,7 +968,8 @@ object GraftApp {
             val q = CurationPumps.startAgreementPump(tableStream(t),
               stateDir, s"${c.dstDir}/_ckpt_agreement_$t",
               gold = col(c.agreementGold), pred = pred,
-              processingTime = cadence)
+              processingTime = cadence,
+              vacuumEvery = vacEvery, vacuumKeep = c.vacuumKeep)
             drainAndReport(t, "agreement-pump", stateDir, q,
               () => CurationPumps.agreementReport(spark, stateDir),
               s"${c.dstDir}/${dstNameFor(t)}_agreement_pump.parquet")
@@ -976,7 +997,8 @@ object GraftApp {
             val stateDir = s"${c.dstDir}/${dstNameFor(t)}_score_state"
             val q = CurationPumps.startScorePump(tableStream(t),
               stateDir, s"${c.dstDir}/_ckpt_score_$t",
-              score = score, label = label, processingTime = cadence)
+              score = score, label = label, processingTime = cadence,
+              vacuumEvery = vacEvery, vacuumKeep = c.vacuumKeep)
             drainAndReport(t, "score-pump", stateDir, q,
               () => CurationPumps.scoreAuc(spark, stateDir),
               s"${c.dstDir}/${dstNameFor(t)}_score_pump.parquet")
@@ -998,7 +1020,8 @@ object GraftApp {
           val q = CurationPumps.startDriftPump(tableStream(t),
             stateDir, s"${c.dstDir}/_ckpt_drift_$t",
             score = col(c.driftCol), group = group,
-            processingTime = cadence)
+            processingTime = cadence,
+            vacuumEvery = vacEvery, vacuumKeep = c.vacuumKeep)
           drainAndReport(t, "drift-pump", stateDir, q,
             () => CurationPumps.driftKs(spark, stateDir),
             s"${c.dstDir}/${dstNameFor(t)}_drift_pump.parquet")
@@ -1019,7 +1042,7 @@ object GraftApp {
       // root; each leg keeps its own batch-id fence, so a crash
       // between two legs' merges replays safely (CurationPumpsSpec).
       val monitorLegNames = Set("novelty", "contamination", "agreement",
-        "score", "drift", "jsd", "embedding")
+        "score", "drift", "ksmatrix", "jsd", "vocab", "embedding")
       val monitorRuns =
         if (c.pumps.isEmpty) Nil
         else {
@@ -1056,32 +1079,44 @@ object GraftApp {
             .otherwise(org.apache.spark.sql.functions.lit(0L))
           tables.flatMap { t =>
             val stateRoot = s"${c.dstDir}/${dstNameFor(t)}_monitor_state"
-            val legs = c.pumps.map {
-              case "novelty" => CurationPumps.noveltyLeg(
+            val legs: Seq[CurationPumps.MonitorLeg] = c.pumps.flatMap {
+              case "novelty" => Some(CurationPumps.noveltyLeg(
                 s"$stateRoot/novelty", k = c.dedupK, idCol = c.docIdCol,
-                textCol = c.textCol)
-              case "contamination" => CurationPumps.contaminationLeg(
+                textCol = c.textCol))
+              case "contamination" => Some(CurationPumps.contaminationLeg(
                 spark.read.parquet(c.probeDir.get),
                 s"$stateRoot/contamination", k = c.contaminationK,
-                idCol = c.docIdCol, textCol = c.textCol)
-              case "agreement" => CurationPumps.agreementLeg(
+                idCol = c.docIdCol, textCol = c.textCol))
+              case "agreement" => Some(CurationPumps.agreementLeg(
                 s"$stateRoot/agreement", gold = col(c.agreementGold),
-                pred = pred)
-              case "score" => CurationPumps.scoreLeg(
-                s"$stateRoot/score", score = score, label = label)
-              case "drift" => CurationPumps.driftLeg(
+                pred = pred))
+              case "score" => Some(CurationPumps.scoreLeg(
+                s"$stateRoot/score", score = score, label = label))
+              case "drift" => Some(CurationPumps.driftLeg(
                 s"$stateRoot/drift", score = col(c.driftCol),
-                group = driftGroup)
-              case "jsd" => CurationPumps.jsdLeg(
+                group = driftGroup))
+              case "ksmatrix" => Some(CurationPumps.ksMatrixLeg(
+                s"$stateRoot/ksmatrix", score = col(c.driftCol),
+                group = col(c.overlapGroupCol)))
+              case "jsd" => Some(CurationPumps.jsdLeg(
                 s"$stateRoot/jsd", group = col(c.overlapGroupCol),
-                text = col(c.textCol))
-              case "embedding" => CurationPumps.embeddingDriftLeg(
+                text = col(c.textCol)))
+              // vocab is a second FACE of the jsd leg's token census:
+              // when jsd also runs, the census is already folded —
+              // vocab adds a report, not a second fold per batch
+              case "vocab" if c.pumps.contains("jsd") => None
+              case "vocab" => Some(CurationPumps.vocabLeg(
+                s"$stateRoot/jsd", group = col(c.overlapGroupCol),
+                text = col(c.textCol)))
+              case "embedding" => Some(CurationPumps.embeddingDriftLeg(
                 s"$stateRoot/embedding", groupCol = c.overlapGroupCol,
-                vecCol = c.embeddingCol)
+                vecCol = c.embeddingCol))
             }
             CurationPumps.startMonitorPump(tableStream(t),
               s"${c.dstDir}/_ckpt_monitor_$t", legs,
-              processingTime = cadence).awaitTermination()
+              processingTime = cadence,
+              vacuumEvery = vacEvery, vacuumKeep = c.vacuumKeep)
+              .awaitTermination()
             c.pumps.map { leg =>
               val stateDir = s"$stateRoot/$leg"
               val report = leg match {
@@ -1094,7 +1129,11 @@ object GraftApp {
                   CurationPumps.agreementReport(spark, stateDir)
                 case "score" => CurationPumps.scoreAuc(spark, stateDir)
                 case "drift" => CurationPumps.driftKs(spark, stateDir)
+                case "ksmatrix" => CurationPumps.ksMatrixReport(spark, stateDir)
                 case "jsd" => CurationPumps.jsdReport(spark, stateDir)
+                // the vocab face reads the jsd leg's token census
+                case "vocab" =>
+                  CurationPumps.vocabCoverageReport(spark, s"$stateRoot/jsd")
                 case "embedding" =>
                   CurationPumps.embeddingDriftReport(spark, stateDir)
               }
@@ -1159,7 +1198,7 @@ object GraftApp {
             .option("checkpointLocation", s"${c.dstDir}/_checkpoint")
             .trigger(trigger)
             .foreachBatch {
-              (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              (b: org.apache.spark.sql.DataFrame, bid: Long) =>
                 if (!b.isEmpty) {
                   // cache: the merge and the position-file max would
                   // otherwise each re-run the batch's JDBC range scan
@@ -1178,6 +1217,11 @@ object GraftApp {
                           mx.get(0).asInstanceOf[Number].longValue)
                     }
                   } finally if (c.positionFile.isDefined) batch.unpersist()
+                  // resident live pumps retire dead state versions on
+                  // the batch cadence (the StreamingCdc.start hygiene)
+                  val ve = vacuumCadence(c)
+                  if (ve > 0 && bid > 0 && bid % ve == 0)
+                    StreamingCdc.vacuum(spark, stateDir, c.vacuumKeep)
                 }
             }
             .start()
@@ -1200,7 +1244,8 @@ object GraftApp {
           StreamingCdc.startDebezium(raw, stateRoot,
             s"${c.dstDir}/_checkpoint", c.db, schemas, c.pk,
             processingTime = if (stayUp(c)) Some(c.nicePause) else None,
-            pkFor = c.pkFor)
+            pkFor = c.pkFor,
+            vacuumEvery = vacuumCadence(c), vacuumKeep = c.vacuumKeep)
             .awaitTermination()
         } finally spark.streams.removeListener(tput)
         Some(stateRoot)
@@ -1220,7 +1265,8 @@ object GraftApp {
           val q = StreamingCdc.start(stream, stateDir,
             s"${c.dstDir}/_checkpoint", c.pk, c.orderCols,
             // --src-wait OFF → drain and exit; ON → stay up on a cadence
-            processingTime = if (stayUp(c)) Some(c.nicePause) else None)
+            processingTime = if (stayUp(c)) Some(c.nicePause) else None,
+            vacuumEvery = vacuumCadence(c), vacuumKeep = c.vacuumKeep)
           q.awaitTermination()
         } finally spark.streams.removeListener(tput)
         Some(stateDir)
@@ -1251,7 +1297,8 @@ object GraftApp {
     "vec-id-col", "embedding-col", "overlap-group-col",
     "agreement-gold", "agreement-pred", "contamination-pump",
     "score-col", "score-label", "score-positive",
-    "drift-col", "drift-group-val", "pumps", "probe-dir")
+    "drift-col", "drift-group-val", "pumps", "probe-dir",
+    "vacuum-every", "vacuum-keep")
   private val KnownFlags = Set("create-table-sql",
     "create-table-sql-template", "create-table-json-template",
     "dst-create-table", "migrate-table",
@@ -1505,7 +1552,18 @@ object GraftApp {
       driftCol = kv.getOrElse("drift-col", "n_chars"),
       driftGroupVal = kv.getOrElse("drift-group-val", "src0"),
       pumps = list("pumps"),
-      probeDir = kv.get("probe-dir"))
+      probeDir = kv.get("probe-dir"),
+      vacuumEvery = kv.get("vacuum-every").map { v =>
+        val n = longOpt("vacuum-every")(v).toInt
+        require(n >= 0, s"--vacuum-every=$v: expected >= 0 (0 = off)")
+        n
+      },
+      vacuumKeep = kv.get("vacuum-keep").map { v =>
+        val n = longOpt("vacuum-keep")(v).toInt
+        require(n >= 1, s"--vacuum-keep=$v: expected >= 1 (the live " +
+          "version is always retained)")
+        n
+      }.getOrElse(4))
   }
 
   private val AnnRecallVariants = Set("int8", "ivf", "pq", "lsh")

@@ -57,6 +57,16 @@ object PrefixSum {
   def withRunningTotals(df: DataFrame, order: Seq[Column],
       values: Seq[(Column, String)]): DataFrame = {
     require(values.nonEmpty, "withRunningTotals needs at least one value")
+    // duplicate output names would silently overwrite each other in
+    // the foldLeft (withColumn replaces), dropping a running total
+    // with no error; the scratch names would be clobbered likewise
+    val outs = values.map(_._2)
+    require(outs.distinct.size == outs.size,
+      s"withRunningTotals output columns must be distinct: $outs")
+    val reserved = "__pid" +: values.indices.map(i => s"__run$i")
+    require(outs.forall(o => !reserved.contains(o)),
+      s"withRunningTotals output columns collide with scratch " +
+        s"columns ${reserved.mkString(", ")}: $outs")
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val vs = values.map { case (v, out) => v.cast("long") -> out }

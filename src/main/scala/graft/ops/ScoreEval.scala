@@ -562,6 +562,157 @@ object ScoreEval {
           .otherwise(lit(0.0)).as("logloss_nats"))
   }
 
+  /** The sum-to-1000 guard shared by the multiclass faces: a claimed
+    * distribution that does not total exactly 1000 milli-units is
+    * unnormalized and every derived number would be meaningless —
+    * refused loudly (quantize with largest-remainder upstream, the
+    * [[logLossMulti]] contract).
+    */
+  private def checkedDistribution(confMilliByClass: Column): Column = {
+    val total = aggregate(map_values(confMilliByClass), lit(0L),
+      (acc, v) => acc + v.cast("long"))
+    when(total === 1000L, confMilliByClass)
+      .otherwise(raise_error(concat(
+        lit("ScoreEval: multiclass confMilli must sum to exactly 1000 " +
+          "(largest-remainder quantize upstream), got sum="),
+        coalesce(total.cast("string"), lit("null")))))
+  }
+
+  /** Per-class reliability diagram + per-class ECE — [[calibration]]
+    * for a labeler that claims a FULL per-class probability vector
+    * (the q118 Naive-Bayes / q188 shape): class k's claimed
+    * milli-probability is graded against the one-vs-rest outcome
+    * `gold == k`, per class, in equal-width confidence bins. The
+    * multiclass mixture-weighting gate: a router can be well
+    * calibrated on its majority class and badly over-confident on a
+    * rare one — the AGGREGATE diagram hides exactly the class whose
+    * weights are most wrong.
+    *
+    * Contract: the map sums to EXACTLY 1000 ([[checkedDistribution]]);
+    * each class claim must lie in [0, 1000] (implied for non-negative
+    * claims — a negative claim raises). Per class, N is the corpus
+    * size (every document makes a claim about every class it lists).
+    *
+    * Determinism: per-(class, bin) gap `|1000·correct_b − Σconf_b|`
+    * is one exact DECIMAL(38,0) integer, each class's ECE one
+    * correctly-rounded division (the [[calibration]] convention,
+    * per class).
+    *
+    * Returns one row per non-empty (cls, bin):
+    * `(cls, bin, n, n_correct, conf_sum_milli, acc, conf_mean, ece)`
+    * with the CLASS ece repeated on its rows, ordered by (cls, bin).
+    * Scale shape: one corpus scan exploding the C-class map →
+    * map-side-combined (cls, bin) census (C·bins rows); the per-class
+    * ECE join is census-sized (AQE broadcasts it).
+    */
+  def calibrationByClass(df: DataFrame, confMilliByClass: Column,
+      gold: Column, bins: Int = 10): DataFrame = {
+    require(bins >= 1 && bins <= 1000, s"bins must be in [1,1000]: $bins")
+    val dec = "decimal(38,0)"
+    val base = df.select(gold.as("__gold"),
+      explode(checkedDistribution(confMilliByClass))
+        .as(Seq("cls", "__c")))
+    val c = col("__c").cast("long")
+    val conf = when(c >= 0L && c <= 1000L, c)
+      .otherwise(raise_error(concat(
+        lit("ScoreEval: per-class confMilli must be in [0,1000], got "),
+        coalesce(c.cast("string"), lit("null")))))
+    val bin = least(expr(s"(__conf * $bins) div 1000"), lit(bins - 1L))
+    val cells = base.select(col("cls"), conf.as("__conf"),
+        when(col("__gold") === col("cls"), lit(1L)).otherwise(lit(0L))
+          .as("__ok"))
+      .select(col("cls"), bin.as("bin"), col("__conf"), col("__ok"))
+      .groupBy(col("cls"), col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__ok")).as("n_correct"),
+        sum(col("__conf")).as("conf_sum_milli"))
+      .localCheckpoint() // feeds both the per-class ECE and the rows
+    val eces = cells.groupBy(col("cls"))
+      .agg(sum(col("n")).cast(dec).as("nn"),
+        coalesce(sum(abs(lit(1000L).cast(dec) * col("n_correct").cast(dec) -
+          col("conf_sum_milli").cast(dec))), lit(0L).cast(dec)).as("mass"))
+      .select(col("cls"),
+        when(col("nn") > 0,
+            col("mass").cast("double") /
+              (lit(1000L).cast(dec) * col("nn")).cast("double"))
+          .otherwise(lit(0.0)).as("ece"))
+    cells
+      .select(col("cls"), col("bin"), col("n"), col("n_correct"),
+        col("conf_sum_milli"),
+        (col("n_correct").cast("double") / col("n").cast("double")).as("acc"),
+        (col("conf_sum_milli").cast("double") /
+          (lit(1000L) * col("n")).cast("double")).as("conf_mean"))
+      .join(broadcast(eces), Seq("cls"))
+      .orderBy("cls", "bin")
+  }
+
+  /** Per-class average precision — [[averagePrecision]] for the full
+    * per-class probability vector: class k's claims are the score,
+    * `gold == k` the one-vs-rest label, AP per class. The per-class
+    * companion of [[calibrationByClass]] and the number that exposes
+    * a router whose AGGREGATE ranking looks fine while a rare class's
+    * precision-recall curve has collapsed (rare-class PR is exactly
+    * where ROC-style numbers stay misleadingly high).
+    *
+    * Determinism: the [[averagePrecision]] discipline per class —
+    * per-threshold precision rounded ONCE to exact integer
+    * micro-units, AP numerator one DECIMAL(38,0) mass, one division
+    * per class.
+    *
+    * Scale shape: one corpus scan exploding the C-class map →
+    * map-side-combined (cls, s) census. The cumulative window is
+    * partitioned BY CLASS over that census — census-sized input
+    * (≤ C·1001 rows by the milli-unit quantization), so the
+    * single-partition-window trap (corpus-sized frames) does not
+    * apply; no per-class partition can exceed 1001 rows.
+    *
+    * Returns one row per class: `(cls, n_pos, n_neg, ap)`, ordered
+    * by cls.
+    */
+  def averagePrecisionByClass(df: DataFrame, confMilliByClass: Column,
+      gold: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.select(gold.as("__gold"),
+      explode(checkedDistribution(confMilliByClass))
+        .as(Seq("cls", "__c")))
+    val c = col("__c").cast("long")
+    val conf = when(c >= 0L && c <= 1000L, c)
+      .otherwise(raise_error(concat(
+        lit("ScoreEval: per-class confMilli must be in [0,1000], got "),
+        coalesce(c.cast("string"), lit("null")))))
+    val census = base.select(col("cls"), conf.as("s"),
+        when(col("__gold") === col("cls"), lit(1L)).otherwise(lit(0L))
+          .as("y"))
+      .groupBy(col("cls"), col("s"))
+      .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cls").orderBy("s")
+    val cum = census
+      .withColumn("cum_pos", sum(col("pos")).over(w))
+      .withColumn("cum_neg", sum(col("neg")).over(w))
+    val globals = census.groupBy(col("cls"))
+      .agg(coalesce(sum(col("pos")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("neg")), lit(0L)).as("n_neg"))
+    cum.join(broadcast(globals), Seq("cls"))
+      .withColumn("p_ge", col("n_pos") - (col("cum_pos") - col("pos")))
+      .withColumn("n_ge", col("p_ge") +
+        (col("n_neg") - (col("cum_neg") - col("neg"))))
+      .withColumn("prec_micro", expr(
+        "(CAST(2000000 AS DECIMAL(38,0)) * CAST(p_ge AS DECIMAL(38,0)) +" +
+          " CAST(n_ge AS DECIMAL(38,0))) div" +
+          " (CAST(2 AS DECIMAL(38,0)) * CAST(n_ge AS DECIMAL(38,0)))"))
+      .groupBy(col("cls"))
+      .agg(max(col("n_pos")).as("n_pos"), max(col("n_neg")).as("n_neg"),
+        coalesce(sum(col("pos").cast(dec) * col("prec_micro").cast(dec)),
+          lit(0L).cast(dec)).as("mass"))
+      .select(col("cls"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0,
+            col("mass").cast("double") /
+              (lit(1000000L).cast(dec) * col("n_pos").cast(dec))
+                .cast("double"))
+          .otherwise(lit(0.0)).as("ap"))
+      .orderBy("cls")
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic between the score
     * distributions of two populations — the sup-norm CDF gap
     * `D = max_s |F_a(s) − F_b(s)|`: the distribution-DRIFT view of a
@@ -641,5 +792,101 @@ object ScoreEval {
               (col("n_a").cast(dec) * col("n_b").cast(dec)).cast("double"))
           .otherwise(lit(0.0)).as("d"),
         (-col("best.neg_s")).as("d_at"))
+  }
+
+  /** The per-group score census `(grp, s, c)` behind [[ksMatrix]] —
+    * package-private so the monitor's drift-matrix leg can fold
+    * per-batch censuses into durable state (counts are additive, so
+    * drain == batch). NULL scores are EXCLUDED ([[scoreCensus]]
+    * contract); a NULL group raises — population membership is never
+    * a missing measurement.
+    */
+  private[graft] def groupScoreCensus(df: DataFrame, score: Column,
+      group: Column): DataFrame = {
+    val g = when(group.isNotNull, group)
+      .otherwise(raise_error(
+        lit("ScoreEval: group must not be null — population " +
+          "membership is never a missing measurement")))
+    df.select(g.as("grp"), score.cast("long").as("s"))
+      .filter(col("s").isNotNull)
+      .groupBy(col("grp"), col("s")).agg(count(lit(1)).as("c"))
+  }
+
+  /** Every-source-vs-rest KS drift matrix: where [[ksTest]] grades
+    * ONE nominated slice against the rest (`--drift-report`'s
+    * two-population census), this grades EVERY source against the
+    * rest of the corpus from ONE (group, score) census — the monitor
+    * stance: a drift gauge should not need to be told in advance
+    * which source will drift.
+    *
+    * Per group g: `D_g = max_s |F_g(s) − F_rest(s)|` with F_rest the
+    * CDF of everything NOT in g. Determinism: on the common
+    * denominator `n_g·(N − n_g)` the gap at s is the exact
+    * DECIMAL(38,0) integer
+    *
+    *   mass_g(s) = |cumG(s)·(N − n_g) − (cumT(s) − cumG(s))·n_g|
+    *
+    * so the sup is an integer max (ties toward the smallest s, the
+    * [[ksFromCensus]] convention) and `d` ONE correctly-rounded
+    * division per group. A single-group corpus reports d = 0.0 with
+    * n_rest = 0.
+    *
+    * Scale shape: ONE corpus scan to the (grp, s) census; the sup's
+    * jump points are the union of ALL groups' scores, so the census
+    * expands onto the full group×score grid — grid-sized, NOT
+    * corpus-sized, bounded by quantization × source count and
+    * REFUSED loudly past 2^22 cells (the kendallTauB precedent:
+    * quantize coarser or bucket sources first). Cumulatives ride a
+    * window partitioned by group over the grid — grid-sized input,
+    * so the single-partition-window trap (corpus-sized frames) does
+    * not apply. Returns one row per group:
+    * `(grp, n_g, n_rest, d, d_at)`, ordered by grp.
+    */
+  def ksMatrix(df: DataFrame, score: Column, group: Column): DataFrame =
+    ksMatrixFromCells(groupScoreCensus(df, score, group))
+
+  /** [[ksMatrix]] over a pre-built `(grp, s, c)` census — the face
+    * the monitor's drift-matrix leg feeds from durable state (per-
+    * group score counts are additive and commutative, so the drained
+    * matrix equals the batch scan's). Same masses, same integer sup,
+    * one code path.
+    */
+  def ksMatrixFromCells(census: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = census.localCheckpoint() // feeds grid, totals, and guard
+    val grps = cells.groupBy(col("grp")).agg(sum(col("c")).as("n_g"))
+    val tots = cells.groupBy(col("s")).agg(sum(col("c")).as("t"))
+    val nGrps = grps.count()
+    val nScores = tots.count()
+    require(nGrps * nScores <= (1L << 22),
+      s"ksMatrix: $nGrps groups x $nScores score values exceed the " +
+        s"grid bound (${1L << 22}) — quantize the score coarser or " +
+        "bucket the sources first")
+    val n = cells.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+    // full grid: a group missing a score still steps there (the sup
+    // ranges over every census jump point)
+    val grid = tots.crossJoin(broadcast(grps))
+      .join(cells, Seq("grp", "s"), "left")
+      .na.fill(0L, Seq("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("s")
+    grid
+      .withColumn("cum_g", sum(col("c")).over(w))
+      .withColumn("cum_t", sum(col("t")).over(w))
+      .withColumn("mass",
+        abs(col("cum_g").cast(dec) * (lit(n) - col("n_g")).cast(dec) -
+          (col("cum_t") - col("cum_g")).cast(dec) * col("n_g").cast(dec)))
+      .groupBy(col("grp"))
+      .agg(max(col("n_g")).as("n_g"),
+        max(struct(col("mass"), (-col("s")).as("neg_s"))).as("best"))
+      .select(col("grp"), col("n_g"),
+        (lit(n) - col("n_g")).as("n_rest"),
+        when(col("n_g") > 0 && lit(n) - col("n_g") > 0,
+            col("best.mass").cast("double") /
+              (col("n_g").cast(dec) * (lit(n) - col("n_g")).cast(dec))
+                .cast("double"))
+          .otherwise(lit(0.0)).as("d"),
+        (-col("best.neg_s")).as("d_at"))
+      .orderBy("grp")
   }
 }

@@ -839,9 +839,27 @@ object IngestQueries {
 
   private val monitorRoots = scala.collection.mutable.Map[String, String]()
 
+  /** The memo key is the source dir PLUS a content fingerprint of its
+    * documents table (file listing with sizes and mtimes): if the
+    * fixture under `dir` changes between invocations, the monitor is
+    * re-drained instead of grading stale state against a
+    * freshly-computed oracle.
+    */
+  private def docsFingerprint(dir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val root = new java.io.File(graft.Tables.path(dir, "documents"))
+    val sig = walk(root)
+      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}")
+      .mkString("\n")
+    java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sig))
+  }
+
   private def monitorStateRoot(spark: SparkSession, dir: String): String =
     monitorRoots.synchronized {
-      monitorRoots.getOrElseUpdate(dir, {
+      monitorRoots.getOrElseUpdate(s"$dir@${docsFingerprint(dir)}", {
         import graft.streaming.CurationPumps
         val full = Tables.load(spark, dir, "documents")
         val root = tmpDir("graft_monitor")
@@ -883,7 +901,9 @@ object IngestQueries {
             group = when(col("source") === "src0", lit(1L))
               .otherwise(lit(0L))),
           CurationPumps.jsdLeg(s"$root/state/jsd",
-            group = col("source"), text = col("text")))
+            group = col("source"), text = col("text")),
+          CurationPumps.ksMatrixLeg(s"$root/state/ksmatrix",
+            score = col("n_chars"), group = col("source")))
         CurationPumps.startMonitorPump(stream, s"$root/ckpt", legs)
           .awaitTermination()
         root
@@ -936,6 +956,30 @@ object IngestQueries {
   def monitorJsd(spark: SparkSession, dir: String): DataFrame = {
     val root = monitorStateRoot(spark, dir)
     graft.streaming.CurationPumps.jsdReport(spark, s"$root/state/jsd")
+  }
+
+  /** q192: the monitor's every-source-vs-rest KS drift-matrix leg —
+    * the (grp, s) census is additive, so the durable state a
+    * resident monitor maintains must yield a bit-identical matrix
+    * (q189's oracle verbatim). Where q184 needed src0 nominated in
+    * advance, this leg grades every source.
+    */
+  def monitorKsMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val root = monitorStateRoot(spark, dir)
+    graft.streaming.CurationPumps.ksMatrixReport(spark,
+      s"$root/state/ksmatrix")
+  }
+
+  /** q193: vocabulary coverage as a second FACE of the monitor's
+    * token-JSD state — the (grp, tok, c) census the JSD leg already
+    * maintains is exactly vocabCoverage's input, so the saturation
+    * report costs a resident deployment NO new leg and no new state
+    * (q175's oracle verbatim).
+    */
+  def monitorVocab(spark: SparkSession, dir: String): DataFrame = {
+    val root = monitorStateRoot(spark, dir)
+    graft.streaming.CurationPumps.vocabCoverageReport(spark,
+      s"$root/state/jsd")
   }
 
   /** q186: the resident face of q177 — per-(grp, dim) component sums

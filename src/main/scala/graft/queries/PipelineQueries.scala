@@ -1669,4 +1669,60 @@ object PipelineQueries {
     val gold = concat(lit("c"), pmod(col("n_chars"), lit(3L)).cast("string"))
     graft.ops.ScoreEval.logLossMulti(docs, conf, gold)
   }
+
+  /** q189: the every-source-vs-rest KS drift matrix on document
+    * length — q173 graded ONE nominated slice (src0) against the
+    * rest; this grades EVERY source from one (source, n_chars)
+    * census. The monitor-stance drift gauge: nobody has to guess in
+    * advance which crawl slice moved.
+    */
+  def sourceLengthKsMatrix(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ScoreEval.ksMatrix(Tables.load(spark, dir, "documents"),
+      col("n_chars"), col("source"))
+
+  /** q190: per-class reliability + per-class ECE of the q188
+    * 3-class confidence vector against its synthetic gold — the
+    * multiclass mixture-weighting gate: the router's aggregate
+    * diagram (q167) hides a rare class whose claims are the most
+    * dishonest; per-class bins expose it.
+    */
+  def multiclassCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val p0 = lit(1L) + pmod(col("doc_id") * 7, lit(500L))
+    val p1 = lit(1L) + pmod(col("doc_id") * 13, lit(400L))
+    val p2 = lit(1000L) - p0 - p1
+    val conf = map(lit("c0"), p0, lit("c1"), p1, lit("c2"), p2)
+    val gold = concat(lit("c"), pmod(col("n_chars"), lit(3L)).cast("string"))
+    graft.ops.ScoreEval.calibrationByClass(docs, conf, gold, bins = 10)
+  }
+
+  /** q191: per-class average precision of the same vector — the
+    * rare-class PR view that q170's single binary AP cannot give: a
+    * router whose aggregate ranking looks fine while one class's
+    * precision-recall curve has collapsed reads low exactly here.
+    */
+  def multiclassAp(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val p0 = lit(1L) + pmod(col("doc_id") * 7, lit(500L))
+    val p1 = lit(1L) + pmod(col("doc_id") * 13, lit(400L))
+    val p2 = lit(1000L) - p0 - p1
+    val conf = map(lit("c0"), p0, lit("c1"), p1, lit("c2"), p2)
+    val gold = concat(lit("c"), pmod(col("n_chars"), lit(3L)).cast("string"))
+    graft.ops.ScoreEval.averagePrecisionByClass(docs, conf, gold)
+  }
+
+  /** q194: the NULL-score exclusion contract pinned AGAINST THE
+    * ORACLE — every 7th document's marker score is nulled, and the
+    * AUC must grade exactly the remaining rows (scoreCensus excludes
+    * null scores; a null carries no rank information, and keeping it
+    * would put the census CDF at the mercy of the engine's null sort
+    * order — Spark NULLS FIRST vs DuckDB NULLS LAST).
+    */
+  def nullScoreAuc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val score = when(col("doc_id") % 7 === 0, lit(null).cast("long"))
+      .otherwise(markerHits)
+    graft.ops.ScoreEval.rocAuc(docs, score,
+      when(col("lang") === "en", lit(1L)).otherwise(lit(0L)))
+  }
 }

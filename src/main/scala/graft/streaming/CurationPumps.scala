@@ -53,6 +53,17 @@ object CurationPumps {
     processingTime.map(Trigger.ProcessingTime(_))
       .getOrElse(Trigger.AvailableNow())
 
+  /** Retire old state versions every `every` batches (skipping batch
+    * 0 — nothing to retire yet). A RESIDENT copy-on-write pump
+    * without vacuum accumulates dead bucket copies without bound;
+    * `keep` is the readable-history retention (must exceed the
+    * longest concurrent reader, the table-format vacuum rule).
+    */
+  private def vacuumIfDue(spark: SparkSession, stateDir: String,
+      bid: Long, every: Int, keep: Int): Unit =
+    if (every > 0 && bid > 0 && bid % every == 0)
+      BucketStateStore.vacuum(spark, stateDir, keep)
+
   /** Fold one document batch into the seen-shingle min-dictionary.
     * The batch pre-aggregates to one row per distinct shingle
     * (map-side combine), then the store merge takes `min(first_doc)`
@@ -86,13 +97,16 @@ object CurationPumps {
       checkpointDir: String, k: Int = 3, idCol: String = "doc_id",
       textCol: String = "text",
       numBuckets: Int = BucketStateStore.DefaultNumBuckets,
-      processingTime: Option[String] = None): StreamingQuery =
+      processingTime: Option[String] = None,
+      vacuumEvery: Int = 0, vacuumKeep: Int = 4): StreamingQuery =
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(triggerOf(processingTime))
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         mergeNoveltyBatch(batch, stateDir, k, idCol, textCol,
           numBuckets, Some(bid))
+        vacuumIfDue(batch.sparkSession, stateDir, bid, vacuumEvery,
+          vacuumKeep)
       }
       .start()
 
@@ -154,7 +168,8 @@ object CurationPumps {
       stateDir: String, checkpointDir: String, k: Int = 3,
       idCol: String = "doc_id", textCol: String = "text",
       numBuckets: Int = BucketStateStore.DefaultNumBuckets,
-      processingTime: Option[String] = None): StreamingQuery = {
+      processingTime: Option[String] = None,
+      vacuumEvery: Int = 0, vacuumKeep: Int = 4): StreamingQuery = {
     val probeShingles = Dedup.shingleRows(probes, k, idCol, textCol)
       .select("shingle").distinct().localCheckpoint()
     docsStream.writeStream
@@ -163,6 +178,8 @@ object CurationPumps {
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         mergeContaminationBatch(batch, probeShingles, stateDir, k,
           idCol, textCol, numBuckets, Some(bid))
+        vacuumIfDue(batch.sparkSession, stateDir, bid, vacuumEvery,
+          vacuumKeep)
       }
       .start()
   }
@@ -221,13 +238,16 @@ object CurationPumps {
       checkpointDir: String, gold: org.apache.spark.sql.Column,
       pred: org.apache.spark.sql.Column,
       numBuckets: Int = BucketStateStore.DefaultNumBuckets,
-      processingTime: Option[String] = None): StreamingQuery =
+      processingTime: Option[String] = None,
+      vacuumEvery: Int = 0, vacuumKeep: Int = 4): StreamingQuery =
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(triggerOf(processingTime))
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         mergeAgreementBatch(batch, gold, pred, stateDir, numBuckets,
           Some(bid))
+        vacuumIfDue(batch.sparkSession, stateDir, bid, vacuumEvery,
+          vacuumKeep)
       }
       .start()
 
@@ -290,13 +310,16 @@ object CurationPumps {
       checkpointDir: String, score: org.apache.spark.sql.Column,
       label: org.apache.spark.sql.Column,
       numBuckets: Int = BucketStateStore.DefaultNumBuckets,
-      processingTime: Option[String] = None): StreamingQuery =
+      processingTime: Option[String] = None,
+      vacuumEvery: Int = 0, vacuumKeep: Int = 4): StreamingQuery =
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(triggerOf(processingTime))
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         mergeScoreBatch(batch, score, label, stateDir, numBuckets,
           Some(bid))
+        vacuumIfDue(batch.sparkSession, stateDir, bid, vacuumEvery,
+          vacuumKeep)
       }
       .start()
 
@@ -354,13 +377,16 @@ object CurationPumps {
       checkpointDir: String, score: org.apache.spark.sql.Column,
       group: org.apache.spark.sql.Column,
       numBuckets: Int = BucketStateStore.DefaultNumBuckets,
-      processingTime: Option[String] = None): StreamingQuery =
+      processingTime: Option[String] = None,
+      vacuumEvery: Int = 0, vacuumKeep: Int = 4): StreamingQuery =
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(triggerOf(processingTime))
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         mergeDriftBatch(batch, score, group, stateDir, numBuckets,
           Some(bid))
+        vacuumIfDue(batch.sparkSession, stateDir, bid, vacuumEvery,
+          vacuumKeep)
       }
       .start()
 
@@ -443,6 +469,53 @@ object CurationPumps {
   def jsdReport(spark: SparkSession, stateDir: String): DataFrame =
     graft.text.Divergence.jsdFromCells(jsdCells(spark, stateDir))
 
+  /** Fallback schema for a never-merged drift-matrix store. */
+  val KsMatrixSchema: StructType = StructType(Seq(
+    StructField("grp", StringType, nullable = true),
+    StructField("s", LongType, nullable = true),
+    StructField("c", LongType, nullable = true)))
+
+  /** Fold one batch's (grp, s, c) per-group score census into the
+    * store — additive, commutative (drain == batch), NOT idempotent:
+    * the batch-id fence is load-bearing (the [[mergeScoreBatch]]
+    * regime).
+    */
+  private[graft] def mergeKsMatrixBatch(batch: DataFrame,
+      score: org.apache.spark.sql.Column,
+      group: org.apache.spark.sql.Column,
+      stateDir: String, numBuckets: Int, batchId: Option[Long]): Unit = {
+    val cells = graft.ops.ScoreEval.groupScoreCensus(batch, score, group)
+    BucketStateStore.merge(cells, stateDir, Seq("grp", "s"),
+      cells.limit(0), numBuckets, batchId) { (state, b) =>
+      state.unionByName(b)
+        .groupBy(col("grp"), col("s"))
+        .agg(sum(col("c")).as("c"))
+    }
+  }
+
+  /** The persisted (grp, s, c) census, as
+    * [[graft.ops.ScoreEval.ksMatrixFromCells]] input. */
+  def ksMatrixCells(spark: SparkSession, stateDir: String): DataFrame =
+    stateInferred(spark, stateDir, KsMatrixSchema)
+
+  /** Every-source-vs-rest KS matrix derived from the PERSISTED
+    * census — row-identical to batch [[graft.ops.ScoreEval.ksMatrix]]
+    * over the drained corpus (additive per-group score counts, one
+    * code path through ksMatrixFromCells). The monitor-stance drift
+    * gauge: no source nominated in advance.
+    */
+  def ksMatrixReport(spark: SparkSession, stateDir: String): DataFrame =
+    graft.ops.ScoreEval.ksMatrixFromCells(ksMatrixCells(spark, stateDir))
+
+  /** Vocabulary-coverage (Good–Turing / Chao1) derived from the
+    * PERSISTED token census the JSD leg maintains — the same
+    * (grp, tok, c) state serves BOTH reports (one leg, two faces):
+    * row-identical to batch [[graft.text.Vocab.vocabCoverage]] over
+    * the drained corpus.
+    */
+  def vocabCoverageReport(spark: SparkSession, stateDir: String): DataFrame =
+    graft.text.Vocab.vocabCoverageFromCells(jsdCells(spark, stateDir))
+
   /** Fold one embedding batch's (grp, pos, s, cnt) component-sum
     * census into the store — additive, commutative (drain == batch),
     * NOT idempotent: the batch-id fence is load-bearing.
@@ -488,8 +561,8 @@ object CurationPumps {
     * monitor, used for diagnostics), the leg's OWN state dir (per-leg
     * fence + the vacuum target), and the per-batch fold. The fold
     * receives the micro-batch ALREADY materialized (the monitor
-    * localCheckpoints it once for all legs) and the streaming batch
-    * id for the per-leg fence.
+    * persists it once for all legs) and the streaming batch id for
+    * the per-leg fence.
     */
   final case class MonitorLeg(name: String, stateDir: String,
       merge: (DataFrame, Option[Long]) => Unit)
@@ -538,6 +611,24 @@ object CurationPumps {
     MonitorLeg("jsd", stateDir, (b, bid) =>
       mergeJsdBatch(b, group, text, stateDir, numBuckets, bid))
 
+  def ksMatrixLeg(stateDir: String, score: org.apache.spark.sql.Column,
+      group: org.apache.spark.sql.Column,
+      numBuckets: Int = BucketStateStore.DefaultNumBuckets): MonitorLeg =
+    MonitorLeg("ksmatrix", stateDir, (b, bid) =>
+      mergeKsMatrixBatch(b, score, group, stateDir, numBuckets, bid))
+
+  /** The vocab-coverage leg maintains the SAME (grp, tok, c) census
+    * as [[jsdLeg]] (vocabCoverage is a second face of that state) —
+    * use this only when the jsd leg is NOT also enabled on the same
+    * state dir, or the second fold per batch is wasted work (the
+    * fence makes it a no-op, not a double count).
+    */
+  def vocabLeg(stateDir: String, group: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column,
+      numBuckets: Int = BucketStateStore.DefaultNumBuckets): MonitorLeg =
+    MonitorLeg("vocab", stateDir, (b, bid) =>
+      mergeJsdBatch(b, group, text, stateDir, numBuckets, bid))
+
   def embeddingDriftLeg(stateDir: String, groupCol: String = "label",
       vecCol: String = "embedding",
       numBuckets: Int = BucketStateStore.DefaultNumBuckets): MonitorLeg =
@@ -547,9 +638,10 @@ object CurationPumps {
 
   /** Start the unified monitor: ONE reader over `docsStream`, one
     * checkpoint, one foreachBatch that materializes each arriving
-    * micro-batch ONCE (localCheckpoint — every leg's merge runs
-    * several actions, and unmaterialized each would re-read the
-    * arriving files) and folds it through every leg in order.
+    * micro-batch ONCE (persist — every leg's merge runs several
+    * actions, and unmaterialized each would re-read the arriving
+    * files), folds it through every leg in order, and releases the
+    * pin in a finally.
     *
     * Exactly-once per leg under crash replay: each leg keeps its OWN
     * BucketStateStore (own state dir, own batch-id fence). A crash
@@ -579,13 +671,20 @@ object CurationPumps {
       .option("checkpointLocation", checkpointDir)
       .trigger(triggerOf(processingTime))
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        // ONE materialization of the arriving files feeds every leg
-        val pinned = batch.localCheckpoint()
-        legs.foreach(_.merge(pinned, Some(bid)))
-        if (vacuumEvery > 0 && bid > 0 && bid % vacuumEvery == 0)
-          legs.foreach(l =>
-            BucketStateStore.vacuum(batch.sparkSession, l.stateDir,
-              vacuumKeep))
+        // ONE materialization of the arriving files feeds every leg —
+        // persist, NOT localCheckpoint: unpersist() on a checkpointed
+        // frame is a cache-manager no-op (the blocks belong to the
+        // checkpoint RDD), so a resident monitor would leave one
+        // pinned RDD in the block manager per micro-batch until GC
+        // happened to reclaim it. persist shares the one scan across
+        // legs and the finally releases it deterministically (the
+        // StreamingCdc.startDebezium discipline).
+        val pinned = batch.persist()
+        try {
+          legs.foreach(_.merge(pinned, Some(bid)))
+          legs.foreach(l => vacuumIfDue(batch.sparkSession, l.stateDir,
+            bid, vacuumEvery, vacuumKeep))
+        } finally pinned.unpersist()
       }
       .start()
   }

@@ -172,16 +172,24 @@ object StreamingCdc {
       routingCols: Seq[String] = Seq("db", "table"),
       processingTime: Option[String] = None,
       numBuckets: Int = DefaultNumBuckets,
-      pkFor: Map[String, Seq[String]] = Map.empty): StreamingQuery = {
+      pkFor: Map[String, Seq[String]] = Map.empty,
+      vacuumEvery: Int = 0, vacuumKeep: Int = 4): StreamingQuery = {
     val trigger = processingTime
       .map(Trigger.ProcessingTime(_))
       .getOrElse(Trigger.AvailableNow())
     feed.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
         mergeMultiplexed(batch, stateRoot, pk, orderCols, routingCols,
           numBuckets, pkFor)
+        // vacuum every per-table belt that exists under the root —
+        // including tables absent from THIS batch (their dead
+        // versions age regardless of arrival skew)
+        if (vacuumEvery > 0 && bid > 0 && bid % vacuumEvery == 0)
+          Option(new java.io.File(stateRoot).listFiles())
+            .toSeq.flatten.filter(_.isDirectory)
+            .foreach(d => vacuum(batch.sparkSession, d.getPath, vacuumKeep))
       }
       .start()
   }
@@ -245,7 +253,8 @@ object StreamingCdc {
       pk: Seq[String],
       processingTime: Option[String] = None,
       numBuckets: Int = DefaultNumBuckets,
-      pkFor: Map[String, Seq[String]] = Map.empty): StreamingQuery = {
+      pkFor: Map[String, Seq[String]] = Map.empty,
+      vacuumEvery: Int = 0, vacuumKeep: Int = 4): StreamingQuery = {
     import graft.cdc.DebeziumAdapter
     val trigger = processingTime
       .map(Trigger.ProcessingTime(_))
@@ -253,7 +262,7 @@ object StreamingCdc {
     raw.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
         val b = batch.persist()
         try {
           // routing columns are schema-independent — one pass with any
@@ -285,6 +294,15 @@ object StreamingCdc {
               mergeIntoState(slice, s"$stateRoot/${db}__$table", tpk,
                 DebeziumAdapter.orderCols, numBuckets)
           }
+          // all subscribed belts are vacuumed on the cadence — a
+          // table absent from recent batches still holds dead
+          // versions from earlier ones
+          if (vacuumEvery > 0 && bid > 0 && bid % vacuumEvery == 0)
+            tableSchemas.keys.foreach { table =>
+              val dir = s"$stateRoot/${db}__$table"
+              if (new java.io.File(dir).isDirectory)
+                vacuum(batch.sparkSession, dir, vacuumKeep)
+            }
         } finally b.unpersist()
       }
       .start()

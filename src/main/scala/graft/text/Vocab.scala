@@ -116,11 +116,22 @@ object Vocab {
     * coverage, chao1)`, ordered by grp.
     */
   def vocabCoverage(df: DataFrame, by: Column,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    vocabCoverageFromCells(
+      df.select(by.as("grp"),
+          explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+        .groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("c")))
+
+  /** [[vocabCoverage]] over a pre-built `(grp, tok, c)` census — the
+    * SAME census the monitor's token-JSD leg already maintains
+    * durably (Divergence.jsdCensus), so a resident monitor gets the
+    * saturation report as one more FACE of existing state: additive
+    * token counts, drain == batch, no new leg. Same integer counts,
+    * same two finishing divisions, one code path.
+    */
+  def vocabCoverageFromCells(cells: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
-    df.select(by.as("grp"),
-        explode(TextAnalysis.tokens(col(textCol))).as("token"))
-      .groupBy(col("grp"), col("token")).agg(count(lit(1)).as("c"))
+    cells
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("v_types"), sum(col("c")).as("n_tokens"),
         sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n1"),

@@ -501,4 +501,81 @@ class CurationPumpsSpec extends AnyFunSuite {
       .agg(sum(col("a") + col("b"))).collect().head.getLong(0)
     assert(mass == driftDocs.count(), "census mass == documents seen once")
   }
+
+  test("ksmatrix leg: persisted (grp, s) census grades to the batch " +
+    "ksMatrix in any arrival order, and a replayed batch is fenced") {
+    val root = Files.createTempDirectory("graft_ksmpump").toString
+    writeSlices(s"$root/feed", Seq(
+      driftDocs.filter(col("doc_id") % 2 === 1),
+      driftDocs.filter(col("doc_id") % 2 === 0)))
+    CurationPumps.startMonitorPump(driftStream(s"$root/feed"),
+      s"$root/ckpt", Seq(CurationPumps.ksMatrixLeg(s"$root/state",
+        score = col("n_chars"), group = col("source"))))
+      .awaitTermination()
+    val got = CurationPumps.ksMatrixReport(spark, s"$root/state").collect()
+    val want = graft.ops.ScoreEval.ksMatrix(driftDocs, col("n_chars"),
+      col("source")).collect()
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+    // replay of already-folded micro-batch 0: additive counts would
+    // double without the fence
+    CurationPumps.mergeKsMatrixBatch(
+      driftDocs.filter(col("doc_id") % 2 === 1), col("n_chars"),
+      col("source"), s"$root/state",
+      graft.streaming.BucketStateStore.DefaultNumBuckets, Some(0L))
+    val after = CurationPumps.ksMatrixReport(spark, s"$root/state").collect()
+    assert(after.toSeq == got.toSeq,
+      "fenced replay must not inflate the census")
+  }
+
+  test("standalone pumps vacuum dead state versions on the batch " +
+    "cadence without touching the drained answer") {
+    val root = Files.createTempDirectory("graft_pumpvac").toString
+    // 8 files = 8 micro-batches; vacuumEvery=1/keep=1 means the final
+    // vacuum (bid 7, after its merge) retires everything but the
+    // newest version
+    writeSlices(s"$root/feed", (0 to 7).map(i =>
+      agreeDocs.filter(col("doc_id") % 8 === i)))
+    CurationPumps.startScorePump(agreeStream(s"$root/feed"),
+      s"$root/state", s"$root/ckpt", score = markerScore, label = enLabel,
+      vacuumEvery = 1, vacuumKeep = 1)
+      .awaitTermination()
+    val versions = graft.streaming.BucketStateStore
+      .availableVersions(spark, s"$root/state")
+    assert(versions.size == 1,
+      s"keep=1 must leave exactly the live version, kept $versions")
+    assert(CurationPumps.scoreAuc(spark, s"$root/state")
+        .collect().toSeq ==
+      graft.ops.ScoreEval.rocAuc(agreeDocs, markerScore, enLabel)
+        .collect().toSeq,
+      "vacuum must not touch the current census")
+  }
+
+  test("monitor pump releases its per-batch pin — the block manager " +
+    "does not accumulate one persisted RDD per micro-batch") {
+    val root = Files.createTempDirectory("graft_monpin").toString
+    val n = 8
+    writeSlices(s"$root/feed", (0 until n).map(i =>
+      agreeDocs.filter(col("doc_id") % n === i)))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    CurationPumps.startMonitorPump(agreeStream(s"$root/feed"),
+      s"$root/ckpt", Seq(
+        CurationPumps.scoreLeg(s"$root/state/score", markerScore, enLabel),
+        CurationPumps.agreementLeg(s"$root/state/agreement",
+          gold = col("lang"),
+          pred = when(length(col("text")) > 100, lit("en"))
+            .otherwise(lit("de")))))
+      .awaitTermination()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // the leak this pins against left exactly one pinned RDD per
+    // micro-batch (n of them); the shared session tolerates a little
+    // concurrent-suite noise, hence the strict-less-than-n bound
+    assert(after - before < n,
+      s"monitor drain must unpersist its per-batch pin: " +
+        s"persistent RDDs grew $before -> $after over $n batches")
+    assert(CurationPumps.scoreAuc(spark, s"$root/state/score")
+        .collect().toSeq ==
+      graft.ops.ScoreEval.rocAuc(agreeDocs, markerScore, enLabel)
+        .collect().toSeq,
+      "released pin must not change the drained census")
+  }
 }

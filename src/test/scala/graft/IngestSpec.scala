@@ -1426,6 +1426,50 @@ class GraftAppSpec extends AnyFunSuite {
       "restarted pump must land on the full batch answer")
   }
 
+  test("--vacuum-every/--vacuum-keep: resident runs default to a " +
+    "cadence, drains default off, explicit dials win") {
+    def cfg(extra: String*) =
+      GraftApp.parse(Seq("--src-dir=/src") ++ extra)
+    // drain-and-exit: no vacuum unless asked
+    assert(GraftApp.vacuumCadence(cfg()) == 0)
+    // resident (--daemon / --src-wait): default cadence ON
+    assert(GraftApp.vacuumCadence(cfg("--daemon")) == 50)
+    assert(GraftApp.vacuumCadence(cfg("--src-wait")) == 50)
+    // explicit dial wins in both directions
+    assert(GraftApp.vacuumCadence(cfg("--daemon", "--vacuum-every=7")) == 7)
+    assert(GraftApp.vacuumCadence(cfg("--daemon", "--vacuum-every=0")) == 0)
+    assert(GraftApp.vacuumCadence(cfg("--vacuum-every=3")) == 3)
+    assert(cfg("--vacuum-keep=2").vacuumKeep == 2)
+    assert(cfg().vacuumKeep == 4)
+    intercept[IllegalArgumentException](cfg("--vacuum-every=-1"))
+    intercept[IllegalArgumentException](cfg("--vacuum-keep=0"))
+    intercept[IllegalArgumentException](cfg("--vacuum-every=soon"))
+  }
+
+  test("--vacuum-every wires through to a long-run pump: the version " +
+    "count lands at the retention, the answer untouched") {
+    val src = Files.createTempDirectory("graft_appvac_src").toString
+    val dst = Files.createTempDirectory("graft_appvac_dst").toString
+    val docs = graft.Tables.load(spark, dir, "documents")
+    // 8 files = 8 micro-batches of the pump's file stream
+    (0 to 7).foreach(i => docs.filter(col("doc_id") % 8 === i).coalesce(1)
+      .write.mode("append").parquet(s"$src/documents.parquet"))
+    val r = GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$src",
+      s"--dst-dir=$dst", "--src-tables=documents", "--score-pump",
+      "--vacuum-every=1", "--vacuum-keep=1")))
+    assert(r.curations.map(_.mode) == Seq("score-pump"))
+    val versions = graft.streaming.BucketStateStore
+      .availableVersions(spark, s"$dst/documents_score_state")
+    assert(versions.size == 1,
+      s"--vacuum-keep=1 must leave exactly the live version, kept $versions")
+    val score = size(filter(graft.text.TextAnalysis.tokens(col("text")),
+      t => t === "the" || t === "a"))
+    val label = when(col("lang") === "en", lit(1L)).otherwise(lit(0L))
+    assert(spark.read.parquet(s"$dst/documents_score_pump.parquet")
+        .collect().toSeq ==
+      graft.ops.ScoreEval.rocAuc(docs, score, label).collect().toSeq)
+  }
+
   test("contamination-pump and agreement-pump modes equal their batch " +
     "library calls through the CLI surface") {
     val dst = Files.createTempDirectory("graft_apppumps").toString
@@ -1625,6 +1669,41 @@ class GraftAppSpec extends AnyFunSuite {
     assert(java.nio.file.Files.list(
         java.nio.file.Paths.get(s"$dst/documents_monitor_state"))
       .count() == 6)
+  }
+
+  test("--pumps=ksmatrix,jsd,vocab: the drift-matrix leg and the vocab " +
+    "FACE of the jsd census equal their batch twins; vocab adds no " +
+    "second fold") {
+    val dst = Files.createTempDirectory("graft_appmonitor2").toString
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val r = GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$dir",
+      s"--dst-dir=$dst", "--src-tables=documents",
+      "--pumps=ksmatrix,jsd,vocab", "--drift-col=n_chars",
+      "--overlap-group-col=source")))
+    assert(r.curations.map(_.mode) == Seq("monitor-ksmatrix",
+      "monitor-jsd", "monitor-vocab"))
+    assert(spark.read.parquet(s"$dst/documents_monitor_ksmatrix.parquet")
+        .orderBy("grp").collect().toSeq ==
+      graft.ops.ScoreEval.ksMatrix(docs, col("n_chars"), col("source"))
+        .collect().toSeq)
+    assert(spark.read.parquet(s"$dst/documents_monitor_vocab.parquet")
+        .orderBy("grp").collect().toSeq ==
+      graft.text.Vocab.vocabCoverage(docs, col("source"))
+        .collect().toSeq)
+    // vocab shares the jsd leg's state: two state dirs, not three
+    assert(java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$dst/documents_monitor_state"))
+      .count() == 2)
+    // and vocab ALONE still folds the census itself
+    val dst2 = Files.createTempDirectory("graft_appmonitor3").toString
+    val r2 = GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$dir",
+      s"--dst-dir=$dst2", "--src-tables=documents", "--pumps=vocab",
+      "--overlap-group-col=source")))
+    assert(r2.curations.map(_.mode) == Seq("monitor-vocab"))
+    assert(spark.read.parquet(s"$dst2/documents_monitor_vocab.parquet")
+        .orderBy("grp").collect().toSeq ==
+      graft.text.Vocab.vocabCoverage(docs, col("source"))
+        .collect().toSeq)
   }
 
   test("--pumps monitor: embedding leg over an embeddings table") {
