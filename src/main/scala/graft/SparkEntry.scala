@@ -269,6 +269,7 @@ object SparkEntry {
     "q192_monitor_ks_matrix" -> IngestQueries.monitorKsMatrix _,
     "q193_monitor_vocab"    -> IngestQueries.monitorVocab _,
     "q194_null_score_auc"   -> PipelineQueries.nullScoreAuc _,
+    "q195_class_roc_auc"    -> PipelineQueries.multiclassAuc _,
   )
 
   /** q153's oracle, shared verbatim by q162 (the streaming drain of
@@ -3832,6 +3833,35 @@ object SparkEntry {
         |            CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE)
         |       ELSE 0.0 END AS auc
         |FROM g""".stripMargin,
+    // q195: per-class ROC-AUC of the q188 vector — the q165
+    // Mann–Whitney mass per class, PARTITION BY cls cumulatives over
+    // the (cls, s) census, one division per class
+    "q195_class_roc_auc" ->
+      """WITH d AS (SELECT 1 + (doc_id * 7) % 500 AS p0,
+        |    1 + (doc_id * 13) % 400 AS p1,
+        |    1000 - (1 + (doc_id * 7) % 500) - (1 + (doc_id * 13) % 400) AS p2,
+        |    'c' || CAST(n_chars % 3 AS VARCHAR) AS gold FROM documents),
+        |e AS (
+        |  SELECT 'c0' AS cls, p0 AS s,
+        |    CASE WHEN gold = 'c0' THEN 1 ELSE 0 END AS y FROM d
+        |  UNION ALL SELECT 'c1', p1,
+        |    CASE WHEN gold = 'c1' THEN 1 ELSE 0 END FROM d
+        |  UNION ALL SELECT 'c2', p2,
+        |    CASE WHEN gold = 'c2' THEN 1 ELSE 0 END FROM d),
+        |c AS (SELECT cls, s, SUM(y) AS pos, SUM(1 - y) AS neg
+        |  FROM e GROUP BY 1, 2),
+        |r AS (SELECT cls, s, pos, neg,
+        |    SUM(neg) OVER (PARTITION BY cls ORDER BY s) AS cum_neg FROM c),
+        |g AS (SELECT cls, CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |    CAST(SUM(neg) AS BIGINT) AS n_neg,
+        |    SUM(CAST(pos AS HUGEINT) * (2*(cum_neg - neg) + neg)) AS m2
+        |  FROM r GROUP BY 1)
+        |SELECT cls, n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0
+        |       THEN CAST(m2 AS DOUBLE) /
+        |            CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE)
+        |       ELSE 0.0 END AS auc
+        |FROM g ORDER BY cls""".stripMargin,
   )
 
   /** chrF oracle generator (the mmrOracle/kCoreOracle unrolling

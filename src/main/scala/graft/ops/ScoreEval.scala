@@ -713,6 +713,63 @@ object ScoreEval {
       .orderBy("cls")
   }
 
+  /** Per-class ROC-AUC — [[rocAuc]] for the full per-class
+    * probability vector, completing the multiclass battery
+    * (logLossMulti / calibrationByClass / averagePrecisionByClass):
+    * class k's claims rank the one-vs-rest outcome `gold == k`, exact
+    * Mann–Whitney with midrank ties per class. The macro view a
+    * router audit reads NEXT TO the per-class AP: AUC says "does the
+    * claim rank this class's documents above the rest at all", AP
+    * says what that ranking is worth under the class's imbalance.
+    *
+    * Determinism and scale shape: the [[rocAucFromCensus]] mass per
+    * class — doubled pair mass one exact DECIMAL(38,0) integer, one
+    * correctly-rounded division per class; one corpus scan exploding
+    * the C-class map to a map-side-combined (cls, s) census,
+    * cumulatives in a PARTITION BY cls window over that census
+    * (≤ C·1001 rows by the milli-unit quantization — census-sized,
+    * so the single-partition-window trap does not apply). A class
+    * with a single outcome (no pairs to rank) reports 0.0.
+    *
+    * Returns one row per class: `(cls, n_pos, n_neg, auc)`, ordered
+    * by cls.
+    */
+  def rocAucByClass(df: DataFrame, confMilliByClass: Column,
+      gold: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.select(gold.as("__gold"),
+      explode(checkedDistribution(confMilliByClass))
+        .as(Seq("cls", "__c")))
+    val c = col("__c").cast("long")
+    val conf = when(c >= 0L && c <= 1000L, c)
+      .otherwise(raise_error(concat(
+        lit("ScoreEval: per-class confMilli must be in [0,1000], got "),
+        coalesce(c.cast("string"), lit("null")))))
+    val census = base.select(col("cls"), conf.as("s"),
+        when(col("__gold") === col("cls"), lit(1L)).otherwise(lit(0L))
+          .as("y"))
+      .groupBy(col("cls"), col("s"))
+      .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cls").orderBy("s")
+    census
+      .withColumn("cum_neg", sum(col("neg")).over(w))
+      .groupBy(col("cls"))
+      .agg(
+        coalesce(sum(col("pos")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("neg")), lit(0L)).as("n_neg"),
+        coalesce(sum(col("pos").cast(dec) *
+            (lit(2L) * (col("cum_neg") - col("neg")) + col("neg")).cast(dec)),
+          lit(0L).cast(dec)).as("m2"))
+      .select(col("cls"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+            col("m2").cast("double") /
+              (lit(2L).cast(dec) * col("n_pos").cast(dec) *
+                col("n_neg").cast(dec)).cast("double"))
+          .otherwise(lit(0.0)).as("auc"))
+      .orderBy("cls")
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic between the score
     * distributions of two populations — the sup-norm CDF gap
     * `D = max_s |F_a(s) − F_b(s)|`: the distribution-DRIFT view of a

@@ -1711,6 +1711,21 @@ object PipelineQueries {
     graft.ops.ScoreEval.averagePrecisionByClass(docs, conf, gold)
   }
 
+  /** q195: per-class ROC-AUC of the same vector — the ranking face
+    * completing the multiclass battery (q188 loss, q190 calibration,
+    * q191 AP): does each class's claim rank its own documents above
+    * the rest at all, exact Mann–Whitney per class.
+    */
+  def multiclassAuc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val p0 = lit(1L) + pmod(col("doc_id") * 7, lit(500L))
+    val p1 = lit(1L) + pmod(col("doc_id") * 13, lit(400L))
+    val p2 = lit(1000L) - p0 - p1
+    val conf = map(lit("c0"), p0, lit("c1"), p1, lit("c2"), p2)
+    val gold = concat(lit("c"), pmod(col("n_chars"), lit(3L)).cast("string"))
+    graft.ops.ScoreEval.rocAucByClass(docs, conf, gold)
+  }
+
   /** q194: the NULL-score exclusion contract pinned AGAINST THE
     * ORACLE — every 7th document's marker score is nulled, and the
     * AUC must grade exactly the remaining rows (scoreCensus excludes

@@ -112,6 +112,30 @@ class NewOps15Spec extends AnyFunSuite {
     assert(math.abs(b.getAs[Double]("ap") - 0.5) < 1e-15)
   }
 
+  test("rocAucByClass: hand-computed per-class Mann–Whitney; claim " +
+    "ties midrank to 0.5") {
+    val got = ScoreEval.rocAucByClass(mcFixture, col("conf"), col("gold"))
+      .collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("A", "B"))
+    // class A: positives 900,600,200 vs negative 300 -> 2 of 3 pairs
+    // concordant; class B: positive 700 vs negatives 100,400,800 ->
+    // 2 of 3
+    got.foreach { r =>
+      assert(math.abs(r.getAs[Double]("auc") - 2.0 / 3.0) < 1e-15,
+        r.toString)
+    }
+    assert(got(0).getAs[Long]("n_pos") == 3 && got(0).getAs[Long]("n_neg") == 1)
+    assert(got(1).getAs[Long]("n_pos") == 1 && got(1).getAs[Long]("n_neg") == 3)
+    // both documents claim 500 for A, one is gold-A: a full tie
+    // midranks to exactly 0.5
+    val tied = Seq(("A", 500L), ("B", 500L)).toDF("gold", "a_conf")
+      .select(col("gold"),
+        map(lit("A"), col("a_conf"), lit("B"), lit(1000L) - col("a_conf"))
+          .as("conf"))
+    val t = ScoreEval.rocAucByClass(tied, col("conf"), col("gold")).collect()
+    t.foreach(r => assert(r.getAs[Double]("auc") == 0.5, r.toString))
+  }
+
   test("multiclass guards: unnormalized claim and out-of-range class " +
     "claim raise instead of grading garbage") {
     val bad = Seq(("A", 700L)).toDF("gold", "c")
@@ -185,6 +209,19 @@ class NewOps15Spec extends AnyFunSuite {
       ScoreEval.ksMatrix(nullGrp, col("s"), col("grp")).collect()
     }
     assert(e.getMessage.contains("population membership"), e.getMessage)
+  }
+
+  test("ksMatrix plan: the group x score grid is a BROADCAST nested " +
+    "loop over census-sized frames — no CartesianProduct, no " +
+    "corpus-sized pair join") {
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L))
+      .toDF("grp", "s")
+    val out = ScoreEval.ksMatrix(df, col("s"), col("grp"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "grid expansion must broadcast the group totals, not cartesian")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the census x groups grid rides a broadcast nested loop")
   }
 
   // --- vocab coverage from the JSD census ----------------------------------
