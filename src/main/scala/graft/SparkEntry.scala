@@ -35,7 +35,8 @@ object SparkEntry {
     "q180_monitor_novelty", "q181_monitor_contamination",
     "q182_monitor_agreement", "q183_monitor_score", "q184_monitor_drift",
     "q185_monitor_jsd", "q186_stream_embedding_drift",
-    "q192_monitor_ks_matrix", "q193_monitor_vocab")
+    "q192_monitor_ks_matrix", "q193_monitor_vocab",
+    "q197_monitor_class_auc")
 
   /** The per-round bench tier: the data-touching shapes whose
     * isolated timing measures QUERY work. Selection rule (from the
@@ -270,6 +271,9 @@ object SparkEntry {
     "q193_monitor_vocab"    -> IngestQueries.monitorVocab _,
     "q194_null_score_auc"   -> PipelineQueries.nullScoreAuc _,
     "q195_class_roc_auc"    -> PipelineQueries.multiclassAuc _,
+    "q196_class_operating_points" -> PipelineQueries.classOperatingPoints _,
+    "q197_monitor_class_auc" -> IngestQueries.monitorClassAuc _,
+    "q198_quantize_milli"   -> PipelineQueries.quantizeMilliCensus _,
   )
 
   /** q153's oracle, shared verbatim by q162 (the streaming drain of
@@ -3836,33 +3840,110 @@ object SparkEntry {
     // q195: per-class ROC-AUC of the q188 vector — the q165
     // Mann–Whitney mass per class, PARTITION BY cls cumulatives over
     // the (cls, s) census, one division per class
-    "q195_class_roc_auc" ->
-      """WITH d AS (SELECT 1 + (doc_id * 7) % 500 AS p0,
-        |    1 + (doc_id * 13) % 400 AS p1,
-        |    1000 - (1 + (doc_id * 7) % 500) - (1 + (doc_id * 13) % 400) AS p2,
-        |    'c' || CAST(n_chars % 3 AS VARCHAR) AS gold FROM documents),
-        |e AS (
-        |  SELECT 'c0' AS cls, p0 AS s,
-        |    CASE WHEN gold = 'c0' THEN 1 ELSE 0 END AS y FROM d
-        |  UNION ALL SELECT 'c1', p1,
-        |    CASE WHEN gold = 'c1' THEN 1 ELSE 0 END FROM d
-        |  UNION ALL SELECT 'c2', p2,
-        |    CASE WHEN gold = 'c2' THEN 1 ELSE 0 END FROM d),
-        |c AS (SELECT cls, s, SUM(y) AS pos, SUM(1 - y) AS neg
-        |  FROM e GROUP BY 1, 2),
+    "q195_class_roc_auc" -> ClassAucSql,
+    // q197: the monitor's multiclass router-audit leg drained over
+    // the same corpus — q195's oracle VERBATIM (drain == batch: the
+    // (cls, s, pos, neg) census is additive)
+    "q197_monitor_class_auc" -> ClassAucSql,
+    // q196: per-class operating-point table of the q188 vector — the
+    // q166 confusion/rate columns one-vs-rest per class, exact
+    // integer counts off PARTITION BY cls census cumulatives
+    "q196_class_operating_points" ->
+      (Mc3CensusSql +
+      """,
         |r AS (SELECT cls, s, pos, neg,
+        |    SUM(pos) OVER (PARTITION BY cls ORDER BY s) AS cum_pos,
         |    SUM(neg) OVER (PARTITION BY cls ORDER BY s) AS cum_neg FROM c),
-        |g AS (SELECT cls, CAST(SUM(pos) AS BIGINT) AS n_pos,
-        |    CAST(SUM(neg) AS BIGINT) AS n_neg,
-        |    SUM(CAST(pos AS HUGEINT) * (2*(cum_neg - neg) + neg)) AS m2
-        |  FROM r GROUP BY 1)
-        |SELECT cls, n_pos, n_neg,
-        |  CASE WHEN n_pos > 0 AND n_neg > 0
-        |       THEN CAST(m2 AS DOUBLE) /
-        |            CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE)
-        |       ELSE 0.0 END AS auc
-        |FROM g ORDER BY cls""".stripMargin,
+        |g AS (SELECT cls, SUM(pos) AS n_pos, SUM(neg) AS n_neg
+        |  FROM c GROUP BY 1),
+        |t AS (SELECT r.cls, s AS thr,
+        |    n_pos - (cum_pos - pos) AS tp,
+        |    n_neg - (cum_neg - neg) AS fp,
+        |    cum_pos - pos AS fn, cum_neg - neg AS tn,
+        |    n_pos, n_neg
+        |  FROM r JOIN g ON r.cls = g.cls)
+        |SELECT cls, CAST(thr AS BIGINT) AS thr, CAST(tp AS BIGINT) AS tp,
+        |  CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+        |  CAST(tn AS BIGINT) AS tn,
+        |  CASE WHEN n_pos > 0
+        |       THEN CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE)
+        |       ELSE 0.0 END AS tpr,
+        |  CASE WHEN n_neg > 0
+        |       THEN CAST(fp AS DOUBLE) / CAST(n_neg AS DOUBLE)
+        |       ELSE 0.0 END AS fpr,
+        |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS prec,
+        |  CASE WHEN tp + fn > 0
+        |       THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+        |       ELSE 0.0 END AS rec,
+        |  CASE WHEN 2*tp + fp + fn > 0
+        |       THEN CAST(2*tp AS DOUBLE) / CAST(2*tp + fp + fn AS DOUBLE)
+        |       ELSE 0.0 END AS f1
+        |FROM t ORDER BY cls, thr""".stripMargin),
+    // q198: the largest-remainder milli-quantizer — float ops
+    // mirrored op-for-op (normalize by the left-associated total,
+    // ×1000, floor, remainder rank DESC with ties toward the
+    // smallest class key), then the (cls, milli) census
+    "q198_quantize_milli" ->
+      """WITH d AS (SELECT doc_id,
+        |    (1 + (doc_id * 7) % 499) / 1237.0 AS p0,
+        |    (1 + (doc_id * 13) % 401) / 1237.0 AS p1,
+        |    (1 + (doc_id * 29) % 307) / 1237.0 AS p2 FROM documents),
+        |s AS (SELECT doc_id, p0, p1, p2, (p0 + p1) + p2 AS t FROM d),
+        |e AS (
+        |  SELECT doc_id, 'c0' AS cls, p0 * 1000.0 / t AS x FROM s
+        |  UNION ALL SELECT doc_id, 'c1', p1 * 1000.0 / t FROM s
+        |  UNION ALL SELECT doc_id, 'c2', p2 * 1000.0 / t FROM s),
+        |f AS (SELECT doc_id, cls, CAST(FLOOR(x) AS BIGINT) AS fl,
+        |    x - FLOOR(x) AS rem FROM e),
+        |rk AS (SELECT doc_id, cls, fl,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY rem DESC, cls ASC) AS r FROM f),
+        |def AS (SELECT doc_id, 1000 - SUM(fl) AS d FROM f GROUP BY 1),
+        |m AS (SELECT rk.doc_id, cls,
+        |    fl + CASE WHEN rk.r <= def.d THEN 1 ELSE 0 END AS milli
+        |  FROM rk JOIN def ON rk.doc_id = def.doc_id)
+        |SELECT cls, milli, COUNT(*) AS n FROM m
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
+
+  /** The q188 synthetic 3-class vector's (cls, s, pos, neg) census —
+    * the CTE prefix shared by the multiclass battery's SQL oracles.
+    */
+  private val Mc3CensusSql: String =
+    """WITH d AS (SELECT 1 + (doc_id * 7) % 500 AS p0,
+      |    1 + (doc_id * 13) % 400 AS p1,
+      |    1000 - (1 + (doc_id * 7) % 500) - (1 + (doc_id * 13) % 400) AS p2,
+      |    'c' || CAST(n_chars % 3 AS VARCHAR) AS gold FROM documents),
+      |e AS (
+      |  SELECT 'c0' AS cls, p0 AS s,
+      |    CASE WHEN gold = 'c0' THEN 1 ELSE 0 END AS y FROM d
+      |  UNION ALL SELECT 'c1', p1,
+      |    CASE WHEN gold = 'c1' THEN 1 ELSE 0 END FROM d
+      |  UNION ALL SELECT 'c2', p2,
+      |    CASE WHEN gold = 'c2' THEN 1 ELSE 0 END FROM d),
+      |c AS (SELECT cls, s, SUM(y) AS pos, SUM(1 - y) AS neg
+      |  FROM e GROUP BY 1, 2)""".stripMargin
+
+  /** q195's oracle (per-class ROC-AUC), shared verbatim by q197 (the
+    * monitor's classes leg: the (cls, s, pos, neg) census is
+    * additive, so the drained per-class AUC must equal the batch
+    * scan's bit-for-bit).
+    */
+  private val ClassAucSql: String =
+    (Mc3CensusSql +
+    """,
+      |r AS (SELECT cls, s, pos, neg,
+      |    SUM(neg) OVER (PARTITION BY cls ORDER BY s) AS cum_neg FROM c),
+      |g AS (SELECT cls, CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |    CAST(SUM(neg) AS BIGINT) AS n_neg,
+      |    SUM(CAST(pos AS HUGEINT) * (2*(cum_neg - neg) + neg)) AS m2
+      |  FROM r GROUP BY 1)
+      |SELECT cls, n_pos, n_neg,
+      |  CASE WHEN n_pos > 0 AND n_neg > 0
+      |       THEN CAST(m2 AS DOUBLE) /
+      |            CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE)
+      |       ELSE 0.0 END AS auc
+      |FROM g ORDER BY cls""".stripMargin)
 
   /** chrF oracle generator (the mmrOracle/kCoreOracle unrolling
     * technique): one CTE trio per character-n-gram order — candidate

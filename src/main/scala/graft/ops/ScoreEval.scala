@@ -669,8 +669,20 @@ object ScoreEval {
     * by cls.
     */
   def averagePrecisionByClass(df: DataFrame, confMilliByClass: Column,
-      gold: Column): DataFrame = {
-    val dec = "decimal(38,0)"
+      gold: Column): DataFrame =
+    averagePrecisionByClassFromCells(
+      classScoreCensus(df, confMilliByClass, gold))
+
+  /** The per-class score census `(cls, s, pos, neg)` behind the
+    * multiclass battery's ranking faces — one corpus scan exploding
+    * the C-class map (sum-to-1000 checked, each claim in [0,1000]) to
+    * a map-side-combined census, ≤ C·1001 rows by the milli-unit
+    * quantization. Package-private so the monitor's classes leg can
+    * fold per-batch censuses into durable state (pos/neg counts are
+    * additive, so drain == batch).
+    */
+  private[graft] def classScoreCensus(df: DataFrame,
+      confMilliByClass: Column, gold: Column): DataFrame = {
     val base = df.select(gold.as("__gold"),
       explode(checkedDistribution(confMilliByClass))
         .as(Seq("cls", "__c")))
@@ -679,11 +691,23 @@ object ScoreEval {
       .otherwise(raise_error(concat(
         lit("ScoreEval: per-class confMilli must be in [0,1000], got "),
         coalesce(c.cast("string"), lit("null")))))
-    val census = base.select(col("cls"), conf.as("s"),
+    base.select(col("cls"), conf.as("s"),
         when(col("__gold") === col("cls"), lit(1L)).otherwise(lit(0L))
           .as("y"))
       .groupBy(col("cls"), col("s"))
       .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
+  }
+
+  /** [[averagePrecisionByClass]] over a pre-built `(cls, s, pos, neg)`
+    * census — the monitor's durable-state face; same masses, one code
+    * path. The census feeds BOTH the cumulative window and the
+    * per-class globals, so it is localCheckpointed once here (the
+    * calibrationByClass / ksMatrixFromCells multi-consumer
+    * convention) instead of running the upstream scan twice.
+    */
+  def averagePrecisionByClassFromCells(censusIn: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val census = censusIn.localCheckpoint() // feeds cum AND globals
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cls").orderBy("s")
     val cum = census
@@ -735,21 +759,16 @@ object ScoreEval {
     * by cls.
     */
   def rocAucByClass(df: DataFrame, confMilliByClass: Column,
-      gold: Column): DataFrame = {
+      gold: Column): DataFrame =
+    rocAucByClassFromCells(classScoreCensus(df, confMilliByClass, gold))
+
+  /** [[rocAucByClass]] over a pre-built `(cls, s, pos, neg)` census —
+    * the monitor's durable-state face; same per-class Mann–Whitney
+    * mass, one code path. Single-consumer (the census feeds only the
+    * cumulative-then-aggregate chain), so no checkpoint.
+    */
+  def rocAucByClassFromCells(census: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
-    val base = df.select(gold.as("__gold"),
-      explode(checkedDistribution(confMilliByClass))
-        .as(Seq("cls", "__c")))
-    val c = col("__c").cast("long")
-    val conf = when(c >= 0L && c <= 1000L, c)
-      .otherwise(raise_error(concat(
-        lit("ScoreEval: per-class confMilli must be in [0,1000], got "),
-        coalesce(c.cast("string"), lit("null")))))
-    val census = base.select(col("cls"), conf.as("s"),
-        when(col("__gold") === col("cls"), lit(1L)).otherwise(lit(0L))
-          .as("y"))
-      .groupBy(col("cls"), col("s"))
-      .agg(sum(col("y")).as("pos"), sum(lit(1L) - col("y")).as("neg"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cls").orderBy("s")
     census
@@ -768,6 +787,142 @@ object ScoreEval {
                 col("n_neg").cast(dec)).cast("double"))
           .otherwise(lit(0.0)).as("auc"))
       .orderBy("cls")
+  }
+
+  /** Per-class operating-point table — [[rocCurve]] for the full
+    * per-class probability vector: one row per (class, observed
+    * threshold) grading the rule "route to class k when its claim
+    * ≥ thr" one-vs-rest. The table a ROUTER's cutoffs are picked
+    * from, read beside the per-class single numbers ([[rocAucByClass]]
+    * says the ranking exists, [[averagePrecisionByClass]] what it is
+    * worth under imbalance — this names the threshold that cashes it
+    * in, per class).
+    *
+    * Same determinism as [[rocCurve]] per class: confusion counts are
+    * exact integers off the census cumulatives; each rate is one
+    * correctly-rounded division; `prec` never divides by zero (an
+    * observed threshold predicts at least its own rows positive).
+    *
+    * Scale shape: one corpus scan to the (cls, s) census
+    * ([[classScoreCensus]]), cumulatives in a PARTITION BY cls window
+    * over that census (≤ C·1001 rows — census-sized, the
+    * single-partition-window trap does not apply), per-class globals
+    * broadcast back. Census-sized output. Returns one row per
+    * (cls, thr): `(cls, thr, tp, fp, fn, tn, tpr, fpr, prec, rec,
+    * f1)`, ordered by (cls, thr).
+    */
+  def operatingPointsByClass(df: DataFrame, confMilliByClass: Column,
+      gold: Column): DataFrame =
+    operatingPointsByClassFromCells(
+      classScoreCensus(df, confMilliByClass, gold))
+
+  /** [[operatingPointsByClass]] over a pre-built `(cls, s, pos, neg)`
+    * census — the monitor's durable-state face; same counts, one code
+    * path. The census feeds both the cumulative window and the
+    * per-class globals, so it is localCheckpointed once here.
+    */
+  def operatingPointsByClassFromCells(censusIn: DataFrame): DataFrame = {
+    val census = censusIn.localCheckpoint() // feeds cum AND globals
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cls").orderBy("s")
+    val cum = census
+      .withColumn("cum_pos", sum(col("pos")).over(w))
+      .withColumn("cum_neg", sum(col("neg")).over(w))
+    val globals = census.groupBy(col("cls"))
+      .agg(coalesce(sum(col("pos")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("neg")), lit(0L)).as("n_neg"))
+    cum.join(broadcast(globals), Seq("cls"))
+      .select(col("cls"), col("s").as("thr"),
+        (col("n_pos") - (col("cum_pos") - col("pos"))).as("tp"),
+        (col("n_neg") - (col("cum_neg") - col("neg"))).as("fp"),
+        (col("cum_pos") - col("pos")).as("fn"),
+        (col("cum_neg") - col("neg")).as("tn"),
+        col("n_pos"), col("n_neg"))
+      .select(col("cls"), col("thr"), col("tp"), col("fp"), col("fn"),
+        col("tn"),
+        when(col("n_pos") > 0,
+            col("tp").cast("double") / col("n_pos").cast("double"))
+          .otherwise(lit(0.0)).as("tpr"),
+        when(col("n_neg") > 0,
+            col("fp").cast("double") / col("n_neg").cast("double"))
+          .otherwise(lit(0.0)).as("fpr"),
+        (col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .as("prec"),
+        when(col("tp") + col("fn") > 0,
+            col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+          .otherwise(lit(0.0)).as("rec"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+            (lit(2L) * col("tp")).cast("double") /
+              (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"))
+          .otherwise(lit(0.0)).as("f1"))
+      .orderBy("cls", "thr")
+  }
+
+  /** Largest-remainder quantization of a probability map to integer
+    * milli-units summing to EXACTLY 1000 — the documented upstream
+    * step of every multiclass face's sum-to-1000 contract
+    * ([[checkedDistribution]]), provided here so a CLI or pipeline
+    * holding raw double probabilities has one blessed way in.
+    *
+    * Per row: claims are normalized by their own sum (a vector that
+    * sums to 0.97 is still a shape claim), floored to milli-units,
+    * and the leftover `1000 − Σfloor` milli-units go to the classes
+    * with the largest remainders — ties broken toward the
+    * lexicographically SMALLEST class key (deterministic; the
+    * ksFromCensus smallest-s tie convention). Refuse-don't-clip: a
+    * negative, null, or NaN claim raises, as does a non-positive
+    * total — a quantizer that silently repairs a broken distribution
+    * would hide exactly the router bug the battery exists to catch.
+    *
+    * Pure per-row expression (map_entries / transform / array_sort —
+    * codegen-friendly, no UDF, no shuffle). Returns a
+    * `map<string,long>` column.
+    */
+  def quantizeMilli(probs: Column): Column = {
+    val checked = transform(map_entries(probs), e =>
+      when(e.getField("value").isNotNull && !isnan(e.getField("value")) &&
+          e.getField("value") >= 0.0, e)
+        .otherwise(raise_error(concat(
+          lit("ScoreEval.quantizeMilli: claims must be non-negative " +
+            "and non-null, got "),
+          coalesce(e.getField("value").cast("string"), lit("null")),
+          lit(" for class "), e.getField("key")))))
+    val total = aggregate(checked, lit(0.0),
+      (acc, e) => acc + e.getField("value").cast("double"))
+    val totalChecked = when(total > 0.0, total)
+      .otherwise(raise_error(concat(
+        lit("ScoreEval.quantizeMilli: claim total must be positive, got "),
+        total.cast("string"))))
+    // (key, floor, remainder) per class off the normalized claim
+    val scaled = transform(checked, e => struct(
+      e.getField("key").as("key"),
+      floor(e.getField("value").cast("double") * lit(1000.0) /
+        totalChecked).cast("long").as("fl"),
+      (e.getField("value").cast("double") * lit(1000.0) / totalChecked -
+        floor(e.getField("value").cast("double") * lit(1000.0) /
+          totalChecked)).as("rem")))
+    val deficit = lit(1000L) -
+      aggregate(scaled, lit(0L), (acc, s) => acc + s.getField("fl"))
+    // largest remainder first; ties toward the smallest key
+    val ranked = array_sort(scaled, (a, b) =>
+      when(a.getField("rem") > b.getField("rem"), lit(-1))
+        .when(a.getField("rem") < b.getField("rem"), lit(1))
+        .when(a.getField("key") < b.getField("key"), lit(-1))
+        .when(a.getField("key") > b.getField("key"), lit(1))
+        .otherwise(lit(0)))
+    // deficit ∈ [0, C] in exact arithmetic; an adversarial float
+    // total can floor-overshoot to −1, in which case the
+    // smallest-remainder classes (ranked tail) give the unit back
+    val granted = transform(ranked, (s, i) => struct(
+      s.getField("key").as("key"),
+      (s.getField("fl") +
+        when(i < deficit, lit(1L)).otherwise(lit(0L)) -
+        when(i >= size(ranked) + deficit, lit(1L)).otherwise(lit(0L)))
+        .as("milli")))
+    map_from_entries(array_sort(granted, (a, b) =>
+      when(a.getField("key") < b.getField("key"), lit(-1))
+        .when(a.getField("key") > b.getField("key"), lit(1))
+        .otherwise(lit(0))))
   }
 
   /** Two-sample Kolmogorov–Smirnov statistic between the score
@@ -913,13 +1068,20 @@ object ScoreEval {
     val cells = census.localCheckpoint() // feeds grid, totals, and guard
     val grps = cells.groupBy(col("grp")).agg(sum(col("c")).as("n_g"))
     val tots = cells.groupBy(col("s")).agg(sum(col("c")).as("t"))
-    val nGrps = grps.count()
-    val nScores = tots.count()
+    // ONE driver action covers the guard's two cardinalities and the
+    // corpus total (this runs on every monitor-drain report — three
+    // separate count()/head() actions were three jobs over the same
+    // checkpointed census)
+    val hdr = cells.agg(
+      countDistinct(col("grp")).as("n_grps"),
+      countDistinct(col("s")).as("n_scores"),
+      coalesce(sum(col("c")), lit(0L)).as("n")).head()
+    val (nGrps, nScores, n) =
+      (hdr.getLong(0), hdr.getLong(1), hdr.getLong(2))
     require(nGrps * nScores <= (1L << 22),
       s"ksMatrix: $nGrps groups x $nScores score values exceed the " +
         s"grid bound (${1L << 22}) — quantize the score coarser or " +
         "bucket the sources first")
-    val n = cells.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
     // full grid: a group missing a score still steps there (the sup
     // ranges over every census jump point)
     val grid = tots.crossJoin(broadcast(grps))

@@ -903,7 +903,10 @@ object IngestQueries {
           CurationPumps.jsdLeg(s"$root/state/jsd",
             group = col("source"), text = col("text")),
           CurationPumps.ksMatrixLeg(s"$root/state/ksmatrix",
-            score = col("n_chars"), group = col("source")))
+            score = col("n_chars"), group = col("source")),
+          CurationPumps.classesLeg(s"$root/state/classes",
+            confMilliByClass = PipelineQueries.mc3Conf,
+            gold = PipelineQueries.mc3Gold))
         CurationPumps.startMonitorPump(stream, s"$root/ckpt", legs)
           .awaitTermination()
         root
@@ -980,6 +983,19 @@ object IngestQueries {
     val root = monitorStateRoot(spark, dir)
     graft.streaming.CurationPumps.vocabCoverageReport(spark,
       s"$root/state/jsd")
+  }
+
+  /** q197: the monitor's multiclass router-audit leg — the
+    * (cls, s, pos, neg) census of the q188 confidence vector is
+    * additive, so the durable state a resident monitor maintains
+    * must yield bit-identical per-class ROC-AUC (q195's oracle
+    * verbatim). Completes the resident battery: every score-eval
+    * family the batch side grades now has a drained twin.
+    */
+  def monitorClassAuc(spark: SparkSession, dir: String): DataFrame = {
+    val root = monitorStateRoot(spark, dir)
+    graft.streaming.CurationPumps.classAucReport(spark,
+      s"$root/state/classes")
   }
 
   /** q186: the resident face of q177 — per-(grp, dim) component sums

@@ -1662,13 +1662,24 @@ object PipelineQueries {
     */
   def multiclassLogLoss(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
+    graft.ops.ScoreEval.logLossMulti(docs, mc3Conf, mc3Gold)
+  }
+
+  /** The deterministic 3-class confidence vector shared by the whole
+    * multiclass battery (q188/q190/q191/q195/q196 and the monitor's
+    * classes leg): milli-units summing to exactly 1000, keyed off
+    * doc_id — the q118 NB shape without the NB model in the oracle.
+    */
+  private[queries] def mc3Conf: org.apache.spark.sql.Column = {
     val p0 = lit(1L) + pmod(col("doc_id") * 7, lit(500L))
     val p1 = lit(1L) + pmod(col("doc_id") * 13, lit(400L))
     val p2 = lit(1000L) - p0 - p1
-    val conf = map(lit("c0"), p0, lit("c1"), p1, lit("c2"), p2)
-    val gold = concat(lit("c"), pmod(col("n_chars"), lit(3L)).cast("string"))
-    graft.ops.ScoreEval.logLossMulti(docs, conf, gold)
+    map(lit("c0"), p0, lit("c1"), p1, lit("c2"), p2)
   }
+
+  /** The synthetic 3-class gold the battery grades against. */
+  private[queries] def mc3Gold: org.apache.spark.sql.Column =
+    concat(lit("c"), pmod(col("n_chars"), lit(3L)).cast("string"))
 
   /** q189: the every-source-vs-rest KS drift matrix on document
     * length — q173 graded ONE nominated slice (src0) against the
@@ -1688,12 +1699,8 @@ object PipelineQueries {
     */
   def multiclassCalibration(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val p0 = lit(1L) + pmod(col("doc_id") * 7, lit(500L))
-    val p1 = lit(1L) + pmod(col("doc_id") * 13, lit(400L))
-    val p2 = lit(1000L) - p0 - p1
-    val conf = map(lit("c0"), p0, lit("c1"), p1, lit("c2"), p2)
-    val gold = concat(lit("c"), pmod(col("n_chars"), lit(3L)).cast("string"))
-    graft.ops.ScoreEval.calibrationByClass(docs, conf, gold, bins = 10)
+    graft.ops.ScoreEval.calibrationByClass(docs, mc3Conf, mc3Gold,
+      bins = 10)
   }
 
   /** q191: per-class average precision of the same vector — the
@@ -1703,12 +1710,7 @@ object PipelineQueries {
     */
   def multiclassAp(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val p0 = lit(1L) + pmod(col("doc_id") * 7, lit(500L))
-    val p1 = lit(1L) + pmod(col("doc_id") * 13, lit(400L))
-    val p2 = lit(1000L) - p0 - p1
-    val conf = map(lit("c0"), p0, lit("c1"), p1, lit("c2"), p2)
-    val gold = concat(lit("c"), pmod(col("n_chars"), lit(3L)).cast("string"))
-    graft.ops.ScoreEval.averagePrecisionByClass(docs, conf, gold)
+    graft.ops.ScoreEval.averagePrecisionByClass(docs, mc3Conf, mc3Gold)
   }
 
   /** q195: per-class ROC-AUC of the same vector — the ranking face
@@ -1718,12 +1720,40 @@ object PipelineQueries {
     */
   def multiclassAuc(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val p0 = lit(1L) + pmod(col("doc_id") * 7, lit(500L))
-    val p1 = lit(1L) + pmod(col("doc_id") * 13, lit(400L))
-    val p2 = lit(1000L) - p0 - p1
-    val conf = map(lit("c0"), p0, lit("c1"), p1, lit("c2"), p2)
-    val gold = concat(lit("c"), pmod(col("n_chars"), lit(3L)).cast("string"))
-    graft.ops.ScoreEval.rocAucByClass(docs, conf, gold)
+    graft.ops.ScoreEval.rocAucByClass(docs, mc3Conf, mc3Gold)
+  }
+
+  /** q196: the per-class operating-point table of the same vector —
+    * the threshold-picking face the multiclass battery was missing:
+    * q195 says each class's ranking exists, q191 what it is worth
+    * under imbalance; this names, per class, what every candidate
+    * cutoff trades (the q166 table, one-vs-rest per class).
+    */
+  def classOperatingPoints(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    graft.ops.ScoreEval.operatingPointsByClass(docs, mc3Conf, mc3Gold)
+  }
+
+  /** q198: the largest-remainder milli-quantizer pinned against the
+    * oracle — a synthetic UNNORMALIZED double vector (sums to
+    * ~0.73 of itself, deliberately not 1) is quantized to exact
+    * milli-units and censused per (cls, milli). Both engines mirror
+    * the float ops op-for-op (normalize, ×1000, floor, remainder
+    * ranking with ties toward the smallest class key), so the census
+    * must hash-match — the determinism proof for the one blessed way
+    * from raw router probabilities into the sum-to-1000 contract.
+    */
+  def quantizeMilliCensus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val p0 = (lit(1L) + pmod(col("doc_id") * 7, lit(499L))) / lit(1237.0)
+    val p1 = (lit(1L) + pmod(col("doc_id") * 13, lit(401L))) / lit(1237.0)
+    val p2 = (lit(1L) + pmod(col("doc_id") * 29, lit(307L))) / lit(1237.0)
+    val probs = map(lit("c0"), p0, lit("c1"), p1, lit("c2"), p2)
+    docs.select(explode(graft.ops.ScoreEval.quantizeMilli(probs))
+        .as(Seq("cls", "milli")))
+      .groupBy(col("cls"), col("milli"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("cls", "milli")
   }
 
   /** q194: the NULL-score exclusion contract pinned AGAINST THE

@@ -324,6 +324,21 @@ object BucketStateStore {
     * Readers of retained versions are unaffected (same contract as
     * table-format vacuums: retention must exceed the longest reader).
     */
+  /** The subdirectories of `root`, through the store's own FS
+    * abstraction — the discovery step a multi-belt vacuum needs
+    * (every per-table state dir under a root, including tables absent
+    * from the current batch). java.io.File would silently return
+    * nothing on an hdfs:// or s3a:// state root; a missing root is
+    * simply an empty listing (nothing to vacuum yet).
+    */
+  def listStateDirs(spark: SparkSession, root: String): Seq[String] = {
+    val p = new Path(root)
+    val fs = fsFor(spark, p)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .map(_.getPath.toString)
+  }
+
   def vacuum(spark: SparkSession, stateDir: String, keep: Int = 2): Unit = {
     require(keep >= 1, "must keep at least the current version")
     currentVersion(spark, stateDir).foreach { v =>

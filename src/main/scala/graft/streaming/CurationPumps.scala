@@ -516,6 +516,66 @@ object CurationPumps {
   def vocabCoverageReport(spark: SparkSession, stateDir: String): DataFrame =
     graft.text.Vocab.vocabCoverageFromCells(jsdCells(spark, stateDir))
 
+  /** Fallback schema for a never-merged multiclass-census store. */
+  val ClassesSchema: StructType = StructType(Seq(
+    StructField("cls", StringType, nullable = true),
+    StructField("s", LongType, nullable = true),
+    StructField("pos", LongType, nullable = true),
+    StructField("neg", LongType, nullable = true)))
+
+  /** Fold one document batch's (cls, s, pos, neg) per-class score
+    * census into the store — additive, commutative (drain == batch),
+    * NOT idempotent: the batch-id fence is load-bearing (the
+    * [[mergeScoreBatch]] regime). The sum-to-1000 contract is
+    * enforced per batch row by [[graft.ops.ScoreEval.classScoreCensus]]
+    * — a router that de-normalizes mid-stream fails the fold loudly
+    * instead of corrupting the durable census.
+    */
+  private[graft] def mergeClassesBatch(batch: DataFrame,
+      confMilliByClass: org.apache.spark.sql.Column,
+      gold: org.apache.spark.sql.Column,
+      stateDir: String, numBuckets: Int, batchId: Option[Long]): Unit = {
+    val cells = graft.ops.ScoreEval.classScoreCensus(batch,
+      confMilliByClass, gold)
+    BucketStateStore.merge(cells, stateDir, Seq("cls", "s"),
+      cells.limit(0), numBuckets, batchId) { (state, b) =>
+      state.unionByName(b)
+        .groupBy(col("cls"), col("s"))
+        .agg(sum(col("pos")).as("pos"), sum(col("neg")).as("neg"))
+    }
+  }
+
+  /** The persisted (cls, s, pos, neg) census, as input to the
+    * `FromCells` faces of the multiclass battery. */
+  def classesCells(spark: SparkSession, stateDir: String): DataFrame =
+    stateInferred(spark, stateDir, ClassesSchema)
+
+  /** Per-class ROC-AUC derived from the PERSISTED census —
+    * row-identical to batch [[graft.ops.ScoreEval.rocAucByClass]]
+    * over the drained corpus (additive pos/neg counts, one code path
+    * through rocAucByClassFromCells). The router-audit face the
+    * resident monitor reads without rescanning the corpus.
+    */
+  def classAucReport(spark: SparkSession, stateDir: String): DataFrame =
+    graft.ops.ScoreEval.rocAucByClassFromCells(
+      classesCells(spark, stateDir))
+
+  /** Per-class average precision off the SAME persisted census —
+    * a second face of the classes leg's state (one leg, several
+    * reports: the jsd/vocab precedent).
+    */
+  def classApReport(spark: SparkSession, stateDir: String): DataFrame =
+    graft.ops.ScoreEval.averagePrecisionByClassFromCells(
+      classesCells(spark, stateDir))
+
+  /** Per-class operating-point table off the SAME persisted census —
+    * the threshold-picking face
+    * ([[graft.ops.ScoreEval.operatingPointsByClassFromCells]]).
+    */
+  def classPointsReport(spark: SparkSession, stateDir: String): DataFrame =
+    graft.ops.ScoreEval.operatingPointsByClassFromCells(
+      classesCells(spark, stateDir))
+
   /** Fold one embedding batch's (grp, pos, s, cnt) component-sum
     * census into the store — additive, commutative (drain == batch),
     * NOT idempotent: the batch-id fence is load-bearing.
@@ -628,6 +688,19 @@ object CurationPumps {
       numBuckets: Int = BucketStateStore.DefaultNumBuckets): MonitorLeg =
     MonitorLeg("vocab", stateDir, (b, bid) =>
       mergeJsdBatch(b, group, text, stateDir, numBuckets, bid))
+
+  /** The multiclass router-audit leg: folds the (cls, s, pos, neg)
+    * census of a FULL per-class probability vector against gold —
+    * the state behind [[classAucReport]] / [[classApReport]] /
+    * [[classPointsReport]] (one leg, three faces).
+    */
+  def classesLeg(stateDir: String,
+      confMilliByClass: org.apache.spark.sql.Column,
+      gold: org.apache.spark.sql.Column,
+      numBuckets: Int = BucketStateStore.DefaultNumBuckets): MonitorLeg =
+    MonitorLeg("classes", stateDir, (b, bid) =>
+      mergeClassesBatch(b, confMilliByClass, gold, stateDir,
+        numBuckets, bid))
 
   def embeddingDriftLeg(stateDir: String, groupCol: String = "label",
       vecCol: String = "embedding",

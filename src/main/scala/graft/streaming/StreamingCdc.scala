@@ -187,9 +187,8 @@ object StreamingCdc {
         // including tables absent from THIS batch (their dead
         // versions age regardless of arrival skew)
         if (vacuumEvery > 0 && bid > 0 && bid % vacuumEvery == 0)
-          Option(new java.io.File(stateRoot).listFiles())
-            .toSeq.flatten.filter(_.isDirectory)
-            .foreach(d => vacuum(batch.sparkSession, d.getPath, vacuumKeep))
+          BucketStateStore.listStateDirs(batch.sparkSession, stateRoot)
+            .foreach(d => vacuum(batch.sparkSession, d, vacuumKeep))
       }
       .start()
   }
@@ -297,12 +296,18 @@ object StreamingCdc {
           // all subscribed belts are vacuumed on the cadence — a
           // table absent from recent batches still holds dead
           // versions from earlier ones
-          if (vacuumEvery > 0 && bid > 0 && bid % vacuumEvery == 0)
+          if (vacuumEvery > 0 && bid > 0 && bid % vacuumEvery == 0) {
+            // FS-abstracted existence check: a subscribed table that
+            // has not merged yet has no belt dir (and java.io.File
+            // would never see one on hdfs://-style roots anyway)
+            val existing = BucketStateStore
+              .listStateDirs(batch.sparkSession, stateRoot).toSet
             tableSchemas.keys.foreach { table =>
               val dir = s"$stateRoot/${db}__$table"
-              if (new java.io.File(dir).isDirectory)
+              if (existing.exists(_.endsWith(s"/${db}__$table")))
                 vacuum(batch.sparkSession, dir, vacuumKeep)
             }
+          }
         } finally b.unpersist()
       }
       .start()
