@@ -78,12 +78,21 @@ import scala.jdk.CollectionConverters._
   *   SPARK_GRAFT_BENCH_INPROC=1          run everything in THIS JVM
   *                                       (shard mode; coordinator sets it)
   *   SPARK_GRAFT_BENCH_TIMEOUT=secs      per-child timeout (default 1800)
+  *   SPARK_GRAFT_BENCH_PAIR=pathB        interleaved A/B pair sweep:
+  *                                       each query runs twice back to
+  *                                       back (outPath, then pathB) —
+  *                                       the drift-cancelling protocol
+  *                                       for same-tree agreement pairs
+  *                                       (requires BUDGET=0)
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // default under target/ (untracked): a driver or ad-hoc sweep
+    // must not shadow the COMMITTED pair files (BENCH_LOCAL*.json are
+    // written only when a path is passed explicitly)
     val outPath = args.headOption
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
-      .getOrElse("/root/repo/BENCH_LOCAL.json")
+      .getOrElse("target/bench_local.json")
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val tier = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIER", "core")
@@ -96,7 +105,10 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
       .filter(n => only.isDefined || tier == "full" || SparkEntry.benchCore(n))
     if (sys.env.contains("SPARK_GRAFT_BENCH_INPROC")) runShard(names, outPath)
-    else coordinate(names, outPath, tier)
+    else sys.env.get("SPARK_GRAFT_BENCH_PAIR") match {
+      case Some(pathB) => coordinatePair(names, outPath, pathB, tier)
+      case None => coordinate(names, outPath, tier)
+    }
   }
 
   // ---------------------------------------------------------------- shard
@@ -215,17 +227,61 @@ object Bench {
     * ladder — truncating, with the skips RECORDED, only when even
     * grouped children cannot fit.
     */
+  /** One child-JVM launch: the group's queries run fully isolated in
+    * a fresh process (cloned executable/classpath/VM flags), its
+    * record landing at `shardOut`. Returns Some(message) on a
+    * shard-level failure (timeout, JVM death before reporting), None
+    * when a record landed — per-query errors then live IN the record.
+    */
+  private final case class ChildLauncher(java: String, vmArgs: Seq[String],
+      classpath: String, timeoutSecs: Long) {
+    def run(group: Seq[String], shardOut: Path,
+        reps1: Boolean): Option[String] = {
+      val cmd = (Seq(java) ++ vmArgs ++
+        Seq("-cp", classpath, "graft.Bench", shardOut.toString)).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment.put("SPARK_GRAFT_BENCH_INPROC", "1")
+      pb.environment.put("SPARK_GRAFT_BENCH_ONLY", group.mkString(","))
+      // the pair knob must not leak into children: a child with PAIR
+      // set would still take the INPROC branch, but hygiene first
+      pb.environment.remove("SPARK_GRAFT_BENCH_PAIR")
+      if (reps1) {
+        pb.environment.put("SPARK_GRAFT_BENCH_REPS", "1")
+        pb.environment.put("SPARK_GRAFT_BENCH_MAX_REPS", "1")
+      }
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
+      try {
+        val p = pb.start()
+        if (!p.waitFor(timeoutSecs, TimeUnit.SECONDS)) {
+          p.destroyForcibly(); p.waitFor()
+          Some(s"shard timeout after ${timeoutSecs}s")
+        } else if (!Files.exists(shardOut)) {
+          // nonzero exit with a record still present = per-query
+          // errors already recorded in the shard file; only a
+          // missing record means the JVM died before reporting.
+          Some(s"child JVM exited rc=${p.exitValue} with no record")
+        } else None
+      } catch { case e: Exception =>
+        Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+    }
+  }
+
+  private def launcher(): ChildLauncher = ChildLauncher(
+    java = Paths.get(sys.props("java.home"), "bin", "java").toString,
+    vmArgs = childVmArgs(
+      ManagementFactory.getRuntimeMXBean.getInputArguments.asScala.toSeq),
+    classpath = sys.props("java.class.path"),
+    timeoutSecs = sys.env.get("SPARK_GRAFT_BENCH_TIMEOUT").map(_.toLong)
+      .getOrElse(1800L))
+
   private def coordinate(names: Seq[String], outPath: String,
       tier: String): Unit = {
     val groupSize = sys.env.get("SPARK_GRAFT_BENCH_GROUP").map(_.toInt).getOrElse(1)
-    val timeoutSecs = sys.env.get("SPARK_GRAFT_BENCH_TIMEOUT").map(_.toLong).getOrElse(1800L)
     val budget = sys.env.get("SPARK_GRAFT_BENCH_BUDGET").map(_.toDouble)
       .getOrElse(3000.0)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val java = Paths.get(sys.props("java.home"), "bin", "java").toString
-    val classpath = sys.props("java.class.path")
-    val vmArgs = childVmArgs(
-      ManagementFactory.getRuntimeMXBean.getInputArguments.asScala.toSeq)
+    val kids = launcher()
     val shardDir = Files.createTempDirectory("graft-bench-")
 
     val sweepStart = System.nanoTime()
@@ -250,7 +306,11 @@ object Bench {
 
     var i = 0
     while (pending.nonEmpty && level < Levels.size) {
-      if (budget > 0 && childCount > 0) {
+      // the planning prior (avgChild = 30 s before any child lands)
+      // applies BEFORE the first child too: a budget already smaller
+      // than one full-protocol child degrades immediately instead of
+      // discovering the overrun one child late
+      if (budget > 0) {
         val next = planLevel(level, pending.size, elapsed, avgChild, budget)
         if (next != level) System.err.println(
           if (next >= Levels.size)
@@ -269,32 +329,8 @@ object Bench {
         val group = (0 until math.min(take, pending.size))
           .map(_ => pending.dequeue())
         val shardOut = shardDir.resolve(s"shard$i.json")
-        val cmd = (Seq(java) ++ vmArgs ++
-          Seq("-cp", classpath, "graft.Bench", shardOut.toString)).asJava
-        val pb = new ProcessBuilder(cmd)
-        pb.environment.put("SPARK_GRAFT_BENCH_INPROC", "1")
-        pb.environment.put("SPARK_GRAFT_BENCH_ONLY", group.mkString(","))
-        if (level >= 1) {
-          pb.environment.put("SPARK_GRAFT_BENCH_REPS", "1")
-          pb.environment.put("SPARK_GRAFT_BENCH_MAX_REPS", "1")
-        }
-        pb.redirectErrorStream(true)
-        pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
         val t0 = System.nanoTime()
-        val failure: Option[String] =
-          try {
-            val p = pb.start()
-            if (!p.waitFor(timeoutSecs, TimeUnit.SECONDS)) {
-              p.destroyForcibly(); p.waitFor()
-              Some(s"shard timeout after ${timeoutSecs}s")
-            } else if (!Files.exists(shardOut)) {
-              // nonzero exit with a record still present = per-query
-              // errors already recorded in the shard file; only a
-              // missing record means the JVM died before reporting.
-              Some(s"child JVM exited rc=${p.exitValue} with no record")
-            } else None
-          } catch { case e: Exception =>
-            Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+        val failure = kids.run(group, shardOut, reps1 = level >= 1)
         val childSec = (System.nanoTime() - t0) / 1e9
         childCount += 1; childSecs += childSec
         System.err.println(f"[bench] child ${i + 1} (${group.mkString(",")}) " +
@@ -322,7 +358,91 @@ object Bench {
     }
     writeRecord(outPath, results.toSeq, errors.toSeq, sfDir,
       extra = extraJson(pending.toSeq, modeName))
+    // the LAST stdout line is a ≤200-byte summary: the full record
+    // (one ~2 KB line even at 3-decimal precision) can overflow a
+    // tail-capture window — whatever the consumer keeps, a complete
+    // parseable JSON line with the headline number is the final thing
+    // in it (the full per-query detail stays in the record line above
+    // and in the out-file)
+    println(summaryLine(results.toSeq, errors.size, modeName))
     if (errors.nonEmpty) sys.exit(1)
+  }
+
+  /** Interleaved A/B pair sweep (`SPARK_GRAFT_BENCH_PAIR=<pathB>`):
+    * every query runs TWO fully-isolated full-protocol children back
+    * to back — the first recorded into the primary out-path, the
+    * second into `pathB` (A₁B₁A₂B₂…). On a host whose speed drifts
+    * over a multi-hour wall, two SEQUENTIAL sweeps confound code with
+    * window (round 14: four sweep totals moved 23% monotonically and
+    * the committed pair agreed on only 47/69 queries); interleaving
+    * puts each query's two measurements seconds apart, so the window
+    * trend cancels per query instead of accumulating per sweep.
+    * Protocol-only mode: the budget ladder is deliberately not
+    * supported (pair sweeps pin SPARK_GRAFT_BENCH_BUDGET=0 so both
+    * sides stay full-reps3 and comparable); both out-files are
+    * rewritten after every query, so a killed sweep leaves two
+    * parseable partial records.
+    */
+  private def coordinatePair(names: Seq[String], outA: String,
+      outB: String, tier: String): Unit = {
+    val budget = sys.env.get("SPARK_GRAFT_BENCH_BUDGET").map(_.toDouble)
+      .getOrElse(3000.0)
+    require(budget == 0.0, "SPARK_GRAFT_BENCH_PAIR is a protocol sweep: " +
+      "set SPARK_GRAFT_BENCH_BUDGET=0 (the budget ladder would make " +
+      "the two sides incomparable)")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val kids = launcher()
+    val shardDir = Files.createTempDirectory("graft-bench-pair-")
+    final case class Side(out: String, tag: String) {
+      val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      val errors = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    }
+    val sides = Seq(Side(outA, "A"), Side(outB, "B"))
+    var i = 0
+    names.foreach { q =>
+      sides.foreach { side =>
+        val shardOut = shardDir.resolve(s"shard$i.json")
+        val t0 = System.nanoTime()
+        val failure = kids.run(Seq(q), shardOut, reps1 = false)
+        val childSec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] pair-${side.tag} child ${i + 1} " +
+          f"($q) $childSec%.1fs${failure.fold("")(" FAILED: " + _)}")
+        failure match {
+          case Some(msg) =>
+            side.results += q -> -1.0; side.errors += q -> msg
+          case None =>
+            val (qs, errs) = parseRecord(Files.readString(shardOut))
+            side.results += q -> qs.getOrElse(q, -1.0)
+            errs.get(q).orElse(
+              if (qs.contains(q)) None else Some("missing from shard record"))
+              .foreach(side.errors += q -> _)
+        }
+        writeRecord(side.out, side.results.toSeq, side.errors.toSeq, sfDir,
+          extra = s""","tier":"$tier","mode":"pair-${side.tag}"""",
+          print = false)
+        i += 1
+      }
+    }
+    sides.foreach { side =>
+      writeRecord(side.out, side.results.toSeq, side.errors.toSeq, sfDir,
+        extra = s""","tier":"$tier","mode":"pair-${side.tag}"""")
+      println(summaryLine(side.results.toSeq, side.errors.size,
+        s"pair-${side.tag}"))
+    }
+    if (sides.exists(_.errors.nonEmpty)) sys.exit(1)
+  }
+
+  /** The ≤200-byte terminal summary: metric/value/unit keep the
+    * driver's record contract (an empty queries map marks it as the
+    * summary, not the record), total/n/mode/errs are the at-a-glance
+    * fields.
+    */
+  private[graft] def summaryLine(results: Seq[(String, Double)],
+      nErrs: Int, mode: String): String = {
+    val total = fmt3(results.collect { case (_, v) if v >= 0 => v }.sum)
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":{},""" +
+      s""""total":$total,"n":${results.size},"mode":"$mode",""" +
+      s""""errs":$nErrs,"summary":true}"""
   }
 
   private[graft] def median(ts: Seq[Double]): Double =
@@ -369,19 +489,31 @@ object Bench {
     * is suppressed for the per-child interim rewrites (the stdout
     * contract is ONE final JSON line).
     */
+  /** Seconds at millisecond precision — the record's wire format.
+    * Sub-ms digits are noise on this protocol (same-build medians
+    * spread percents, not ppm) and the 9-digit nanosecond tail was
+    * ~40% of a 69-query record line: the driver's tail-capture window
+    * truncated the r14 record mid-line exactly because of that bulk.
+    */
+  private[graft] def fmt3(v: Double): String =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(3, java.math.RoundingMode.HALF_UP).toPlainString
+
   private[graft] def writeRecord(outPath: String, results: Seq[(String, Double)],
                           errors: Seq[(String, String)], sfDir: String,
                           extra: String = "", print: Boolean = true): Unit = {
-    val qs = results.map { case (k, v) => s""""${esc(k)}":$v""" }
+    val qs = results.map { case (k, v) => s""""${esc(k)}":${fmt3(v)}""" }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = fmt3(results.collect { case (_, v) if v >= 0 => v }.sum)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""errors":$errJson,"sf":"$sfDir"$extra}"""
     if (print) println(line)
-    Files.writeString(Paths.get(outPath), line + "\n")
+    val p = Paths.get(outPath)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    Files.writeString(p, line + "\n")
   }
 
   /** Parse a shard record this object wrote. Not a general JSON parser

@@ -118,6 +118,12 @@ object GraftApp {
       scoreLabel: Option[String] = None,    // --score-label=<0/1 col>;
                                             // default: gold==--score-positive
       scorePositive: String = "en",         // --score-positive=<value>
+      scoreClasses: Option[String] = None,  // --score-classes=<map col>:
+                                            // per-class probability map;
+                                            // float maps are quantized to
+                                            // milli-units here (largest
+                                            // remainder), integral maps
+                                            // must already sum to 1000
       scorePump: Boolean = false,           // --score-pump
       vocabReport: Boolean = false,         // --vocab-report
       driftReport: Boolean = false,         // --drift-report
@@ -420,6 +426,8 @@ object GraftApp {
           s"agreement-pump[${c.agreementGold} vs ${c.agreementPred.getOrElse("langid(" + c.textCol + ")")}]: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_agreement_state").mkString(", ")}",
         c.scoreReport ->
           s"score-report[${c.scoreCol.getOrElse("marker_hits(" + c.textCol + ")")} vs ${c.scoreLabel.getOrElse(c.agreementGold + "=" + c.scorePositive)}]: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_roc.parquet + _score_summary.parquet").mkString(", ")}",
+        (c.scoreReport && c.scoreClasses.isDefined) ->
+          s"score-classes[${c.scoreClasses.getOrElse("")} vs ${c.agreementGold}]: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_class_{logloss,calibration,ap,auc,points}.parquet").mkString(", ")}",
         c.scorePump ->
           s"score-pump[${c.scoreCol.getOrElse("marker_hits(" + c.textCol + ")")} vs ${c.scoreLabel.getOrElse(c.agreementGold + "=" + c.scorePositive)}]: ${tables.map(t => s"$t -> ${c.dstDir}/${dstNameFor(t)}_score_state").mkString(", ")}",
         c.vocabReport ->
@@ -827,6 +835,50 @@ object GraftApp {
             obs.get("src_rows").asInstanceOf[Long],
             spark.read.parquet(outCurve).count(), outCurve)
         }
+      // --score-classes (q188/q190/q191/q195/q196 through the CLI
+      // face): the multiclass battery for a labeler that claims a
+      // FULL per-class probability map — log-loss, per-class
+      // reliability/ECE, per-class AP, per-class ROC-AUC, and the
+      // per-class operating-point table, graded against
+      // --agreement-gold. Quantization contract AT THIS BOUNDARY:
+      // a float map is quantized to milli-units summing to exactly
+      // 1000 via largest remainder (ScoreEval.quantizeMilli — ties
+      // toward the smallest class key); an integral map is passed
+      // through and must already satisfy the sum-to-1000 contract
+      // (the faces raise loudly otherwise). The three ranking faces
+      // share ONE corpus scan: the (cls, s) census is built once and
+      // the census-sized FromCells derivations fan out from it.
+      val classRuns =
+        if (!(c.scoreReport && c.scoreClasses.isDefined)) Nil
+        else tables.map { t =>
+          val obs = org.apache.spark.sql.Observation()
+          val docs0 = Migrator.transformed(spark, c.srcDir, t, spec)
+          val conf = classConfCol(docs0.schema, c.scoreClasses.get)
+          val gold = col(c.agreementGold).cast("string")
+          val observed = docs0.observe(obs,
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("src_rows"))
+          val base = s"${c.dstDir}/${dstNameFor(t)}"
+          // the observed plan rides ONLY the logloss write (one
+          // observed plan per metric, the score-report precedent)
+          graft.ops.ScoreEval.logLossMulti(observed, conf, gold)
+            .write.mode("overwrite").parquet(s"${base}_class_logloss.parquet")
+          graft.ops.ScoreEval.calibrationByClass(docs0, conf, gold)
+            .write.mode("overwrite")
+            .parquet(s"${base}_class_calibration.parquet")
+          val census = graft.ops.ScoreEval
+            .classScoreCensus(docs0, conf, gold).localCheckpoint()
+          graft.ops.ScoreEval.averagePrecisionByClassFromCells(census)
+            .write.mode("overwrite").parquet(s"${base}_class_ap.parquet")
+          graft.ops.ScoreEval.rocAucByClassFromCells(census)
+            .write.mode("overwrite").parquet(s"${base}_class_auc.parquet")
+          val outPoints = s"${base}_class_points.parquet"
+          graft.ops.ScoreEval.operatingPointsByClassFromCells(census)
+            .write.mode("overwrite").parquet(outPoints)
+          Curation(t, "score-classes",
+            obs.get("src_rows").asInstanceOf[Long],
+            spark.read.parquet(outPoints).count(), outPoints)
+        }
       // --vocab-report (q175 through the CLI face): per-group
       // vocabulary coverage — Good–Turing seen mass + the Chao1
       // vocabulary lower bound — over --overlap-group-col: the
@@ -872,7 +924,7 @@ object GraftApp {
       scd2Runs ++ pplRuns ++ dedupRuns ++ contaminationRuns ++
         semdedupRuns ++ embedContaminationRuns ++ annRecallRuns ++
         overlapRuns ++ noveltyRuns ++ agreementRuns ++ scoreRuns ++
-        vocabRuns ++ driftRuns
+        classRuns ++ vocabRuns ++ driftRuns
     }
 
     // RESIDENT curation pumps (the q154/q155/q162 production faces on
@@ -1042,7 +1094,8 @@ object GraftApp {
       // root; each leg keeps its own batch-id fence, so a crash
       // between two legs' merges replays safely (CurationPumpsSpec).
       val monitorLegNames = Set("novelty", "contamination", "agreement",
-        "score", "drift", "ksmatrix", "jsd", "vocab", "embedding")
+        "score", "drift", "ksmatrix", "jsd", "vocab", "embedding",
+        "classes")
       val monitorRuns =
         if (c.pumps.isEmpty) Nil
         else {
@@ -1055,6 +1108,9 @@ object GraftApp {
           require(!c.pumps.contains("contamination") || c.probeDir.isDefined,
             "--pumps=contamination needs --probe-dir=<parquet dir of " +
               "probe documents>")
+          require(!c.pumps.contains("classes") || c.scoreClasses.isDefined,
+            "--pumps=classes needs --score-classes=<per-class " +
+              "probability map column>")
           val preds = c.agreementPred
             .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
           require(!c.pumps.contains("agreement") || preds.sizeIs <= 1,
@@ -1111,6 +1167,12 @@ object GraftApp {
               case "embedding" => Some(CurationPumps.embeddingDriftLeg(
                 s"$stateRoot/embedding", groupCol = c.overlapGroupCol,
                 vecCol = c.embeddingCol))
+              case "classes" => Some(CurationPumps.classesLeg(
+                s"$stateRoot/classes",
+                confMilliByClass = classConfCol(
+                  Tables.load(spark, c.srcDir, t).schema,
+                  c.scoreClasses.get),
+                gold = col(c.agreementGold).cast("string")))
             }
             CurationPumps.startMonitorPump(tableStream(t),
               s"${c.dstDir}/_ckpt_monitor_$t", legs,
@@ -1136,6 +1198,11 @@ object GraftApp {
                   CurationPumps.vocabCoverageReport(spark, s"$stateRoot/jsd")
                 case "embedding" =>
                   CurationPumps.embeddingDriftReport(spark, stateDir)
+                // the drained router audit: per-class AUC off the
+                // durable census (AP/operating points are further
+                // faces of the same state, library-reachable)
+                case "classes" =>
+                  CurationPumps.classAucReport(spark, stateDir)
               }
               val out = s"${c.dstDir}/${dstNameFor(t)}_monitor_$leg.parquet"
               report.write.mode("overwrite").parquet(out)
@@ -1296,7 +1363,7 @@ object GraftApp {
     "ann-recall", "ann-k", "ann-queries",
     "vec-id-col", "embedding-col", "overlap-group-col",
     "agreement-gold", "agreement-pred", "contamination-pump",
-    "score-col", "score-label", "score-positive",
+    "score-col", "score-label", "score-positive", "score-classes",
     "drift-col", "drift-group-val", "pumps", "probe-dir",
     "vacuum-every", "vacuum-keep")
   private val KnownFlags = Set("create-table-sql",
@@ -1545,6 +1612,7 @@ object GraftApp {
       scoreCol = kv.get("score-col"),
       scoreLabel = kv.get("score-label"),
       scorePositive = kv.getOrElse("score-positive", "en"),
+      scoreClasses = kv.get("score-classes"),
       scorePump = flags("score-pump"),
       vocabReport = flags("vocab-report"),
       driftReport = flags("drift-report"),
@@ -1567,6 +1635,33 @@ object GraftApp {
   }
 
   private val AnnRecallVariants = Set("int8", "ivf", "pq", "lsh")
+
+  /** The `--score-classes` quantization contract, applied AT the CLI
+    * boundary: a float-valued probability map is quantized to
+    * milli-units summing to exactly 1000 with
+    * [[graft.ops.ScoreEval.quantizeMilli]] (largest remainder, ties
+    * toward the smallest class key); an integral map is passed
+    * through unchanged and must already satisfy the multiclass
+    * faces' sum-to-1000 contract — they raise loudly otherwise.
+    * Anything that is not a map is refused here, before any job runs.
+    */
+  private def classConfCol(schema: org.apache.spark.sql.types.StructType,
+      name: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    require(schema.fieldNames.contains(name),
+      s"--score-classes=$name: no such column (have " +
+        s"${schema.fieldNames.mkString(", ")})")
+    schema(name).dataType match {
+      case MapType(_, DoubleType | FloatType, _) =>
+        graft.ops.ScoreEval.quantizeMilli(
+          org.apache.spark.sql.functions.col(name))
+      case MapType(_, LongType | IntegerType | ShortType | ByteType, _) =>
+        org.apache.spark.sql.functions.col(name).cast("map<string,bigint>")
+      case other => throw new IllegalArgumentException(
+        s"--score-classes=$name: expected a map<string, double|integral> " +
+          s"column, got ${other.simpleString}")
+    }
+  }
 
   private def doubleOpt(name: String)(v: String): Double =
     v.toDoubleOption.getOrElse(throw new IllegalArgumentException(

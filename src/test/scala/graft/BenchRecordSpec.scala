@@ -19,12 +19,38 @@ class BenchRecordSpec extends AnyFunSuite {
     } finally Files.deleteIfExists(f)
   }
 
-  test("clean record roundtrips exactly") {
+  test("clean record roundtrips at the 3-decimal wire precision") {
+    // seconds are written at millisecond precision: the 9-digit
+    // nanosecond tail was ~40% of a 69-query record line and overflowed
+    // the driver's tail-capture window (round-14 parsed=null)
     val (qs, errs) = roundtrip(
       Seq("q01_pricing_summary" -> 1.234567891, "q92_copurchase_rank" -> 5.6),
       Seq.empty)
-    assert(qs === Map("q01_pricing_summary" -> 1.234567891, "q92_copurchase_rank" -> 5.6))
+    assert(qs === Map("q01_pricing_summary" -> 1.235, "q92_copurchase_rank" -> 5.6))
     assert(errs.isEmpty)
+  }
+
+  test("fmt3 rounds half-up and keeps the failure sentinel readable") {
+    assert(Bench.fmt3(1.234567891) === "1.235")
+    assert(Bench.fmt3(0.0005) === "0.001")
+    assert(Bench.fmt3(-1.0) === "-1.000")
+    assert(Bench.fmt3(152.4) === "152.400")
+  }
+
+  test("summary line stays under 200 bytes and carries the headline") {
+    val line = Bench.summaryLine(
+      Seq("q01" -> 1.5, "q02" -> 2.25, "q03" -> -1.0),
+      nErrs = 1, mode = "full-reps3")
+    assert(line.length <= 200, s"summary too long: ${line.length}")
+    assert(line.contains(""""value":3.750"""))
+    assert(line.contains(""""total":3.750"""))
+    assert(line.contains(""""n":3"""))
+    assert(line.contains(""""errs":1"""))
+    assert(line.contains(""""mode":"full-reps3""""))
+    // the summary still satisfies the driver's record-line contract
+    assert(line.startsWith("""{"metric":"total","value":"""))
+    assert(line.contains(""""unit":"sec""""))
+    assert(line.endsWith(""""summary":true}"""))
   }
 
   test("error messages with braces, quotes, and newlines survive the roundtrip") {

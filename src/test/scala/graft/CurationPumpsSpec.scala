@@ -527,6 +527,49 @@ class CurationPumpsSpec extends AnyFunSuite {
       "fenced replay must not inflate the census")
   }
 
+  test("classes leg: drained per-class AUC/AP/operating points equal " +
+    "the batch scans across a crash-restart; replay is fenced") {
+    val root = Files.createTempDirectory("graft_clspump").toString
+    val full = Tables.load(spark, dir, "documents")
+    val p0 = lit(1L) + pmod(col("doc_id") * 7, lit(500L))
+    val p1 = lit(1L) + pmod(col("doc_id") * 13, lit(400L))
+    val conf = map(lit("c0"), p0, lit("c1"), p1,
+      lit("c2"), lit(1000L) - p0 - p1)
+    val gold = concat(lit("c"), pmod(col("n_chars"), lit(3L)).cast("string"))
+    def mkStream = spark.readStream.schema(full.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/feed")
+    def leg = CurationPumps.classesLeg(s"$root/state", conf, gold)
+    // phase 1: odd half only; drain and "crash"
+    writeSlices(s"$root/feed", Seq(full.filter(col("doc_id") % 2 === 1)))
+    CurationPumps.startMonitorPump(mkStream, s"$root/ckpt", Seq(leg))
+      .awaitTermination()
+    // the rest arrives while the pump is down; same checkpoint resumes
+    writeSlices(s"$root/feed", Seq(full.filter(col("doc_id") % 2 === 0)))
+    CurationPumps.startMonitorPump(mkStream, s"$root/ckpt", Seq(leg))
+      .awaitTermination()
+    val got = CurationPumps.classAucReport(spark, s"$root/state").collect()
+    val want = graft.ops.ScoreEval.rocAucByClass(full, conf, gold).collect()
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+    // one leg, three faces: AP and the operating-point table read the
+    // SAME durable census
+    assert(CurationPumps.classApReport(spark, s"$root/state")
+        .collect().toSeq ==
+      graft.ops.ScoreEval.averagePrecisionByClass(full, conf, gold)
+        .collect().toSeq)
+    assert(CurationPumps.classPointsReport(spark, s"$root/state")
+        .collect().toSeq ==
+      graft.ops.ScoreEval.operatingPointsByClass(full, conf, gold)
+        .collect().toSeq)
+    // replay of already-folded micro-batch 0: the additive pos/neg
+    // census would double-count without the batch-id fence
+    CurationPumps.mergeClassesBatch(full.filter(col("doc_id") % 2 === 1),
+      conf, gold, s"$root/state",
+      graft.streaming.BucketStateStore.DefaultNumBuckets, Some(0L))
+    val after = CurationPumps.classAucReport(spark, s"$root/state").collect()
+    assert(after.toSeq == got.toSeq,
+      "fenced replay must not inflate the census")
+  }
+
   test("standalone pumps vacuum dead state versions on the batch " +
     "cadence without touching the drained answer") {
     val root = Files.createTempDirectory("graft_pumpvac").toString

@@ -1059,6 +1059,116 @@ class GraftAppSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dst3)))
   }
 
+  test("--score-classes routes the multiclass battery CLI == library; " +
+    "float maps are largest-remainder quantized at the boundary") {
+    val src = Files.createTempDirectory("graft_appcls_src").toString
+    val dst = Files.createTempDirectory("graft_appcls_dst").toString
+    // router fixture: raw double probabilities (deliberately
+    // unnormalized — sums vary per row) + 3-class gold + the binary
+    // score/label cols the plain --score-report faces need
+    val routed = spark.range(200).select(
+      col("id").as("doc_id"),
+      concat(lit("c"), pmod(col("id"), lit(3L)).cast("string")).as("gold"),
+      map(
+        lit("c0"), (lit(1L) + pmod(col("id") * 7, lit(499L))) / lit(1237.0),
+        lit("c1"), (lit(1L) + pmod(col("id") * 13, lit(401L))) / lit(1237.0),
+        lit("c2"), (lit(1L) + pmod(col("id") * 29, lit(307L))) / lit(1237.0))
+        .as("probs"),
+      pmod(col("id"), lit(2L)).as("bin"))
+    routed.write.parquet(s"$src/documents.parquet")
+    val r = GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$src",
+      s"--dst-dir=$dst", "--src-tables=documents", "--score-report",
+      "--score-col=doc_id", "--score-label=bin",
+      "--score-classes=probs", "--agreement-gold=gold")))
+    assert(r.curations.map(_.mode) == Seq("score-report", "score-classes"))
+    val conf = graft.ops.ScoreEval.quantizeMilli(col("probs"))
+    val gold = col("gold").cast("string")
+    def read(suffix: String) =
+      spark.read.parquet(s"$dst/documents_class_$suffix.parquet")
+    assert(read("auc").orderBy("cls").collect().toSeq ==
+      graft.ops.ScoreEval.rocAucByClass(routed, conf, gold)
+        .collect().toSeq)
+    assert(read("ap").orderBy("cls").collect().toSeq ==
+      graft.ops.ScoreEval.averagePrecisionByClass(routed, conf, gold)
+        .collect().toSeq)
+    assert(read("points").orderBy("cls", "thr").collect().toSeq ==
+      graft.ops.ScoreEval.operatingPointsByClass(routed, conf, gold)
+        .collect().toSeq)
+    assert(read("calibration").orderBy("cls", "bin").collect().toSeq ==
+      graft.ops.ScoreEval.calibrationByClass(routed, conf, gold)
+        .collect().toSeq)
+    assert(read("logloss").collect().toSeq ==
+      graft.ops.ScoreEval.logLossMulti(routed, conf, gold)
+        .collect().toSeq)
+    assert(r.curations(1).srcRows == 200)
+    // an integral map is passed through (and must already sum to 1000)
+    val src2 = Files.createTempDirectory("graft_appcls_src2").toString
+    val dst2 = Files.createTempDirectory("graft_appcls_dst2").toString
+    val p0 = lit(1L) + pmod(col("id") * 7, lit(500L))
+    val p1 = lit(1L) + pmod(col("id") * 13, lit(400L))
+    val milli = spark.range(100).select(
+      col("id").as("doc_id"),
+      concat(lit("c"), pmod(col("id"), lit(3L)).cast("string")).as("gold"),
+      map(lit("c0"), p0, lit("c1"), p1, lit("c2"), lit(1000L) - p0 - p1)
+        .as("probs"),
+      pmod(col("id"), lit(2L)).as("bin"))
+    milli.write.parquet(s"$src2/documents.parquet")
+    GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$src2",
+      s"--dst-dir=$dst2", "--src-tables=documents", "--score-report",
+      "--score-col=doc_id", "--score-label=bin",
+      "--score-classes=probs", "--agreement-gold=gold")))
+    assert(spark.read.parquet(s"$dst2/documents_class_auc.parquet")
+        .orderBy("cls").collect().toSeq ==
+      graft.ops.ScoreEval.rocAucByClass(milli, col("probs"), gold)
+        .collect().toSeq)
+    // a non-map --score-classes column is refused before any job runs
+    val eBad = intercept[IllegalArgumentException] {
+      GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$src",
+        s"--dst-dir=$dst", "--src-tables=documents", "--score-report",
+        "--score-col=doc_id", "--score-label=bin",
+        "--score-classes=doc_id", "--agreement-gold=gold")))
+    }
+    assert(eBad.getMessage.contains("map"), eBad.getMessage)
+    // --dry plans the battery without executing
+    val dst3 = Files.createTempDirectory("graft_appcls_dry").toString + "/o"
+    val r3 = GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$src",
+      s"--dst-dir=$dst3", "--src-tables=documents", "--score-report",
+      "--score-classes=probs", "--agreement-gold=gold", "--dry")))
+    assert(r3.dryPlanned.exists(_.startsWith("score-classes[probs vs gold]")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dst3)))
+  }
+
+  test("--pumps=classes: the monitor's router-audit leg drains to the " +
+    "batch per-class AUC; the leg requires --score-classes") {
+    val src = Files.createTempDirectory("graft_appclsp_src").toString
+    val dst = Files.createTempDirectory("graft_appclsp_dst").toString
+    val routed = spark.range(120).select(
+      col("id").as("doc_id"),
+      concat(lit("c"), pmod(col("id"), lit(3L)).cast("string")).as("gold"),
+      map(
+        lit("c0"), (lit(1L) + pmod(col("id") * 7, lit(499L))) / lit(1237.0),
+        lit("c1"), (lit(1L) + pmod(col("id") * 13, lit(401L))) / lit(1237.0),
+        lit("c2"), (lit(1L) + pmod(col("id") * 29, lit(307L))) / lit(1237.0))
+        .as("probs"))
+    routed.write.parquet(s"$src/documents.parquet")
+    val r = GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$src",
+      s"--dst-dir=$dst", "--src-tables=documents", "--pumps=classes",
+      "--score-classes=probs", "--agreement-gold=gold")))
+    assert(r.curations.map(_.mode) == Seq("monitor-classes"))
+    val want = graft.ops.ScoreEval.rocAucByClass(routed,
+      graft.ops.ScoreEval.quantizeMilli(col("probs")),
+      col("gold").cast("string")).collect()
+    val got = spark.read.parquet(s"$dst/documents_monitor_classes.parquet")
+      .orderBy("cls").collect()
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+    // guard: the leg needs the map column named
+    val e = intercept[IllegalArgumentException] {
+      GraftApp.run(spark, GraftApp.parse(Seq(s"--src-dir=$src",
+        s"--dst-dir=$dst", "--src-tables=documents", "--pumps=classes")))
+    }
+    assert(e.getMessage.contains("--score-classes"), e.getMessage)
+  }
+
   test("remigrate mode evolves drift and merges by PK through the CLI surface") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_appremig_src").toString
