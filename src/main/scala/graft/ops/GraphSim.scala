@@ -34,9 +34,16 @@ object GraphSim {
     * can't split engines on a boundary value.
     */
   def neighborJaccard(edges: DataFrame, maxDF: Long = 64L,
-      tau: Double = 0.0): DataFrame = {
+      tau: Double = 0.0, edgesDistinct: Boolean = false): DataFrame = {
     require(maxDF >= 1, s"maxDF must be >= 1: $maxDF")
-    val e = edges.select(col("src"), col("dst")).distinct()
+    // edgesDistinct: caller's promise of no duplicate (src, dst) rows
+    // skips one full edge-sized exchange ([[PageRank.integerPageRank]]);
+    // the distinct (or promised-distinct) edge frame is materialized
+    // ONCE — un-checkpointed it is recomputed by both its consumers
+    // below (the in-degree aggregate and the cold join), measured as
+    // two duplicate ~1.2 s jobs at sf0.1 on the co-purchase graph
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = if (edgesDistinct) e0 else e0.distinct().localCheckpoint()
     val cold = e.groupBy(col("dst")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDF).select(col("dst"))
     val ef = e.join(cold, Seq("dst")).localCheckpoint()

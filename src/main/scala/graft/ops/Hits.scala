@@ -62,15 +62,26 @@ object Hits {
     */
   def integerHits(edges: DataFrame, iters: Int,
       maxBroadcastNodes: Long = 10000000L,
-      nodeCount: Long = -1L): DataFrame = {
+      nodeCount: Long = -1L,
+      edgesDistinct: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(nodeCount == -1L || nodeCount >= 0L,
       s"nodeCount must be -1 (count the frame) or >= 0: $nodeCount")
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val e0 = edges.select(col("src"), col("dst"))
+    // edgesDistinct: caller's promise of no duplicate (src, dst) rows
+    // skips one full edge-sized exchange AND the re-materialization
+    // ([[PageRank.integerPageRank]] — the promised frame is already
+    // checkpointed at the caller; a cheap projection recomputes)
+    val e = if (edgesDistinct) e0 else e0.distinct().localCheckpoint()
+    // the regime-pick count rides the node materialization job via
+    // observe — zero extra actions (the LabelProp checksum pattern)
+    val obs = org.apache.spark.sql.Observation()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("node"))).distinct()
+      .observe(obs, count(lit(1)).as("n")).localCheckpoint()
     val useBroadcast =
-      (if (nodeCount >= 0) nodeCount else nodes.count()) <= maxBroadcastNodes
+      (if (nodeCount >= 0) nodeCount
+       else obs.get("n").asInstanceOf[Long]) <= maxBroadcastNodes
     val (eBySrc, eByDst) =
       if (useBroadcast) (e, e)
       else (PageRank.pinBy(e, "src"), PageRank.pinBy(e, "dst"))

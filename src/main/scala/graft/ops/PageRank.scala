@@ -46,10 +46,16 @@ object PageRank {
     *   per-round rank join switches from broadcast to the src-sharded
     *   shuffle join (0 forces sharded, Long.MaxValue forces broadcast
     *   — both produce identical bit-exact output)
+    * @param edgesDistinct caller's promise that `edges` carries no
+    *   duplicate (src, dst) rows, skipping the internal `distinct()`
+    *   — one full edge-sized exchange. The co-purchase callers build
+    *   their edge list through a distinct already; re-deduplicating
+    *   the result was pure shuffle cost.
     */
   def integerPageRank(edges: DataFrame, iters: Int,
-      maxBroadcastNodes: Long = 10000000L): DataFrame =
-    run(edges, iters, maxBroadcastNodes, _ => lit(true))
+      maxBroadcastNodes: Long = 10000000L,
+      edgesDistinct: Boolean = false): DataFrame =
+    run(edges, iters, maxBroadcastNodes, _ => lit(true), edgesDistinct)
 
   /** Personalized (topic-sensitive) integer PageRank, Haveliwala
     * WWW'02: teleport mass flows ONLY to the `seed` node set, so
@@ -66,18 +72,26 @@ object PageRank {
     */
   def personalizedPageRank(edges: DataFrame, iters: Int,
       seed: Column => Column,
-      maxBroadcastNodes: Long = 10000000L): DataFrame =
-    run(edges, iters, maxBroadcastNodes, seed)
+      maxBroadcastNodes: Long = 10000000L,
+      edgesDistinct: Boolean = false): DataFrame =
+    run(edges, iters, maxBroadcastNodes, seed, edgesDistinct)
 
   private def run(edges: DataFrame, iters: Int, maxBroadcastNodes: Long,
-      seed: Column => Column): DataFrame = {
+      seed: Column => Column, edgesDistinct: Boolean = false): DataFrame = {
     require(iters >= 0, s"iters must be non-negative: $iters")
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val e0 = edges.select(col("src"), col("dst"))
+    // edgesDistinct callers hand over an already-deduplicated (and in
+    // practice already-materialized) frame: skip both the distinct
+    // exchange AND the second materialization — recomputing a cheap
+    // projection per consumer beats writing the edge frame out twice
+    val e = if (edgesDistinct) e0 else e0.distinct().localCheckpoint()
+    // the regime-pick count rides the node materialization job via
+    // observe — zero extra actions (the LabelProp checksum pattern)
+    val obs = org.apache.spark.sql.Observation()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
-    // nodes is checkpointed and node-sized: this count is one cheap
-    // job against materialized blocks, amortized over all iterations
-    val useBroadcast = nodes.count() <= maxBroadcastNodes
+      .union(e.select(col("dst").as("node"))).distinct()
+      .observe(obs, count(lit(1)).as("n")).localCheckpoint()
+    val useBroadcast = obs.get("n").asInstanceOf[Long] <= maxBroadcastNodes
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val withDeg =
       if (useBroadcast) e.join(deg, "src").localCheckpoint()

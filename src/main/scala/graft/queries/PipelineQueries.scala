@@ -91,7 +91,7 @@ object PipelineQueries {
 
   /** q25: MinHash+LSH near-dup pairs verified at J >= 0.8. */
   def minhashDedup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashDedup(Tables.load(spark, dir, "documents"),
+    Dedup.minhashDedup(Tables.loadSpread(spark, dir, "documents"),
       k = 3, threshold = 0.8)
       .orderBy("doc_a", "doc_b")
 
@@ -99,7 +99,7 @@ object PipelineQueries {
     * verified at J >= 0.8).
     */
   def simhashDedup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashDedup(Tables.load(spark, dir, "documents"),
+    Dedup.simhashDedup(Tables.loadSpread(spark, dir, "documents"),
       k = 3, maxHamming = 12, jaccardThreshold = 0.8)
       .orderBy("doc_a", "doc_b")
 
@@ -185,7 +185,9 @@ object PipelineQueries {
     */
   def videoDecode(spark: SparkSession, dir: String): DataFrame = {
     val mkGif = udf((id: Long) => graft.multimodal.Video.fixtureGif(id))
-    val objects = Tables.load(spark, dir, "documents")
+    // spread: GIF synthesis + ImageIO decode is the heaviest per-row
+    // byte work in the suite — see Tables.loadSpread (no-op at scale)
+    val objects = Tables.loadSpread(spark, dir, "documents")
       .select(col("doc_id"), mkGif(col("doc_id")).as("payload"))
     graft.multimodal.Video.decodeVideo(objects)
       .select(col("doc_id"), col("decoded"),
@@ -262,7 +264,7 @@ object PipelineQueries {
     * for the oracle (production default caps hot shingles).
     */
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val docs = Tables.loadSpread(spark, dir, "documents")
     Dedup.incrementalJaccardPairs(
       docs.filter(pmod(col("doc_id"), lit(10)) =!= 7),
       docs.filter(pmod(col("doc_id"), lit(10)) === 7),
@@ -314,7 +316,7 @@ object PipelineQueries {
     */
   def substrDedup(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.substrDedupCut(
-        Tables.load(spark, dir, "documents"), n = 8)
+        Tables.loadSpread(spark, dir, "documents"), n = 8)
       .orderBy("doc_id")
 
   /** q114: Gopher quality-rule battery — the Rae et al. 2021
@@ -326,7 +328,7 @@ object PipelineQueries {
     */
   def gopherRules(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.gopherQuality(
-        Tables.load(spark, dir, "documents"))
+        Tables.loadSpread(spark, dir, "documents"))
       .orderBy("doc_id")
 
   /** q115: CCNet perplexity buckets — q102's unigram scores split
@@ -428,7 +430,8 @@ object PipelineQueries {
     * division, so every score is bit-reproducible in any engine.
     */
   def copurchaseHits(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.Hits.integerHits(copurchaseEdges(spark, dir), iters = 2)
+    graft.ops.Hits.integerHits(copurchaseEdges(spark, dir), iters = 2,
+        edgesDistinct = true)
       .orderBy("node")
 
   /** q120: neighbor-set Jaccard similarity over the q92 co-purchase
@@ -439,7 +442,8 @@ object PipelineQueries {
     */
   def copurchaseNeighborSim(spark: SparkSession, dir: String): DataFrame =
     graft.ops.GraphSim.neighborJaccard(
-        copurchaseEdges(spark, dir), maxDF = 32L, tau = 0.25)
+        copurchaseEdges(spark, dir), maxDF = 32L, tau = 0.25,
+        edgesDistinct = true)
       .orderBy("a", "b")
 
   /** q117: DSIR importance weights — every document scored by the
@@ -486,7 +490,7 @@ object PipelineQueries {
     */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame =
     graft.text.Bpe.subwordCounts(
-        Tables.load(spark, dir, "documents"), rounds = 8)
+        Tables.loadSpread(spark, dir, "documents"), rounds = 8)
       .orderBy("doc_id")
 
   /** q105: semantic k-means clustering — every embedding assigned to
@@ -524,7 +528,8 @@ object PipelineQueries {
     */
   def dupSpanCoverage(spark: SparkSession, dir: String): DataFrame =
     graft.text.TextAnalysis.crossDocDupSpans(
-        Tables.load(spark, dir, "documents"), n = 8)
+        // spread: the 8-gram explode+position walk is per-row heavy
+        Tables.loadSpread(spark, dir, "documents"), n = 8)
       .orderBy("doc_id")
 
   /** q112: temperature-weighted language mix — a quarter-corpus
@@ -1063,7 +1068,8 @@ object PipelineQueries {
     * every rank matches to the unit.
     */
   def copurchaseRank(spark: SparkSession, dir: String): DataFrame =
-    graft.ops.PageRank.integerPageRank(copurchaseEdges(spark, dir), iters = 3)
+    graft.ops.PageRank.integerPageRank(copurchaseEdges(spark, dir), iters = 3,
+        edgesDistinct = true)
       .orderBy("node")
 
   /** The q92 bipartite customer↔part graph (also the SoakPageRank
@@ -1075,9 +1081,17 @@ object PipelineQueries {
       .select(col("l_orderkey"), col("l_partkey"))
     val o = Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
+    // materialized ONCE: the union below references `pairs` twice, and
+    // un-checkpointed the whole join+distinct ran once PER BRANCH
+    // (measured as duplicate jobs in every graph query over this
+    // frame); both downstream directions now read the same blocks.
     val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"),
         (col("l_partkey") + 10000000L).as("p")).distinct()
+      .localCheckpoint()
+    // the two directions cannot collide (src < 1e7 in one, >= 1e7 in
+    // the other), so the union is distinct by construction — callers
+    // pass edgesDistinct = true to the graph ops
     pairs
       .select(col("c").as("src"), col("p").as("dst"))
       .union(pairs.select(col("p").as("src"), col("c").as("dst")))
@@ -1167,7 +1181,7 @@ object PipelineQueries {
     */
   def copurchaseSeedRank(spark: SparkSession, dir: String): DataFrame =
     graft.ops.PageRank.personalizedPageRank(copurchaseEdges(spark, dir),
-        iters = 3, seed = n => n % 1000 === 0)
+        iters = 3, seed = n => n % 1000 === 0, edgesDistinct = true)
       .orderBy("node")
 
   def heavyParts(spark: SparkSession, dir: String): DataFrame =
@@ -1334,7 +1348,7 @@ object PipelineQueries {
     * A already cover" is the input to mixture re-weighting.
     */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
-    Dedup.sourceOverlap(Tables.load(spark, dir, "documents"), k = 3)
+    Dedup.sourceOverlap(Tables.loadSpread(spark, dir, "documents"), k = 3)
 
   /** q153: evaluation of the q21 heuristic language labeler against
     * the gold `lang` column — per-class precision/recall/F1 plus
@@ -1388,7 +1402,9 @@ object PipelineQueries {
     * references.
     */
   def generationBleu(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    // spread: the gram pass is expensive per row; a sub-split-size
+    // corpus file otherwise runs it on one core (Tables.loadSpread)
+    val docs = Tables.loadSpread(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
     val cand = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
       .select(col("doc_id").as("pair_id"), col("text").as("cand"))
@@ -1404,7 +1420,9 @@ object PipelineQueries {
     * a word n-gram still share most character n-grams).
     */
   def generationChrf(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    // spread: char grams at 6 orders are the library's most expensive
+    // per-row pass — see Tables.loadSpread (no-op at production scale)
+    val docs = Tables.loadSpread(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
     val cand = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
       .select(col("doc_id").as("pair_id"), col("text").as("cand"))

@@ -112,8 +112,13 @@ object Bpe {
         reprs = reprs.select(col("word"), col("freq"),
             replace(col("s"), lit(Sep + l + Sep + Sep + r + Sep),
               lit(Sep + l + r + Sep)).as("s"))
-          .localCheckpoint()
         k += 1
+        // a replace projection over the vocab-sized frame is cheaper
+        // to recompute than to materialize (one extra job + a disk
+        // round-trip per round); checkpoint only every 8th MID-LOOP
+        // round so large merge budgets keep lineage bounded without
+        // paying a final materialization no consumer needs
+        if (k % 8 == 0 && k < rounds) reprs = reprs.localCheckpoint()
       }
     }
     (merges.toSeq.toDF("step", "lhs", "rhs", "merged", "cnt"), reprs)
